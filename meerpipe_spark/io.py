@@ -1,0 +1,67 @@
+"""Table loading / view registration for the driver-provided parquet tables.
+
+``TESTDATA.md``: tables region nation customer supplier part orders
+lineitem events documents embeddings, one parquet file per table under
+``/root/testdata/sf*/``.
+
+At scale these would be partitioned parquet/Delta directories; the reader
+code is identical (``spark.read.parquet`` on a directory) — Catalyst does
+column pruning and predicate pushdown into the scan either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _fix_nanos(df: DataFrame) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as long (see session.py);
+    convert to micros-precision timestamps the same way DuckDB does
+    (truncating integer division — exact for the driver's positive epochs)."""
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.LongType) and f.name in ("ts",):
+            # integer `div`, not `/`: ns epochs (~1.7e18) overflow double's
+            # exact-integer range, so float division would corrupt micros
+            df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000")))
+    return df
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns regardless of
+    how the caller built the session (the driver may not have set
+    ``spark.sql.legacy.parquet.nanosAsLong``)."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {
+        t: _fix_nanos(_read(spark, os.path.join(sf_dir, f"{t}.parquet")))
+        for t in TABLES
+    }
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

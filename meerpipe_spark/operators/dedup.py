@@ -1,0 +1,152 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operate on the ``documents`` table (doc_id, text, lang, source,
+n_chars). Scale notes per operator:
+
+- exact: one hash-groupBy shuffle on md5(text) — map-side partial agg,
+  AQE handles skew (identical boilerplate docs are the classic skew key).
+- minhash-LSH: shingles → K minhash values → B bands; candidate pairs come
+  from a self-join on (band_id, band_hash) buckets, so the join key is
+  pre-hashed and uniformly distributed; never an O(n²) cross join.
+- simhash: 64-bit fingerprint from token hashes; near-dup = identical
+  fingerprint buckets (or Hamming-neighbor probing over rotated keys).
+- n-gram Jaccard: exact verify step for LSH candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per content hash.
+
+    Returns (content_md5, keep_id, n_dups). groupBy on the hash — one
+    shuffle, partial-aggregated map-side.
+    """
+    return docs.groupBy(F.md5(F.col(text_col)).alias("content_md5")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+
+
+def shingles(text_col: F.Column, n: int = 3) -> F.Column:
+    """Word n-gram shingles as an array<string> (distinct)."""
+    words = F.split(text_col, " ")
+    k = F.size(words) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[j] = min over shingles of
+    xxhash64(shingle, seed=j). Stays entirely in JVM expressions
+    (xxhash64 + transform/array_min) — no Python in the hot path.
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    )
+    return docs.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature, bucket-join on (band_id, band_hash).
+
+    Docs sharing any band land in the same bucket; the self-join is an
+    equi-join on the bucket key (shuffle on a uniform hash — scales).
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    banded = signatures.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.concat_ws(",", F.transform(
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ))),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard similarity on word-n-gram sets for candidate pairs.
+
+    Joins the (small) candidate set back to the docs twice; the set math
+    is JVM array intrinsics (array_intersect/array_union).
+    """
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint from unweighted token hashes.
+
+    For each bit position, sum +1/-1 votes across token hashes; the
+    fingerprint bit is 1 where the vote is positive. Pure JVM expressions
+    (explode + groupBy on id — one shuffle keyed by doc id).
+    """
+    toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    votes = hashed.select(
+        id_col,
+        *[
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    ).groupBy(id_col).sum()
+    bit_cols = [
+        F.when(F.col(f"sum(b{i})") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    fingerprint = bit_cols[0]
+    for c in bit_cols[1:]:
+        fingerprint = fingerprint.bitwiseOR(c)
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -1,0 +1,82 @@
+"""Decimation (scrunching) of the 4-D folded-archive cube along any of its
+axes — time (tscrunch), frequency (fscrunch), phase bin (bscrunch),
+polarisation (pscrunch).
+
+Reference semantics: ``pam --setnsub/--setnchn/-S`` and the config ``flags``
+DSL, docs/pipeline_workflow.md:37-45, configuration_files/project_specific/
+meertime_jitter.config:19-20, meerpipe/archive_utils.py:105 (bscrunch),
+meerpipe/scripts/generate_images_results.py:65 (tscrunch).
+
+Spark-first design (SURVEY.md A1): all four axes collapse into ONE
+parameterized weighted hash aggregation —
+
+    groupBy(obs_id, floor(subint/ts_f), pol', floor(chan/fs_f),
+            floor(bin/bs_f))
+      .agg(sum(value*weight)/sum(weight), sum(weight), avg(freq))
+
+This is a single shuffle on the grouped keys with map-side partial
+aggregation; at 100 TB the cube table is partitioned by obs_id so the
+shuffle is local to each observation's partitions and AQE coalesces the
+post-shuffle partitions. Chained scrunches (``t 320 f 8`` then
+``t 64 f 16``) should be issued from the finest common product, not
+re-aggregated serially (SURVEY.md §4 fusion note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+CUBE_KEYS = ("obs_id", "subint", "pol", "chan", "bin")
+
+
+def scrunch(
+    cube: DataFrame,
+    t_factor: int = 1,
+    f_factor: int = 1,
+    b_factor: int = 1,
+    pscrunch: bool = False,
+    value_col: str = "value",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted decimation of the long-form cube (one row per
+    (obs_id, subint, pol, chan, bin)).
+
+    Factors are integer group sizes along each axis (e.g. ``t_factor=4``
+    merges every 4 consecutive subints). ``pscrunch=True`` sums the first
+    two polarisations (I = pol0+pol1 for coherence products, matching
+    ``pam -S`` total-intensity semantics) and drops the rest.
+    """
+    df = cube
+    if pscrunch:
+        df = df.filter(F.col("pol") < 2).withColumn("pol", F.lit(0))
+    grouped = (
+        df.groupBy(
+            "obs_id",
+            (F.col("subint") / t_factor).cast("long").alias("subint"),
+            "pol",
+            (F.col("chan") / f_factor).cast("long").alias("chan"),
+            (F.col("bin") / b_factor).cast("long").alias("bin"),
+        )
+        .agg(
+            (
+                F.sum(F.col(value_col) * F.col(weight_col))
+                / F.when(F.sum(weight_col) != 0, F.sum(weight_col))
+            ).alias(value_col),
+            F.sum(weight_col).alias(weight_col),
+            F.avg("freq").alias("freq"),
+        )
+    )
+    return grouped
+
+
+def template_adjust_factor(template_nbin: int, archive_nbin: int) -> int | None:
+    """Integer bin-scrunch factor for matching a template to an archive.
+
+    Reference: meerpipe/archive_utils.py:88-105 — scrunch only when
+    ``template_nbin % archive_nbin == 0`` and the factor is > 1; otherwise
+    None (caller skips, logged in the reference).
+    """
+    if archive_nbin <= 0 or template_nbin % archive_nbin != 0:
+        return None
+    factor = template_nbin // archive_nbin
+    return factor if factor > 1 else None

@@ -1,0 +1,64 @@
+"""Signal-to-noise operators: per-profile S/N and cumulative S/N series.
+
+Reference: ``psrstat -j FTp -c snr=pdmp`` (docs/logic.md:11-15,
+meerpipe/scripts/generate_images_results.py:69-81) for the scalar S/N of a
+fully scrunched profile; generate_images_results.py:52-93 for the
+per-subint and cumulative S/N time series — which the reference computes
+with an O(n²) clone-zap-rescrunch loop and this engine computes with one
+window aggregation (SURVEY.md A7/A8/W1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def profile_snr(
+    profile: DataFrame,
+    group_cols: list[str],
+    on_pulse: F.Column,
+    value_col: str = "value",
+) -> DataFrame:
+    """S/N of a folded profile per group:
+
+        snr = sum(on-pulse excess) / (off-pulse rms * sqrt(n_on))
+
+    where the baseline is the off-pulse mean. One hash aggregation; the
+    on/off window predicate is a column expression (template-derived
+    upstream).
+    """
+    off_val = F.when(~on_pulse, F.col(value_col))
+    on_val = F.when(on_pulse, F.col(value_col))
+    return profile.groupBy(*group_cols).agg(
+        (
+            (F.sum(on_val) - F.count(on_val) * F.avg(off_val))
+            / (F.stddev_samp(off_val) * F.sqrt(F.count(on_val)))
+        ).alias("snr")
+    )
+
+
+def cumulative_snr(
+    per_subint: DataFrame,
+    obs_col: str = "obs_id",
+    subint_col: str = "subint",
+    sum_col: str = "on_sum",
+    rms_col: str = "off_rms",
+) -> DataFrame:
+    """Cumulative S/N after k subints, for every k, in one pass.
+
+    Input: one row per (obs, subint) with the subint's on-pulse sum and
+    off-pulse rms. Running S/N ∝ cum_sum(on) / sqrt(cum_sum(rms²)) over a
+    rowsBetween(unboundedPreceding, current) frame — O(n) vs the
+    reference's O(n²) zap-loop (generate_images_results.py:54-91).
+    """
+    w = (
+        W.partitionBy(obs_col)
+        .orderBy(subint_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return per_subint.select(
+        obs_col,
+        subint_col,
+        F.col(sum_col).alias("single_sum"),
+        (F.sum(sum_col).over(w) / F.sqrt(F.sum(F.col(rms_col) ** 2).over(w))).alias("cumulative_snr"),
+    )

@@ -1,0 +1,67 @@
+"""Text-analysis operators for training-data pipelines: token stats,
+quality scoring, language-ID heuristics, document fingerprinting.
+
+All are pure JVM column expressions (split/transform/filter/aggregate) —
+no Python UDFs — so they whole-stage-codegen and scan-prune at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count, char count, mean token length."""
+    words = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(id_col),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars_computed"),
+        (
+            F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w))
+            / F.size(words)
+        ).alias("mean_token_len"),
+    )
+
+
+def stopword_ratio(text_col: F.Column, stopwords=EN_STOPWORDS) -> F.Column:
+    words = F.split(text_col, " ")
+    sw = F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+    return sw / F.size(words)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: blend of length band, stopword
+    ratio band and mean-token-length band (Gopher-style rule scoring)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    swr = stopword_ratio(F.col(text_col))
+    mean_len = F.aggregate(words, F.lit(0.0), lambda a, w: a + F.length(w)) / n
+    score = (
+        F.when((n >= 10) & (n <= 100000), 0.4).otherwise(0.0)
+        + F.when((swr >= 0.01) & (swr <= 0.6), 0.3).otherwise(0.0)
+        + F.when((mean_len >= 2.0) & (mean_len <= 12.0), 0.3).otherwise(0.0)
+    )
+    return docs.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def lang_guess(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram/stopword language-ID heuristic: 'en' when the English
+    stopword ratio clears a threshold, else 'other'. (A real model slots
+    in as a pandas UDF without changing the plan shape.)"""
+    return docs.select(
+        F.col(id_col),
+        F.when(stopword_ratio(F.col(text_col)) >= 0.05, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", hex_len: int = 16) -> DataFrame:
+    """Deterministic document fingerprint: truncated md5 (hex) — the
+    rolling-hash variant is in dedup.simhash; md5 here keeps the
+    fingerprint engine-portable (oracle-checkable)."""
+    return docs.select(
+        F.col(id_col),
+        F.substring(F.md5(F.col(text_col)), 1, hex_len).alias("fingerprint"),
+    )

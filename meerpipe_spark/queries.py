@@ -1,0 +1,906 @@
+"""Query inventory: every operator family from SURVEY.md §2 expressed over
+the driver-provided tables, each paired with an ANSI-SQL DuckDB oracle.
+
+Conventions (driver contract, __spark_entry__.py):
+- each Spark query and its oracle produce IDENTICAL column names;
+- double-typed aggregates are rounded on BOTH sides (round(x, 4) for
+  large sums, round(x, 6) for O(1) ratios) so parallel-summation
+  reordering can't flip the value hash;
+- counts/sizes cast to bigint on both sides (Spark size() is int,
+  DuckDB len() is bigint);
+- no LIMIT without a total deterministic ordering.
+
+Each entry notes the SURVEY.md operator IDs it covers and the physical
+plan it should produce (checked in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from meerpipe_spark.io import load_tables
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    doc: str = ""
+    headline: bool = False  # included in bench.py
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, sql: str | None, doc: str = "", headline: bool = False):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(name, fn, sql, doc, headline)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan/filter/agg/join/window — SURVEY §2.2-§2.7)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                AS sum_qty,
+           round(sum(l_extendedprice), 4)                           AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)        AS sum_disc_price,
+           round(avg(l_quantity), 6)                                AS avg_qty,
+           round(avg(l_discount), 6)                                AS avg_disc,
+           count(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: pushed-down date filter + wide hash agg (F8, A-family).",
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_segment_revenue",
+    """
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(DISTINCT o.o_orderkey)                          AS n_orders
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1996-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="3-way join + agg (J-family); customer side broadcast.",
+)
+def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "q5_region_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Star join region→nation→customer→orders→lineitem; dims broadcast (J2-like).",
+    headline=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+@_register(
+    "unprocessed_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    doc="F9 'unprocessed' semantics: LEFT ANTI JOIN (customers with no urgent order).",
+)
+def unprocessed_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@_register(
+    "crossmatch_semi_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+    doc="J5 crossmatch: LEFT SEMI JOIN (customers with a finished order).",
+)
+def crossmatch_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    finished = t["orders"].filter(F.col("o_orderstatus") == "F")
+    return (
+        t["customer"]
+        .join(finished, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@_register(
+    "cumulative_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_spend
+    FROM orders
+    """,
+    doc="A8/W1 cumulative series as a running window aggregation.",
+    headline=True,
+)
+def cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("cum_spend"),
+    )
+
+
+@_register(
+    "first_event_per_user",
+    """
+    SELECT user_id, event_id, event_type
+    FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="W2 subint-style ordinal indexing: row_number over event time.",
+)
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+_RULES = [("low", 0.0, 50.0, 0.1), ("mid", 50.0, 150.0, 0.2), ("high", 150.0, 1e9, 0.3)]
+
+@_register(
+    "interval_rule_join",
+    """
+    WITH rules(rule_name, lo, hi, rate) AS (
+        VALUES ('low', 0.0, 50.0, 0.1), ('mid', 50.0, 150.0, 0.2), ('high', 150.0, 1000000000.0, 0.3)
+    )
+    SELECT r.rule_name,
+           count(*)                          AS n_events,
+           round(sum(e.value * r.rate), 4)   AS weighted_value
+    FROM events e JOIN rules r ON e.value >= r.lo AND e.value < r.hi
+    GROUP BY r.rule_name
+    """,
+    doc="J6 interval/theta join: events × broadcast rules on range predicates.",
+)
+def interval_rule_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    rules = spark.createDataFrame(_RULES, ["rule_name", "lo", "hi", "rate"])
+    return (
+        e.join(F.broadcast(rules), (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("rule_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("rate")), 4).alias("weighted_value"),
+        )
+    )
+
+
+@_register(
+    "ordered_reduction_reset",
+    """
+    WITH last_reset AS (
+        SELECT user_id, max(ts) AS reset_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT e.user_id,
+           round(sum(e.value), 4) AS total_after_reset,
+           count(*)               AS n_applied
+    FROM events e LEFT JOIN last_reset r ON e.user_id = r.user_id
+    WHERE r.reset_ts IS NULL OR e.ts > r.reset_ts
+    GROUP BY e.user_id
+    """,
+    doc="A12 ordered reduction with reset: only contributions after the "
+        "last '=' (signup) event count — dlyfix.py:99-104 semantics.",
+    headline=True,
+)
+def ordered_reduction_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    last_reset = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("reset_ts"))
+    )
+    return (
+        e.join(F.broadcast(last_reset), "user_id", "left")
+        .filter(F.col("reset_ts").isNull() | (F.col("ts") > F.col("reset_ts")))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 4).alias("total_after_reset"),
+            F.count(F.lit(1)).alias("n_applied"),
+        )
+    )
+
+
+@_register(
+    "band_classifier",
+    """
+    SELECT CASE WHEN value < 50 THEN 'UHF'
+                WHEN value < 100 THEN 'LBAND'
+                WHEN value < 150 THEN 'SBAND_0'
+                WHEN value < 200 THEN 'SBAND_1'
+                ELSE 'SBAND_4' END AS band,
+           count(*)              AS n,
+           round(avg(value), 6)  AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="F1 band classifier: chained interval CASE as a pure column expression.",
+)
+def band_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    band = (
+        F.when(F.col("value") < 50, "UHF")
+        .when(F.col("value") < 100, "LBAND")
+        .when(F.col("value") < 150, "SBAND_0")
+        .when(F.col("value") < 200, "SBAND_1")
+        .otherwise("SBAND_4")
+    )
+    return (
+        e.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+_CHOP_BOUNDS = [("A", 5.0, 45.0), ("N", 2.0, 48.0), ("R", 10.0, 40.0)]
+
+@_register(
+    "edge_chop",
+    """
+    WITH bounds(flag, lo, hi) AS (VALUES ('A', 5.0, 45.0), ('N', 2.0, 48.0), ('R', 10.0, 40.0))
+    SELECT l.l_returnflag,
+           count(*)                   AS n_kept,
+           round(sum(l.l_quantity),4) AS sum_qty
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.flag
+    WHERE l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+    GROUP BY l.l_returnflag
+    """,
+    doc="F2 edge-channel chop: broadcast bounds dim + between filter "
+        "(replaces the reference's O(n²) remove-reindex loop).",
+)
+def edge_chop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    bounds = spark.createDataFrame(_CHOP_BOUNDS, ["flag", "lo", "hi"])
+    return (
+        li.join(F.broadcast(bounds), F.col("l_returnflag") == F.col("flag"))
+        .filter((F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") <= F.col("hi")))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+@_register(
+    "zap_fraction",
+    """
+    SELECT l_returnflag,
+           round(avg(CASE WHEN l_discount = 0 AND l_tax = 0 THEN 1.0 ELSE 0.0 END), 6) AS zap_frac
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="A2/F3 zap predicate + fraction: avg of boolean indicator "
+        "(flux==0 AND flux_err==0, archive_utils.py:127).",
+)
+def zap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    zapped = F.when((F.col("l_discount") == 0) & (F.col("l_tax") == 0), 1.0).otherwise(0.0)
+    return li.groupBy("l_returnflag").agg(F.round(F.avg(zapped), 6).alias("zap_frac"))
+
+
+@_register(
+    "fluxcal_multiplier",
+    """
+    WITH per_channel AS (
+        SELECT l_suppkey AS obs_id,
+               l_partkey % 32 AS chan,
+               stddev_samp(CASE WHEN l_quantity < 25 THEN l_extendedprice END) AS off_rms
+        FROM lineitem
+        GROUP BY 1, 2
+    )
+    SELECT obs_id,
+           round(median(off_rms), 6)          AS observed_rms,
+           round(1000.0 / median(off_rms), 6) AS mult
+    FROM per_channel
+    WHERE chan >= 8 AND chan < 24 AND off_rms IS NOT NULL
+    GROUP BY obs_id
+    """,
+    doc="The flagship flux-calibration query (SURVEY §3.2): per-channel "
+        "off-pulse RMS (A5) → window filter (F4) → exact median (A6) → "
+        "multiplier (A10/A11). Single shuffle on (obs, chan).",
+    headline=True,
+)
+def fluxcal_multiplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per_channel = (
+        li.groupBy(
+            F.col("l_suppkey").alias("obs_id"),
+            (F.col("l_partkey") % 32).alias("chan"),
+        )
+        .agg(
+            F.stddev_samp(
+                F.when(F.col("l_quantity") < 25, F.col("l_extendedprice"))
+            ).alias("off_rms")
+        )
+    )
+    return (
+        per_channel.filter((F.col("chan") >= 8) & (F.col("chan") < 24) & F.col("off_rms").isNotNull())
+        .groupBy("obs_id")
+        .agg(
+            F.round(F.median("off_rms"), 6).alias("observed_rms"),
+            F.round(F.lit(1000.0) / F.median("off_rms"), 6).alias("mult"),
+        )
+    )
+
+
+@_register(
+    "calc_max_nsub",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(greatest(1, least(10, floor(
+               (l_extendedprice / 10.0) /
+               greatest(480.0, (l_extendedprice / 10.0) *
+                   ((12.0 / (l_quantity / sqrt(16.0))) * (12.0 / (l_quantity / sqrt(16.0)))))
+           ))) AS BIGINT) AS max_nsub
+    FROM lineitem
+    """,
+    doc="A14 calc_max_nsub: pure least/greatest/floor/sqrt expression "
+        "(meerpipe/calc_max_nsub.py:4-52, docs/logic.md:7-40).",
+)
+def calc_max_nsub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    duration = F.col("l_extendedprice") / 10.0
+    ratio = 12.0 / (F.col("l_quantity") / F.sqrt(F.lit(16.0)))
+    nsub = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(
+            F.lit(10).cast("bigint"),
+            F.floor(duration / F.greatest(F.lit(480.0), duration * (ratio * ratio))),
+        ),
+    )
+    return li.select("l_orderkey", "l_linenumber", nsub.alias("max_nsub"))
+
+
+@_register(
+    "phase_rotation",
+    """
+    SELECT CAST(((l_linenumber - 3) % 7 + 7) % 7 AS BIGINT) AS new_bin,
+           count(*)                    AS n,
+           round(sum(l_quantity), 4)   AS sum_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="W3 circular phase rotation: double-mod idiom, then regroup.",
+)
+def phase_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    new_bin = (((F.col("l_linenumber") - 3) % 7 + 7) % 7).cast("bigint")
+    return (
+        li.groupBy(new_bin.alias("new_bin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+@_register(
+    "peak_finding",
+    """
+    WITH peaks AS (
+        SELECT l_returnflag, max(l_extendedprice) AS peak_price
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT p.l_returnflag,
+           round(p.peak_price, 4) AS peak_price,
+           min(l.l_orderkey)      AS peak_orderkey
+    FROM peaks p
+    JOIN lineitem l ON l.l_returnflag = p.l_returnflag AND l.l_extendedprice = p.peak_price
+    GROUP BY p.l_returnflag, p.peak_price
+    """,
+    doc="§2.6 peak finding (find_max_phase/max_by) with deterministic "
+        "tie-break: max value then min key.",
+)
+def peak_finding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    peaks = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.max("l_extendedprice").alias("peak_price")
+    )
+    return (
+        F.broadcast(peaks)
+        .join(
+            li.select("l_returnflag", "l_extendedprice", "l_orderkey"),
+            (F.col("peak_price") == F.col("l_extendedprice"))
+            & (F.col("flag") == F.col("l_returnflag")),
+        )
+        .groupBy("flag", "peak_price")
+        .agg(F.min("l_orderkey").alias("peak_orderkey"))
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.round("peak_price", 4).alias("peak_price"),
+            "peak_orderkey",
+        )
+    )
+
+
+@_register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*)                  AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="Grouping-set rollup (free in Spark; §2.4 'not present' extras).",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "customer_order_stats",
+    """
+    SELECT n.n_name,
+           count(DISTINCT c.c_custkey)  AS n_customers,
+           count(*)                     AS n_orders,
+           round(avg(o.o_totalprice),6) AS avg_price,
+           round(max(o.o_totalprice),4) AS max_price
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    """,
+    doc="Distinct aggregation + join rollup (A13/A15 analogs).",
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+    )
+
+
+@_register(
+    "mjd_time_compose",
+    """
+    SELECT event_id,
+           round(epoch_ms(ts) / 86400000.0 + 40587, 9) AS mjd
+    FROM events
+    """,
+    doc="Date/time family: timestamp → fractional MJD via exact integer-ms "
+        "arithmetic (dlyfix.py:130-131 MJD composition).",
+)
+def mjd_time_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    return e.select(
+        "event_id",
+        F.round(F.unix_millis("ts") / 86400000.0 + 40587, 9).alias("mjd"),
+    )
+
+
+@_register(
+    "union_distinct",
+    """
+    SELECT o_custkey FROM orders WHERE o_totalprice > 4000
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    """,
+    doc="§2.7 set ops: UNION DISTINCT of two predicate slices.",
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    a = o.filter(F.col("o_totalprice") > 4000).select("o_custkey")
+    b = o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")).select("o_custkey")
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions (dedup / text / similarity / streaming)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text)   AS content_md5,
+           min(doc_id) AS keep_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content md5; keep lowest id.",
+    headline=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import exact_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return exact_dedup(docs)
+
+
+@_register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT)                 AS n_chars_computed,
+           round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                 / len(string_split(text, ' ')), 6)     AS mean_token_len
+    FROM documents
+    """,
+    doc="Token counting over whitespace; mean token length in closed form "
+        "(total chars minus separators) so both engines agree exactly.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        F.round((F.length("text") - (n_tokens - 1)) * 1.0 / n_tokens, 6).alias("mean_token_len"),
+    )
+
+
+_STOPWORDS_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+
+@_register(
+    "text_quality",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n,
+               len(list_filter(string_split(text, ' '), w -> w IN {_STOPWORDS_SQL})) AS sw,
+               length(text) AS nc
+        FROM documents
+    )
+    SELECT doc_id,
+           round(
+             (CASE WHEN n >= 10 AND n <= 100000 THEN 0.4::DOUBLE ELSE 0.0 END) +
+             (CASE WHEN sw * 1.0 / n >= 0.01 AND sw * 1.0 / n <= 0.6 THEN 0.3::DOUBLE ELSE 0.0 END) +
+             (CASE WHEN (nc - (n - 1)) * 1.0 / n >= 2.0 AND (nc - (n - 1)) * 1.0 / n <= 12.0 THEN 0.3::DOUBLE ELSE 0.0 END)
+           , 6)::DOUBLE AS quality
+    FROM s
+    """,
+    doc="Gopher-style rule-based quality score: length band + stopword "
+        "ratio band + mean token length band.",
+    headline=True,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    sw = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+    swr = sw * 1.0 / n
+    mean_len = (F.length("text") - (n - 1)) * 1.0 / n
+    score = (
+        F.when((n >= 10) & (n <= 100000), 0.4).otherwise(0.0)
+        + F.when((swr >= 0.01) & (swr <= 0.6), 0.3).otherwise(0.0)
+        + F.when((mean_len >= 2.0) & (mean_len <= 12.0), 0.3).otherwise(0.0)
+    )
+    return docs.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+@_register(
+    "lang_id",
+    f"""
+    SELECT d.lang,
+           CASE WHEN len(list_filter(string_split(d.text, ' '), w -> w IN {_STOPWORDS_SQL})) * 1.0
+                     / len(string_split(d.text, ' ')) >= 0.05
+                THEN 'en' ELSE 'other' END AS lang_guess,
+           count(*) AS n
+    FROM documents d
+    GROUP BY 1, 2
+    """,
+    doc="Language-ID heuristic (stopword-ratio threshold) crosstabbed "
+        "against the labeled lang column.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.col("text"), " ")
+    swr = (
+        F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        * 1.0
+        / F.size(words)
+    )
+    guess = F.when(swr >= 0.05, "en").otherwise("other")
+    return docs.groupBy("lang", guess.alias("lang_guess")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint
+    FROM documents
+    """,
+    doc="Deterministic document fingerprint (truncated md5).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import fingerprint
+
+    return fingerprint(load_tables(spark, sf_dir)["documents"])
+
+
+@_register(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        FROM embeddings e, q
+    ),
+    ranked AS (
+        SELECT vec_id, sim,
+               row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT vec_id, round(sim, 6) AS cosine_sim
+    FROM ranked WHERE rn <= 10
+    """,
+    doc="Brute-force cosine top-k vs the vec_id=0 query vector — ANN "
+        "baseline; per-row score codegen'd, top-k via per-partition heaps.",
+    headline=True,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import cosine_similarity
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    cast = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scored = emb.select("vec_id", cosine_similarity(cast, q).alias("sim"))
+    w = W.orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+@_register(
+    "embedding_centroid",
+    """
+    SELECT label,
+           CAST(i - 1 AS BIGINT) AS dim,
+           round(avg(v), 6) AS centroid_v
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    )
+    GROUP BY 1, 2
+    """,
+    doc="Per-label centroid via posexplode + groupBy(label, dim) — the "
+        "distributed vector-aggregation pattern.",
+)
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        exploded.groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"))
+        .select("label", "dim", "centroid_v")
+    )
+
+
+@_register(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n,
+           round(sum(value), 4)   AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="§2.11 streaming-analog tumbling-window aggregation (the batch "
+        "equivalent of window(ts, '1 hour') + agg in Structured Streaming).",
+    headline=True,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@_register(
+    "kepler_binphase",
+    """
+    SELECT event_id,
+           round(((((epoch_ms(ts) / 86400000.0 + 40587) - 60000.0) / 0.5) % 1 + 1) % 1, 6) AS binphase
+    FROM events
+    """,
+    doc="§2.9 binary orbital phase, circular-orbit closed form "
+        "(binary_tools.py:76-87 with the e<1e-4 shortcut): "
+        "phase = ((mjd - T0)/PB) mod 1 via the double-mod idiom.",
+)
+def kepler_binphase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.functions.kepler import binary_phase_circular
+    from meerpipe_spark.functions.timeutils import mjd_from_ts
+
+    e = load_tables(spark, sf_dir)["events"]
+    mjd = mjd_from_ts(F.col("ts"))
+    return e.select(
+        "event_id",
+        F.round(binary_phase_circular(mjd, F.lit(60000.0), F.lit(0.5)), 6).alias("binphase"),
+    )
+
+
+@_register(
+    "snr_cumulative",
+    """
+    SELECT user_id, event_id,
+           round(
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / sqrt(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           , 6) AS cum_snr
+    FROM events
+    """,
+    doc="A8 cumulative S/N series: running sum over sqrt(k) in one window "
+        "pass (replaces the reference's O(n²) clone-zap-scrunch loop).",
+)
+def snr_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w) / F.sqrt(F.row_number().over(wo)), 6).alias("cum_snr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL-expressible oracle; driver records weaker check)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "minhash_lsh_pairs",
+    None,
+    doc="MinHash(32)+LSH(8 bands) near-dup candidate pairs with exact "
+        "n-gram Jaccard verification — bucket equi-join, never O(n²).",
+    headline=True,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, bands=8)
+    return ngram_jaccard(docs, pairs, shingle_n=3)
+
+
+@_register(
+    "simhash_fingerprints",
+    None,
+    doc="64-bit SimHash fingerprints (xxhash64 token votes; engine-specific "
+        "hash → rows-only check).",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import simhash
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return simhash(docs)
+
+
+@_register(
+    "kepler_eccentric_anomaly",
+    None,
+    doc="Iterative Kepler solve (E - e sinE = M) as an Arrow-vectorized "
+        "pandas UDF — not closed-form SQL-expressible (SURVEY §7.3.4).",
+)
+def kepler_eccentric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.functions.kepler import eccentric_anomaly_udf, mean_anomaly
+    from meerpipe_spark.functions.timeutils import mjd_from_ts
+
+    e = load_tables(spark, sf_dir)["events"]
+    M = mean_anomaly(mjd_from_ts(F.col("ts")), F.lit(60000.0), F.lit(5.0))
+    return e.select(
+        "event_id",
+        F.round(eccentric_anomaly_udf(M, F.lit(0.3)), 9).alias("ecc_anomaly"),
+    )
+
+
+def headline_queries() -> list[str]:
+    return [q.name for q in QUERIES.values() if q.headline]

@@ -1,0 +1,47 @@
+"""Spark session bootstrap.
+
+Tuned for correctness-first local runs while keeping the settings that
+matter at cluster scale: AQE for runtime re-planning (skew joins,
+shuffle-partition coalescing), Arrow for the pandas-UDF kernels, UTC
+session timezone so timestamp semantics match the DuckDB oracle.
+
+At 100 TB the same config applies unchanged except
+``spark.sql.shuffle.partitions`` (sized to ~128 MB per shuffle
+partition) and storage-level knobs; nothing here is local-mode-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "meerpipe_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp type — read as long and convert in io.load_tables
+        # (truncation to micros, matching DuckDB's ns→us read behavior).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

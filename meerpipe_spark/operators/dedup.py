@@ -50,15 +50,26 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[j] = min over shingles of
-    xxhash64(shingle, seed=j). Stays entirely in JVM expressions
-    (xxhash64 + transform/array_min) — no Python in the hot path.
+    xxhash64(shingle, seed=j).
+
+    Distributed form: explode shingles to rows, then ONE hash-aggregation
+    with ``num_hashes`` min() aggregates keyed by doc id — each shingle is
+    hashed exactly once per seed, partial aggregation runs map-side, and
+    the shuffle carries only (id, 32×8 bytes) per doc. (The naive nested
+    array-expression form recomputes the shingle array per seed and is
+    ~100× slower — measured via bench.py.)
     """
-    sh = shingles(F.col(text_col), shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
     )
-    return docs.select(F.col(id_col), sig.alias("signature"))
+    aggs = [
+        F.min(F.xxhash64("sh", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)
+    ]
+    per_doc = sh.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("signature"),
+    )
 
 
 def lsh_candidate_pairs(

@@ -46,8 +46,7 @@ def binary_phase_circular(t_mjd: Column, t0_mjd: Column, pb_days: Column) -> Col
     return phase_norm((t_mjd - t0_mjd) / pb_days, 1.0)
 
 
-@pandas_udf("double")
-def eccentric_anomaly_udf(mean_anom: pd.Series, ecc: pd.Series) -> pd.Series:
+def _solve_kepler(mean_anom: pd.Series, ecc: pd.Series) -> pd.Series:
     """Solve Kepler's equation E − e·sin E = M per row.
 
     Newton–Raphson with E₀ = M and a FIXED 30 iterations so results are
@@ -64,6 +63,18 @@ def eccentric_anomaly_udf(mean_anom: pd.Series, ecc: pd.Series) -> pd.Series:
         step = np.where(mask, f / fp, 0.0)
         E = E - step
     return pd.Series(np.where(mask, E, M))
+
+
+_kepler_udf = None
+
+
+def eccentric_anomaly_udf(mean_anom: Column, ecc: Column) -> Column:
+    """Arrow-vectorized Kepler solve. The pandas UDF is registered lazily
+    (pandas_udf needs an active SparkSession to parse its return type)."""
+    global _kepler_udf
+    if _kepler_udf is None:
+        _kepler_udf = pandas_udf(_solve_kepler, "double")
+    return _kepler_udf(mean_anom, ecc)
 
 
 def true_anomaly(ecc_anom: Column, ecc: Column) -> Column:

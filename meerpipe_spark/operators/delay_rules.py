@@ -130,8 +130,8 @@ def evaluate_delay_rules(
 
     regex_ok = (
         F.when(rules["regex_pat"].isNull(), F.lit(True))
-        .when(rules["regex_negate"], ~attr_expr.rlike(rules["regex_pat"]))
-        .otherwise(attr_expr.rlike(rules["regex_pat"]))
+        .when(rules["regex_negate"], ~F.regexp_like(attr_expr, rules["regex_pat"]))
+        .otherwise(F.regexp_like(attr_expr, rules["regex_pat"]))
     )
     cond = (
         (obs[mjd_col] > rules["mjd_lo"])

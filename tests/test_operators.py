@@ -1,0 +1,183 @@
+"""Operator-level unit tests on synthetic cube data, validated against
+straight numpy/python implementations of the reference semantics
+(SURVEY.md §5 test strategy)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from meerpipe_spark.operators.chop import chop_edge_channels, get_band
+from meerpipe_spark.operators.phase import phase_norm, rotate_phase
+from meerpipe_spark.operators.scrunch import scrunch, template_adjust_factor
+from meerpipe_spark.operators.snr import cumulative_snr
+from meerpipe_spark.operators.toa import calc_max_nsub
+
+
+@pytest.fixture(scope="module")
+def cube(spark):
+    """1 obs × 4 subints × 2 pol × 8 chans × 16 bins, seeded values."""
+    rng = np.random.default_rng(42)
+    rows = []
+    for s in range(4):
+        for p in range(2):
+            for c in range(8):
+                for b in range(16):
+                    rows.append(
+                        Row(
+                            obs_id="obs1",
+                            subint=s,
+                            pol=p,
+                            chan=c,
+                            bin=b,
+                            freq=856.0 + c * 107.0,
+                            value=float(rng.normal()),
+                            weight=0.0 if c == 3 else 1.0,
+                        )
+                    )
+    return spark.createDataFrame(rows).cache()
+
+
+def test_scrunch_time_freq_weighted(spark, cube):
+    out = scrunch(cube, t_factor=2, f_factor=4).collect()
+    pdf = cube.toPandas()
+    for r in out:
+        sel = pdf[
+            (pdf.subint // 2 == r.subint)
+            & (pdf.pol == r.pol)
+            & (pdf.chan // 4 == r.chan)
+            & (pdf["bin"] == r.bin)
+        ]
+        wsum = sel.weight.sum()
+        expect = (sel.value * sel.weight).sum() / wsum if wsum != 0 else None
+        if expect is None:
+            assert r.value is None
+        else:
+            assert abs(r.value - expect) < 1e-12
+        assert abs(r.weight - wsum) < 1e-12
+
+
+def test_pscrunch_keeps_first_two_pols(spark, cube):
+    out = scrunch(cube, pscrunch=True)
+    assert out.select("pol").distinct().collect() == [Row(pol=0)]
+    # I = pol0+pol1 weighted mean over both rows
+    n_groups = out.count()
+    assert n_groups == 4 * 8 * 16  # subint × chan × bin
+
+
+@pytest.mark.parametrize(
+    "band,nchan,offset,expected",
+    [
+        ("LBAND", 1024, 0.0, 928),
+        ("LBAND", 4096, 0.0, 3712),
+        # 16384-mode channel centres sit half a fine channel off the coarse grid
+        ("LBAND", 16384, 0.5, 14848),
+        ("UHF", 1024, 0.0, 928),
+    ],
+)
+def test_chop_invariants(spark, band, nchan, offset, expected):
+    """Exact reference channel counts (tests/test_archive_utils.py:15-34):
+    grid freq_i = base + (i+offset)*(bw/nchan), LBAND base 856 MHz, UHF 544."""
+    base, bw = (856.0, 856.0) if band == "LBAND" else (544.0, 544.0)
+    delta = bw / nchan
+    df = spark.createDataFrame(
+        [Row(band=band, nchan=nchan, chan=i, freq=base + (i + offset) * delta) for i in range(nchan)]
+    )
+    kept = chop_edge_channels(df).count()
+    assert kept == expected
+    assert kept % 32 == 0 or kept == 928
+
+
+def test_chop_unknown_band_passthrough(spark):
+    df = spark.createDataFrame(
+        [(None, 64, i, 1000.0 + i) for i in range(64)],
+        "band string, nchan int, chan int, freq double",
+    )
+    assert chop_edge_channels(df).count() == 64
+
+
+def test_get_band_truth_table(spark):
+    cases = [
+        ("544.0", 815.5, "UHF"),
+        ("544.0", 816.5, None),
+        ("775.75", 1283.58, "LBAND"),
+        ("999.0", 1283.5, "LBAND"),  # LBAND has no bw predicate in reference
+        ("875.0", 2187.5, "SBAND_0"),
+        ("875.0", 2406.25, "SBAND_1"),
+        ("875.0", 2625.0, "SBAND_2"),
+        ("875.0", 2843.75, "SBAND_3"),
+        ("875.0", 3062.5, "SBAND_4"),
+        ("875.0", 5000.0, None),
+    ]
+    df = spark.createDataFrame([Row(bw=b, freq_mhz=f, expect=e) for b, f, e in cases])
+    bad = df.withColumn("band", get_band()).filter(
+        ~(F.col("band").eqNullSafe(F.col("expect")))
+    )
+    assert bad.count() == 0
+
+
+def test_calc_max_nsub_matches_reference_formula(spark):
+    def ref(sn, nchan, duration, input_nsub, sn_desired=12.0, min_dur=480.0):
+        sn_chan = sn / math.sqrt(nchan)
+        est = duration * (sn_desired / sn_chan) ** 2
+        est = max(est, min_dur)
+        return min(input_nsub, math.floor(duration / est))
+
+    cases = [
+        (100.0, 16, 3600.0, 32),
+        (15.0, 16, 3600.0, 32),
+        (12.0, 1, 480.0, 1),
+        (200.0, 1024, 255.5, 32),
+        (8.0, 16, 7200.0, 64),
+    ]
+    df = spark.createDataFrame(
+        [Row(sn=s, nchan=n, duration=d, input_nsub=i) for s, n, d, i in cases]
+    )
+    out = df.withColumn(
+        "nsub",
+        calc_max_nsub(F.col("sn"), F.col("nchan"), F.col("duration"), F.col("input_nsub")),
+    ).collect()
+    for row, case in zip(out, cases):
+        assert row.nsub == ref(*case), f"case {case}"
+
+
+def test_phase_norm_and_rotate(spark, cube):
+    df = spark.createDataFrame([Row(x=-3.2), Row(x=7.5), Row(x=0.0)])
+    got = [r.y for r in df.select(phase_norm(F.col("x"), 7.0).alias("y")).collect()]
+    assert got == pytest.approx([3.8, 0.5, 0.0])
+
+    rotated = rotate_phase(cube, F.lit(5), F.lit(16))
+    # rotation is a bijection on bins: same multiset of bins per profile
+    before = sorted(r.bin for r in cube.filter("subint=0 AND pol=0 AND chan=0").collect())
+    after = sorted(r.bin for r in rotated.filter("subint=0 AND pol=0 AND chan=0").collect())
+    assert before == after
+    # value at new_bin (b-5 mod 16) equals value at original b
+    orig = {r.bin: r.value for r in cube.filter("subint=0 AND pol=0 AND chan=0").collect()}
+    rot = {r.bin: r.value for r in rotated.filter("subint=0 AND pol=0 AND chan=0").collect()}
+    for b, v in orig.items():
+        assert rot[(b - 5) % 16] == v
+
+
+def test_cumulative_snr_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    ons = rng.uniform(1, 10, 8)
+    rmss = rng.uniform(0.5, 2, 8)
+    df = spark.createDataFrame(
+        [Row(obs_id="o", subint=i, on_sum=float(ons[i]), off_rms=float(rmss[i])) for i in range(8)]
+    )
+    out = {r.subint: r.cumulative_snr for r in cumulative_snr(df).collect()}
+    for k in range(8):
+        expect = ons[: k + 1].sum() / np.sqrt((rmss[: k + 1] ** 2).sum())
+        assert out[k] == pytest.approx(expect, rel=1e-12)
+
+
+def test_template_adjust_factor_branches():
+    # template 2048 / archive 1024 -> factor 2; non-multiple -> None; equal -> None
+    assert template_adjust_factor(2048, 1024) == 2
+    assert template_adjust_factor(4096, 1024) == 4
+    assert template_adjust_factor(1024, 1024) is None
+    assert template_adjust_factor(1000, 1024) is None
+    assert template_adjust_factor(1024, 0) is None

@@ -13,3 +13,8 @@ __version__ = "0.1.0"
 
 from meerpipe_spark.session import get_spark  # noqa: F401
 from meerpipe_spark.io import load_tables, register_views, TABLES  # noqa: F401
+from meerpipe_spark._serde import register_worker_modules as _register_worker_modules
+
+# Worker processes may not have this package on sys.path (the driver can
+# run from any cwd) — force by-value pickling of all worker-side closures.
+_register_worker_modules()

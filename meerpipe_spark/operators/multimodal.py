@@ -1,0 +1,132 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing — schemas, batch iteration, partitioning-safe
+UDF signatures, output contracts — is real and tested; the actual
+media decoding is STUBBED (``decoder=None`` → deterministic fake)
+because no image/audio libraries ship in this container. Swapping in a
+real decoder (PIL/libav) changes only the ``decoder`` callable, not the
+plan: the operator stays one narrow mapInPandas stage between parquet
+scan and downstream relational ops.
+
+Scale notes: media payloads dominate row size, so the media table is
+stored separately from its metadata (join key ``media_id``), letting
+metadata-only queries scan a thin table; ``spark.sql.files.
+maxPartitionBytes`` bounds per-task payload; the mapInPandas stage is
+map-side only (no shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def _stub_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic fake 'decode + featurize': hash-seeded unit vector.
+    Stands in for a real image/audio feature extractor (none available in
+    this container). Deterministic in the payload bytes only."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 16,
+    decoder: Callable[[bytes, int], np.ndarray] | None = None,
+) -> DataFrame:
+    """Decode + featurize each media row; Arrow batches in, Arrow batches
+    out. A failed decode yields (feature=NULL, decode_ok=False) rather
+    than failing the task — at 100 TB some payloads are always corrupt."""
+    fn = decoder or _stub_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, oks = [], []
+            for payload in pdf["payload"]:
+                try:
+                    feats.append(fn(bytes(payload), dim).tolist())
+                    oks.append(True)
+                except Exception:
+                    feats.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": feats, "decode_ok": oks}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_s: float = 1.0,
+    decoder: Callable[[bytes, float], list[bytes]] | None = None,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame.
+
+    Without a real codec the stub emits ceil(duration/every_s) pseudo
+    frames (sha256-derived bytes) so the fan-out shape, schema and
+    ordering contract are exercised end-to-end.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_s"]):
+                if decoder is not None:
+                    fs = decoder(bytes(payload), every_s)
+                else:
+                    n = max(1, int(np.ceil((dur or 1.0) / every_s)))
+                    fs = [
+                        hashlib.sha256(bytes(payload) + i.to_bytes(4, "big")).digest()
+                        for i in range(n)
+                    ]
+                for i, fr in enumerate(fs):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.select("media_id", "payload", "duration_s").mapInPandas(run, out_schema)
+
+
+def decode_image_real(payload: bytes, dim: int) -> np.ndarray:
+    """Real image decode — requires PIL, not present in this container.
+    Kept as the documented swap-in point for extract_features(decoder=...)."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv which are not installed; "
+        "pass extract_features(decoder=...) with a real implementation"
+    )

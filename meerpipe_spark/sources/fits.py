@@ -1,0 +1,163 @@
+"""FITS source: header-card scan and binary-table scan over the public
+FITS format (2880-byte blocks of 80-char cards; BINTABLE extensions
+described by TTYPE*/TFORM* cards, big-endian payload).
+
+Reference behavior: meerpipe/dlyfix_fits.py:75-131 (header scan S1),
+:133-214 (binary-table scan S2) — reimplemented from the FITS standard,
+not ported: ingest is ``spark.read.format("binaryFile")`` fanning out one
+file per task + an Arrow-batched ``mapInPandas`` parser. At scale the
+binaryFile source parallelizes per file (archives are ~MBs each, many
+thousands per day), so the parse is embarrassingly parallel and lands
+directly in long-form Parquet partitioned by obs_id.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+BLOCK = 2880
+CARD = 80
+
+# TFORM type code -> (struct format char, byte width); FITS is big-endian.
+_TFORM_FMT = {
+    "L": ("?", 1), "B": ("B", 1), "I": ("h", 2), "J": ("i", 4),
+    "K": ("q", 8), "E": ("f", 4), "D": ("d", 8), "A": ("s", 1),
+}
+
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("hdu", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("comment", T.StringType()),
+        T.StructField("card_order", T.IntegerType()),
+    ]
+)
+
+
+def _parse_card(card: bytes) -> tuple[str, str | None, str | None]:
+    text = card.decode("ascii", errors="replace")
+    key = text[:8].strip()
+    if not key or text[8:10] != "= ":
+        # COMMENT / HISTORY / blank cards carry no value indicator
+        return key, None, None
+    body = text[10:]
+    if body.lstrip().startswith("'"):
+        # quoted string value; '' escapes a quote
+        s = body.lstrip()[1:]
+        out, i = [], 0
+        while i < len(s):
+            if s[i] == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                break
+            out.append(s[i])
+            i += 1
+        rest = s[i + 1:]
+        comment = rest.split("/", 1)[1].strip() if "/" in rest else None
+        return key, "".join(out).rstrip(), comment
+    val, _, comment = body.partition("/")
+    return key, val.strip(), comment.strip() or None
+
+
+def _iter_headers(data: bytes):
+    """Yield (hdu_index, cards, data_start, data_len) for each HDU."""
+    pos, hdu = 0, 0
+    while pos + BLOCK <= len(data):
+        cards = []
+        end_seen = False
+        start = pos
+        while pos + BLOCK <= len(data) and not end_seen:
+            block = data[pos:pos + BLOCK]
+            pos += BLOCK
+            for ci in range(0, BLOCK, CARD):
+                card = block[ci:ci + CARD]
+                if card[:3] == b"END":
+                    end_seen = True
+                    break
+                cards.append(card)
+        if not end_seen:
+            return
+        hdr = dict(
+            (k, v) for k, v, _ in (_parse_card(c) for c in cards) if v is not None
+        )
+        bitpix = abs(int(hdr.get("BITPIX", "8")))
+        naxes = int(hdr.get("NAXIS", "0"))
+        nelem = 1
+        for ax in range(1, naxes + 1):
+            nelem *= int(hdr.get(f"NAXIS{ax}", "0"))
+        data_len = (bitpix // 8) * nelem if naxes else 0
+        padded = ((data_len + BLOCK - 1) // BLOCK) * BLOCK
+        yield hdu, cards, pos, data_len
+        pos += padded
+        hdu += 1
+
+
+def read_fits_headers(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S1: all header cards of all HDUs as (path, hdu, key, value,
+    comment, card_order) rows."""
+    binary = spark.read.format("binaryFile").load(path_glob)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for hdu, cards, _, _ in _iter_headers(bytes(content)):
+                    for order, card in enumerate(cards):
+                        key, value, comment = _parse_card(card)
+                        if key:
+                            rows.append((path, hdu, key, value, comment, order))
+            yield pd.DataFrame(
+                rows, columns=["path", "hdu", "key", "value", "comment", "card_order"]
+            )
+
+    return binary.select("path", "content").mapInPandas(parse, HEADER_SCHEMA)
+
+
+def parse_bintable(data: bytes, hdu_index: int) -> pd.DataFrame:
+    """S2: decode a BINTABLE HDU into a pandas frame using its
+    TTYPE/TFORM column specs (schema-on-read). Driver-side helper for
+    small tables; wrap in mapInPandas for fleet-scale ingest."""
+    for hdu, cards, data_start, data_len in _iter_headers(data):
+        if hdu != hdu_index:
+            continue
+        hdr = dict((k, v) for k, v, _ in (_parse_card(c) for c in cards) if v is not None)
+        if hdr.get("XTENSION", "").strip() != "BINTABLE":
+            raise ValueError(f"HDU {hdu_index} is not a BINTABLE")
+        nfields = int(hdr["TFIELDS"])
+        naxis1 = int(hdr["NAXIS1"])
+        nrows = int(hdr["NAXIS2"])
+        names, fmts, widths, repeats = [], [], [], []
+        for i in range(1, nfields + 1):
+            names.append(hdr.get(f"TTYPE{i}", f"col{i}").strip())
+            tform = hdr[f"TFORM{i}"].strip()
+            rep = int(tform[:-1]) if tform[:-1].isdigit() else 1
+            code = tform[-1]
+            fmt, width = _TFORM_FMT[code]
+            fmts.append((code, fmt))
+            widths.append(width * rep)
+            repeats.append(rep)
+        payload = data[data_start:data_start + data_len]
+        rows = []
+        for r in range(nrows):
+            off = r * naxis1
+            vals = []
+            for (code, fmt), w, rep in zip(fmts, widths, repeats):
+                chunk = payload[off:off + w]
+                off += w
+                if code == "A":
+                    vals.append(chunk.decode("ascii", errors="replace").rstrip())
+                elif rep == 1:
+                    vals.append(struct.unpack(">" + fmt, chunk)[0])
+                else:
+                    vals.append(list(struct.unpack(f">{rep}{fmt}", chunk)))
+            rows.append(vals)
+        return pd.DataFrame(rows, columns=names)
+    raise ValueError(f"HDU {hdu_index} not found")

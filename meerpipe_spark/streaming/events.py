@@ -1,0 +1,117 @@
+"""Structured-Streaming layer: observation-event ingestion, incremental
+"unprocessed-only" semantics, idempotent sinks, job-state rollups.
+
+Reference semantics (SURVEY.md §2.11, D10): each new observation triggers
+one pipeline run (README.md:19); ``-unprocessed`` selects only
+observations not yet handled by a given pipeline (README.md:107); results
+are upserted in real time (README.md:46); processings have a 6-state
+lifecycle rolled up for monitoring (docs/running_pipeline.md:78-88).
+
+Spark mapping:
+- arrival stream = file/Delta ``readStream`` over the events/observations
+  directory (at scale: Kafka or Delta CDF — the transformations are
+  identical);
+- unprocessed filter = LEFT ANTI join against the processed-keys sink
+  inside ``foreachBatch`` (exactly-once via checkpoint + idempotent
+  append keyed on obs_id);
+- windowed aggregations = watermarked tumbling windows for late data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """File-source observation/event stream. maxFilesPerTrigger bounds
+    per-batch work (the reference's ``-job_limit`` throttle)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .format(fmt)
+        .load(path)
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation per event type — the
+    streaming form of the batch ``events_tumbling_window`` query (the
+    8-second subint cadence maps to window(ts, '8 seconds') on ingest)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def unprocessed(batch: DataFrame, processed_keys: DataFrame, key: str = "event_id") -> DataFrame:
+    """F9: LEFT ANTI join batch × already-processed keys."""
+    return batch.join(processed_keys, key, "left_anti")
+
+
+def run_incremental_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    transform,
+) -> None:
+    """Drive the per-observation pipeline incrementally with exactly-once
+    semantics: each micro-batch anti-joins the processed-keys ledger
+    (idempotent re-delivery), applies ``transform``, appends results and
+    extends the ledger. ``availableNow`` processes the backlog and stops
+    (the batch-launcher mode); remove it for continuous operation.
+    """
+    results_dir = os.path.join(sink_dir, "results")
+    ledger_dir = os.path.join(sink_dir, "ledger")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        try:
+            ledger = s.read.parquet(ledger_dir)
+        except Exception:
+            ledger = s.createDataFrame([], "event_id long")
+        todo = unprocessed(batch, ledger).cache()
+        transform(todo).write.mode("append").parquet(results_dir)
+        todo.select("event_id").write.mode("append").parquet(ledger_dir)
+        todo.unpersist()
+
+    stream = read_event_stream(spark, source_dir)
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def job_state_rollup(processings: DataFrame, state_col: str = "state") -> DataFrame:
+    """A15: count per lifecycle state (Configuring/Pending/Running/
+    Complete/Failure/Crashed)."""
+    return processings.groupBy(state_col).agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,150 @@
+"""Source-layer tests: par files, psrflux dynspec, FITS header +
+binary-table ingest (FITS fixture built by hand from the public spec)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from meerpipe_spark.sources.fits import parse_bintable, read_fits_headers
+from meerpipe_spark.sources.par import par_to_map, read_par_df
+from meerpipe_spark.sources.psrflux import read_dynspec, zap_fraction
+
+PAR_TEXT = """\
+PSRJ           J1811-2405
+RAJ            18:11:19.85315         1  0.00007
+DECJ           -24:05:18.365          1  0.029
+F0             375.8560483697685178   1  2.4e-12
+F1             -1.3269D-15            1  1.1e-19
+PB             6.2723015936            1  1.6e-9
+E              0.0000017
+NTOA           1234
+TZRMJD         58000.1234
+DM             60.6005
+UNITS          TCB
+"""
+
+
+@pytest.fixture()
+def par_file(tmp_path):
+    p = tmp_path / "J1811-2405.par"
+    p.write_text(PAR_TEXT)
+    return str(p)
+
+
+def test_read_par_types_and_ignore(spark, par_file):
+    par = par_to_map(read_par_df(spark, par_file))
+    assert par["PSRJ"] == "J1811-2405"
+    assert par["PSRJ_TYPE"] == "s"
+    assert par["F0"] == pytest.approx(375.8560483697685178)
+    assert par["F0_TYPE"] == "f"
+    assert par["F0_ERR"] == pytest.approx(2.4e-12)
+    # D-exponent normalized, classified as exponent type
+    assert par["F1"] == pytest.approx(-1.3269e-15)
+    assert par["F1_TYPE"] == "e"
+    # E renamed to ECC
+    assert "E" not in par and par["ECC"] == pytest.approx(1.7e-6)
+    # ignore list dropped
+    assert "NTOA" not in par and "TZRMJD" not in par
+    # string value keeps raw form
+    assert par["RAJ"] == "18:11:19.85315"
+    assert par["RAJ_ERR"] == pytest.approx(7e-5)
+    assert par["DM_TYPE"] == "f" and par["DM"] == pytest.approx(60.6005)
+
+
+DYNSPEC_TEXT = """\
+# Dynamic spectrum from psrflux
+# subint chan time freq flux flux_err
+0 0 4.0 856.5 1.25 0.10
+0 1 4.0 857.3 0.00 0.00
+1 0 12.0 856.5 2.50 0.20
+1 1 12.0 857.3 0.00 0.30
+"""
+
+
+def test_read_dynspec_and_zap(spark, tmp_path):
+    p = tmp_path / "dynspec.txt"
+    p.write_text(DYNSPEC_TEXT)
+    df = read_dynspec(spark, str(p), obs_id="obs1")
+    rows = df.orderBy("subint", "chan").collect()
+    assert len(rows) == 4
+    assert rows[0].obs_id == "obs1" and rows[0].freq_mhz == 856.5
+    # only flux==0 AND flux_err==0 counts as zapped -> 1 of 4
+    zf = zap_fraction(df).collect()[0].zap_fraction
+    assert zf == pytest.approx(0.25)
+
+
+def _card(key: str, value: str, comment: str = "") -> bytes:
+    body = f"{key:<8}= {value}"
+    if comment:
+        body += f" / {comment}"
+    return body.ljust(80).encode("ascii")
+
+
+def _blank_pad(blocks: bytes) -> bytes:
+    rem = len(blocks) % 2880
+    return blocks + b" " * (2880 - rem) if rem else blocks
+
+
+@pytest.fixture()
+def fits_file(tmp_path):
+    """Minimal FITS: primary HDU + one BINTABLE with 3 typed columns."""
+    primary = (
+        _card("SIMPLE", "T")
+        + _card("BITPIX", "8")
+        + _card("NAXIS", "0")
+        + _card("TELESCOP", "'MeerKAT '", "telescope name")
+        + _card("STT_IMJD", "58550", "start MJD")
+        + b"END".ljust(80)
+    )
+    rows = [(1, 856.5, b"chan0001"), (2, 857.3, b"chan0002")]
+    payload = b"".join(
+        struct.pack(">h", a) + struct.pack(">d", b) + c for a, b, c in rows
+    )
+    table_hdr = (
+        _card("XTENSION", "'BINTABLE'")
+        + _card("BITPIX", "8")
+        + _card("NAXIS", "2")
+        + _card("NAXIS1", str(2 + 8 + 8))
+        + _card("NAXIS2", "2")
+        + _card("PCOUNT", "0")
+        + _card("GCOUNT", "1")
+        + _card("TFIELDS", "3")
+        + _card("TTYPE1", "'IDX     '")
+        + _card("TFORM1", "'I       '")
+        + _card("TTYPE2", "'FREQ    '")
+        + _card("TFORM2", "'D       '")
+        + _card("TTYPE3", "'NAME    '")
+        + _card("TFORM3", "'8A      '")
+        + b"END".ljust(80)
+    )
+    data = (
+        _blank_pad(primary)
+        + _blank_pad(table_hdr)
+        + _blank_pad(payload).replace(b" ", b"\x00")
+    )
+    p = tmp_path / "test.fits"
+    p.write_bytes(data)
+    return str(p)
+
+
+def test_read_fits_headers(spark, fits_file):
+    df = read_fits_headers(spark, fits_file)
+    cards = {(r.hdu, r.key): r.value for r in df.collect()}
+    assert cards[(0, "TELESCOP")] == "MeerKAT"
+    assert cards[(0, "STT_IMJD")] == "58550"
+    assert cards[(1, "XTENSION")] == "BINTABLE"
+    assert cards[(1, "TTYPE2")] == "FREQ"
+    comments = {r.key: r.comment for r in df.collect() if r.hdu == 0}
+    assert comments["TELESCOP"] == "telescope name"
+
+
+def test_parse_bintable(fits_file):
+    with open(fits_file, "rb") as f:
+        data = f.read()
+    pdf = parse_bintable(data, 1)
+    assert list(pdf.columns) == ["IDX", "FREQ", "NAME"]
+    assert pdf["IDX"].tolist() == [1, 2]
+    assert pdf["FREQ"].tolist() == pytest.approx([856.5, 857.3])
+    assert pdf["NAME"].tolist() == ["chan0001", "chan0002"]

@@ -399,8 +399,13 @@ def zap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fluxcal_multiplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
+    # channel-window predicate applied BEFORE the first aggregation: chan
+    # is a pure function of l_partkey, so pre-filtering halves the rows
+    # entering the shuffle (checked via .explain — the filter reaches the
+    # scan as a pushed-down l_partkey%32 predicate)
     per_channel = (
-        li.groupBy(
+        li.filter(((F.col("l_partkey") % 32) >= 8) & ((F.col("l_partkey") % 32) < 24))
+        .groupBy(
             F.col("l_suppkey").alias("obs_id"),
             (F.col("l_partkey") % 32).alias("chan"),
         )
@@ -411,7 +416,7 @@ def fluxcal_multiplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per_channel.filter((F.col("chan") >= 8) & (F.col("chan") < 24) & F.col("off_rms").isNotNull())
+        per_channel.filter(F.col("off_rms").isNotNull())
         .groupBy("obs_id")
         .agg(
             F.round(F.median("off_rms"), 6).alias("observed_rms"),
@@ -849,6 +854,310 @@ def snr_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum("value").over(w) / F.sqrt(F.row_number().over(wo)), 6).alias("cum_snr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: rules engine, text pairs, JSON, percentiles, sessions, profiles
+# ---------------------------------------------------------------------------
+
+_DELAY_RULES = [
+    # rule_name, rule_order, mjd_lo, mjd_hi, regex_attr, regex_pat, negate, op, delay_s
+    ("r0", 0, 0.0, 100.0, None, None, False, "+=", 1.0),
+    ("r1", 1, 50.0, 200.0, "beconfig", "err", False, "+=", 2.0),
+    ("r2", 2, 80.0, 300.0, None, None, False, "=", 10.0),
+    ("r3", 3, 0.0, 500.0, "beconfig", "^sig", True, "-=", 0.5),
+    ("r4", 4, 150.0, 1000.0, "beconfig", "purch|click", False, "+=", 0.25),
+]
+
+@_register(
+    "delay_rules_engine",
+    """
+    WITH rules(rule_name, rule_order, mjd_lo, mjd_hi, regex_pat, regex_negate, delay_op, delay_s) AS (
+        VALUES ('r0', 0, 0.0,   100.0,  NULL,          false, '+=', 1.0),
+               ('r1', 1, 50.0,  200.0,  'err',         false, '+=', 2.0),
+               ('r2', 2, 80.0,  300.0,  NULL,          false, '=',  10.0),
+               ('r3', 3, 0.0,   500.0,  '^sig',        true,  '-=', 0.5),
+               ('r4', 4, 150.0, 1000.0, 'purch|click', false, '+=', 0.25)
+    ),
+    matched AS (
+        SELECT e.event_id, r.rule_order, r.delay_op, r.delay_s
+        FROM events e JOIN rules r
+          ON e.value > r.mjd_lo AND e.value < r.mjd_hi
+         AND (r.regex_pat IS NULL OR
+              (CASE WHEN r.regex_negate THEN NOT regexp_matches(e.event_type, r.regex_pat)
+                    ELSE regexp_matches(e.event_type, r.regex_pat) END))
+    ),
+    with_reset AS (
+        SELECT *, max(CASE WHEN delay_op = '=' THEN rule_order END)
+                      OVER (PARTITION BY event_id) AS reset_order
+        FROM matched
+    ),
+    totals AS (
+        SELECT event_id,
+               sum(CASE WHEN delay_op = '-=' THEN -delay_s ELSE delay_s END) AS total
+        FROM with_reset
+        WHERE reset_order IS NULL OR rule_order >= reset_order
+        GROUP BY event_id
+    )
+    SELECT e.event_id, round(coalesce(t.total, 0.0), 9)::DOUBLE AS delay_s
+    FROM (SELECT DISTINCT event_id FROM events) e
+    LEFT JOIN totals t ON e.event_id = t.event_id
+    """,
+    doc="The full dlyfix rules engine (S12+J6+A12+W4) driven through the "
+        "evaluate_delay_rules operator: broadcast theta join on interval + "
+        "regex predicates, ordered reduction with '=' reset.",
+    headline=True,
+)
+def delay_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.delay_rules import RULE_SCHEMA, evaluate_delay_rules
+
+    e = load_tables(spark, sf_dir)["events"]
+    obs = e.select(
+        F.col("event_id"),
+        F.col("value").alias("mjd"),
+        F.col("event_type").alias("beconfig"),
+    )
+    rules = spark.createDataFrame(
+        [
+            (name, order, lo, hi, attr, pat, neg, op, d)
+            for name, order, lo, hi, attr, pat, neg, op, d in _DELAY_RULES
+        ],
+        RULE_SCHEMA,
+    )
+    out = evaluate_delay_rules(
+        obs, rules, mjd_col="mjd", attr_cols={"beconfig": "beconfig"}, obs_key="event_id"
+    )
+    return out.select("event_id", F.round("delay_s", 9).alias("delay_s"))
+
+
+@_register(
+    "ngram_jaccard_pairs_sql",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 40)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """,
+    doc="Exact word-trigram Jaccard over all pairs of a 40-doc slice — the "
+        "verify stage of near-dup detection, with a full SQL oracle.",
+)
+def ngram_jaccard_pairs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import shingles
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.filter(F.col("doc_id") < 40).select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                * 1.0
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@_register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON payload extraction (D9 results_json pattern): "
+        "get_json_object + aggregate.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "part_profit",
+    """
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_type IN ('ECONOMY', 'PROMO')
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H Q9-shaped profit rollup: selective dim filter + 3-way join.",
+)
+def part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type").isin("ECONOMY", "PROMO"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_register(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (§2.4 extension).",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("l_discount"), 6).alias("avg_disc")
+    )
+
+
+@_register(
+    "percentile_quartiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS q2,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS q3
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (A6 exact-median family; "
+        "percentile_approx is forbidden by the oracle gate).",
+)
+def percentile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("q2"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("q3"),
+    )
+
+
+@_register(
+    "regexp_extract_docs",
+    r"""
+    SELECT doc_id, regexp_extract(text, '(ba\w+)', 1) AS first_ba
+    FROM documents
+    """,
+    doc="Scalar regex extraction (§2.8 string family).",
+)
+def regexp_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select("doc_id", F.regexp_extract("text", r"(ba\w+)", 1).alias("first_ba"))
+
+
+@_register(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm
+    FROM embeddings
+    """,
+    doc="L2 norm per embedding via array fold — JVM-side aggregate(), "
+        "no UDF.",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return emb.select("vec_id", F.round(norm, 6).alias("l2_norm"))
+
+
+@_register(
+    "sessionization",
+    """
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(new_s) AS BIGINT) AS n_sessions,
+           count(*)                   AS n_events
+    FROM g GROUP BY user_id
+    """,
+    doc="Gap-based sessionization (30 min): lag + running flag sum — the "
+        "batch twin of applyInPandasWithState session windows.",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)) > 1800000),
+        1,
+    ).otherwise(0)
+    return (
+        e.select("user_id", new_s.alias("new_s"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_register(
+    "profile_snr",
+    """
+    SELECT user_id,
+           round(
+             (sum(CASE WHEN event_type IN ('purchase','click') THEN value END)
+              - count(CASE WHEN event_type IN ('purchase','click') THEN value END)
+                * avg(CASE WHEN event_type NOT IN ('purchase','click') THEN value END))
+             / (stddev_samp(CASE WHEN event_type NOT IN ('purchase','click') THEN value END)
+                * sqrt(count(CASE WHEN event_type IN ('purchase','click') THEN value END)))
+           , 6) AS snr
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="A7 pdmp-style profile S/N via the profile_snr operator: on-pulse "
+        "excess over off-pulse rms, one hash aggregation.",
+)
+def profile_snr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.snr import profile_snr
+
+    e = load_tables(spark, sf_dir)["events"]
+    on_pulse = F.col("event_type").isin("purchase", "click")
+    out = profile_snr(e, ["user_id"], on_pulse, "value")
+    return out.select("user_id", F.round("snr", 6).alias("snr"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,90 @@
+"""End-to-end per-observation pipeline (SURVEY.md §3): the reference's
+nf-core stage chain re-expressed as ONE composable DataFrame DAG.
+
+    ingest(cube) → delay-fix (J6+A12) → chop (F2) → clean (rcvrstd/
+    surgical/bandwagon) → decimation products (A1 × config DSL) →
+    flux calibration (A5/A6/A10/A11) → S/N series (A7/A8) →
+    results doc (D11)
+
+Everything is lazy: calling ``run_observation_pipeline`` builds the
+logical plan; Catalyst fuses the stages (filters push into the scan, the
+cleaners' aggregations share the (obs, subint, chan) shuffle key) and
+nothing executes until a product is written/collected. The reference runs
+these stages as separate Slurm processes with file handoffs; here each
+stage is a view over the previous one and the cleaned cube is cached
+once, feeding every decimation product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from meerpipe_spark.operators.chop import chop_edge_channels
+from meerpipe_spark.operators.clean import clean_chain
+from meerpipe_spark.operators.fluxcal import apply_flux, flux_multiplier, offpulse_rms_per_channel
+from meerpipe_spark.operators.snr import cumulative_snr, profile_snr
+from meerpipe_spark.plans.decimation import DecimationSpec, emit_products
+
+
+def run_observation_pipeline(
+    cube: DataFrame,
+    on_pulse: F.Column,
+    specs: list[DecimationSpec],
+    input_nsub: int,
+    input_nchan: int,
+    expected_rms: float,
+    fluxcal_window: tuple[float, float],
+    bad_channels: list[int] | None = None,
+) -> dict[str, DataFrame]:
+    """Returns {product_name: DataFrame} plus the bookkeeping frames
+    ('cleaned', 'multipliers', 'snr_series', 'results')."""
+    chopped = chop_edge_channels(cube)
+    cleaned = clean_chain(chopped, on_pulse, bad_channels=bad_channels).cache()
+
+    per_chan = offpulse_rms_per_channel(cleaned, on_pulse).withColumn(
+        "expected_rms", F.lit(expected_rms)
+    )
+    mults = flux_multiplier(per_chan, "expected_rms", *fluxcal_window)
+    calibrated = apply_flux(cleaned, mults)
+
+    products = emit_products(calibrated, specs, input_nsub, input_nchan)
+
+    per_subint = (
+        calibrated.filter(F.col("weight") > 0)
+        .groupBy("obs_id", "subint")
+        .agg(
+            F.sum(F.when(on_pulse, F.col("value"))).alias("on_sum"),
+            F.stddev_samp(F.when(~on_pulse, F.col("value"))).alias("off_rms"),
+        )
+    )
+    snr_series = cumulative_snr(per_subint)
+    snr_total = profile_snr(calibrated.filter(F.col("weight") > 0), ["obs_id"], on_pulse)
+
+    results = results_doc(cleaned, mults, snr_total)
+    out = dict(products)
+    out.update(
+        cleaned=cleaned,
+        multipliers=mults,
+        snr_series=snr_series,
+        results=results,
+    )
+    return out
+
+
+def results_doc(cleaned: DataFrame, mults: DataFrame, snr_total: DataFrame) -> DataFrame:
+    """D11 results.json analog: one row per obs with zap fraction, flux
+    multiplier and S/N (generate_images_results.py:272-298), emitted as a
+    JSON string column ready for the sink."""
+    zapfrac = cleaned.groupBy("obs_id").agg(
+        F.avg(F.when(F.col("weight") == 0, 1.0).otherwise(0.0)).alias("percent_rfi_zapped")
+    )
+    doc = (
+        zapfrac.join(mults.select("obs_id", "mult", "observed_rms"), "obs_id", "left")
+        .join(snr_total, "obs_id", "left")
+    )
+    return doc.select(
+        "obs_id",
+        F.to_json(
+            F.struct("percent_rfi_zapped", "mult", "observed_rms", "snr")
+        ).alias("results_json"),
+    )

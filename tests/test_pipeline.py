@@ -1,0 +1,121 @@
+"""End-to-end pipeline tests on a synthetic cube with injected RFI:
+the full stage chain runs lazily, cleans the bad channel, calibrates
+flux, and produces every configured decimation product."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from meerpipe_spark.operators.clean import bandwagon, rcvrstd, surgical
+from meerpipe_spark.plans.decimation import parse_decimation_flags
+from meerpipe_spark.plans.pipeline import run_observation_pipeline
+
+NSUB, NCHAN, NBIN = 8, 16, 32
+RFI_CHAN = 5
+
+
+@pytest.fixture(scope="module")
+def cube(spark):
+    rng = np.random.default_rng(99)
+    rows = []
+    for s in range(NSUB):
+        for c in range(NCHAN):
+            # LBAND-ish frequencies inside the chop window
+            freq = 900.0 + c * 40.0
+            for b in range(NBIN):
+                pulse = 10.0 if 14 <= b < 18 else 0.0
+                noise = rng.normal(0, 1.0)
+                rfi = rng.normal(0, 50.0) if c == RFI_CHAN else 0.0
+                rows.append(
+                    Row(
+                        obs_id="obsA",
+                        subint=s,
+                        pol=0,
+                        chan=c,
+                        bin=b,
+                        band="LBAND",
+                        nchan=NCHAN,
+                        freq=freq,
+                        value=float(pulse + noise + rfi),
+                        weight=1.0,
+                    )
+                )
+    return spark.createDataFrame(rows).cache()
+
+
+def on_pulse():
+    return (F.col("bin") >= 14) & (F.col("bin") < 18)
+
+
+def test_surgical_zaps_rfi_channel(spark, cube):
+    out = surgical(cube, on_pulse(), sigma_threshold=5.0)
+    zapped = (
+        out.groupBy("chan")
+        .agg(F.avg(F.when(F.col("weight") == 0, 1.0).otherwise(0.0)).alias("zf"))
+        .collect()
+    )
+    zf = {r.chan: r.zf for r in zapped}
+    assert zf[RFI_CHAN] == 1.0  # the RFI channel is fully zapped
+    clean_chans = [zf[c] for c in range(NCHAN) if c != RFI_CHAN]
+    assert max(clean_chans) <= 0.25  # clean channels mostly untouched
+
+
+def test_bandwagon_finishes_partial_zaps(spark, cube):
+    # zap 60% of subints in channel 2 manually, bandwagon takes the rest
+    seeded = cube.withColumn(
+        "weight",
+        F.when((F.col("chan") == 2) & (F.col("subint") < 5), 0.0).otherwise(F.col("weight")),
+    )
+    out = bandwagon(seeded, chan_frac=0.5, subint_frac=0.9)
+    remaining = out.filter((F.col("chan") == 2) & (F.col("weight") > 0)).count()
+    assert remaining == 0
+    untouched = out.filter((F.col("chan") == 0) & (F.col("weight") > 0)).count()
+    assert untouched == NSUB * NBIN
+
+
+def test_rcvrstd_fixed_lists(spark, cube):
+    out = rcvrstd(cube, bad_channels=[1, 3], bad_subints=[7])
+    assert out.filter((F.col("chan").isin(1, 3)) & (F.col("weight") > 0)).count() == 0
+    assert out.filter((F.col("subint") == 7) & (F.col("weight") > 0)).count() == 0
+
+
+def test_full_pipeline_products_and_results(spark, cube):
+    specs = parse_decimation_flags("pscrunch, t 4 f 8, tscrunch, fscrunch")
+    out = run_observation_pipeline(
+        cube,
+        on_pulse(),
+        specs,
+        input_nsub=NSUB,
+        input_nchan=NCHAN,
+        expected_rms=1.0,
+        fluxcal_window=(900.0, 1500.0),
+    )
+    assert set(out) >= {"pscrunch", "t_4_f_8", "tscrunch", "fscrunch", "results"}
+    # t 4 f 8 product has the decimated shape
+    prod = out["t_4_f_8"]
+    assert prod.select("subint").distinct().count() == 4
+    assert prod.select("chan").distinct().count() == 8
+    # tscrunch collapses time
+    assert out["tscrunch"].select("subint").distinct().count() == 1
+    # flux calibration: multiplier is expected/observed; observed ~1 => mult ~1
+    mult = out["multipliers"].collect()[0].mult
+    assert 0.5 < mult < 2.0
+    # results doc parses as JSON with the D11 fields
+    import json
+
+    doc = json.loads(out["results"].collect()[0].results_json)
+    assert set(doc) >= {"percent_rfi_zapped", "mult", "observed_rms", "snr"}
+    assert 0.0 <= doc["percent_rfi_zapped"] <= 1.0
+    assert doc["snr"] > 5.0  # strong injected pulse survives cleaning
+    # cumulative S/N series is monotone-ish and defined per subint
+    series = out["snr_series"].collect()
+    assert len(series) == NSUB
+
+
+def test_decimation_dsl_parse():
+    specs = parse_decimation_flags("pscrunch, t 320 f 8, t 64 f 16, tscrunch, fscrunch")
+    assert specs[0].pscrunch and specs[0].nsub is None
+    assert specs[1].nsub == 320 and specs[1].nchan == 8
+    assert specs[3].nsub == 1 and specs[4].nchan == 1

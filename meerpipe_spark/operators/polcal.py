@@ -1,0 +1,81 @@
+"""Polarisation calibration (docs/pipeline_workflow.md:19-22): apply a
+per-channel Jones/Mueller correction to the 4-pol coherence products,
+and convert coherence → Stokes IQUV.
+
+The reference shells out to ``pac -Q`` (psrchive); here the correction is
+a RELATIONAL MATRIX MULTIPLY: the cube's pol axis is 4 rows per
+(obs, subint, chan, bin), the calibration matrix is a small broadcast
+table (chan, out_pol, in_pol, coef), and
+
+    out[i] = Σ_j coef[i,j] · in[j]
+
+is a broadcast join + groupBy(obs, subint, chan, bin, out_pol) sum —
+one shuffle keyed by the cube's natural key, partial-aggregated map-side.
+A per-channel complex Jones gain pair (g_a, g_b) compiles to these
+Mueller coefficients; arbitrary 4×4 corrections use the same path.
+
+Stokes conversion (make_stokes_movie.py:15-16,50-52 semantics) is the
+constant matrix I=AA+BB, Q=AA−BB, U=2Re(AB), V=2Im(AB) — a chan-free
+special case of the same operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CUBE_KEY = ("obs_id", "subint", "chan", "bin")
+
+# Coherence products in pol index order: AA, BB, Re(AB), Im(AB)
+STOKES_FROM_COHERENCE = [
+    # out_pol (I,Q,U,V = 0..3), in_pol, coef
+    (0, 0, 1.0), (0, 1, 1.0),
+    (1, 0, 1.0), (1, 1, -1.0),
+    (2, 2, 2.0),
+    (3, 3, 2.0),
+]
+
+
+def mueller_from_jones_gains(
+    spark: SparkSession, gains: list[tuple[int, float, float]]
+) -> DataFrame:
+    """Diagonal Jones (per-channel real gains g_a, g_b) → Mueller table.
+
+    Coherences transform as AA' = g_a²·AA, BB' = g_b²·BB,
+    Re/Im(AB)' = g_a·g_b·Re/Im(AB). ``gains`` rows are (chan, g_a, g_b).
+    """
+    rows = []
+    for chan, ga, gb in gains:
+        rows += [
+            (chan, 0, 0, ga * ga),
+            (chan, 1, 1, gb * gb),
+            (chan, 2, 2, ga * gb),
+            (chan, 3, 3, ga * gb),
+        ]
+    return spark.createDataFrame(rows, ["chan", "out_pol", "in_pol", "coef"])
+
+
+def apply_mueller(cube: DataFrame, matrix: DataFrame, per_channel: bool = True) -> DataFrame:
+    """out[i] = Σ_j M[i,j]·in[j] as broadcast-join + regroup.
+
+    ``matrix`` columns: (chan?, out_pol, in_pol, coef); omit ``chan`` (and
+    pass per_channel=False) for a constant matrix like Stokes conversion.
+    Missing (i, j) entries are implicit zeros.
+    """
+    join_keys = ["chan", "in_pol"] if per_channel else ["in_pol"]
+    tagged = cube.withColumnRenamed("pol", "in_pol")
+    joined = tagged.join(F.broadcast(matrix), join_keys)
+    keep = [c for c in cube.columns if c not in ("pol", "value", "weight")]
+    return (
+        joined.groupBy(*keep, F.col("out_pol").alias("pol"))
+        .agg(
+            F.sum(F.col("coef") * F.col("value")).alias("value"),
+            F.min("weight").alias("weight"),
+        )
+    )
+
+
+def coherence_to_stokes(cube: DataFrame) -> DataFrame:
+    """AA,BB,Re(AB),Im(AB) → I,Q,U,V via the constant Mueller matrix."""
+    spark = SparkSession.getActiveSession()
+    m = spark.createDataFrame(STOKES_FROM_COHERENCE, ["out_pol", "in_pol", "coef"])
+    return apply_mueller(cube, m, per_channel=False)

@@ -1161,8 +1161,225 @@ def profile_snr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 3: fan-out, history-dedup, pivot, decimal time, kNN verify
+# ---------------------------------------------------------------------------
+
+@_register(
+    "launches_fanout",
+    """
+    WITH pipelines(pipeline_id, ram_gb) AS (VALUES (1, 32.0), (2, 64.0), (3, 128.0))
+    SELECT p.pipeline_id,
+           count(*)                     AS n_jobs,
+           round(sum(c.c_acctbal), 4)   AS total_bal
+    FROM customer c CROSS JOIN pipelines p
+    GROUP BY p.pipeline_id
+    """,
+    doc="J7 launches fan-out: 1:N row multiplication via cross join with "
+        "the pipelines dim (the point IS the multiplication).",
+)
+def launches_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    pipelines = spark.createDataFrame(
+        [(1, 32.0), (2, 64.0), (3, 128.0)], ["pipeline_id", "ram_gb"]
+    )
+    return (
+        c.crossJoin(F.broadcast(pipelines))
+        .groupBy("pipeline_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_jobs"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+@_register(
+    "history_dedup",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_type,
+               count(*) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prior
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN n_prior > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+    FROM flagged
+    GROUP BY user_id
+    """,
+    doc="F10 history-dedup: an event is a 'repeat' iff a prior event of "
+        "the same (user, type) exists — the dlyfix already-applied check "
+        "as a window count over history.",
+)
+def history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = e.withColumn("n_prior", F.count(F.lit(1)).over(w))
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("n_prior") > 0, 1).otherwise(0)).cast("bigint").alias("n_repeats"),
+    )
+
+
+@_register(
+    "state_rollup_pivot",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="A15 job-state rollup as a pivot: per-entity counts by state "
+        "(docs/running_pipeline.md:78-88).",
+)
+def state_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    types = ["purchase", "error", "view", "click", "signup"]
+    pivoted = (
+        e.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+    )
+
+
+@_register(
+    "mjd_split_exact",
+    """
+    SELECT event_id,
+           CAST(epoch_ms(ts) // 86400000 + 40587 AS BIGINT) AS stt_imjd,
+           CAST((epoch_ms(ts) % 86400000) // 1000 AS BIGINT) AS stt_smjd,
+           CAST(epoch_ms(ts) % 1000 AS BIGINT)               AS stt_offs_ms
+    FROM events
+    """,
+    doc="§7.3.1 exact MJD decomposition into STT_IMJD/STT_SMJD/STT_OFFS "
+        "integer fields (dlyfix.py:130-131) — lossless integer time math; "
+        "the DecimalType(38,19) recomposition lives in functions.timeutils "
+        "(cross-engine decimal division scales differ, so the oracle "
+        "checks the lossless split).",
+)
+def mjd_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    ms = F.unix_millis("ts")
+    return e.select(
+        "event_id",
+        (F.expr("unix_millis(ts) div 86400000") + 40587).cast("bigint").alias("stt_imjd"),
+        F.expr("(unix_millis(ts) % 86400000) div 1000").cast("bigint").alias("stt_smjd"),
+        (ms % 1000).cast("bigint").alias("stt_offs_ms"),
+    )
+
+
+@_register(
+    "knn_per_label",
+    """
+    WITH sub AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE vec_id < 60),
+    pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_cosine_similarity(a.v, b.v) AS sim
+        FROM sub a JOIN sub b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT src, dst, sim,
+               row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+        FROM pairs
+    )
+    SELECT src, dst, round(sim, 6) AS cosine_sim
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="kNN verify stage: exact top-3 cosine neighbors within each label "
+        "bucket (the bucketed-ANN pattern: candidates only within the "
+        "partition key, never a global cross join).",
+)
+def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import cosine_similarity
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sub = emb.filter(F.col("vec_id") < 60).select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = sub.select(F.col("vec_id").alias("src"), F.col("label").alias("la"), F.col("v").alias("va"))
+    b = sub.select(F.col("vec_id").alias("dst"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("src") != F.col("dst"))).select(
+        "src", "dst", cosine_similarity(F.col("va"), F.col("vb")).alias("sim")
+    )
+    w = W.partitionBy("src").orderBy(F.desc("sim"), F.col("dst"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+@_register(
+    "array_mean",
+    """
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> x)) / len(embedding), 6) AS mean_v
+    FROM embeddings
+    """,
+    doc="A3 mean over an array column (DAT_FREQ mean, dlyfix.py:266-272) "
+        "via JVM array fold.",
+)
+def array_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    mean_v = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("embedding")
+    return emb.select("vec_id", F.round(mean_v, 6).alias("mean_v"))
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (no SQL-expressible oracle; driver records weaker check)
 # ---------------------------------------------------------------------------
+
+@_register(
+    "media_feature_extract",
+    None,
+    doc="Multimodal plumbing over driver tables: documents' bytes as an "
+        "opaque media payload → mapInPandas feature extraction (decoder "
+        "stubbed; schema/batching/failure-isolation real).",
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.multimodal import extract_features
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select("media_id", F.get("feature", 0).alias("f0"), "decode_ok")
+
+
+@_register(
+    "lsh_bucket_counts",
+    None,
+    doc="Hyperplane-LSH bucketing of embeddings (ANN scale path): bucket "
+        "histogram; engine-specific float folds → rows-only check.",
+)
+def lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import hyperplane_lsh_buckets
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    import random
+
+    rnd = random.Random(7)
+    planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+    buckets = hyperplane_lsh_buckets(emb, planes)
+    return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 @_register(
     "minhash_lsh_pairs",

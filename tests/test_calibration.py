@@ -1,0 +1,99 @@
+"""Tests for sky-temperature lookups (J2/J3) and polarisation
+calibration (Mueller/Stokes matrix operators)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from meerpipe_spark.operators.polcal import (
+    apply_mueller,
+    coherence_to_stokes,
+    mueller_from_jones_gains,
+)
+from meerpipe_spark.operators.skymap import (
+    Wcs,
+    tsky_lband_jy,
+    tsky_uhf_jy,
+    NEW_SCALING,
+    GAIN_K_PER_JY,
+    SARAO_OFFSET_MK,
+)
+
+WCS = Wcs(naxis1=360, crpix1=180.0, cdelt1=1.0, crval1=0.0,
+          naxis2=180, crpix2=90.0, cdelt2=1.0, crval2=0.0)
+
+
+@pytest.fixture()
+def raster(spark):
+    rows = [Row(ipix1=185, ipix2=95, tsky_mk=4000.0),
+            Row(ipix1=200, ipix2=100, tsky_mk=float("nan"))]
+    return spark.createDataFrame(rows)
+
+
+def test_tsky_lband_hit_nan_and_oob(spark, raster):
+    obs = spark.createDataFrame(
+        [
+            Row(obs_id="hit", rajd=5.0, decjd=5.0),      # -> pixel (185, 95)
+            Row(obs_id="blank", rajd=20.0, decjd=10.0),  # -> NaN pixel
+            Row(obs_id="oob", rajd=500.0, decjd=5.0),    # out of bounds
+            Row(obs_id="miss", rajd=-100.0, decjd=-60.0) # in bounds, no row
+        ]
+    )
+    out = {r.obs_id: r.tsky_jy for r in tsky_lband_jy(obs, raster, WCS).collect()}
+    expect_hit = NEW_SCALING * (4000.0 - SARAO_OFFSET_MK) * (GAIN_K_PER_JY / 1000.0)
+    expect_default = NEW_SCALING * (3400.0 - SARAO_OFFSET_MK) * (GAIN_K_PER_JY / 1000.0)
+    assert out["hit"] == pytest.approx(expect_hit)
+    for k in ("blank", "oob", "miss"):
+        assert out[k] == pytest.approx(expect_default), k
+
+
+def test_tsky_uhf_fallback(spark):
+    obs = spark.createDataFrame([Row(psr="J0437-4715"), Row(psr="J9999+9999")])
+    table = spark.createDataFrame([Row(psr="J0437-4715", tsky_k=7.0)])
+    out = {r.psr: r.tsky_jy for r in tsky_uhf_jy(obs, table).collect()}
+    assert out["J0437-4715"] == pytest.approx(7.0 * 19.0)
+    assert out["J9999+9999"] == pytest.approx(5.5 * 19.0)
+
+
+@pytest.fixture()
+def pol_cube(spark):
+    # 2 chans × 2 bins × 4 coherence products with distinct values
+    rows = []
+    for chan in range(2):
+        for b in range(2):
+            for pol, v in enumerate([4.0, 2.0, 1.0, 0.5]):
+                rows.append(
+                    Row(obs_id="o", subint=0, chan=chan, bin=b, pol=pol,
+                        value=v * (chan + 1), weight=1.0)
+                )
+    return spark.createDataFrame(rows)
+
+
+def test_identity_mueller(spark, pol_cube):
+    ident = mueller_from_jones_gains(spark, [(0, 1.0, 1.0), (1, 1.0, 1.0)])
+    out = apply_mueller(pol_cube, ident)
+    orig = {(r.chan, r.bin, r.pol): r.value for r in pol_cube.collect()}
+    got = {(r.chan, r.bin, r.pol): r.value for r in out.collect()}
+    assert got == pytest.approx(orig)
+
+
+def test_jones_gains_scale_products(spark, pol_cube):
+    m = mueller_from_jones_gains(spark, [(0, 2.0, 3.0), (1, 1.0, 1.0)])
+    got = {(r.chan, r.pol): r.value for r in apply_mueller(pol_cube, m).filter("bin = 0").collect()}
+    assert got[(0, 0)] == pytest.approx(4.0 * 4.0)     # g_a^2 AA
+    assert got[(0, 1)] == pytest.approx(9.0 * 2.0)     # g_b^2 BB
+    assert got[(0, 2)] == pytest.approx(6.0 * 1.0)     # g_a g_b ReAB
+    assert got[(0, 3)] == pytest.approx(6.0 * 0.5)
+    assert got[(1, 0)] == pytest.approx(8.0)           # chan 1 untouched
+
+
+def test_coherence_to_stokes(spark, pol_cube):
+    got = {(r.chan, r.pol): r.value for r in coherence_to_stokes(pol_cube).filter("bin = 0").collect()}
+    # chan 0: AA=4, BB=2, ReAB=1, ImAB=0.5
+    assert got[(0, 0)] == pytest.approx(6.0)   # I
+    assert got[(0, 1)] == pytest.approx(2.0)   # Q
+    assert got[(0, 2)] == pytest.approx(2.0)   # U
+    assert got[(0, 3)] == pytest.approx(1.0)   # V

@@ -78,17 +78,18 @@ def eccentric_anomaly_udf(mean_anom: Column, ecc: Column) -> Column:
 
 
 def true_anomaly(ecc_anom: Column, ecc: Column) -> Column:
-    """ν = 2·atan2(√(1+e)·sin(E/2), √(1−e)·cos(E/2)) — pure expression
-    (binary_tools.py:258-282), plus the orbit-count continuation term so
-    ν tracks the same revolution as E."""
+    """ν = 2·atan2(√(1+e)·sin(E/2), √(1−e)·cos(E/2)) — pure expression,
+    with the reference's exact continuation convention
+    (binary_tools.py:258-282): wrap negatives up into [0, 2π), then add
+    the whole-orbit count floor_divide(E, 2π)."""
     half = ecc_anom / 2.0
     nu = 2.0 * F.atan2(
         F.sqrt(1.0 + ecc) * F.sin(half),
         F.sqrt(1.0 - ecc) * F.cos(half),
     )
-    # atan2 wraps to (−π, π]; add back the whole-orbit count from E.
-    orbits = F.floor((ecc_anom + float(np.pi)) / (2.0 * float(np.pi)))
-    return nu + 2.0 * float(np.pi) * orbits
+    two_pi = 2.0 * float(np.pi)
+    nu = F.when(nu < 0, nu + two_pi).otherwise(nu)
+    return nu + F.floor(ecc_anom / two_pi) * two_pi
 
 
 def binary_phase(t_mjd: Column, t0_mjd: Column, pb_days: Column, ecc: Column, pbdot: Column | None = None) -> Column:
@@ -99,3 +100,131 @@ def binary_phase(t_mjd: Column, t0_mjd: Column, pb_days: Column, ecc: Column, pb
     get_binphase returns fmod(M/2π, 1), binary_tools.py:76-87).
     """
     return phase_norm(mean_anomaly(t_mjd, t0_mjd, pb_days, pbdot) / (2.0 * float(np.pi)), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Parameter-map-driven chain (the reference's dict-of-par-values API,
+# binary_tools.py:76-298): scalar model resolution in Python, per-MJD math
+# as column expressions / the Kepler-solve UDF.
+# ---------------------------------------------------------------------------
+
+DAYS_PER_YEAR = 365.25
+TWO_PI = 2.0 * float(np.pi)
+
+
+def ell1_arctan(eps1: float, eps2: float) -> float:
+    """Degeneracy-safe arctan(EPS1/EPS2) ∈ [0, 2π) for the ELL1 model
+    (binary_tools.py:89-111): π/2 branches when EPS2==0, +π correction
+    in the EPS2<0 half-plane."""
+    import math
+
+    if eps2 == 0:
+        at = math.pi / 2 if eps1 > 0 else (-math.pi / 2 if eps1 < 0 else 0.0)
+    else:
+        at = math.atan(eps1 / eps2)
+        if eps2 < 0:
+            at += math.pi
+    return (at + TWO_PI) % TWO_PI
+
+
+def omb_from_pars(pars: dict) -> float:
+    """Orbital angular frequency in rad/day from PB (days) or FB0 (Hz)
+    (binary_tools.py:148-159)."""
+    if "PB" in pars:
+        return TWO_PI / float(pars["PB"])
+    return TWO_PI * float(pars["FB0"]) * 86400.0
+
+
+def ecc_from_pars(pars: dict) -> float:
+    """Model-dependent eccentricity (binary_tools.py:160-176): ELL1 uses
+    |EPS|; BT/DD uses ECC; 0 otherwise."""
+    import math
+
+    if "TASC" in pars:
+        if "EPS1" in pars and "EPS2" in pars:
+            return math.sqrt(float(pars["EPS1"]) ** 2 + float(pars["EPS2"]) ** 2)
+        return 0.0
+    return float(pars.get("ECC", 0.0))
+
+
+def t0_from_pars(pars: dict) -> float:
+    """Model-dependent epoch (binary_tools.py:178-192): ELL1 shifts TASC
+    by the ELL1 arctan over OMB; else TASC or T0 directly."""
+    if "TASC" in pars:
+        if "EPS1" in pars and "EPS2" in pars:
+            return float(pars["TASC"]) + ell1_arctan(
+                float(pars["EPS1"]), float(pars["EPS2"])
+            ) / omb_from_pars(pars)
+        return float(pars["TASC"])
+    return float(pars["T0"])
+
+
+def mean_anomaly_from_pars(t_mjd: Column, pars: dict) -> Column:
+    """Reference get_mean_anomaly (binary_tools.py:194-234): PB path with
+    tempo-format PBDOT normalization (|PBDOT|>1e-6 → ×1e-12), or the
+    integrated FB-series Taylor sum (unrolled over the FB_i present)."""
+    import math
+
+    t0 = t0_from_pars(pars)
+    dt = t_mjd - F.lit(t0)
+    if "PB" in pars:
+        pb = float(pars["PB"])
+        pbdot = float(pars.get("PBDOT", 0.0))
+        if abs(pbdot) > 1e-6:
+            pbdot *= 1e-12
+        omb = omb_from_pars(pars)
+        return omb * (dt - 0.5 * (pbdot / pb) * dt * dt)
+    m: Column = F.lit(0.0)
+    i = 0
+    while f"FB{i}" in pars:
+        m = m + float(pars[f"FB{i}"]) * F.pow(dt, i + 1) / math.factorial(i + 1)
+        i += 1
+    return m * TWO_PI * 86400.0
+
+
+def true_anomaly_from_pars(t_mjd: Column, pars: dict) -> Column:
+    """Mean anomaly → (Kepler solve unless e<1e-4) → true anomaly."""
+    m = mean_anomaly_from_pars(t_mjd, pars)
+    ecc = ecc_from_pars(pars)
+    if ecc < 1e-4:
+        e_anom = m
+    else:
+        e_anom = eccentric_anomaly_udf(m, F.lit(ecc))
+    return true_anomaly(e_anom, F.lit(ecc))
+
+
+def omega_expr(pars: dict, u: Column) -> Column:
+    """Instantaneous periastron angle incl. OMDOT drift
+    (binary_tools.py:113-146): reference OM from ELL1 arctan / OM deg /
+    0, plus OMDOT (deg/yr → rad/day) scaled by U/OMB."""
+    import math
+
+    if "TASC" in pars:
+        om0 = (
+            ell1_arctan(float(pars["EPS1"]), float(pars["EPS2"]))
+            if "EPS1" in pars and "EPS2" in pars
+            else 0.0
+        )
+        om0 = om0 % TWO_PI
+    else:
+        om0 = float(pars.get("OM", 0.0)) * math.pi / 180.0
+    omdot = float(pars.get("OMDOT", 0.0)) * (math.pi / 180.0) / DAYS_PER_YEAR
+    return F.lit(om0) + F.lit(omdot) * u / F.lit(omb_from_pars(pars))
+
+
+def binary_phase_from_pars(t_mjd: Column, pars: dict) -> Column:
+    """Reference get_binphase (binary_tools.py:76-87): orbital phase ∈
+    [0,1) from the true anomaly and instantaneous omega."""
+    u = true_anomaly_from_pars(t_mjd, pars)
+    om = omega_expr(pars, u)
+    u_norm = u % TWO_PI  # fmod — sign follows u, matching np.fmod
+    return phase_norm(u_norm + om, TWO_PI) / TWO_PI
+
+
+def is_binary(pars: dict) -> bool:
+    """binary_tools.py:284-298 truth table."""
+    return (
+        "BINARY" in pars
+        and ("PB" in pars or "FB0" in pars)
+        and ("TASC" in pars or "T0" in pars)
+    )

@@ -83,3 +83,34 @@ def test_job_state_rollup(spark):
     )
     got = {r.state: r.n for r in job_state_rollup(df).collect()}
     assert got == {"Complete": 2, "Running": 1, "Failure": 1}
+
+
+def test_upsert_by_key_idempotent(spark, tmp_path):
+    from meerpipe_spark.sinks import upsert_by_key
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    upsert_by_key(spark, v1, path, ("id",))
+    assert sorted((r.id, r.v) for r in spark.read.parquet(path).collect()) == [(1, "a"), (2, "b")]
+    # update key 2, add key 3; re-apply twice (idempotent)
+    v2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    upsert_by_key(spark, v2, path, ("id",))
+    upsert_by_key(spark, v2, path, ("id",))
+    got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_write_cube_partitioned(spark, tmp_path):
+    import os
+    from meerpipe_spark.sinks import write_cube
+
+    df = spark.createDataFrame(
+        [("obsA", 1, 0.5), ("obsB", 2, 1.5)], "obs_id string, chan int, value double"
+    )
+    path = str(tmp_path / "cube")
+    write_cube(df, path)
+    assert sorted(d for d in os.listdir(path) if d.startswith("obs_id=")) == [
+        "obs_id=obsA", "obs_id=obsB",
+    ]
+    back = spark.read.parquet(path)
+    assert back.count() == 2 and set(back.columns) == {"obs_id", "chan", "value"}

@@ -1160,6 +1160,30 @@ def profile_snr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", F.round("snr", 6).alias("snr"))
 
 
+_Q6_SQL = """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+@_register(
+    "q6_forecast_revenue",
+    _Q6_SQL,
+    doc="TPC-H Q6 via the spark.sql API — the IDENTICAL SQL string runs "
+        "on both engines (SQL-surface parity; Catalyst produces the same "
+        "plan as the DataFrame API).",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Batch 3: fan-out, history-dedup, pivot, decimal time, kNN verify
 # ---------------------------------------------------------------------------

@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the properties SCALE.md claims are
+asserted here so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+from meerpipe_spark.queries import QUERIES
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, "q5_region_revenue", sf_dir)
+    # four dimension joins, all broadcast — the fact table is never shuffled
+    # (formatted explain prints initial + adaptive plan: counts double)
+    assert plan.count("BroadcastHashJoin") in (4, 8)
+    assert "SortMergeJoin" not in plan
+
+
+def test_fluxcal_single_wide_shuffle(spark, sf_dir):
+    plan = _plan(spark, "fluxcal_multiplier", sf_dir)
+    # two logical shuffles only: the (obs,chan) agg and the per-obs agg
+    # (formatted explain prints initial + adaptive plan: counts double)
+    assert plan.count("Exchange") <= 4
+    # the chan-window filter runs BEFORE the first aggregation: in the
+    # numbered operator list the Filter node id precedes HashAggregate's
+    import re
+
+    filt = min(int(m) for m in re.findall(r"\((\d+)\) Filter", plan))
+    agg = min(int(m) for m in re.findall(r"\((\d+)\) \w*HashAggregate", plan))
+    assert filt < agg, plan
+
+
+def test_cosine_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, "cosine_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_delay_rules_broadcast_theta_join(spark, sf_dir):
+    plan = _plan(spark, "delay_rules_engine", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, "zap_fraction", sf_dir)
+    # only the three needed lineitem columns are read
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_returnflag", "l_discount", "l_tax"}

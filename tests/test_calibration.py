@@ -97,3 +97,58 @@ def test_coherence_to_stokes(spark, pol_cube):
     assert got[(0, 1)] == pytest.approx(2.0)   # Q
     assert got[(0, 2)] == pytest.approx(2.0)   # U
     assert got[(0, 3)] == pytest.approx(1.0)   # V
+
+
+# ---------------------------------------------------------------------------
+# Astro coordinate functions
+# ---------------------------------------------------------------------------
+
+from meerpipe_spark.functions.astro import (
+    ecliptic_to_equatorial,
+    parse_sexagesimal,
+    radec_from_par_columns,
+)
+
+
+def test_parse_sexagesimal(spark):
+    df = spark.createDataFrame(
+        [Row(raj="18:11:19.85315", decj="-24:05:18.365")]
+    )
+    out = df.select(
+        parse_sexagesimal(F.col("raj"), hourangle=True).alias("rajd"),
+        parse_sexagesimal(F.col("decj")).alias("decjd"),
+    ).collect()[0]
+    assert out.rajd == pytest.approx((18 + 11 / 60 + 19.85315 / 3600) * 15, rel=1e-12)
+    assert out.decjd == pytest.approx(-(24 + 5 / 60 + 18.365 / 3600), rel=1e-12)
+
+
+def test_ecliptic_to_equatorial_known_points(spark):
+    # (λ, β) -> (RA, Dec): equinox point maps to itself; poles map to
+    # the ecliptic pole (RA 270, Dec 90-ε)
+    df = spark.createDataFrame(
+        [Row(elong=0.0, elat=0.0), Row(elong=0.0, elat=90.0), Row(elong=90.0, elat=0.0)]
+    )
+    ra, dec = ecliptic_to_equatorial(F.col("elong"), F.col("elat"))
+    out = df.select(ra.alias("ra"), dec.alias("dec")).collect()
+    assert out[0].ra == pytest.approx(0.0, abs=1e-9)
+    assert out[0].dec == pytest.approx(0.0, abs=1e-9)
+    assert out[1].ra == pytest.approx(270.0, abs=1e-6)
+    assert out[1].dec == pytest.approx(90.0 - 23.4392911, abs=1e-6)
+    assert out[2].ra == pytest.approx(math.degrees(math.atan2(
+        math.sin(math.radians(90.0)) * math.cos(math.radians(23.4392911)), 0.0)), abs=1e-6)
+    assert out[2].dec == pytest.approx(23.4392911, abs=1e-6)
+
+
+def test_radec_precedence(spark):
+    df = spark.createDataFrame(
+        [
+            Row(raj="06:00:00", decj="30:00:00", elong=123.0, elat=45.0),
+            Row(raj=None, decj=None, elong=0.0, elat=0.0),
+        ]
+    )
+    ra, dec = radec_from_par_columns(F.col("raj"), F.col("decj"), F.col("elong"), F.col("elat"))
+    out = df.select(ra.alias("ra"), dec.alias("dec")).collect()
+    assert out[0].ra == pytest.approx(90.0)   # RAJ wins
+    assert out[0].dec == pytest.approx(30.0)
+    assert out[1].ra == pytest.approx(0.0, abs=1e-9)  # ecliptic fallback
+    assert out[1].dec == pytest.approx(0.0, abs=1e-9)

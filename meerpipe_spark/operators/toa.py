@@ -75,3 +75,84 @@ def residual_stats(
         F.avg(r).alias("mean_residual_s"),
         F.stddev_samp(r).alias("std_residual_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M6: TOA generation — template matching per decimated profile
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession, types as T
+
+TOA_SCHEMA = T.StructType(
+    [
+        T.StructField("obs_id", T.StringType()),
+        T.StructField("subint", T.LongType()),
+        T.StructField("chan_group", T.LongType()),
+        T.StructField("phase_shift", T.DoubleType()),
+        T.StructField("phase_err", T.DoubleType()),
+        T.StructField("snr", T.DoubleType()),
+    ]
+)
+
+
+def template_match_toas(
+    profiles: DataFrame,
+    template: list[float],
+    chan_groups: int = 1,
+    nchan: int = 1,
+    value_col: str = "value",
+) -> DataFrame:
+    """Phase offsets of folded profiles against a template — the native
+    replacement for tempo2's ToA extraction step (tempo2_wrapper.sh:36;
+    docs/pipeline_workflow.md 'Create ToAs').
+
+    Input: long-form (obs_id, subint, chan, bin, value) rows of the
+    DECIMATED product (A1 output). Profiles are grouped into
+    ``chan_groups`` frequency groups; each group's summed profile is
+    matched by circular FFT cross-correlation with parabolic sub-bin
+    refinement. Grouped-map pandas UDF: the per-group profile is tiny
+    (nbin doubles) while the number of (obs × subint × group) cells is
+    huge — the correct axis of parallelism. The template ships inside the
+    closure (broadcast by value).
+
+    Returns (obs_id, subint, chan_group, phase_shift ∈ [0,1),
+    phase_err, snr). TOA = subint epoch + phase_shift·period (caller
+    composes with the decimal-MJD utilities).
+    """
+    tpl = np.asarray(template, dtype=np.float64)
+    tpl = tpl - tpl.mean()
+    nbin = len(tpl)
+    group_width = max(1, nchan // chan_groups)
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        obs_id = pdf["obs_id"].iloc[0]
+        pdf = pdf.copy()
+        pdf["chan_group"] = pdf["chan"] // group_width
+        for (subint, cg), grp in pdf.groupby(["subint", "chan_group"]):
+            prof = (
+                grp.groupby("bin")[value_col].sum().reindex(range(nbin), fill_value=0.0)
+            ).to_numpy()
+            prof = prof - prof.mean()
+            # circular cross-correlation via FFT
+            xc = np.fft.irfft(np.fft.rfft(prof) * np.conj(np.fft.rfft(tpl)), n=nbin)
+            k = int(np.argmax(xc))
+            # parabolic refinement around the peak
+            ym, y0, yp = xc[(k - 1) % nbin], xc[k], xc[(k + 1) % nbin]
+            denom = ym - 2 * y0 + yp
+            frac = 0.5 * (ym - yp) / denom if denom != 0 else 0.0
+            shift = ((k + frac) % nbin) / nbin
+            # error from correlation curvature vs off-peak noise
+            off = np.delete(xc, [(k - 1) % nbin, k, (k + 1) % nbin])
+            noise = off.std() or 1.0
+            snr = (y0 - off.mean()) / noise
+            err = 1.0 / (2.0 * np.pi * max(snr, 1e-9))
+            out.append((obs_id, int(subint), int(cg), float(shift), float(err), float(snr)))
+        return pd.DataFrame(
+            out,
+            columns=["obs_id", "subint", "chan_group", "phase_shift", "phase_err", "snr"],
+        )
+
+    return profiles.groupBy("obs_id").applyInPandas(match, TOA_SCHEMA)

@@ -161,3 +161,91 @@ def parse_bintable(data: bytes, hdu_index: int) -> pd.DataFrame:
             rows.append(vals)
         return pd.DataFrame(rows, columns=names)
     raise ValueError(f"HDU {hdu_index} not found")
+
+
+# ---------------------------------------------------------------------------
+# S3: PSRFITS-like archive → long-form cube ingest
+# ---------------------------------------------------------------------------
+
+CUBE_SCHEMA = T.StructType(
+    [
+        T.StructField("obs_id", T.StringType()),
+        T.StructField("subint", T.IntegerType()),
+        T.StructField("pol", T.IntegerType()),
+        T.StructField("chan", T.IntegerType()),
+        T.StructField("bin", T.IntegerType()),
+        T.StructField("freq", T.DoubleType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("weight", T.DoubleType()),
+    ]
+)
+
+
+def read_archive_cube(
+    spark: SparkSession,
+    path_glob: str,
+    hdu_index: int = 1,
+) -> DataFrame:
+    """S3: ingest PSRFITS-like archives into the long-form cube (D1).
+
+    Contract of the SUBINT-style BINTABLE (subset of the PSRFITS
+    standard): per-row columns ``DAT_FREQ`` (nchan doubles), ``DAT_WTS``
+    (nchan floats/doubles), ``DATA`` (npol·nchan·nbin values, pol-major),
+    with ``NPOL``/``NCHAN``/``NBIN`` header cards. One BINTABLE row = one
+    subint. The obs_id is the file stem.
+
+    Runs as binaryFile + mapInPandas: one task per archive file, Arrow
+    batches out — at fleet scale the per-file parse is embarrassingly
+    parallel and the result lands directly in obs_id-partitioned parquet
+    (sinks.write_cube).
+    """
+    binary = spark.read.format("binaryFile").load(path_glob)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                hdr = None
+                for hdu, cards, _, _ in _iter_headers(data):
+                    if hdu == hdu_index:
+                        hdr = dict(
+                            (k, v)
+                            for k, v, _c in (_parse_card(c) for c in cards)
+                            if v is not None
+                        )
+                        break
+                if hdr is None:
+                    continue
+                npol = int(hdr["NPOL"])
+                nchan = int(hdr["NCHAN"])
+                nbin = int(hdr["NBIN"])
+                table = parse_bintable(data, hdu_index)
+                obs_id = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                out = []
+                import numpy as np
+
+                for subint, row in table.iterrows():
+                    freqs = np.asarray(row["DAT_FREQ"], dtype=np.float64)
+                    wts = np.asarray(row["DAT_WTS"], dtype=np.float64)
+                    vals = np.asarray(row["DATA"], dtype=np.float64).reshape(
+                        npol, nchan, nbin
+                    )
+                    pol_idx, chan_idx, bin_idx = np.indices((npol, nchan, nbin))
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "obs_id": obs_id,
+                                "subint": int(subint),
+                                "pol": pol_idx.ravel().astype("int32"),
+                                "chan": chan_idx.ravel().astype("int32"),
+                                "bin": bin_idx.ravel().astype("int32"),
+                                "freq": freqs[chan_idx.ravel()],
+                                "value": vals.ravel(),
+                                "weight": wts[chan_idx.ravel()],
+                            }
+                        )
+                    )
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+    return binary.select("path", "content").mapInPandas(parse, CUBE_SCHEMA)

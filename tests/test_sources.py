@@ -148,3 +148,78 @@ def test_parse_bintable(fits_file):
     assert pdf["IDX"].tolist() == [1, 2]
     assert pdf["FREQ"].tolist() == pytest.approx([856.5, 857.3])
     assert pdf["NAME"].tolist() == ["chan0001", "chan0002"]
+
+
+# ---------------------------------------------------------------------------
+# S3: PSRFITS-like archive → cube ingest
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from meerpipe_spark.sources.fits import read_archive_cube
+
+
+@pytest.fixture()
+def archive_file(tmp_path):
+    """Synthetic PSRFITS-like archive: 2 subints × 2 pol × 3 chan × 4 bin."""
+    npol, nchan, nbin, nsub = 2, 3, 4, 2
+    rng = np.random.default_rng(17)
+    freqs = np.array([900.0, 950.0, 1000.0])
+    wts = np.array([1.0, 0.0, 1.0])
+    cube = rng.normal(size=(nsub, npol, nchan, nbin))
+
+    primary = (
+        _card("SIMPLE", "T") + _card("BITPIX", "8") + _card("NAXIS", "0")
+        + b"END".ljust(80)
+    )
+    row_bytes = nchan * 8 + nchan * 8 + npol * nchan * nbin * 8
+    table_hdr = (
+        _card("XTENSION", "'BINTABLE'")
+        + _card("BITPIX", "8")
+        + _card("NAXIS", "2")
+        + _card("NAXIS1", str(row_bytes))
+        + _card("NAXIS2", str(nsub))
+        + _card("PCOUNT", "0")
+        + _card("GCOUNT", "1")
+        + _card("TFIELDS", "3")
+        + _card("NPOL", str(npol))
+        + _card("NCHAN", str(nchan))
+        + _card("NBIN", str(nbin))
+        + _card("TTYPE1", "'DAT_FREQ'")
+        + _card("TFORM1", f"'{nchan}D'")
+        + _card("TTYPE2", "'DAT_WTS '")
+        + _card("TFORM2", f"'{nchan}D'")
+        + _card("TTYPE3", "'DATA    '")
+        + _card("TFORM3", f"'{npol * nchan * nbin}D'")
+        + b"END".ljust(80)
+    )
+    payload = b""
+    for s in range(nsub):
+        payload += struct.pack(f">{nchan}d", *freqs)
+        payload += struct.pack(f">{nchan}d", *wts)
+        payload += struct.pack(f">{npol * nchan * nbin}d", *cube[s].ravel())
+    data = (
+        _blank_pad(primary)
+        + _blank_pad(table_hdr)
+        + payload + b"\x00" * ((-len(payload)) % 2880)
+    )
+    p = tmp_path / "J0437-4715_2020-01-01.fits"
+    p.write_bytes(data)
+    return str(p), cube, freqs, wts
+
+
+def test_read_archive_cube(spark, archive_file):
+    path, cube, freqs, wts = archive_file
+    df = read_archive_cube(spark, path)
+    rows = df.collect()
+    assert len(rows) == 2 * 2 * 3 * 4
+    assert all(r.obs_id == "J0437-4715_2020-01-01" for r in rows)
+    got = {(r.subint, r.pol, r.chan, r.bin): r for r in rows}
+    for s in range(2):
+        for p in range(2):
+            for c in range(3):
+                for b in range(4):
+                    r = got[(s, p, c, b)]
+                    assert r.value == pytest.approx(cube[s, p, c, b], rel=1e-12)
+                    assert r.freq == freqs[c]
+                    assert r.weight == wts[c]

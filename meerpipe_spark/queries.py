@@ -1365,6 +1365,87 @@ def array_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.round(mean_v, 6).alias("mean_v"))
 
 
+@_register(
+    "string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name)                                    AS name_upper,
+           CAST(length(c_name) AS BIGINT)                   AS name_len,
+           substr(c_name, 1, 8)                             AS name_stem,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0')         AS key_padded,
+           CASE WHEN c_mktsegment LIKE 'B%' THEN 1 ELSE 0 END AS starts_b,
+           replace(c_mktsegment, 'E', '_')                  AS seg_replaced
+    FROM customer
+    """,
+    doc="§2.8 string family: upper/length/substr/lpad/startswith/replace "
+        "(FITS card padding, filename stems, header munging patterns).",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_stem"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.when(F.col("c_mktsegment").startswith("B"), 1).otherwise(0).alias("starts_b"),
+        F.replace(F.col("c_mktsegment"), F.lit("E"), F.lit("_")).alias("seg_replaced"),
+    )
+
+
+@_register(
+    "unit_conversions",
+    """
+    SELECT event_id,
+           round(value * 1e-3, 9)                       AS value_ms_to_s,
+           round(value * degrees(1.0), 6)               AS value_rad_to_deg,
+           round(value / 86400.0, 9)                    AS value_s_to_days,
+           round((value - 3372.0) * 1.7202 * 0.019, 6)  AS value_mk_to_jy
+    FROM events
+    """,
+    doc="§2.8 unit/physics conversions: ms→s, rad→deg, s→MJD days, the "
+        "mK→Jy flux chain (fluxcal_meerkat.py:221-227).",
+)
+def unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.round(v * 1e-3, 9).alias("value_ms_to_s"),
+        F.round(v * F.degrees(F.lit(1.0)), 6).alias("value_rad_to_deg"),
+        F.round(v / 86400.0, 9).alias("value_s_to_days"),
+        F.round((v - 3372.0) * 1.7202 * 0.019, 6).alias("value_mk_to_jy"),
+    )
+
+
+@_register(
+    "mean_profile_residual",
+    """
+    WITH mean_profile AS (
+        SELECT l_linenumber AS bin, avg(l_quantity) AS mean_qty
+        FROM lineitem GROUP BY l_linenumber
+    )
+    SELECT l.l_returnflag,
+           CAST(l.l_linenumber AS INTEGER) AS bin,
+           round(avg(l.l_quantity - m.mean_qty), 6) AS mean_residual
+    FROM lineitem l JOIN mean_profile m ON l.l_linenumber = m.bin
+    GROUP BY l.l_returnflag, l.l_linenumber
+    """,
+    doc="A9 mean-profile + residual-vs-mean (make_stokes_movie.py:69-95): "
+        "global per-bin mean broadcast back, residual aggregated per group.",
+)
+def mean_profile_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    mean_profile = li.groupBy(F.col("l_linenumber").alias("bin")).agg(
+        F.avg("l_quantity").alias("mean_qty")
+    )
+    return (
+        li.join(F.broadcast(mean_profile), F.col("l_linenumber") == F.col("bin"))
+        .groupBy("l_returnflag", F.col("l_linenumber").cast("int").alias("bin"))
+        .agg(F.round(F.avg(F.col("l_quantity") - F.col("mean_qty")), 6).alias("mean_residual"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (no SQL-expressible oracle; driver records weaker check)
 # ---------------------------------------------------------------------------

@@ -158,3 +158,44 @@ def evaluate_delay_rules(
         .join(totals, obs_key, "left")
         .withColumn("delay_s", F.coalesce(F.col("delay_s"), F.lit(0.0)))
     )
+
+
+def apply_delay_corrections(
+    obs: DataFrame,
+    totals: DataFrame,
+    obs_key: str = "obs_id",
+    offs_col: str = "stt_offs",
+    cur_delay_col: str = "cur_delay_s",
+) -> tuple[DataFrame, DataFrame]:
+    """§3.4 output side (dlyfix.py:273-304): apply the evaluated total
+    correction to the start-time offset and emit provenance.
+
+        new_offs = stt_offs - cur_delay + total_correction
+
+    Returns (updated_obs, provenance): the reference appends a
+    ``dlyfix`` PROC_CMD history row into the FITS file; here provenance
+    is an append-only audit DataFrame (obs_id, proc_cmd, delay_s,
+    applied_at) ready for sinks.upsert_by_key / append — the
+    already-applied check (F10) then anti-joins this table.
+    """
+    joined = obs.join(F.broadcast(totals), obs_key, "left").withColumn(
+        "_delay", F.coalesce(F.col("delay_s"), F.lit(0.0))
+    )
+    cur = (
+        F.col(cur_delay_col)
+        if cur_delay_col in obs.columns
+        else F.lit(0.0)
+    )
+    updated = joined.withColumn(
+        offs_col,
+        F.col(offs_col).cast("decimal(38,19)")
+        - cur.cast("decimal(38,19)")
+        + F.col("_delay").cast("decimal(38,19)"),
+    ).drop("_delay", "delay_s")
+    provenance = joined.select(
+        F.col(obs_key),
+        F.concat(F.lit("dlyfix delay="), F.col("_delay").cast("string")).alias("proc_cmd"),
+        F.col("_delay").alias("delay_s"),
+        F.current_timestamp().alias("applied_at"),
+    )
+    return updated, provenance

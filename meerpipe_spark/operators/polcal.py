@@ -79,3 +79,15 @@ def coherence_to_stokes(cube: DataFrame) -> DataFrame:
     spark = SparkSession.getActiveSession()
     m = spark.createDataFrame(STOKES_FROM_COHERENCE, ["out_pol", "in_pol", "coef"])
     return apply_mueller(cube, m, per_channel=False)
+
+
+def needs_jones_calibration(band: F.Column, utc: F.Column) -> F.Column:
+    """Date-dependent polarisation-calibration rule
+    (docs/pipeline_workflow.md:19-22): UHF observations before
+    ~2021-08-18 and L-band before ~2020-04-10 require the full Jones
+    matrix (``pac -Q``); later observations only need header updates
+    (``pac -XP``)."""
+    return (
+        ((band == "UHF") & (utc < F.lit("2021-08-18").cast("timestamp")))
+        | ((band == "LBAND") & (utc < F.lit("2020-04-10").cast("timestamp")))
+    )

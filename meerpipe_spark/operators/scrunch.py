@@ -80,3 +80,21 @@ def template_adjust_factor(template_nbin: int, archive_nbin: int) -> int | None:
         return None
     factor = template_nbin // archive_nbin
     return factor if factor > 1 else None
+
+
+def concat_archives(parts: list[DataFrame], order_col: str = "subint_ts") -> DataFrame:
+    """S4 (``psradd``): concatenate per-8s archives of one observation.
+
+    unionByName over the per-file cubes, then the subint ordinal is
+    re-derived from the time order (W2): dense_rank over the distinct
+    start times within each obs. No data movement beyond one window over
+    the (obs, ts) key — the reference shells out to psradd and rewrites
+    the whole file.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    w = W.partitionBy("obs_id").orderBy(order_col)
+    return unioned.withColumn("subint", F.dense_rank().over(w) - 1)

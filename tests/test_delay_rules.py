@@ -121,3 +121,21 @@ def test_no_match_returns_zero(spark):
         obs_df, rules_df(spark, rules), attr_cols={"beconfig": "beconfig"}
     ).collect()[0]
     assert out.delay_s == 0.0
+
+
+def test_apply_delay_corrections_and_provenance(spark):
+    from decimal import Decimal
+
+    from meerpipe_spark.operators.delay_rules import apply_delay_corrections
+
+    obs = spark.createDataFrame(
+        [Row(obs_id="a", stt_offs=0.5), Row(obs_id="b", stt_offs=0.25)]
+    )
+    totals = spark.createDataFrame([Row(obs_id="a", delay_s=1e-6)])
+    updated, provenance = apply_delay_corrections(obs, totals)
+    got = {r.obs_id: r.stt_offs for r in updated.collect()}
+    assert float(got["a"]) == pytest.approx(0.5 + 1e-6)
+    assert float(got["b"]) == pytest.approx(0.25)  # no matching rule -> unchanged
+    prov = {r.obs_id: r for r in provenance.collect()}
+    assert prov["a"].proc_cmd.startswith("dlyfix")  # F10 checks this prefix
+    assert prov["a"].delay_s == pytest.approx(1e-6)

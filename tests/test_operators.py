@@ -181,3 +181,44 @@ def test_template_adjust_factor_branches():
     assert template_adjust_factor(1024, 1024) is None
     assert template_adjust_factor(1000, 1024) is None
     assert template_adjust_factor(1024, 0) is None
+
+
+def test_concat_archives_reindexes_subints(spark):
+    from datetime import datetime
+
+    from meerpipe_spark.operators.scrunch import concat_archives
+
+    def part(ts_s, val):
+        return spark.createDataFrame(
+            [
+                Row(obs_id="o", subint=0, pol=0, chan=c, bin=0,
+                    subint_ts=datetime(2020, 1, 1, 0, 0, ts_s), freq=900.0 + c,
+                    value=val, weight=1.0)
+                for c in range(2)
+            ]
+        )
+
+    # files arrive out of order: 16s, 0s, 8s
+    merged = concat_archives([part(16, 3.0), part(0, 1.0), part(8, 2.0)])
+    got = {r.subint: r.value for r in merged.filter("chan = 0").collect()}
+    assert got == {0: 1.0, 1: 2.0, 2: 3.0}  # time-ordered ordinals
+
+
+def test_needs_jones_calibration(spark):
+    from meerpipe_spark.operators.polcal import needs_jones_calibration
+
+    df = spark.createDataFrame(
+        [
+            Row(band="UHF", utc="2021-01-01"),
+            Row(band="UHF", utc="2022-01-01"),
+            Row(band="LBAND", utc="2020-01-01"),
+            Row(band="LBAND", utc="2021-01-01"),
+            Row(band="SBAND_0", utc="2019-01-01"),
+        ]
+    ).withColumn("utc", F.col("utc").cast("timestamp"))
+    out = [
+        r.nj for r in df.select(
+            needs_jones_calibration(F.col("band"), F.col("utc")).alias("nj")
+        ).collect()
+    ]
+    assert out == [True, False, True, False, False]

@@ -89,3 +89,80 @@ def centroid_by_label(
         F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "v")
     )
     return exploded.groupBy(label_col, "dim").agg(F.avg(F.col("v").cast("double")).alias("centroid_v"))
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over embedding vectors — the IVF coarse-quantizer
+    training step, expressed as iterated DataFrame ops (the canonical
+    Spark iterative-algorithm shape):
+
+      assignment: argmin over a BROADCAST centroid table (posexplode +
+                  squared-distance agg, min_by) — one shuffle per iter;
+      update:     per (cluster, dim) average — second shuffle per iter.
+
+    Initialization is deterministic: the k lowest-id vectors. Returns
+    (cluster, centroid array<double>). For 10^9 vectors each iteration is
+    two partial-agg shuffles; k·dim stays driver-side (tiny).
+    """
+    from pyspark.sql import Window as W
+
+    dims = F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    points = embeddings.select(F.col(id_col).alias("pid"), dims.alias("dim", "v"))
+    seeds = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .withColumn("cluster", F.row_number().over(W.orderBy(id_col)) - 1)
+    )
+    centroids = seeds.select(
+        "cluster",
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("dim", "cv"),
+    )
+    for _ in range(iters):
+        dists = (
+            points.join(F.broadcast(centroids), "dim")
+            .groupBy("pid", "cluster")
+            .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
+        )
+        assign = dists.groupBy("pid").agg(F.min_by("cluster", "d2").alias("cluster"))
+        centroids = (
+            points.join(assign, "pid")
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("cv"))
+        )
+    return (
+        centroids.groupBy("cluster")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "cv"))).alias("pairs"))
+        .select(
+            "cluster",
+            F.transform(F.col("pairs"), lambda p: p.getField("cv")).alias("centroid"),
+        )
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF list assignment: nearest centroid per vector (broadcast
+    argmin). ANN search then probes only the query's nearest lists —
+    the equi-join-on-list-id replaces the global scan."""
+    dims = F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    points = embeddings.select(F.col(id_col), dims.alias("dim", "v"))
+    cdims = centroids.select(
+        "cluster", F.posexplode("centroid").alias("dim", "cv")
+    )
+    return (
+        points.join(F.broadcast(cdims), "dim")
+        .groupBy(id_col, "cluster")
+        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
+        .groupBy(id_col)
+        .agg(F.min_by("cluster", "d2").alias("cluster"), F.min("d2").alias("d2"))
+    )

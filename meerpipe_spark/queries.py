@@ -1470,6 +1470,25 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivf_kmeans_clusters",
+    None,
+    doc="IVF coarse quantizer: 3-iteration Lloyd's k-means over embeddings "
+        "as iterated DataFrame ops (broadcast-argmin assignment + per-dim "
+        "centroid update), then list assignment — the ANN scale path.",
+)
+def ivf_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = kmeans_centroids(emb, k=8, iters=3)
+    assigned = ivf_assign(emb, cents)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("d2"), 6).alias("avg_d2"),
+    )
+
+
+@_register(
     "lsh_bucket_counts",
     None,
     doc="Hyperplane-LSH bucketing of embeddings (ANN scale path): bucket "

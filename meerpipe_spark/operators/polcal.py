@@ -21,7 +21,7 @@ special case of the same operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 CUBE_KEY = ("obs_id", "subint", "chan", "bin")
 
@@ -91,3 +91,46 @@ def needs_jones_calibration(band: F.Column, utc: F.Column) -> F.Column:
         ((band == "UHF") & (utc < F.lit("2021-08-18").cast("timestamp")))
         | ((band == "LBAND") & (utc < F.lit("2020-04-10").cast("timestamp")))
     )
+
+
+C_M_PER_S = 299792458.0
+
+
+def faraday_rotate(
+    cube: DataFrame,
+    rm: F.Column,
+    freq_col: str = "freq",
+    ref_freq_mhz: F.Column | None = None,
+) -> DataFrame:
+    """Faraday-rotation (RM) correction (docs/pipeline_workflow.md:24):
+    de-rotate the linear polarisation plane per channel.
+
+    The ionosphere/ISM rotates the (Q, U) Stokes pair by
+    θ(λ) = RM·(λ² − λ_ref²); the correction applies the inverse rotation:
+
+        Q' =  Q·cos2θ + U·sin2θ
+        U' = −Q·sin2θ + U·cos2θ
+
+    Column expressions over the Stokes-layout cube (pol 1=Q, 2=U; I and V
+    untouched). Pairing Q with U requires co-locating the 4 pol rows of a
+    cell: one window keyed by the cube's natural key — the same
+    partitioning every other per-cell operator uses, so under a
+    pre-partitioned cube table Catalyst reuses the exchange. No UDF.
+    λ from the channel centre frequency (MHz).
+    """
+    lam2 = F.pow(C_M_PER_S / (F.col(freq_col) * 1e6), 2)
+    ref2 = (
+        F.pow(C_M_PER_S / (ref_freq_mhz * 1e6), 2)
+        if ref_freq_mhz is not None
+        else F.lit(0.0)
+    )
+    theta2 = 2.0 * rm * (lam2 - ref2)
+    w = Window.partitionBy("obs_id", "subint", "chan", "bin")
+    q = F.max(F.when(F.col("pol") == 1, F.col("value"))).over(w)
+    u = F.max(F.when(F.col("pol") == 2, F.col("value"))).over(w)
+    new_val = (
+        F.when(F.col("pol") == 1, q * F.cos(theta2) + u * F.sin(theta2))
+        .when(F.col("pol") == 2, -q * F.sin(theta2) + u * F.cos(theta2))
+        .otherwise(F.col("value"))
+    )
+    return cube.withColumn("value", new_val)

@@ -152,3 +152,29 @@ def test_radec_precedence(spark):
     assert out[0].dec == pytest.approx(30.0)
     assert out[1].ra == pytest.approx(0.0, abs=1e-9)  # ecliptic fallback
     assert out[1].dec == pytest.approx(0.0, abs=1e-9)
+
+
+def test_faraday_rotate_inverts_rotation(spark):
+    from meerpipe_spark.operators.polcal import faraday_rotate
+
+    # Stokes cube cell with known Q,U; apply forward rotation in numpy,
+    # then the operator must recover the original
+    rm = 30.0
+    freq = 1400.0
+    lam2 = (299792458.0 / (freq * 1e6)) ** 2
+    theta2 = 2 * rm * lam2
+    q0, u0 = 3.0, 1.5
+    # observed (rotated) values
+    q_obs = q0 * math.cos(theta2) - u0 * math.sin(theta2)
+    u_obs = q0 * math.sin(theta2) + u0 * math.cos(theta2)
+    rows = [
+        Row(obs_id="o", subint=0, chan=0, bin=0, pol=0, freq=freq, value=10.0, weight=1.0),
+        Row(obs_id="o", subint=0, chan=0, bin=0, pol=1, freq=freq, value=q_obs, weight=1.0),
+        Row(obs_id="o", subint=0, chan=0, bin=0, pol=2, freq=freq, value=u_obs, weight=1.0),
+        Row(obs_id="o", subint=0, chan=0, bin=0, pol=3, freq=freq, value=0.7, weight=1.0),
+    ]
+    cube = spark.createDataFrame(rows)
+    out = {r.pol: r.value for r in faraday_rotate(cube, F.lit(rm)).collect()}
+    assert out[1] == pytest.approx(q0, rel=1e-12)
+    assert out[2] == pytest.approx(u0, rel=1e-12)
+    assert out[0] == 10.0 and out[3] == 0.7  # I and V untouched

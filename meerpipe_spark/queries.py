@@ -1447,8 +1447,172 @@ def mean_profile_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Rows-only queries (no SQL-expressible oracle; driver records weaker check)
+# Batch 4: operator-driven oracles — the REAL library operators mapped onto
+# driver tables and hash-matched against DuckDB (strongest parity signal)
 # ---------------------------------------------------------------------------
+
+@_register(
+    "scrunch_operator",
+    """
+    SELECT l_returnflag AS obs_id,
+           CAST(l_linenumber // 2 AS BIGINT)      AS subint,
+           0                                      AS pol,
+           CAST((l_partkey % 8) // 4 AS BIGINT)   AS chan,
+           CAST(l_orderkey % 4 AS BIGINT)         AS bin,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS value,
+           round(sum(l_quantity), 4)              AS weight,
+           round(avg(900.0 + (l_partkey % 8) * 10.0), 6) AS freq
+    FROM lineitem
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    doc="A1 driven through operators.scrunch.scrunch itself: lineitem "
+        "mapped into cube shape (value=price, weight=quantity), "
+        "t_factor=2 × f_factor=4 weighted decimation vs a SQL oracle.",
+)
+def scrunch_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.scrunch import scrunch
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cube = li.select(
+        F.col("l_returnflag").alias("obs_id"),
+        F.col("l_linenumber").alias("subint"),
+        F.lit(0).alias("pol"),
+        (F.col("l_partkey") % 8).alias("chan"),
+        (F.col("l_orderkey") % 4).alias("bin"),
+        (900.0 + (F.col("l_partkey") % 8) * 10.0).alias("freq"),
+        F.col("l_extendedprice").alias("value"),
+        F.col("l_quantity").alias("weight"),
+    )
+    out = scrunch(cube, t_factor=2, f_factor=4)
+    return out.select(
+        "obs_id",
+        "subint",
+        "pol",
+        "chan",
+        "bin",
+        F.round("value", 4).alias("value"),
+        F.round("weight", 4).alias("weight"),
+        F.round("freq", 6).alias("freq"),
+    )
+
+
+@_register(
+    "cumulative_snr_operator",
+    """
+    WITH seq AS (
+        SELECT user_id AS obs_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS subint,
+               value AS on_sum,
+               1.0 + abs(value) / 100.0 AS off_rms
+        FROM events
+    )
+    SELECT obs_id, subint,
+           round(on_sum, 6) AS single_sum,
+           round(
+             sum(on_sum) OVER w / sqrt(sum(off_rms * off_rms) OVER w), 6
+           ) AS cumulative_snr
+    FROM seq
+    WINDOW w AS (PARTITION BY obs_id ORDER BY subint
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="A8/W1 driven through operators.snr.cumulative_snr itself (the "
+        "O(n) window replacement for the reference's O(n²) zap-loop).",
+)
+def cumulative_snr_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.snr import cumulative_snr
+
+    e = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    per_subint = e.select(
+        F.col("user_id").alias("obs_id"),
+        (F.row_number().over(w) - 1).alias("subint"),
+        F.col("value").alias("on_sum"),
+        (1.0 + F.abs("value") / 100.0).alias("off_rms"),
+    )
+    out = cumulative_snr(per_subint)
+    return out.select(
+        "obs_id",
+        "subint",
+        F.round("single_sum", 6).alias("single_sum"),
+        F.round("cumulative_snr", 6).alias("cumulative_snr"),
+    )
+
+
+@_register(
+    "toa_select_operator",
+    """
+    SELECT event_type AS psr,
+           count(*)                 AS n_kept,
+           round(avg(value / 10.0), 6) AS avg_snr
+    FROM events
+    WHERE value / 10.0 >= 10.0
+      AND 59000.0 + (event_id % 1000) * 0.1 BETWEEN 40000.0 AND 99999.0
+    GROUP BY event_type
+    """,
+    doc="F5/F6 driven through operators.toa.toa_select itself (snr "
+        "threshold + MJD window + nobs cap).",
+)
+def toa_select_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.toa import toa_select
+
+    e = load_tables(spark, sf_dir)["events"]
+    toas = e.select(
+        F.col("event_type").alias("psr"),
+        (59000.0 + (F.col("event_id") % 1000) * 0.1).alias("bat_mjd"),
+        (F.col("value") / 10.0).alias("snr"),
+    )
+    kept = toa_select(toas)
+    return kept.groupBy("psr").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("snr"), 6).alias("avg_snr"),
+    )
+
+
+@_register(
+    "radiometer_rms_operator",
+    """
+    SELECT s_suppkey,
+           round(
+             ((390.0 + s_acctbal / 1000.0) / 62.0)
+             / sqrt(2.0 * (856.0 / 1024.0) * (3600.0 / 1024.0))
+           , 9) AS expected_rms
+    FROM supplier
+    """,
+    doc="A10 driven through operators.fluxcal.expected_rms itself (the "
+        "radiometer equation, docs/pipeline_workflow.md:52-59).",
+)
+def radiometer_rms_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.fluxcal import expected_rms
+
+    s = load_tables(spark, sf_dir)["supplier"]
+    ssys = (390.0 + F.col("s_acctbal") / 1000.0) / 62.0
+    rms = expected_rms(ssys, F.lit(856.0), F.lit(1024), F.lit(3600.0), F.lit(1024))
+    return s.select("s_suppkey", F.round(rms, 9).alias("expected_rms"))
+
+
+@_register(
+    "tsky_default_join_operator",
+    """
+    WITH tsky(psr, tsky_k) AS (VALUES ('BUILDING', 7.5), ('MACHINERY', 4.0))
+    SELECT c.c_mktsegment AS psr,
+           round(coalesce(t.tsky_k, 5.5) * 19.0, 6)::DOUBLE AS tsky_jy,
+           count(*) AS n
+    FROM customer c LEFT JOIN tsky t ON c.c_mktsegment = t.psr
+    GROUP BY 1, 2
+    """,
+    doc="J2 driven through operators.skymap.tsky_uhf_jy itself: broadcast "
+        "LEFT join with the 5.5 K default on miss and the ×19 K/Jy gain.",
+)
+def tsky_default_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.skymap import tsky_uhf_jy
+
+    c = load_tables(spark, sf_dir)["customer"]
+    obs = c.select(F.col("c_mktsegment").alias("psr"))
+    table = spark.createDataFrame([("BUILDING", 7.5), ("MACHINERY", 4.0)], ["psr", "tsky_k"])
+    out = tsky_uhf_jy(obs, table)
+    return out.groupBy("psr", F.round("tsky_jy", 6).alias("tsky_jy")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
 
 @_register(
     "media_feature_extract",

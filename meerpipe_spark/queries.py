@@ -1634,6 +1634,38 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_windowed_counts",
+    None,
+    doc="REAL Structured Streaming execution (§2.11): events parquet "
+        "re-served as a file-source micro-batch stream → watermarked "
+        "1-hour tumbling windows → parquet sink (availableNow), results "
+        "read back. Equivalence with the batch twin "
+        "(events_tumbling_window) is asserted in test_streaming.",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from meerpipe_spark.streaming.events import read_event_stream, windowed_event_counts
+
+    d = tempfile.mkdtemp(prefix="mp_stream_")
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+    load_tables(spark, sf_dir)["events"].repartition(4).write.parquet(src)
+    (
+        windowed_event_counts(read_event_stream(spark, src), "1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select(
+        "window_start", "event_type", "n", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
+@_register(
     "ivf_kmeans_clusters",
     None,
     doc="IVF coarse quantizer: 3-iteration Lloyd's k-means over embeddings "

@@ -114,3 +114,26 @@ def test_write_cube_partitioned(spark, tmp_path):
     ]
     back = spark.read.parquet(path)
     assert back.count() == 2 and set(back.columns) == {"obs_id", "chan", "value"}
+
+
+def test_salted_agg_sum_matches_plain(spark, sf_dir):
+    from meerpipe_spark.io import load_tables
+    from meerpipe_spark.skew import salted_agg_sum, top_frequent_keys
+
+    e = load_tables(spark, sf_dir)["events"]
+    salted = {
+        (r.event_type,): (r.sum_value, r.n)
+        for r in salted_agg_sum(e, ["event_type"], ["value"], salt_buckets=8).collect()
+    }
+    plain = {
+        (r.event_type,): (r.s, r.n)
+        for r in e.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(salted) == set(plain)
+    for k in plain:
+        assert salted[k][1] == plain[k][1]
+        assert abs(salted[k][0] - plain[k][0]) < 1e-6 * max(1.0, abs(plain[k][0]))
+    hot = top_frequent_keys(e, F.col("event_type"), threshold=0.05)
+    assert hot.count() >= 1  # event types each hold >5% of a 5-type table

@@ -137,3 +137,64 @@ def test_salted_agg_sum_matches_plain(spark, sf_dir):
         assert abs(salted[k][0] - plain[k][0]) < 1e-6 * max(1.0, abs(plain[k][0]))
     hot = top_frequent_keys(e, F.col("event_type"), threshold=0.05)
     assert hot.count() >= 1  # event types each hold >5% of a 5-type table
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Single micro-batch: each user's emitted rows (closed + open
+    sessions) must equal the batch gap-sessionization exactly."""
+    from meerpipe_spark.io import load_tables
+    from meerpipe_spark.streaming.events import read_event_stream
+    from meerpipe_spark.streaming.sessions import sessionize_stream
+
+    src = str(tmp_path / "src")
+    events = load_tables(spark, sf_dir)["events"]
+    events.coalesce(1).write.parquet(src)
+
+    q = (
+        sessionize_stream(read_event_stream(spark, src), gap_minutes=30)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM sessions_test").toPandas()
+
+    # batch truth: gap-based sessions per user
+    import pandas as pd
+
+    pdf = events.select("user_id", "ts", "value").toPandas().sort_values(["user_id", "ts"])
+    expected_sessions = []
+    for uid, grp in pdf.groupby("user_id"):
+        cur = None
+        for ts, value in zip(grp["ts"], grp["value"]):
+            if cur is None or (ts - cur["end"]).total_seconds() > 1800:
+                if cur is not None:
+                    expected_sessions.append(cur)
+                cur = {"user_id": uid, "start": ts, "end": ts, "n": 0, "s": 0.0}
+            cur["end"] = ts
+            cur["n"] += 1
+            cur["s"] += value
+        expected_sessions.append(cur)
+    exp = pd.DataFrame(expected_sessions)
+
+    # update mode re-emits a session when its event-time timeout fires in
+    # the follow-up batch (now closed) — dedup by session key exactly like
+    # the downstream idempotent upsert would (latest emission wins)
+    got = (
+        got.sort_values("closed")
+        .drop_duplicates(["user_id", "session_start"], keep="last")
+    )
+    assert len(got) == len(exp)
+    g = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    e = exp.sort_values(["user_id", "start"]).reset_index(drop=True)
+    assert (g["user_id"].to_numpy() == e["user_id"].to_numpy()).all()
+    assert (g["n_events"].to_numpy() == e["n"].to_numpy()).all()
+    import numpy as np
+
+    assert np.allclose(g["sum_value"].to_numpy(), e["s"].to_numpy())
+    # the last session of each user is open, all others closed
+    last_per_user = g.groupby("user_id")["session_start"].transform("max")
+    is_last = g["session_start"] == last_per_user
+    assert (g.loc[~is_last, "closed"]).all()

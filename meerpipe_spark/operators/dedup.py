@@ -161,3 +161,44 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     for c in bit_cols[1:]:
         fingerprint = fingerprint.bitwiseOR(c)
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def near_dup_pipeline(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash → LSH candidates → exact Jaccard verification with the
+    shingle set computed ONCE and reused by both stages (the signatures'
+    exploded form and the verification's array form both derive from the
+    same cached projection — at 100 TB recomputing shingles is the
+    dominant redundant cost of the naive composition)."""
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).cache()
+
+    exploded = sh.select(id_col, F.explode("sh").alias("s"))
+    aggs = [F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
+    sigs = exploded.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("signature"),
+    )
+    pairs = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    verified = (
+        pairs.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified

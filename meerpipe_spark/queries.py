@@ -1591,6 +1591,51 @@ def radiometer_rms_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "raster_pixel_join_operator",
+    """
+    WITH raster(ipix1, ipix2, tsky_mk) AS (
+        VALUES (185, 95, 4000.0), (190, 100, 3600.0), (200, 110, 'nan'::DOUBLE)
+    ),
+    keyed AS (
+        SELECT event_id,
+               CAST(floor((value % 360.0) / 1.0 + 0.0 + 0.5) AS BIGINT)          AS ipix1,
+               CAST(floor(((value % 180.0) - 90.0) / 1.0 + 90.0 + 0.5) AS BIGINT) AS ipix2
+        FROM events
+    )
+    SELECT k.event_id,
+           round(1.7202 * (
+             CASE WHEN k.ipix1 BETWEEN 0 AND 360 AND k.ipix2 BETWEEN 0 AND 180
+                       AND r.tsky_mk IS NOT NULL AND NOT isnan(r.tsky_mk)
+                  THEN r.tsky_mk ELSE 3400.0 END
+             - 3372.0) * 0.019, 6) AS tsky_jy
+    FROM keyed k LEFT JOIN raster r ON k.ipix1 = r.ipix1 AND k.ipix2 = r.ipix2
+    """,
+    doc="J3 driven through operators.skymap.tsky_lband_jy itself: the WCS "
+        "affine pixel transform as a computed broadcast join key, with "
+        "bounds + NaN-blank fallback and the exact Jy conversion "
+        "(fluxcal_meerkat.py:164-215). Pixel coords stay positive so "
+        "int-truncation (Spark) equals floor (oracle).",
+)
+def raster_pixel_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.skymap import Wcs, tsky_lband_jy
+
+    e = load_tables(spark, sf_dir)["events"]
+    obs = e.select(
+        "event_id",
+        (F.col("value") % 360.0).alias("rajd"),
+        ((F.col("value") % 180.0) - 90.0).alias("decjd"),
+    )
+    raster = spark.createDataFrame(
+        [(185, 95, 4000.0), (190, 100, 3600.0), (200, 110, float("nan"))],
+        "ipix1 long, ipix2 long, tsky_mk double",
+    )
+    wcs = Wcs(naxis1=360, crpix1=0.0, cdelt1=1.0, crval1=0.0,
+              naxis2=180, crpix2=90.0, cdelt2=1.0, crval2=0.0)
+    out = tsky_lband_jy(obs, raster, wcs)
+    return out.select("event_id", F.round("tsky_jy", 6).alias("tsky_jy"))
+
+
+@_register(
     "tsky_default_join_operator",
     """
     WITH tsky(psr, tsky_k) AS (VALUES ('BUILDING', 7.5), ('MACHINERY', 4.0))
@@ -1709,12 +1754,10 @@ def lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meerpipe_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard
+    from meerpipe_spark.operators.dedup import near_dup_pipeline
 
     docs = load_tables(spark, sf_dir)["documents"]
-    sigs = minhash_signatures(docs, num_hashes=32, shingle_n=3)
-    pairs = lsh_candidate_pairs(sigs, bands=8)
-    return ngram_jaccard(docs, pairs, shingle_n=3)
+    return near_dup_pipeline(docs, num_hashes=32, bands=8, shingle_n=3)
 
 
 @_register(

@@ -134,3 +134,42 @@ def faraday_rotate(
         .otherwise(F.col("value"))
     )
     return cube.withColumn("value", new_val)
+
+
+def mueller_from_complex_jones(
+    spark: SparkSession, jones: list[tuple[int, complex, complex, complex, complex]]
+) -> DataFrame:
+    """Full 2×2 complex Jones → 4×4 real Mueller coefficients on the
+    coherence basis (AA, BB, ReAB, ImAB).
+
+    For J = [[j00, j01], [j10, j11]], the corrected coherency matrix is
+    C' = J C J†; expanding C = [[AA, ReAB + i·ImAB], [ReAB − i·ImAB, BB]]
+    gives each output component as a real linear combination of the four
+    inputs — computed here numerically per channel by applying J to the
+    four basis coherency matrices. ``jones`` rows: (chan, j00, j01, j10,
+    j11). Feeds apply_mueller unchanged.
+    """
+    import numpy as np
+
+    # basis coherency matrices for (AA, BB, ReAB, ImAB) = e_k
+    basis = [
+        np.array([[1, 0], [0, 0]], dtype=complex),
+        np.array([[0, 0], [0, 1]], dtype=complex),
+        np.array([[0, 1], [1, 0]], dtype=complex),
+        np.array([[0, 1j], [-1j, 0]], dtype=complex),
+    ]
+    rows = []
+    for chan, j00, j01, j10, j11 in jones:
+        J = np.array([[j00, j01], [j10, j11]], dtype=complex)
+        for in_pol, B in enumerate(basis):
+            Cp = J @ B @ J.conj().T
+            comps = [
+                Cp[0, 0].real,          # AA'
+                Cp[1, 1].real,          # BB'
+                Cp[0, 1].real,          # ReAB'
+                Cp[0, 1].imag,          # ImAB'
+            ]
+            for out_pol, coef in enumerate(comps):
+                if abs(coef) > 1e-15:
+                    rows.append((chan, out_pol, in_pol, float(coef)))
+    return spark.createDataFrame(rows, ["chan", "out_pol", "in_pol", "coef"])

@@ -62,3 +62,13 @@ def cumulative_snr(
         F.col(sum_col).alias("single_sum"),
         (F.sum(sum_col).over(w) / F.sqrt(F.sum(F.col(rms_col) ** 2).over(w))).alias("cumulative_snr"),
     )
+
+
+def normalize_profile(value_col: F.Column, w: "W" = None, group_cols: tuple[str, ...] = ("obs_id",)) -> F.Column:
+    """A9 profile normalization (make_stokes_movie.py:28-30):
+    (p − min) / (max − min) per group, as window expressions (a constant
+    profile normalizes to 0)."""
+    win = W.partitionBy(*group_cols)
+    lo = F.min(value_col).over(win)
+    hi = F.max(value_col).over(win)
+    return F.when(hi != lo, (value_col - lo) / (hi - lo)).otherwise(F.lit(0.0))

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from meerpipe_spark.operators.chop import chop_edge_channels
 from meerpipe_spark.operators.clean import clean_chain
+from meerpipe_spark.operators.dynspec import derive_dynspec
 from meerpipe_spark.operators.fluxcal import apply_flux, flux_multiplier, offpulse_rms_per_channel
 from meerpipe_spark.operators.snr import cumulative_snr, profile_snr
 from meerpipe_spark.plans.decimation import DecimationSpec, emit_products
@@ -66,6 +67,7 @@ def run_observation_pipeline(
         cleaned=cleaned,
         multipliers=mults,
         snr_series=snr_series,
+        dynspec=derive_dynspec(calibrated, on_pulse),
         results=results,
     )
     return out

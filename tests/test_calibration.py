@@ -178,3 +178,41 @@ def test_faraday_rotate_inverts_rotation(spark):
     assert out[1] == pytest.approx(q0, rel=1e-12)
     assert out[2] == pytest.approx(u0, rel=1e-12)
     assert out[0] == 10.0 and out[3] == 0.7  # I and V untouched
+
+
+def test_complex_jones_identity_and_swap(spark, pol_cube):
+    from meerpipe_spark.operators.polcal import apply_mueller, mueller_from_complex_jones
+
+    ident = mueller_from_complex_jones(
+        spark, [(0, 1, 0, 0, 1), (1, 1, 0, 0, 1)]
+    )
+    got = {(r.chan, r.bin, r.pol): r.value for r in apply_mueller(pol_cube, ident).collect()}
+    orig = {(r.chan, r.bin, r.pol): r.value for r in pol_cube.collect()}
+    assert got == pytest.approx(orig)
+
+    # swap feeds: J = [[0,1],[1,0]] exchanges AA<->BB and conjugates AB
+    swap = mueller_from_complex_jones(spark, [(0, 0, 1, 1, 0), (1, 0, 1, 1, 0)])
+    got = {(r.chan, r.pol): r.value for r in apply_mueller(pol_cube, swap).filter("bin=0").collect()}
+    # chan0: AA=4, BB=2, Re=1, Im=0.5 -> AA'=2, BB'=4, Re'=1, Im'=-0.5
+    assert got[(0, 0)] == pytest.approx(2.0)
+    assert got[(0, 1)] == pytest.approx(4.0)
+    assert got[(0, 2)] == pytest.approx(1.0)
+    assert got[(0, 3)] == pytest.approx(-0.5)
+
+
+def test_phase_jones_rotates_ab(spark, pol_cube):
+    import cmath
+
+    from meerpipe_spark.operators.polcal import apply_mueller, mueller_from_complex_jones
+
+    # differential phase phi on feed B rotates the AB product by -phi
+    phi = 0.3
+    J = [(c, 1, 0, 0, cmath.exp(1j * phi)) for c in range(2)]
+    m = mueller_from_complex_jones(spark, J)
+    got = {(r.chan, r.pol): r.value for r in apply_mueller(pol_cube, m).filter("bin=0").collect()}
+    re, im = 1.0, 0.5
+    expect = (re + 1j * im) * cmath.exp(-1j * phi)
+    assert got[(0, 0)] == pytest.approx(4.0)   # gains unchanged
+    assert got[(0, 1)] == pytest.approx(2.0)
+    assert got[(0, 2)] == pytest.approx(expect.real)
+    assert got[(0, 3)] == pytest.approx(expect.imag)

@@ -222,3 +222,16 @@ def test_needs_jones_calibration(spark):
         ).collect()
     ]
     assert out == [True, False, True, False, False]
+
+
+def test_normalize_profile(spark):
+    from meerpipe_spark.operators.snr import normalize_profile
+
+    df = spark.createDataFrame(
+        [Row(obs_id="a", bin=i, value=float(v)) for i, v in enumerate([2.0, 4.0, 6.0])]
+        + [Row(obs_id="b", bin=i, value=5.0) for i in range(3)]
+    )
+    out = df.withColumn("norm", normalize_profile(F.col("value"))).collect()
+    got = {(r.obs_id, r.bin): r.norm for r in out}
+    assert got[("a", 0)] == 0.0 and got[("a", 1)] == 0.5 and got[("a", 2)] == 1.0
+    assert all(got[("b", i)] == 0.0 for i in range(3))  # constant profile

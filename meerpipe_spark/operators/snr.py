@@ -72,3 +72,79 @@ def normalize_profile(value_col: F.Column, w: "W" = None, group_cols: tuple[str,
     lo = F.min(value_col).over(win)
     hi = F.max(value_col).over(win)
     return F.when(hi != lo, (value_col - lo) / (hi - lo)).otherwise(F.lit(0.0))
+
+
+def pdmp_snr(
+    profile: DataFrame,
+    nbin: int,
+    group_cols: tuple[str, ...] = ("obs_id",),
+    value_col: str = "value",
+    widths: tuple[int, ...] | None = None,
+) -> DataFrame:
+    """A7 pdmp-style S/N with on-pulse WINDOW SEARCH: try every circular
+    candidate window (start ∈ [0, nbin), width ∈ widths) and keep the
+    best S/N — the reference's ``snr=pdmp`` (docs/logic.md:11-15) without
+    fixing the window a priori.
+
+    Relational form: a broadcast candidate dim (start, width) theta-joined
+    to the profile rows on circular membership, one hash-agg per
+    (group, candidate), then max_by. Candidate count is O(nbin·|widths|)
+    — bounded and independent of data volume; the multiplication happens
+    map-side against broadcast literals.
+    """
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    widths = widths or (max(1, nbin // 8), max(1, nbin // 4), max(1, nbin // 2))
+    cands = spark.createDataFrame(
+        [(s, w) for s in range(nbin) for w in widths], ["win_start", "win_width"]
+    )
+    # totals per group (for off-pulse stats via complement: off = total - on)
+    totals = profile.groupBy(*group_cols).agg(
+        F.sum(value_col).alias("tot_sum"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("tot_sq"),
+        F.count(F.lit(1)).alias("tot_n"),
+    )
+    in_window = (
+        ((F.col("bin") - F.col("win_start") + nbin) % nbin) < F.col("win_width")
+    )
+    on = (
+        profile.join(F.broadcast(cands), in_window)
+        .groupBy(*group_cols, "win_start", "win_width")
+        .agg(
+            F.sum(value_col).alias("on_sum"),
+            F.count(F.lit(1)).alias("on_n"),
+        )
+    )
+    on_sq = (
+        profile.join(F.broadcast(cands), in_window)
+        .groupBy(*group_cols, "win_start", "win_width")
+        .agg(F.sum(F.col(value_col) * F.col(value_col)).alias("on_sq"))
+    )
+    scored = (
+        on.join(on_sq, [*group_cols, "win_start", "win_width"])
+        .join(F.broadcast(totals), list(group_cols))
+        .withColumn("off_n", F.col("tot_n") - F.col("on_n"))
+        .withColumn("off_sum", F.col("tot_sum") - F.col("on_sum"))
+        .withColumn("off_mean", F.col("off_sum") / F.col("off_n"))
+        .withColumn(
+            "off_std",
+            F.sqrt(
+                (F.col("tot_sq") - F.col("on_sq")) / F.col("off_n")
+                - F.col("off_mean") * F.col("off_mean")
+            ),
+        )
+        .withColumn(
+            "snr",
+            (F.col("on_sum") - F.col("on_n") * F.col("off_mean"))
+            / (F.col("off_std") * F.sqrt(F.col("on_n"))),
+        )
+    )
+    return scored.groupBy(*group_cols).agg(
+        F.max_by(F.struct("win_start", "win_width", "snr"), "snr").alias("best")
+    ).select(
+        *group_cols,
+        F.col("best.win_start").alias("win_start"),
+        F.col("best.win_width").alias("win_width"),
+        F.col("best.snr").alias("snr"),
+    )

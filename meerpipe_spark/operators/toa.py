@@ -156,3 +156,34 @@ def template_match_toas(
         )
 
     return profiles.groupBy("obs_id").applyInPandas(match, TOA_SCHEMA)
+
+
+def evaluate_residuals(
+    toas: DataFrame,
+    f0_hz: Column,
+    pepoch_mjd: Column,
+    f1_hz_s: Column | None = None,
+    mjd_col: str = "bat_mjd",
+) -> DataFrame:
+    """M6: timing-residual EVALUATION against a fixed spin model — the
+    non-fitting half of tempo2's job (SURVEY §7.3.7: residual evaluation
+    is reimplemented natively; only FITTING would stay external).
+
+    Pulse number N(t) = f0·Δt + ½·f1·Δt² (Δt in seconds from PEPOCH);
+    the residual is the distance to the nearest integer turn, in seconds:
+
+        r = wrap(N − round(N)) / f0        with wrap into [−0.5, 0.5)
+
+    Pure column expressions; for sub-ns fidelity feed a
+    DecimalType(38,19) mjd column (timeutils.mjd_compose) — the phase
+    subtraction N − round(N) keeps only the small fractional part, so
+    double arithmetic downstream of the decimal Δt is exact enough.
+    """
+    dt_s = (F.col(mjd_col).cast("double") - pepoch_mjd) * 86400.0
+    n = f0_hz * dt_s
+    if f1_hz_s is not None:
+        n = n + 0.5 * f1_hz_s * dt_s * dt_s
+    frac = n - F.round(n)
+    return toas.withColumn("phase_residual", frac).withColumn(
+        "residual_s", frac / f0_hz
+    )

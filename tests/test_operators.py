@@ -235,3 +235,34 @@ def test_normalize_profile(spark):
     got = {(r.obs_id, r.bin): r.norm for r in out}
     assert got[("a", 0)] == 0.0 and got[("a", 1)] == 0.5 and got[("a", 2)] == 1.0
     assert all(got[("b", i)] == 0.0 for i in range(3))  # constant profile
+
+
+def test_pdmp_snr_finds_pulse_window(spark):
+    from meerpipe_spark.operators.snr import pdmp_snr
+
+    nbin = 32
+    rng = np.random.default_rng(55)
+    vals = rng.normal(0, 1, nbin)
+    vals[12:20] += 25.0  # pulse in window [12, 20)
+    df = spark.createDataFrame(
+        [Row(obs_id="o", bin=i, value=float(vals[i])) for i in range(nbin)]
+    )
+    best = pdmp_snr(df, nbin, widths=(4, 8, 16)).collect()[0]
+    # the best window must cover the pulse
+    covered = {(best.win_start + k) % nbin for k in range(best.win_width)}
+    assert set(range(12, 20)) <= covered or covered <= set(range(12, 20)) or (
+        len(covered & set(range(12, 20))) >= 6
+    )
+    assert best.snr > 10
+
+    # brute-force numpy check: Spark's best snr equals the max over all
+    # candidates computed directly
+    def snr_of(start, width):
+        on_idx = [(start + k) % nbin for k in range(width)]
+        off_idx = [i for i in range(nbin) if i not in on_idx]
+        on = vals[on_idx]
+        off = vals[off_idx]
+        return (on.sum() - len(on) * off.mean()) / (off.std() * np.sqrt(len(on)))
+
+    brute = max(snr_of(s, w) for s in range(nbin) for w in (4, 8, 16))
+    assert best.snr == pytest.approx(brute, rel=1e-9)

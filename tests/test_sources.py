@@ -238,3 +238,30 @@ def test_fits_datasource(spark, archive_file):
     # pushdown-friendly: projection + filter still works through the source
     n = df.filter("chan = 1").select("value").count()
     assert n == 2 * 2 * 4
+
+
+RM_CATALOGUE = """\
+# psr rm
+J0437-4715 -0.5
+J1811-2405 27.4
+J2241-5236 12.0
+"""
+
+
+def test_read_catalogue_and_qa(spark, tmp_path):
+    from meerpipe_spark.sources.catalogues import catalogue_qa, read_catalogue
+
+    p = tmp_path / "rm_catalogue.txt"
+    p.write_text(RM_CATALOGUE)
+    cat = read_catalogue(spark, str(p))
+    got = {r.psr: r.rm for r in cat.collect()}
+    assert got == {"J0437-4715": -0.5, "J1811-2405": 27.4, "J2241-5236": 12.0}
+    qa = catalogue_qa(cat, raw_value_col="psr")
+    assert qa == {"duplicates": [], "malformed": []}
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("J0437-4715 -0.5\nJ0437-4715 1.0\nJ1111+1111 07.5\n")
+    cat2 = read_catalogue(spark, str(bad), numeric_cols=())
+    qa2 = catalogue_qa(cat2, raw_value_col="rm")
+    assert qa2["duplicates"] == ["J0437-4715"]
+    assert qa2["malformed"] == ["J1111+1111"]

@@ -77,3 +77,42 @@ def test_toa_select_and_residual_stats(spark):
     w1, w2 = 1 / (100e-9) ** 2, 1 / (200e-9) ** 2
     expect = np.sqrt((w1 * (1e-6) ** 2 + w2 * (2e-6) ** 2) / (w1 + w2))
     assert stats.wrms_s == pytest.approx(expect, rel=1e-12)
+
+
+def test_evaluate_residuals_recovers_offsets(spark):
+    from meerpipe_spark.operators.toa import evaluate_residuals
+
+    f0 = 100.0  # Hz -> period 10 ms
+    pepoch = 59000.0
+    # TOAs exactly on integer turns, plus one offset by +1 ms
+    base = [pepoch + k * 1000.0 / 86400.0 for k in range(1, 4)]  # integer turns
+    offset_mjd = pepoch + (1000.0 + 1e-3) / 86400.0  # +1 ms late
+    rows = [Row(psr="A", bat_mjd=float(m)) for m in base] + [
+        Row(psr="A", bat_mjd=float(offset_mjd))
+    ]
+    out = evaluate_residuals(
+        spark.createDataFrame(rows), F.lit(f0), F.lit(pepoch)
+    ).collect()
+    res = sorted(abs(r.residual_s) for r in out)
+    # double MJD resolution near 59000 is ~0.6 us (eps*59000*86400) — this
+    # is precisely why SURVEY §7.3.1 mandates DecimalType(38,19) for
+    # sub-ns paths; at double precision on-turn residuals land ~1e-6 s
+    for r in res[:3]:
+        assert r < 2e-6  # on-turn TOAs -> zero residual (double precision)
+    assert res[3] == pytest.approx(1e-3, abs=2e-6)  # the 1 ms offset recovered
+
+
+def test_evaluate_residuals_with_spindown(spark):
+    from meerpipe_spark.operators.toa import evaluate_residuals
+
+    f0, f1, pepoch = 50.0, -1e-10, 59000.0
+    dt = 5000.0  # seconds
+    # choose a TOA whose pulse number is exactly integer under (f0, f1)
+    n_exact = f0 * dt + 0.5 * f1 * dt * dt
+    dt_adj = dt + (round(n_exact) - n_exact) / (f0 + f1 * dt)
+    toa = pepoch + dt_adj / 86400.0
+    out = evaluate_residuals(
+        spark.createDataFrame([Row(bat_mjd=float(toa))]),
+        F.lit(f0), F.lit(pepoch), F.lit(f1),
+    ).collect()[0]
+    assert abs(out.residual_s) < 2e-6  # double-MJD resolution floor

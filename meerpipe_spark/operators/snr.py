@@ -140,11 +140,15 @@ def pdmp_snr(
             / (F.col("off_std") * F.sqrt(F.col("on_n"))),
         )
     )
-    return scored.groupBy(*group_cols).agg(
-        F.max_by(F.struct("win_start", "win_width", "snr"), "snr").alias("best")
-    ).select(
-        *group_cols,
-        F.col("best.win_start").alias("win_start"),
-        F.col("best.win_width").alias("win_width"),
-        F.col("best.snr").alias("snr"),
+    # Deterministic selection: rank on snr rounded past float-noise, then
+    # (win_start, win_width) — sparse profiles make exact ties between
+    # windows covering the same rows common, and max_by would pick
+    # arbitrarily.
+    sel = W.partitionBy(*group_cols).orderBy(
+        F.desc(F.round("snr", 6)), F.col("win_start"), F.col("win_width")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(sel))
+        .filter(F.col("_rn") == 1)
+        .select(*group_cols, "win_start", "win_width", "snr")
     )

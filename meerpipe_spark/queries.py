@@ -1636,6 +1636,71 @@ def raster_pixel_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pdmp_snr_operator",
+    """
+    WITH profile AS (
+        SELECT user_id AS obs_id, CAST(event_id % 32 AS BIGINT) AS bin, value
+        FROM events
+    ),
+    cands AS (
+        SELECT s.range AS win_start, w.w AS win_width
+        FROM range(0, 32) s, (VALUES (8), (16)) w(w)
+    ),
+    totals AS (
+        SELECT obs_id, sum(value) AS tot_sum, sum(value*value) AS tot_sq, count(*) AS tot_n
+        FROM profile GROUP BY obs_id
+    ),
+    onw AS (
+        SELECT p.obs_id, c.win_start, c.win_width,
+               sum(p.value) AS on_sum, sum(p.value*p.value) AS on_sq, count(*) AS on_n
+        FROM profile p JOIN cands c
+          ON ((p.bin - c.win_start + 32) % 32) < c.win_width
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT o.obs_id, o.win_start, o.win_width,
+               (o.on_sum - o.on_n * ((t.tot_sum - o.on_sum) / (t.tot_n - o.on_n)))
+               / (sqrt((t.tot_sq - o.on_sq) / (t.tot_n - o.on_n)
+                       - ((t.tot_sum - o.on_sum) / (t.tot_n - o.on_n))
+                         * ((t.tot_sum - o.on_sum) / (t.tot_n - o.on_n)))
+                  * sqrt(o.on_n)) AS snr
+        FROM onw o JOIN totals t USING (obs_id)
+    ),
+    ranked AS (
+        SELECT obs_id, win_start, win_width, snr,
+               row_number() OVER (PARTITION BY obs_id
+                                  ORDER BY round(snr, 6) DESC, win_start, win_width) AS rn
+        FROM scored
+    )
+    SELECT obs_id, CAST(win_start AS INTEGER) AS win_start,
+           CAST(win_width AS INTEGER) AS win_width,
+           round(snr, 6) AS snr
+    FROM ranked WHERE rn = 1
+    """,
+    doc="A7 pdmp window search driven through operators.snr.pdmp_snr "
+        "itself: best circular on-pulse window per pseudo-profile "
+        "(events folded on event_id%32), SQL oracle replicates the "
+        "candidate sweep and complement statistics.",
+)
+def pdmp_snr_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.snr import pdmp_snr
+
+    e = load_tables(spark, sf_dir)["events"]
+    profile = e.select(
+        F.col("user_id").alias("obs_id"),
+        (F.col("event_id") % 32).cast("bigint").alias("bin"),
+        "value",
+    )
+    out = pdmp_snr(profile, nbin=32, widths=(8, 16))
+    return out.select(
+        "obs_id",
+        F.col("win_start").cast("int").alias("win_start"),
+        F.col("win_width").cast("int").alias("win_width"),
+        F.round("snr", 6).alias("snr"),
+    )
+
+
+@_register(
     "tsky_default_join_operator",
     """
     WITH tsky(psr, tsky_k) AS (VALUES ('BUILDING', 7.5), ('MACHINERY', 4.0))

@@ -1115,6 +1115,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Gap-based sessionization (30 min): lag + running flag sum — the "
         "batch twin of applyInPandasWithState session windows.",
+    headline=True,
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
@@ -1324,6 +1325,7 @@ def mjd_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="kNN verify stage: exact top-3 cosine neighbors within each label "
         "bucket (the bucketed-ANN pattern: candidates only within the "
         "partition key, never a global cross join).",
+    headline=True,
 )
 def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.similarity import cosine_similarity
@@ -1468,6 +1470,7 @@ def mean_profile_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A1 driven through operators.scrunch.scrunch itself: lineitem "
         "mapped into cube shape (value=price, weight=quantity), "
         "t_factor=2 × f_factor=4 weighted decimation vs a SQL oracle.",
+    headline=True,
 )
 def scrunch_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.scrunch import scrunch
@@ -1681,6 +1684,7 @@ def raster_pixel_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "itself: best circular on-pulse window per pseudo-profile "
         "(events folded on event_id%32), SQL oracle replicates the "
         "candidate sweep and complement statistics.",
+    headline=True,
 )
 def pdmp_snr_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.snr import pdmp_snr

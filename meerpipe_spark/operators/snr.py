@@ -86,11 +86,12 @@ def pdmp_snr(
     best S/N — the reference's ``snr=pdmp`` (docs/logic.md:11-15) without
     fixing the window a priori.
 
-    Relational form: a broadcast candidate dim (start, width) theta-joined
-    to the profile rows on circular membership, one hash-agg per
-    (group, candidate), then max_by. Candidate count is O(nbin·|widths|)
-    — bounded and independent of data volume; the multiplication happens
-    map-side against broadcast literals.
+    Relational form, scale-shaped: the raw rows FIRST collapse to per-bin
+    sufficient statistics (≤ nbin rows per group — data volume gone), and
+    only those tiny partials are theta-joined to the broadcast candidate
+    dim (start, width) on circular membership. The candidate sweep then
+    costs O(groups · nbin · |candidates|) regardless of input row count;
+    off-pulse stats come from the group totals by complement.
     """
     from pyspark.sql import SparkSession
 
@@ -99,31 +100,30 @@ def pdmp_snr(
     cands = spark.createDataFrame(
         [(s, w) for s in range(nbin) for w in widths], ["win_start", "win_width"]
     )
-    # totals per group (for off-pulse stats via complement: off = total - on)
-    totals = profile.groupBy(*group_cols).agg(
-        F.sum(value_col).alias("tot_sum"),
-        F.sum(F.col(value_col) * F.col(value_col)).alias("tot_sq"),
-        F.count(F.lit(1)).alias("tot_n"),
+    per_bin = profile.groupBy(*group_cols, "bin").agg(
+        F.sum(value_col).alias("b_sum"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("b_sq"),
+        F.count(F.lit(1)).alias("b_n"),
+    ).cache()
+    totals = per_bin.groupBy(*group_cols).agg(
+        F.sum("b_sum").alias("tot_sum"),
+        F.sum("b_sq").alias("tot_sq"),
+        F.sum("b_n").alias("tot_n"),
     )
     in_window = (
         ((F.col("bin") - F.col("win_start") + nbin) % nbin) < F.col("win_width")
     )
     on = (
-        profile.join(F.broadcast(cands), in_window)
+        per_bin.join(F.broadcast(cands), in_window)
         .groupBy(*group_cols, "win_start", "win_width")
         .agg(
-            F.sum(value_col).alias("on_sum"),
-            F.count(F.lit(1)).alias("on_n"),
+            F.sum("b_sum").alias("on_sum"),
+            F.sum("b_sq").alias("on_sq"),
+            F.sum("b_n").alias("on_n"),
         )
     )
-    on_sq = (
-        profile.join(F.broadcast(cands), in_window)
-        .groupBy(*group_cols, "win_start", "win_width")
-        .agg(F.sum(F.col(value_col) * F.col(value_col)).alias("on_sq"))
-    )
     scored = (
-        on.join(on_sq, [*group_cols, "win_start", "win_width"])
-        .join(F.broadcast(totals), list(group_cols))
+        on.join(F.broadcast(totals), list(group_cols))
         .withColumn("off_n", F.col("tot_n") - F.col("on_n"))
         .withColumn("off_sum", F.col("tot_sum") - F.col("on_sum"))
         .withColumn("off_mean", F.col("off_sum") / F.col("off_n"))

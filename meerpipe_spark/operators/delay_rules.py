@@ -1,113 +1,183 @@
 """Delay-correction rules engine (``dlyfix``).
 
 Reference: meerpipe/scripts/dlyfix.py — a rule DSL (``ptuse.dlycfg``) of
-ordered, named rules with predicates over observation attributes
-(``mjd > x``, ``beconfig ~= regex``, …; :44-79) and delay actions
-(``delay = v``, ``+= v``, ``-= v`` with ms/us/ns unit conversion;
-:80-122). Matched rules are reduced IN FILE ORDER; a ``=`` action resets
-all previously accumulated corrections (:99-104); the total correction is
-the sum of the surviving ones (:276).
+ordered, named rules. Grammar (dlyfix.py:27-125):
 
-Spark-first (SURVEY.md J6 + A12 + W4):
-- parse → a small rules DataFrame (broadcast; ~40 rows in the reference);
-- match → broadcast theta join obs × rules on the conjunction of interval
-  and regex predicates;
-- ordered reduction with reset → a window over rule_order per obs: find
-  the last rule_order with op '=', keep rules >= it, then a plain sum of
-  signed deltas (the '=' rule contributes its own value).
+- ``* name`` introduces a rule block (name = line stripped of ``* \\t\\n``);
+  ``[name]`` is also accepted here for compatibility with older corpora.
+- ``#`` starts a comment anywhere on a line (dlyfix.py:36).
+- Predicate lines ``attr <op> operand`` with ops ``~= !~= < > <= >=`` over
+  the observation attributes (firmware, beconfig, mjd, tbin, freq, bename;
+  dlyfix.py:44-79). Predicates are evaluated SEQUENTIALLY: a failed
+  predicate sets ``skip=1`` for the remainder of the block, so each action
+  is guarded by the conjunction of all predicates ABOVE it (dlyfix.py:43).
+  ``~=`` uses ``re.match`` — anchored at the start of the value
+  (dlyfix.py:46); ``<``/``>`` are strict, ``<=``/``>=`` inclusive.
+- Action lines ``delay (=|+=|-=) value [unit]`` (dlyfix.py:80-122). Unit is
+  ``ms``/``us``/``ns`` or the NAME OF AN ATTRIBUTE whose value is the
+  conversion factor (``conv=float(getattr(self, elems[3]))``,
+  dlyfix.py:95 — e.g. ``delay += 1 tbin``). A block may contain several
+  actions; each appends one correction. ``=`` CLEARS all previously
+  accumulated corrections — including those from earlier rules
+  (``self.corrections=[]``, dlyfix.py:100) — then contributes its own.
+- Any other non-empty line prints a warning (dlyfix.py:123-125).
 
-At 100 TB the obs side streams through map tasks; the rules side is a
+The total correction is the sum of surviving corrections (dlyfix.py:276).
+
+Spark-first (SURVEY.md S12 + J6 + A12 + W4):
+- parse → a small ACTIONS DataFrame (one row per delay action, carrying a
+  snapshot of the predicates above it; ~10 rows for ptuse.dlycfg) —
+  broadcast literal;
+- match → broadcast theta join obs × actions on ``forall(preds)`` — each
+  predicate struct evaluated against the obs row's attribute columns;
+- ordered reduction with reset → a window over action_order per obs: find
+  the last matched action with op '=', keep actions >= it, then a plain
+  sum of signed ``value * conv`` deltas.
+
+At 100 TB the obs side streams through map tasks; the actions side is a
 broadcast literal — the whole evaluation is shuffle-free except the final
 per-obs aggregation, which is a partial-agg-friendly groupBy(obs_id).
 """
 
 from __future__ import annotations
 
+import logging
 import re
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
 
+logger = logging.getLogger(__name__)
+
 _UNIT_SCALE = {"s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
+
+#: Observation attributes the reference exposes to the DSL (dlyfix.py:13-20).
+KNOWN_ATTRS = ("firmware", "beconfig", "mjd", "tbin", "freq", "bename")
+
+PRED_SCHEMA = T.StructType(
+    [
+        T.StructField("attr", T.StringType()),
+        T.StructField("op", T.StringType()),     # ~= !~= < > <= >=
+        T.StructField("num", T.DoubleType()),    # numeric operand (comparison ops)
+        T.StructField("pat", T.StringType()),    # regex operand (match ops)
+    ]
+)
 
 RULE_SCHEMA = T.StructType(
     [
         T.StructField("rule_name", T.StringType()),
         T.StructField("rule_order", T.IntegerType()),
-        T.StructField("mjd_lo", T.DoubleType()),
-        T.StructField("mjd_hi", T.DoubleType()),
-        T.StructField("regex_attr", T.StringType()),
-        T.StructField("regex_pat", T.StringType()),
-        T.StructField("regex_negate", T.BooleanType()),
-        T.StructField("delay_op", T.StringType()),
-        T.StructField("delay_s", T.DoubleType()),
+        T.StructField("action_order", T.IntegerType()),  # global: reset boundary key
+        T.StructField("delay_op", T.StringType()),       # =  +=  -=
+        T.StructField("delay_val", T.DoubleType()),
+        T.StructField("delay_unit", T.StringType()),     # s|ms|us|ns or attr name
+        T.StructField("preds", T.ArrayType(PRED_SCHEMA)),
     ]
 )
 
-_PRED = re.compile(r"^\s*(\w+)\s*(~=|!~=|<=|>=|<|>)\s*(.+?)\s*$")
-_ACT = re.compile(r"^\s*delay\s*(=|\+=|-=)\s*([-\d.eE]+)\s*(s|ms|us|ns)?\s*$")
+_HEADER_COMPAT = re.compile(r"^\[(.+)\]$")
+_PRED_OPS = ("~=", "!~=", "<=", ">=", "<", ">")
 
 
 def parse_dlycfg(lines: list[str]) -> list[dict]:
-    """Parse a dlycfg-style rule DSL into ordered rule records.
+    """Parse the dlyfix rule DSL into ordered action records.
 
-    Grammar (per dlyfix.py:27-125): blocks introduced by ``[name]``;
-    predicate lines ``attr <op> operand`` with ops ``~= !~= < > <= >=``;
-    action lines ``delay (=|+=|-=) value [unit]``. Numeric comparisons on
-    ``mjd`` become the [mjd_lo, mjd_hi) interval; regex predicates keep
-    (attr, pattern, negated).
+    Faithful to dlyfix.py:27-125 (see module docstring for the grammar).
+    Returns one record per DELAY ACTION; each carries ``preds`` — the
+    snapshot of predicates parsed above it in its block, so the
+    sequential skip semantics reduce to ``all(preds)`` per action.
+    Unparseable lines are logged as warnings (dlyfix.py:123-125), never
+    silently dropped.
     """
-    rules: list[dict] = []
-    cur: dict | None = None
-    order = 0
+    actions: list[dict] = []
+    name: str | None = None
+    rule_order = -1
+    action_order = 0
+    preds: list[dict] = []
     for raw in lines:
-        line = raw.split("#", 1)[0].strip()
-        if not line:
+        line = raw.split("#", 1)[0]
+        elems = line.split()
+        if not elems:
             continue
-        m = re.match(r"^\[(.+)\]$", line)
-        if m:
-            if cur is not None:
-                rules.append(cur)
-            cur = {
-                "rule_name": m.group(1),
-                "rule_order": order,
-                "mjd_lo": float("-inf"),
-                "mjd_hi": float("inf"),
-                "regex_attr": None,
-                "regex_pat": None,
-                "regex_negate": False,
-                "delay_op": "+=",
-                "delay_s": 0.0,
-            }
-            order += 1
+        compat = _HEADER_COMPAT.match(line.strip())
+        if elems[0] == "*" or compat:
+            # '* name' header (dlyfix.py:38-42); '[name]' compat form.
+            name = compat.group(1) if compat else line.strip("* \t\n")
+            rule_order += 1
+            preds = []
             continue
-        if cur is None:
+        if name is None:
+            logger.warning("dlycfg: line before any rule header ignored: %r", line.strip())
             continue
-        act = _ACT.match(line)
-        if act:
-            op, val, unit = act.group(1), float(act.group(2)), act.group(3) or "s"
-            cur["delay_op"] = op
-            cur["delay_s"] = val * _UNIT_SCALE[unit]
+        if len(elems) > 2 and elems[0] == "delay" and elems[1] in ("=", "+=", "-="):
+            try:
+                val = float(elems[2])
+            except ValueError:
+                logger.warning("dlycfg: bad delay value: %r", line.strip())
+                continue
+            unit = elems[3] if len(elems) > 3 else "s"
+            if unit not in _UNIT_SCALE and unit not in KNOWN_ATTRS:
+                logger.warning("dlycfg: unknown unit/attribute %r: %r", unit, line.strip())
+                continue
+            actions.append(
+                {
+                    "rule_name": name,
+                    "rule_order": rule_order,
+                    "action_order": action_order,
+                    "delay_op": elems[1],
+                    "delay_val": val,
+                    "delay_unit": unit,
+                    "preds": list(preds),
+                }
+            )
+            action_order += 1
             continue
-        pred = _PRED.match(line)
-        if pred:
-            attr, op, operand = pred.groups()
-            if attr == "mjd" and op in ("<", "<=", ">", ">="):
-                v = float(operand)
-                if op in (">", ">="):
-                    cur["mjd_lo"] = v
-                else:
-                    cur["mjd_hi"] = v
-            elif op in ("~=", "!~="):
-                cur["regex_attr"] = attr
-                cur["regex_pat"] = operand
-                cur["regex_negate"] = op == "!~="
-    if cur is not None:
-        rules.append(cur)
-    return rules
+        if len(elems) > 2 and elems[1] in _PRED_OPS:
+            attr, op, operand = elems[0], elems[1], elems[2]
+            if op in ("~=", "!~="):
+                preds.append({"attr": attr, "op": op, "num": None, "pat": operand})
+            else:
+                try:
+                    preds.append({"attr": attr, "op": op, "num": float(operand), "pat": None})
+                except ValueError:
+                    logger.warning("dlycfg: bad numeric operand: %r", line.strip())
+            continue
+        if line.strip():
+            logger.warning("dlycfg: cannot understand line: %r", line.strip())
+    return actions
 
 
-def rules_df(spark: SparkSession, rules: list[dict]) -> DataFrame:
-    return spark.createDataFrame([tuple(r[f.name] for f in RULE_SCHEMA.fields) for r in rules], RULE_SCHEMA)
+def rules_df(spark: SparkSession, actions: list[dict]) -> DataFrame:
+    rows = [
+        (
+            a["rule_name"],
+            a["rule_order"],
+            a["action_order"],
+            a["delay_op"],
+            a["delay_val"],
+            a["delay_unit"],
+            [(p["attr"], p["op"], p["num"], p["pat"]) for p in a["preds"]],
+        )
+        for a in actions
+    ]
+    return spark.createDataFrame(rows, RULE_SCHEMA)
+
+
+def _attr_num(attr: F.Column, attr_cols: dict[str, str]) -> F.Column:
+    """CASE over the attribute name → obs column cast to double
+    (float(getattr(self, elems[0])), dlyfix.py:57)."""
+    expr = F.lit(None).cast("double")
+    for name, col in attr_cols.items():
+        expr = F.when(attr == name, F.col(col).cast("double")).otherwise(expr)
+    return expr
+
+
+def _attr_str(attr: F.Column, attr_cols: dict[str, str]) -> F.Column:
+    """CASE over the attribute name → obs column cast to string
+    (str(getattr(self, elems[0])), dlyfix.py:45)."""
+    expr = F.lit(None).cast("string")
+    for name, col in attr_cols.items():
+        expr = F.when(attr == name, F.col(col).cast("string")).otherwise(expr)
+    return expr
 
 
 def evaluate_delay_rules(
@@ -119,39 +189,65 @@ def evaluate_delay_rules(
 ) -> DataFrame:
     """J6 theta join + A12 ordered reduction with reset.
 
-    ``attr_cols`` maps rule regex_attr names to obs column names (e.g.
-    {"beconfig": "beconfig"}). Returns (obs_key, delay_s) with the total
+    ``rules`` is an actions DataFrame (RULE_SCHEMA). ``attr_cols`` maps
+    DSL attribute names to obs column names (``mjd`` is wired from
+    ``mjd_col`` automatically). Returns (obs_key, delay_s) with the total
     correction per observation; observations matching no rule get 0.0.
+
+    Semantics matched to dlyfix.py:
+    - ``~=`` anchored at value start (re.match, dlyfix.py:46) via
+      ``^(?:pat)``;
+    - ``<``/``>`` strict, ``<=``/``>=`` inclusive (dlyfix.py:56-79);
+    - unit ``ms/us/ns`` fixed scale, otherwise the obs attribute of that
+      name is the conversion factor (dlyfix.py:87-95);
+    - a matched ``=`` action discards ALL earlier corrections
+      (dlyfix.py:100) → max matched '=' action_order is the keep-boundary.
     """
-    attr_cols = attr_cols or {}
-    attr_expr = F.lit(None).cast("string")
-    for attr, col in attr_cols.items():
-        attr_expr = F.when(rules["regex_attr"] == attr, obs[col]).otherwise(attr_expr)
+    attrs = {"mjd": mjd_col, **(attr_cols or {})}
 
-    regex_ok = (
-        F.when(rules["regex_pat"].isNull(), F.lit(True))
-        .when(rules["regex_negate"], ~F.regexp_like(attr_expr, rules["regex_pat"]))
-        .otherwise(F.regexp_like(attr_expr, rules["regex_pat"]))
-    )
-    cond = (
-        (obs[mjd_col] > rules["mjd_lo"])
-        & (obs[mjd_col] < rules["mjd_hi"])
-        & regex_ok
-    )
-    matched = obs.join(F.broadcast(rules), cond, "inner")
+    def pred_ok(p: F.Column) -> F.Column:
+        num = _attr_num(p["attr"], attrs)
+        s = _attr_str(p["attr"], attrs)
+        anchored = F.concat(F.lit("^(?:"), p["pat"], F.lit(")"))
+        ok = (
+            F.when(p["op"] == F.lit("<"), num < p["num"])
+            .when(p["op"] == F.lit(">"), num > p["num"])
+            .when(p["op"] == F.lit("<="), num <= p["num"])
+            .when(p["op"] == F.lit(">="), num >= p["num"])
+            .when(p["op"] == F.lit("~="), F.regexp_like(s, anchored))
+            .when(p["op"] == F.lit("!~="), ~F.regexp_like(s, anchored))
+            .otherwise(F.lit(False))
+        )
+        return F.coalesce(ok, F.lit(False))
 
-    # Reset boundary: the max rule_order among matched '=' rules per obs;
-    # rules before it are discarded (dlyfix.py:99-104 self.corrections=[]).
+    # Broadcast nested-loop join: the actions side is a handful of literal
+    # rows; every obs row evaluates forall(preds) map-side, shuffle-free.
+    matched = (
+        obs.crossJoin(F.broadcast(rules))
+        .filter(F.forall(F.col("preds"), pred_ok))
+    )
+
+    # Reset boundary: the max action_order among matched '=' actions per
+    # obs; earlier corrections are discarded (dlyfix.py:100).
     w = W.partitionBy(obs_key)
     with_reset = matched.withColumn(
         "reset_order",
-        F.max(F.when(F.col("delay_op") == "=", F.col("rule_order"))).over(w),
+        F.max(F.when(F.col("delay_op") == "=", F.col("action_order"))).over(w),
     )
     surviving = with_reset.filter(
-        F.col("reset_order").isNull() | (F.col("rule_order") >= F.col("reset_order"))
+        F.col("reset_order").isNull() | (F.col("action_order") >= F.col("reset_order"))
     )
-    signed = F.when(F.col("delay_op") == "-=", -F.col("delay_s")).otherwise(F.col("delay_s"))
-    totals = surviving.groupBy(obs_key).agg(F.sum(signed).alias("delay_s"))
+    conv = F.coalesce(
+        *[
+            F.when(F.col("delay_unit") == u, F.lit(s))
+            for u, s in _UNIT_SCALE.items()
+        ],
+        _attr_num(F.col("delay_unit"), attrs),
+    )
+    signed = F.when(F.col("delay_op") == "-=", -F.col("delay_val")).otherwise(
+        F.col("delay_val")
+    )
+    totals = surviving.groupBy(obs_key).agg(F.sum(signed * conv).alias("delay_s"))
     return (
         obs.select(obs_key)
         .distinct()

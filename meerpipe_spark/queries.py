@@ -744,19 +744,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meerpipe_spark.operators.similarity import cosine_similarity
+    from meerpipe_spark.operators import similarity
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    q = F.array(*[F.lit(float(x)) for x in qv])
-    cast = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scored = emb.select("vec_id", cosine_similarity(cast, q).alias("sim"))
-    w = W.orderBy(F.desc("sim"), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("vec_id", F.round("sim", 6).alias("cosine_sim"))
-    )
+    # operator form: orderBy().limit(k) -> TakeOrderedAndProject
+    # (per-partition heaps + driver merge), never a single-partition window
+    topk = similarity.cosine_topk(emb, [float(x) for x in qv], k=10)
+    return topk.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
 @_register(
@@ -860,14 +855,37 @@ def snr_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Batch 2: rules engine, text pairs, JSON, percentiles, sessions, profiles
 # ---------------------------------------------------------------------------
 
-_DELAY_RULES = [
-    # rule_name, rule_order, mjd_lo, mjd_hi, regex_attr, regex_pat, negate, op, delay_s
-    ("r0", 0, 0.0, 100.0, None, None, False, "+=", 1.0),
-    ("r1", 1, 50.0, 200.0, "beconfig", "err", False, "+=", 2.0),
-    ("r2", 2, 80.0, 300.0, None, None, False, "=", 10.0),
-    ("r3", 3, 0.0, 500.0, "beconfig", "^sig", True, "-=", 0.5),
-    ("r4", 4, 150.0, 1000.0, "beconfig", "purch|click", False, "+=", 0.25),
-]
+# A demo rule file in the reference's verbatim dlycfg grammar
+# (dlyfix.py:27-125) — parsed by the real parse_dlycfg at query time.
+_DLYCFG_DEMO = """
+* r0
+mjd > 0.0
+mjd < 100.0
+delay += 1.0
+
+* r1
+mjd > 50.0
+mjd < 200.0
+beconfig ~= err
+delay += 2.0
+
+* r2
+mjd > 80.0
+mjd < 300.0
+delay = 10.0
+
+* r3
+mjd > 0.0
+mjd < 500.0
+beconfig !~= sig
+delay -= 0.5
+
+* r4
+mjd > 150.0
+mjd < 1000.0
+beconfig ~= purch|click
+delay += 0.25
+"""
 
 @_register(
     "delay_rules_engine",
@@ -876,7 +894,7 @@ _DELAY_RULES = [
         VALUES ('r0', 0, 0.0,   100.0,  NULL,          false, '+=', 1.0),
                ('r1', 1, 50.0,  200.0,  'err',         false, '+=', 2.0),
                ('r2', 2, 80.0,  300.0,  NULL,          false, '=',  10.0),
-               ('r3', 3, 0.0,   500.0,  '^sig',        true,  '-=', 0.5),
+               ('r3', 3, 0.0,   500.0,  'sig',         true,  '-=', 0.5),
                ('r4', 4, 150.0, 1000.0, 'purch|click', false, '+=', 0.25)
     ),
     matched AS (
@@ -884,8 +902,9 @@ _DELAY_RULES = [
         FROM events e JOIN rules r
           ON e.value > r.mjd_lo AND e.value < r.mjd_hi
          AND (r.regex_pat IS NULL OR
-              (CASE WHEN r.regex_negate THEN NOT regexp_matches(e.event_type, r.regex_pat)
-                    ELSE regexp_matches(e.event_type, r.regex_pat) END))
+              -- re.match semantics: anchored at the start of the value
+              (CASE WHEN r.regex_negate THEN NOT regexp_matches(e.event_type, '^(?:' || r.regex_pat || ')')
+                    ELSE regexp_matches(e.event_type, '^(?:' || r.regex_pat || ')') END))
     ),
     with_reset AS (
         SELECT *, max(CASE WHEN delay_op = '=' THEN rule_order END)
@@ -903,13 +922,14 @@ _DELAY_RULES = [
     FROM (SELECT DISTINCT event_id FROM events) e
     LEFT JOIN totals t ON e.event_id = t.event_id
     """,
-    doc="The full dlyfix rules engine (S12+J6+A12+W4) driven through the "
-        "evaluate_delay_rules operator: broadcast theta join on interval + "
+    doc="The full dlyfix rules engine (S12+J6+A12+W4) driven end-to-end "
+        "through parse_dlycfg (the reference's '* name' grammar) + "
+        "evaluate_delay_rules: broadcast theta join on interval + anchored "
         "regex predicates, ordered reduction with '=' reset.",
     headline=True,
 )
 def delay_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meerpipe_spark.operators.delay_rules import RULE_SCHEMA, evaluate_delay_rules
+    from meerpipe_spark.operators.delay_rules import evaluate_delay_rules, parse_dlycfg, rules_df
 
     e = load_tables(spark, sf_dir)["events"]
     obs = e.select(
@@ -917,13 +937,7 @@ def delay_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("mjd"),
         F.col("event_type").alias("beconfig"),
     )
-    rules = spark.createDataFrame(
-        [
-            (name, order, lo, hi, attr, pat, neg, op, d)
-            for name, order, lo, hi, attr, pat, neg, op, d in _DELAY_RULES
-        ],
-        RULE_SCHEMA,
-    )
+    rules = rules_df(spark, parse_dlycfg(_DLYCFG_DEMO.splitlines()))
     out = evaluate_delay_rules(
         obs, rules, mjd_col="mjd", attr_cols={"beconfig": "beconfig"}, obs_key="event_id"
     )

@@ -10,62 +10,68 @@ import math
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row, functions as F
 
-from meerpipe_spark.operators.delay_rules import evaluate_delay_rules, rules_df
+from meerpipe_spark.operators.delay_rules import evaluate_delay_rules, parse_dlycfg, rules_df
 from meerpipe_spark.operators.phase import phase_norm
 from tests.test_delay_rules import _sequential_eval
 
 
-def _mk_rule(i, lo, hi, op, val, pat, neg):
-    return {
-        "rule_name": f"r{i}",
-        "rule_order": i,
-        "mjd_lo": lo,
-        "mjd_hi": hi,
-        "regex_attr": "beconfig" if pat else None,
-        "regex_pat": pat,
-        "regex_negate": neg,
-        "delay_op": op,
-        "delay_s": val,
-    }
+def _mk_block(i, lo, hi, lo_inc, hi_inc, op, val, unit, pat, neg, extra_action):
+    """Render one random rule block in the real dlyfix grammar."""
+    lines = [f"* rule {i}"]
+    lines.append(f"mjd {'>=' if lo_inc else '>'} {lo!r}")
+    lines.append(f"mjd {'<=' if hi_inc else '<'} {hi!r}")
+    if pat is not None:
+        lines.append(f"beconfig {'!~=' if neg else '~='} {pat}")
+    lines.append(f"delay {op} {val!r} {unit}")
+    if extra_action:
+        lines.append("delay -= 7 ns")
+    return lines
 
 
-rule_strategy = st.builds(
-    _mk_rule,
-    st.integers(0, 0),  # order assigned below
+block_strategy = st.builds(
+    _mk_block,
+    st.integers(0, 0),  # cosmetic
     st.floats(0, 50, allow_nan=False),
     st.floats(50, 100, allow_nan=False),
+    st.booleans(),
+    st.booleans(),
     st.sampled_from(["=", "+=", "-="]),
     st.floats(-10, 10, allow_nan=False, allow_infinity=False),
+    st.sampled_from(["s", "ms", "us", "ns", "tbin"]),
     st.sampled_from([None, "aa", "bb", "^aa", "a.b"]),
+    st.booleans(),
     st.booleans(),
 )
 
 
 @settings(max_examples=8, deadline=None)
 @given(
-    rules=st.lists(rule_strategy, min_size=1, max_size=8),
+    blocks=st.lists(block_strategy, min_size=1, max_size=8),
     mjds=st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=6),
     attrs=st.lists(st.sampled_from(["aab", "bba", "xyz", "a_b"]), min_size=1, max_size=6),
 )
-def test_delay_reduction_matches_sequential(spark, rules, mjds, attrs):
-    for i, r in enumerate(rules):
-        r["rule_order"] = i
+def test_delay_reduction_matches_sequential(spark, blocks, mjds, attrs):
+    lines = [ln for b in blocks for ln in b]
+    acts = parse_dlycfg(lines)
     n = min(len(mjds), len(attrs))
     obs = [
-        Row(obs_id=f"o{i}", mjd=float(mjds[i]), beconfig=attrs[i]) for i in range(n)
+        Row(obs_id=f"o{i}", mjd=float(mjds[i]), beconfig=attrs[i], tbin=2.5e-6)
+        for i in range(n)
     ]
     got = {
         r.obs_id: r.delay_s
         for r in evaluate_delay_rules(
             spark.createDataFrame(obs),
-            rules_df(spark, rules),
-            attr_cols={"beconfig": "beconfig"},
+            rules_df(spark, acts),
+            attr_cols={"beconfig": "beconfig", "tbin": "tbin"},
         ).collect()
     }
     for o in obs:
-        expect = _sequential_eval(rules, o.mjd, {"beconfig": o.beconfig})
+        expect = _sequential_eval(
+            lines, {"mjd": o.mjd, "beconfig": o.beconfig, "tbin": 2.5e-6}
+        )
         assert math.isclose(got[o.obs_id], expect, rel_tol=1e-12, abs_tol=1e-12), (
-            rules, o, got[o.obs_id], expect,
+            lines, o, got[o.obs_id], expect,
         )
 
 

@@ -76,12 +76,22 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join on (band_id, band_hash).
 
     Docs sharing any band land in the same bucket; the self-join is an
     equi-join on the bucket key (shuffle on a uniform hash — scales).
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket_size`` guards the adversarial tail: a degenerate bucket
+    (e.g. 10⁴ byte-identical boilerplate docs sharing every band) is
+    quadratic WITHIN the bucket no matter how well the key distributes.
+    Buckets above the cap are dropped from candidate generation — run
+    :func:`exact_dedup` first so byte-identical content never reaches
+    LSH; what remains above any sane cap is hash-collision noise, not
+    near-duplicate signal. The size filter is a same-key semi-join, so
+    AQE reuses the bucket shuffle; no extra wide stage.
     """
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
     banded = signatures.select(
@@ -96,6 +106,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        banded = banded.join(small, ["band_id", "band_hash"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -170,6 +188,7 @@ def near_dup_pipeline(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash → LSH candidates → exact Jaccard verification with the
     shingle set computed ONCE and reused by both stages (the signatures'
@@ -186,7 +205,9 @@ def near_dup_pipeline(
         F.col(id_col),
         F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("signature"),
     )
-    pairs = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=bands, id_col=id_col, max_bucket_size=max_bucket_size
+    )
     verified = (
         pairs.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"

@@ -78,6 +78,62 @@ def hyperplane_lsh_buckets(
     return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def knn_per_bucket(
+    embeddings: DataFrame,
+    k: int = 3,
+    bucket_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors within each bucket (label / LSH / IVF
+    list) — the bucketed-ANN verify stage: candidates only inside the
+    bucket key, never a global cross join.
+
+    ``max_bucket_size`` guards the hot-bucket quadratic tail: buckets
+    with n > cap get an extra salt key ``pmod(xxhash64(id), ceil(n/cap))``
+    so the self-join key becomes (bucket, salt) and each join cell stays
+    ≤ ~cap rows. Inside a hot bucket neighbors are then found within the
+    salt cell only — approximate for hot keys, exact everywhere else (the
+    standard skew/recall trade; recall loss is 1-1/splits per neighbor
+    for uniformly salted cells). Default None = exact everywhere.
+    """
+    from pyspark.sql import Window as W
+
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(bucket_col).alias("_bk"), cast.alias("_v")
+    )
+    if max_bucket_size is not None:
+        sizes = base.groupBy("_bk").agg(F.count(F.lit(1)).alias("_n"))
+        splits = F.greatest(F.ceil(F.col("_n") / max_bucket_size), F.lit(1))
+        base = base.join(sizes, "_bk").withColumn(
+            "_salt", F.pmod(F.xxhash64("_id"), splits).cast("int")
+        ).drop("_n")
+    else:
+        base = base.withColumn("_salt", F.lit(0))
+    a = base.select(
+        F.col("_id").alias("src"), F.col("_bk").alias("_bka"),
+        F.col("_salt").alias("_sa"), F.col("_v").alias("_va"),
+    )
+    b = base.select(
+        F.col("_id").alias("dst"), F.col("_bk").alias("_bkb"),
+        F.col("_salt").alias("_sb"), F.col("_v").alias("_vb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("_bka") == F.col("_bkb"))
+        & (F.col("_sa") == F.col("_sb"))
+        & (F.col("src") != F.col("dst")),
+    ).select("src", "dst", cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+    w = W.partitionBy("src").orderBy(F.desc("cosine_sim"), F.col("dst"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def centroid_by_label(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -1342,23 +1342,13 @@ def mjd_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meerpipe_spark.operators.similarity import cosine_similarity
+    from meerpipe_spark.operators.similarity import knn_per_bucket
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    sub = emb.filter(F.col("vec_id") < 60).select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    a = sub.select(F.col("vec_id").alias("src"), F.col("label").alias("la"), F.col("v").alias("va"))
-    b = sub.select(F.col("vec_id").alias("dst"), F.col("label").alias("lb"), F.col("v").alias("vb"))
-    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("src") != F.col("dst"))).select(
-        "src", "dst", cosine_similarity(F.col("va"), F.col("vb")).alias("sim")
-    )
-    w = W.partitionBy("src").orderBy(F.desc("sim"), F.col("dst"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("src", "dst", F.round("sim", 6).alias("cosine_sim"))
-    )
+    sub = emb.filter(F.col("vec_id") < 60)
+    # exact mode here (oracle-comparable); max_bucket_size salts hot labels
+    out = knn_per_bucket(sub, k=3, bucket_col="label")
+    return out.select("src", "dst", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
 @_register(

@@ -1,0 +1,160 @@
+"""Dedup operator unit tests: signature determinism, LSH candidate
+recall vs brute-force Jaccard, simhash bit stability, exact dedup, and
+the degenerate-bucket cap (skew guard) for both LSH and bucketed kNN."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from meerpipe_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dup_pipeline,
+    ngram_jaccard,
+    simhash,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+WORDS = "the quick brown fox jumps over a lazy dog near the old river bank".split()
+
+
+def _mk_text(rng, n=30):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 docs: 20 bases, each with a near-dup (1-word edit) and an
+    unrelated doc."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        base = _mk_text(rng)
+        words = base.split()
+        words[rng.integers(0, len(words))] = "MUTATED"
+        rows.append((3 * i, base))
+        rows.append((3 * i + 1, " ".join(words)))
+        rows.append((3 * i + 2, _mk_text(rng)))
+    return _docs(spark, rows)
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    docs = _docs(spark, [(1, "aa bb"), (5, "aa bb"), (3, "cc dd"), (9, "aa bb")])
+    out = {r.keep_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_minhash_signatures_deterministic(spark, corpus):
+    s1 = {r.doc_id: r.signature for r in minhash_signatures(corpus).collect()}
+    s2 = {r.doc_id: r.signature for r in minhash_signatures(corpus).collect()}
+    assert s1 == s2
+    assert all(len(v) == 32 for v in s1.values())
+    # identical text -> identical signature regardless of doc id
+    dup = _docs(spark, [(100, "x y z w v u t s"), (200, "x y z w v u t s")])
+    sd = {r.doc_id: r.signature for r in minhash_signatures(dup).collect()}
+    assert sd[100] == sd[200]
+
+
+def test_lsh_recall_vs_brute_jaccard(spark, corpus):
+    """Every pair with true Jaccard >= 0.8 must be an LSH candidate
+    (32 hashes / 8 bands: P[candidate | J=0.8] ≈ 1-(1-0.8^4)^8 ≈ 0.996)."""
+    sigs = minhash_signatures(corpus)
+    cand = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()}
+    all_ids = [r.doc_id for r in corpus.select("doc_id").collect()]
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a in all_ids for b in all_ids if a < b]
+    )
+    truth = ngram_jaccard(corpus, pairs).collect()
+    high = [(r.id_a, r.id_b) for r in truth if r.jaccard is not None and r.jaccard >= 0.8]
+    assert high, "corpus must contain near-dup pairs"
+    missed = [p for p in high if p not in cand]
+    assert not missed, f"LSH missed high-Jaccard pairs: {missed}"
+
+
+def test_simhash_stability_and_proximity(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+            (3, "totally different words entirely unrelated content here now"),
+        ],
+    )
+    out = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert out[1] == out[2]
+    # repeated run identical (pure hash, no randomness)
+    out2 = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert out == out2
+    hamming = bin(out[1] ^ out[3]).count("1")
+    assert hamming > 8  # unrelated docs differ in many bits
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark, corpus):
+    """10⁴ identical docs share every band -> one quadratic bucket
+    (~5·10⁷ pairs uncapped). With the cap the bucket is dropped, the run
+    completes fast, and organic candidates are unaffected."""
+    degenerate = spark.range(10_000, 20_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boiler plate terms of service text repeated verbatim").alias("text"),
+    )
+    docs = corpus.select("doc_id", "text").unionByName(degenerate)
+    sigs = minhash_signatures(docs)
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=100)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert not any(a >= 10_000 for a, _ in got), "degenerate bucket must be dropped"
+    organic = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(minhash_signatures(corpus)).collect()
+    }
+    assert organic <= got | organic  # no organic pair lost
+    assert got == organic
+
+
+def test_near_dup_pipeline_cap_passthrough(spark, corpus):
+    out = near_dup_pipeline(corpus, max_bucket_size=100)
+    rows = out.filter(F.col("jaccard") >= 0.8).collect()
+    assert rows, "pipeline must surface the planted near-dups"
+
+
+def test_knn_hot_bucket_salting(spark):
+    """A hot bucket (1000 rows of one label) with max_bucket_size=50 must
+    produce ≤ splits·cap² candidate pairs instead of 10⁶, while still
+    returning k neighbors per src."""
+    from meerpipe_spark.operators.similarity import knn_per_bucket
+
+    rng = np.random.default_rng(11)
+    rows = [
+        Row(vec_id=i, label="hot", embedding=[float(x) for x in rng.normal(size=8)])
+        for i in range(1000)
+    ]
+    emb = spark.createDataFrame(rows)
+    out = knn_per_bucket(emb, k=3, bucket_col="label", max_bucket_size=50)
+    per_src = out.groupBy("src").count().collect()
+    assert len(per_src) == 1000
+    assert all(r["count"] == 3 for r in per_src)
+    # exact path on a small balanced set matches the windowed reference
+    small = spark.createDataFrame(rows[:20])
+    exact = knn_per_bucket(small, k=3, bucket_col="label").collect()
+    sims = {}
+    vecs = {r.vec_id: np.array(r.embedding) for r in rows[:20]}
+    for s in vecs:
+        cand = sorted(
+            (
+                (-np.dot(vecs[s], vecs[d]) / (np.linalg.norm(vecs[s]) * np.linalg.norm(vecs[d])), d)
+                for d in vecs
+                if d != s
+            )
+        )[:3]
+        sims[s] = [d for _, d in cand]
+    got = {}
+    for r in exact:
+        got.setdefault(r.src, []).append((-r.cosine_sim, r.dst))
+    for s, lst in got.items():
+        assert [d for _, d in sorted(lst)] == sims[s]

@@ -189,15 +189,24 @@ def near_dup_pipeline(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """MinHash → LSH candidates → exact Jaccard verification with the
     shingle set computed ONCE and reused by both stages (the signatures'
     exploded form and the verification's array form both derive from the
     same cached projection — at 100 TB recomputing shingles is the
-    dominant redundant cost of the naive composition)."""
+    dominant redundant cost of the naive composition).
+
+    Cache lifetime: the shingle projection stays cached after the action
+    that materializes the returned frame — call ``.unpersist()`` on it
+    via ``returned_df.sparkSession.catalog.clearCache()`` in batch
+    drivers, or pass ``persist=False`` to trade the pin for a 3× shingle
+    recompute (one per consumer branch)."""
     sh = docs.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
-    ).cache()
+    )
+    if persist:
+        sh = sh.cache()
 
     exploded = sh.select(id_col, F.explode("sh").alias("s"))
     aggs = [F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]

@@ -104,26 +104,31 @@ def pdmp_snr(
         F.sum(value_col).alias("b_sum"),
         F.sum(F.col(value_col) * F.col(value_col)).alias("b_sq"),
         F.count(F.lit(1)).alias("b_n"),
-    ).cache()
-    totals = per_bin.groupBy(*group_cols).agg(
-        F.sum("b_sum").alias("tot_sum"),
-        F.sum("b_sq").alias("tot_sq"),
-        F.sum("b_n").alias("tot_n"),
+    )
+    # Group totals as full-frame window aggregates over the (tiny) per-bin
+    # partials: the whole operator is then ONE pass over the input — no
+    # .cache() (which pinned executor memory across pipeline-loop calls),
+    # no second scan, no totals broadcast.
+    wt = W.partitionBy(*group_cols)
+    per_bin = (
+        per_bin.withColumn("tot_sum", F.sum("b_sum").over(wt))
+        .withColumn("tot_sq", F.sum("b_sq").over(wt))
+        .withColumn("tot_n", F.sum("b_n").over(wt))
     )
     in_window = (
         ((F.col("bin") - F.col("win_start") + nbin) % nbin) < F.col("win_width")
     )
-    on = (
+    scored = (
         per_bin.join(F.broadcast(cands), in_window)
         .groupBy(*group_cols, "win_start", "win_width")
         .agg(
             F.sum("b_sum").alias("on_sum"),
             F.sum("b_sq").alias("on_sq"),
             F.sum("b_n").alias("on_n"),
+            F.first("tot_sum").alias("tot_sum"),
+            F.first("tot_sq").alias("tot_sq"),
+            F.first("tot_n").alias("tot_n"),
         )
-    )
-    scored = (
-        on.join(F.broadcast(totals), list(group_cols))
         .withColumn("off_n", F.col("tot_n") - F.col("on_n"))
         .withColumn("off_sum", F.col("tot_sum") - F.col("on_sum"))
         .withColumn("off_mean", F.col("off_sum") / F.col("off_n"))

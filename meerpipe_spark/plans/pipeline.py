@@ -36,11 +36,21 @@ def run_observation_pipeline(
     expected_rms: float,
     fluxcal_window: tuple[float, float],
     bad_channels: list[int] | None = None,
+    persist: bool = True,
 ) -> dict[str, DataFrame]:
     """Returns {product_name: DataFrame} plus the bookkeeping frames
-    ('cleaned', 'multipliers', 'snr_series', 'results')."""
+    ('cleaned', 'multipliers', 'snr_series', 'results').
+
+    The cleaned cube is cached once (``persist=True``) because every
+    decimation product, the flux calibration, and the S/N series all
+    re-read it; call :func:`release_pipeline` after the products are
+    written so the executor memory is returned (cache lifetime is
+    caller-owned — nothing here leaks past release_pipeline).
+    """
     chopped = chop_edge_channels(cube)
-    cleaned = clean_chain(chopped, on_pulse, bad_channels=bad_channels).cache()
+    cleaned = clean_chain(chopped, on_pulse, bad_channels=bad_channels)
+    if persist:
+        cleaned = cleaned.cache()
 
     per_chan = offpulse_rms_per_channel(cleaned, on_pulse).withColumn(
         "expected_rms", F.lit(expected_rms)
@@ -71,6 +81,14 @@ def run_observation_pipeline(
         results=results,
     )
     return out
+
+
+def release_pipeline(out: dict[str, DataFrame]) -> None:
+    """Unpersist every cached frame a pipeline run pinned (currently the
+    cleaned cube). Call after the products have been written/collected."""
+    cleaned = out.get("cleaned")
+    if cleaned is not None:
+        cleaned.unpersist()
 
 
 def results_doc(cleaned: DataFrame, mults: DataFrame, snr_total: DataFrame) -> DataFrame:

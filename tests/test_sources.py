@@ -265,3 +265,71 @@ def test_read_catalogue_and_qa(spark, tmp_path):
     qa2 = catalogue_qa(cat2, raw_value_col="rm")
     assert qa2["duplicates"] == ["J0437-4715"]
     assert qa2["malformed"] == ["J1111+1111"]
+
+
+# ---------------------------------------------------------------------------
+# S10: .npy reference scan
+# ---------------------------------------------------------------------------
+
+import os
+
+from meerpipe_spark.sources.npy import (
+    channel_frequency_reference,
+    read_npy,
+    read_npy_distributed,
+    read_npy_header,
+)
+
+REF_NPY = "/root/reference/configuration_files/928ch_frequency_reference.npy"
+
+
+def test_read_npy_header_and_roundtrip(spark, tmp_path):
+    a = np.arange(12, dtype=np.float64)
+    p = str(tmp_path / "a.npy")
+    np.save(p, a)
+    shape, dtype, fortran, off = read_npy_header(p)
+    assert shape == (12,) and dtype == np.float64 and not fortran and off % 64 == 0
+    rows = read_npy(spark, p).orderBy("idx").collect()
+    assert [r.value for r in rows] == list(range(12))
+
+    m = np.arange(6, dtype=np.int32).reshape(3, 2)
+    p2 = str(tmp_path / "m.npy")
+    np.save(p2, m)
+    rows2 = read_npy(spark, p2).orderBy("idx").collect()
+    assert [r.values for r in rows2] == [[0, 1], [2, 3], [4, 5]]
+
+
+def test_read_npy_rejects_object_dtype(tmp_path):
+    p = str(tmp_path / "o.npy")
+    np.save(p, np.array([{"a": 1}], dtype=object), allow_pickle=True)
+    with pytest.raises(Exception):
+        read_npy_header(p)
+
+
+def test_read_npy_distributed_matches_driver(spark, tmp_path):
+    a = np.linspace(0.0, 1.0, 1000)
+    p = str(tmp_path / "big.npy")
+    np.save(p, a)
+    df = read_npy_distributed(spark, p, rows_per_batch=128)
+    assert df.rdd.getNumPartitions() == 8  # ceil(1000/128) contiguous chunks
+    got = {r.idx: r.value for r in df.collect()}
+    assert len(got) == 1000
+    assert got[0] == 0.0 and got[999] == 1.0
+    assert got[500] == pytest.approx(a[500])
+
+
+@pytest.mark.skipif(not os.path.exists(REF_NPY), reason="reference data not present")
+def test_channel_frequency_reference_real_file(spark):
+    """S10 golden test: the real 928-channel frequency reference
+    (dm_offset_pta.config:37) loads as float64[928] with LBAND
+    frequencies in ascending order."""
+    df = channel_frequency_reference(spark, REF_NPY)
+    rows = df.orderBy("chan_idx").collect()
+    assert len(rows) == 928
+    assert rows[0].freq_mhz == pytest.approx(896.125)
+    assert rows[-1].freq_mhz == pytest.approx(1671.0390625)
+    freqs = [r.freq_mhz for r in rows]
+    assert freqs == sorted(freqs)
+    # distributed reader agrees bit-exactly on the real file
+    dist = {r.idx: r.value for r in read_npy_distributed(spark, REF_NPY).collect()}
+    assert all(dist[i] == freqs[i] for i in range(928))

@@ -42,13 +42,21 @@ def scrunch(
     (obs_id, subint, pol, chan, bin)).
 
     Factors are integer group sizes along each axis (e.g. ``t_factor=4``
-    merges every 4 consecutive subints). ``pscrunch=True`` sums the first
-    two polarisations (I = pol0+pol1 for coherence products, matching
-    ``pam -S`` total-intensity semantics) and drops the rest.
+    merges every 4 consecutive subints). ``pscrunch=True`` SUMS the first
+    two polarisations pointwise (I = AA+BB, ``pam -S`` / psrchive
+    ``pscrunch`` total-intensity semantics) and drops the rest. psrfits
+    weights (DAT_WTS) are per (subint, channel) with no pol axis, so the
+    two pol rows of a cell carry the same weight by construction; summing
+    the pair under a shared weight is therefore exact with the cell
+    weight counted ONCE: value = Σ v·w / (Σ w / 2), weight = Σ w / 2 —
+    still one hash aggregation, no extra shuffle.
     """
     df = cube
+    pol_mult = 1
     if pscrunch:
         df = df.filter(F.col("pol") < 2).withColumn("pol", F.lit(0))
+        pol_mult = 2
+    wsum = F.sum(weight_col) / pol_mult
     grouped = (
         df.groupBy(
             "obs_id",
@@ -60,9 +68,9 @@ def scrunch(
         .agg(
             (
                 F.sum(F.col(value_col) * F.col(weight_col))
-                / F.when(F.sum(weight_col) != 0, F.sum(weight_col))
+                / F.when(wsum != 0, wsum)
             ).alias(value_col),
-            F.sum(weight_col).alias(weight_col),
+            wsum.alias(weight_col),
             F.avg("freq").alias("freq"),
         )
     )

@@ -70,3 +70,73 @@ def upsert_by_key(
 def write_results_json(results: DataFrame, path: str, mode: str = "overwrite") -> None:
     """K2: results documents as JSON lines."""
     results.write.mode(mode).json(path)
+
+
+def cap_image_sizes(
+    images: DataFrame,
+    cap_bytes: int = 1_000_000,
+    target_bytes: int = 800_000,
+    resize=None,
+    payload_col: str = "payload",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """K3: the reference's 1 MB image-size contract
+    (generate_images_results.py:176-190): while an image exceeds
+    ``cap_bytes``, scale its dimensions by ``target_bytes / size`` and
+    re-encode, iterating until it fits.
+
+    Spark side: one mapInPandas over the binary payload column — the loop
+    runs per row inside the task, Arrow-batched, failure-isolated (a
+    payload that cannot be re-encoded passes through with
+    ``resized=False`` rather than failing the task). ``resize(payload,
+    factor) -> bytes`` is the pluggable encoder; the reference uses
+    PIL LANCZOS + quality=85, which is not available in this container —
+    pass it in where PIL exists (documented swap-in, same contract as
+    operators.multimodal.decode_image_real). The default stub truncates
+    proportionally, preserving the loop/termination semantics for tests.
+
+    Returns (original columns…, final payload, n_bytes, resized).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _stub_resize(payload: bytes, factor: float) -> bytes:
+        # deterministic stand-in: byte count scales like the area
+        # (factor applies to BOTH dimensions in the reference)
+        return payload[: max(1, int(len(payload) * factor * factor))]
+
+    fn = resize or _stub_resize
+    cols = images.columns
+    out_schema = T.StructType(
+        [images.schema[c] for c in cols if c != payload_col]
+        + [
+            T.StructField(payload_col, T.BinaryType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("resized", T.BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            outs, sizes, flags = [], [], []
+            for payload in pdf[payload_col]:
+                buf = bytes(payload)
+                did = False
+                try:
+                    rounds = 0
+                    while len(buf) > cap_bytes and rounds < max_rounds:
+                        buf = fn(buf, target_bytes / len(buf))
+                        did = True
+                        rounds += 1
+                except Exception:
+                    buf, did = bytes(payload), False
+                outs.append(buf)
+                sizes.append(len(buf))
+                flags.append(did)
+            res = pdf.drop(columns=[payload_col]).reset_index(drop=True)
+            res[payload_col] = pd.Series(outs, dtype=object)
+            res["n_bytes"] = sizes
+            res["resized"] = flags
+            yield res
+
+    return images.mapInPandas(run, out_schema)

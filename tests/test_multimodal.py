@@ -57,3 +57,40 @@ def test_sample_frames_fanout(spark, media):
     assert [f.frame_idx for f in sorted(frames, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
     assert all(f.media_id == 3 for f in frames)
     assert len({bytes(f.frame) for f in frames}) == 4  # distinct frames
+
+
+def test_cap_image_sizes_contract(spark):
+    """K3 (generate_images_results.py:176-190): iterative reduce-by
+    target/size until under the cap; small images untouched; the loop
+    factor applies to both dimensions (area ~ factor^2)."""
+    from pyspark.sql import Row
+
+    from meerpipe_spark.sinks import cap_image_sizes
+
+    rows = [
+        Row(media_id=1, payload=bytes(bytearray(range(256)) * 8000)),  # ~2 MB
+        Row(media_id=2, payload=b"small"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.media_id: r for r in cap_image_sizes(df, cap_bytes=1_000_000).collect()}
+    assert out[1].resized and out[1].n_bytes <= 1_000_000
+    assert not out[2].resized and bytes(out[2].payload) == b"small"
+    # matches the sequential reference loop with the same stub encoder
+    buf = bytes(bytearray(range(256)) * 8000)
+    while len(buf) > 1_000_000:
+        f = 800_000 / len(buf)
+        buf = buf[: max(1, int(len(buf) * f * f))]
+    assert out[1].n_bytes == len(buf)
+
+
+def test_cap_image_sizes_failure_isolated(spark):
+    from pyspark.sql import Row
+
+    from meerpipe_spark.sinks import cap_image_sizes
+
+    def bad_resize(payload, factor):
+        raise RuntimeError("encoder exploded")
+
+    df = spark.createDataFrame([Row(media_id=1, payload=b"x" * 2_000_000)])
+    out = cap_image_sizes(df, cap_bytes=1_000_000, resize=bad_resize).collect()[0]
+    assert not out.resized and out.n_bytes == 2_000_000  # passthrough, no task failure

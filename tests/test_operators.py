@@ -63,9 +63,23 @@ def test_scrunch_time_freq_weighted(spark, cube):
 def test_pscrunch_keeps_first_two_pols(spark, cube):
     out = scrunch(cube, pscrunch=True)
     assert out.select("pol").distinct().collect() == [Row(pol=0)]
-    # I = pol0+pol1 weighted mean over both rows
     n_groups = out.count()
     assert n_groups == 4 * 8 * 16  # subint × chan × bin
+    # pam -S total intensity: I = AA + BB pointwise (equal pol weights),
+    # with the shared cell weight counted once
+    pdf = cube.toPandas()
+    for r in out.limit(20).collect():
+        sel = pdf[
+            (pdf.subint == r.subint)
+            & (pdf.chan == r.chan)
+            & (pdf["bin"] == r.bin)
+            & (pdf.pol < 2)
+        ]
+        w = sel.weight.iloc[0]
+        assert (sel.weight == w).all()
+        if w != 0:
+            assert abs(r.value - sel.value.sum()) < 1e-9
+            assert abs(r.weight - w) < 1e-12
 
 
 @pytest.mark.parametrize(

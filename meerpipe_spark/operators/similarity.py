@@ -78,6 +78,93 @@ def hyperplane_lsh_buckets(
     return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim)
+    with sim >= threshold and id_a < id_b.
+
+    Scale path (``planes`` given): hyperplane-LSH bucket equi-join
+    generates candidates — two near-identical vectors agree on almost
+    every hyperplane sign, so recall at 0.95+ is high while the join
+    stays equi on the bucket key. Exact path (``planes=None``): all-pairs
+    — only for small slices / oracle verification.
+    """
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if planes is not None:
+        base = hyperplane_lsh_buckets(embeddings, planes, vec_col=vec_col, id_col=id_col)
+        join_cond = [F.col("a.bucket") == F.col("b.bucket")]
+    else:
+        base = embeddings.select(id_col, vec_col)
+        join_cond = []
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in join_cond:
+        cond = cond & c
+    cast_a = F.transform(F.col(f"a.{vec_col}"), lambda x: x.cast("double"))
+    cast_b = F.transform(F.col(f"b.{vec_col}"), lambda x: x.cast("double"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_similarity(cast_a, cast_b).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
+    )
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe search: score the query against the (broadcast-small)
+    centroid table driver-side-free, keep the ``nprobe`` nearest lists,
+    and run exact top-k ONLY over vectors assigned to those lists.
+
+    The full-corpus assignment (:func:`ivf_assign`) is the build step —
+    at 10⁹ vectors it is computed once and persisted bucketed by
+    ``cluster``; each search then scans ~nprobe/k of the corpus with a
+    partition-pruned equi-join instead of a full pass. Top-k compiles to
+    TakeOrderedAndProject.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    def d2(a: F.Column, b: F.Column) -> F.Column:
+        # sequential fold in dim order — deterministic float summation
+        # (posexplode+sum would re-associate and can flip near-ties)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cdist = centroids.select("cluster", d2(F.col("centroid"), q).alias("qd2"))
+    probe = cdist.orderBy(F.asc("qd2"), F.asc("cluster")).limit(nprobe).select("cluster")
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = (
+        embeddings.select(F.col(id_col), cast.alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .groupBy(id_col)
+        .agg(F.min(F.struct(d2(F.col("_v"), F.col("centroid")).alias("d2"), F.col("cluster"))).alias("m"))
+        .select(id_col, F.col("m.cluster").alias("cluster"))
+    )
+    cand_ids = assigned.join(F.broadcast(probe), "cluster", "left_semi").select(id_col)
+    cands = embeddings.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(cands, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def knn_per_bucket(
     embeddings: DataFrame,
     k: int = 3,

@@ -1864,5 +1864,93 @@ def kepler_eccentric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embedding_near_dup",
+    """
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    """,
+    doc="Embedding-cosine near-dup pairs (dedup family): exact threshold "
+        "pairs on a slice, oracle-checked; the LSH-bucketed scale path is "
+        "the same operator with planes= (rows-only, see "
+        "embedding_near_dup_lsh).",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import embedding_near_dup as nd
+
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 200)
+    out = nd(emb, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@_register(
+    "embedding_near_dup_lsh",
+    None,
+    doc="Embedding-cosine near-dup via hyperplane-LSH candidate buckets — "
+        "the 100 TB path (equi-join on bucket, never all-pairs). "
+        "Approximate recall → rows-only check; exactness covered by "
+        "embedding_near_dup.",
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from meerpipe_spark.operators.similarity import embedding_near_dup as nd
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    dim = len(emb.select("embedding").head()[0])
+    rng = np.random.default_rng(0)
+    planes = [[float(x) for x in rng.normal(size=dim)] for _ in range(8)]
+    return nd(emb, threshold=0.3, planes=planes)
+
+
+@_register(
+    "ivf_search",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+        FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 42),
+    probe AS (
+        SELECT cluster FROM seeds, q
+        ORDER BY list_distance(c, qv), cluster LIMIT 2
+    ),
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, s.c), s.cluster
+                   ) AS rn
+            FROM emb e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    cands AS (
+        SELECT vec_id FROM assign WHERE cluster IN (SELECT cluster FROM probe)
+    )
+    SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim
+    FROM emb e JOIN cands USING (vec_id), q
+    ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="IVF probe search end-to-end: deterministic coarse quantizer "
+        "(k lowest-id seeds), nprobe=2 nearest lists, exact cosine top-k "
+        "over candidates only — the ANN scale path with a full SQL oracle.",
+)
+def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import ivf_search as ivf, kmeans_centroids
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    centroids = kmeans_centroids(emb, k=8, iters=0)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 42).select("embedding").head()[0]]
+    out = ivf(emb, centroids, qv, k=10, nprobe=2)
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -98,3 +98,54 @@ def test_lsh_buckets_group_similar(spark, clustered):
     for label, bs in by_label.items():
         assert len(bs) <= 4, (label, bs)
     assert not (all_buckets[0] & all_buckets[1] & all_buckets[2])
+
+
+def test_embedding_near_dup_exact_and_lsh_recall(spark):
+    """Planted near-dup pairs: exact path finds them all; the LSH-bucketed
+    path (8 hyperplanes) recovers the high-similarity pairs and is a
+    subset of the exact result."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from meerpipe_spark.operators.similarity import embedding_near_dup
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=16)
+        rows.append(Row(vec_id=2 * i, embedding=[float(x) for x in v]))
+        near = v + rng.normal(scale=0.01, size=16)  # cosine ~0.9999
+        rows.append(Row(vec_id=2 * i + 1, embedding=[float(x) for x in near]))
+    emb = spark.createDataFrame(rows)
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dup(emb, threshold=0.99).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert planted <= exact
+    planes = [[float(x) for x in rng.normal(size=16)] for _ in range(8)]
+    lsh = {(r.id_a, r.id_b) for r in embedding_near_dup(emb, threshold=0.99, planes=planes).collect()}
+    assert lsh <= exact
+    assert len(lsh & planted) >= 30  # >=75% recall on ~0.9999-sim pairs
+
+
+def test_ivf_search_recall_vs_brute(spark):
+    """Clustered data: IVF probe search recovers the brute-force top-k
+    when the query's cluster is probed."""
+    import numpy as np
+    from pyspark.sql import Row, functions as F
+
+    from meerpipe_spark.operators.similarity import cosine_topk, ivf_search, kmeans_centroids
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(4, 12)) * 5
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(50):
+            v = centers[c] + rng.normal(size=12)
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows)
+    cents = kmeans_centroids(emb, k=4, iters=3)
+    q = [float(x) for x in centers[2] + rng.normal(scale=0.1, size=12)]
+    ivf = [r.vec_id for r in ivf_search(emb, cents, q, k=5, nprobe=1).collect()]
+    brute = [r.vec_id for r in cosine_topk(emb, q, k=5).collect()]
+    assert ivf == brute  # well-separated clusters: probe-1 is exact

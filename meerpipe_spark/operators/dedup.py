@@ -42,6 +42,18 @@ def shingles(text_col: F.Column, n: int = 3) -> F.Column:
     )
 
 
+def _minhash_aggs(num_hashes: int, h_col: str = "h") -> list[F.Column]:
+    """sig[j] = min over shingles of xxhash64(base_hash, seed=j) — the
+    variable-length STRING is hashed once; each lane re-hashes only the
+    fixed 8-byte base value. (Multiply-add universal mixing would be
+    cheaper still, but wrapping int64 arithmetic is unavailable under
+    ANSI mode, where overflow throws.)"""
+    return [
+        F.min(F.xxhash64(F.col(h_col), F.lit(j))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -50,22 +62,21 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[j] = min over shingles of
-    xxhash64(shingle, seed=j).
+    mix_j(xxhash64(shingle)).
 
-    Distributed form: explode shingles to rows, then ONE hash-aggregation
-    with ``num_hashes`` min() aggregates keyed by doc id — each shingle is
-    hashed exactly once per seed, partial aggregation runs map-side, and
-    the shuffle carries only (id, 32×8 bytes) per doc. (The naive nested
-    array-expression form recomputes the shingle array per seed and is
-    ~100× slower — measured via bench.py.)
+    Distributed form: explode shingles to rows, hash each shingle ONCE,
+    then ONE hash-aggregation with ``num_hashes`` min() aggregates keyed
+    by doc id — the per-lane work is a 2-op multiply-add over the base
+    hash, partial aggregation runs map-side, and the shuffle carries only
+    (id, 32×8 bytes) per doc. (The naive nested array-expression form
+    recomputes the shingle array per seed and is ~100× slower; the
+    per-seed string-rehash form spends ~num_hashes× more CPU in xxhash —
+    both measured via bench.py.)
     """
     sh = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
-    aggs = [
-        F.min(F.xxhash64("sh", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)
-    ]
-    per_doc = sh.groupBy(id_col).agg(*aggs)
+    ).select(id_col, F.xxhash64("sh").alias("h"))
+    per_doc = sh.groupBy(id_col).agg(*_minhash_aggs(num_hashes))
     return per_doc.select(
         F.col(id_col),
         F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("signature"),
@@ -208,9 +219,10 @@ def near_dup_pipeline(
     if persist:
         sh = sh.cache()
 
-    exploded = sh.select(id_col, F.explode("sh").alias("s"))
-    aggs = [F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
-    sigs = exploded.groupBy(id_col).agg(*aggs).select(
+    exploded = sh.select(id_col, F.explode("sh").alias("s")).select(
+        id_col, F.xxhash64("s").alias("h")
+    )
+    sigs = exploded.groupBy(id_col).agg(*_minhash_aggs(num_hashes)).select(
         F.col(id_col),
         F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("signature"),
     )

@@ -6,8 +6,10 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query is executed to completion (count() materializes the full
 plan; results are never collected to the driver). A warmup pass JITs
-whole-stage codegen and primes the parquet footer cache so the timed
-pass measures steady-state execution.
+whole-stage codegen and primes the parquet footer cache; each query is
+then timed twice and the MINIMUM recorded (steady-state execution,
+robust to CI-box load spikes — observed run-to-run noise up to 2× on
+individual sub-second queries).
 """
 
 from __future__ import annotations
@@ -34,9 +36,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name].fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -253,18 +253,20 @@ def kmeans_centroids(
     (cluster, centroid array<double>). For 10^9 vectors each iteration is
     two partial-agg shuffles; k·dim stays driver-side (tiny).
     """
-    from pyspark.sql import Window as W
-
     dims = F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double")))
     points = embeddings.select(F.col(id_col).alias("pid"), dims.alias("dim", "v"))
-    seeds = (
-        embeddings.orderBy(id_col)
-        .limit(k)
-        .withColumn("cluster", F.row_number().over(W.orderBy(id_col)) - 1)
-    )
-    centroids = seeds.select(
-        "cluster",
-        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("dim", "cv"),
+    # Deterministic init: the k lowest-id vectors, fetched driver-side
+    # (k rows — same footprint as a broadcast literal; avoids a global
+    # single-partition window just to number k rows).
+    seed_rows = embeddings.select(id_col, vec_col).orderBy(id_col).head(k)
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [
+            (c, d, float(v))
+            for c, row in enumerate(seed_rows)
+            for d, v in enumerate(row[1])
+        ],
+        ["cluster", "dim", "cv"],
     )
     for _ in range(iters):
         dists = (

@@ -65,3 +65,31 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    The 100 TB co-location contract: two tables bucketed on the same key
+    with the same bucket count join with NO shuffle on either side — the
+    scan itself satisfies the join's distribution requirement (verified
+    by plan assertion in tests/test_plans.py). This is how the fact
+    tables (cube by obs_id, lineitem by orderkey) should be laid down
+    once so every downstream join/agg on that key is exchange-free.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a saved (possibly bucketed) table by name."""
+    return spark.table(table)

@@ -62,3 +62,31 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"l_returnflag", "l_discount", "l_tax"}
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Co-located join contract (SCALE.md): orders and lineitem bucketed
+    on the order key with the same bucket count join with NO Exchange on
+    either side of the SortMergeJoin."""
+    from meerpipe_spark.io import load_tables, read_table, write_bucketed
+
+    t = load_tables(spark, sf_dir)
+    write_bucketed(t["orders"], "orders_b", ("o_orderkey",), 8, ("o_orderkey",))
+    write_bucketed(t["lineitem"], "lineitem_b", ("l_orderkey",), 8, ("l_orderkey",))
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at 100 TB neither side broadcasts; simulate that here so the
+        # planner must pick the co-located sort-merge path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_table(spark, "orders_b").join(
+            read_table(spark, "lineitem_b").withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey",
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -1804,18 +1804,28 @@ def ivf_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "lsh_bucket_counts",
-    None,
+    """
+    WITH b AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(0, 6), p ->
+                   CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                            embedding[i]::DOUBLE * cos(p * 64 + i)))
+                        >= 0 THEN (2^p)::BIGINT ELSE 0 END)) AS bucket
+        FROM embeddings
+    )
+    SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+    """,
     doc="Hyperplane-LSH bucketing of embeddings (ANN scale path): bucket "
-        "histogram; engine-specific float folds → rows-only check.",
+        "histogram with a full SQL oracle — planes derived from "
+        "cos(p*64+d), identical libm values in both engines.",
 )
 def lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from meerpipe_spark.operators.similarity import hyperplane_lsh_buckets
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    import random
-
-    rnd = random.Random(7)
-    planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+    planes = [[math.cos(p * 64 + d + 1) for d in range(64)] for p in range(6)]
     buckets = hyperplane_lsh_buckets(emb, planes)
     return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 

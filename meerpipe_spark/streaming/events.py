@@ -115,3 +115,35 @@ def job_state_rollup(processings: DataFrame, state_col: str = "state") -> DataFr
     """A15: count per lifecycle state (Configuring/Pending/Running/
     Complete/Failure/Crashed)."""
     return processings.groupBy(state_col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each right-stream event
+    pairs with the same user's left-stream events from the preceding
+    ``max_gap`` (attribution: purchase ← clicks within the hour).
+
+    The event-time range condition plus both-side watermarks bound the
+    join state — Spark evicts left rows older than (right watermark −
+    max_gap), so state is O(arrival rate × gap), not unbounded. At
+    100 TB/day this is the only viable stream-correlation shape; an
+    unconstrained stream join would accumulate forever.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + interval {max_gap}"
+        ),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )

@@ -198,3 +198,49 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
     last_per_user = g.groupby("user_id")["session_start"].transform("max")
     is_last = g["session_start"] == last_per_user
     assert (g.loc[~is_last, "closed"]).all()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, event_dir, tmp_path):
+    """§2.11 stream-stream interval join: click→purchase attribution
+    within 1 hour, equivalence with the batch twin join."""
+    from meerpipe_spark.streaming.events import join_event_streams
+
+    stream = read_event_stream(spark, event_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    out_dir = str(tmp_path / "ssj_out")
+    ckpt = str(tmp_path / "ssj_ckpt")
+    (
+        join_event_streams(clicks, purchases)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r.left_id, r.right_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    e = load_tables(spark, sf_dir)["events"]
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("left_id"), F.col("ts").alias("lts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("right_id"), F.col("ts").alias("rts")
+    )
+    expect = {
+        (r.left_id, r.right_id)
+        for r in c.join(
+            p,
+            (c.user_id == p.user_id)
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("interval 1 hour")),
+        ).collect()
+    }
+    assert len(expect) > 0
+    # append-mode emission must be a subset closed to the batch result;
+    # with availableNow over a finite backlog all pairs are emitted
+    assert got == expect

@@ -220,12 +220,13 @@ def evaluate_delay_rules(
         )
         return F.coalesce(ok, F.lit(False))
 
-    # Broadcast nested-loop join: the actions side is a handful of literal
-    # rows; every obs row evaluates forall(preds) map-side, shuffle-free.
-    matched = (
-        obs.crossJoin(F.broadcast(rules))
-        .filter(F.forall(F.col("preds"), pred_ok))
-    )
+    # Broadcast nested-loop LEFT join: the actions side is a handful of
+    # literal rows; every obs row evaluates forall(preds) map-side,
+    # shuffle-free, and non-matching observations survive with null
+    # action columns (they contribute 0.0 — no separate distinct+backfill
+    # join, so the whole evaluation is ONE shuffle: the obs_key window,
+    # whose partitioning the final groupBy then reuses).
+    matched = obs.join(F.broadcast(rules), F.forall(rules["preds"], pred_ok), "left")
 
     # Reset boundary: the max action_order among matched '=' actions per
     # obs; earlier corrections are discarded (dlyfix.py:100).
@@ -235,7 +236,9 @@ def evaluate_delay_rules(
         F.max(F.when(F.col("delay_op") == "=", F.col("action_order"))).over(w),
     )
     surviving = with_reset.filter(
-        F.col("reset_order").isNull() | (F.col("action_order") >= F.col("reset_order"))
+        F.col("action_order").isNull()
+        | F.col("reset_order").isNull()
+        | (F.col("action_order") >= F.col("reset_order"))
     )
     conv = F.coalesce(
         *[
@@ -247,13 +250,10 @@ def evaluate_delay_rules(
     signed = F.when(F.col("delay_op") == "-=", -F.col("delay_val")).otherwise(
         F.col("delay_val")
     )
-    totals = surviving.groupBy(obs_key).agg(F.sum(signed * conv).alias("delay_s"))
-    return (
-        obs.select(obs_key)
-        .distinct()
-        .join(totals, obs_key, "left")
-        .withColumn("delay_s", F.coalesce(F.col("delay_s"), F.lit(0.0)))
+    totals = surviving.groupBy(obs_key).agg(
+        F.coalesce(F.sum(signed * conv), F.lit(0.0)).alias("delay_s")
     )
+    return totals
 
 
 def apply_delay_corrections(

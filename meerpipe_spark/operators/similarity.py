@@ -116,8 +116,10 @@ def embedding_near_dup(
             cosine_similarity(cast_a, cast_b).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
-        .distinct()
     )
+    # no distinct needed: each vector has exactly ONE bucket (single
+    # signature), so (id_a, id_b) pairs are already unique — a distinct
+    # here would add a full shuffle for nothing
 
 
 def ivf_search(

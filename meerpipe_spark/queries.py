@@ -1962,5 +1962,67 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+@_register(
+    "kepler_ell1_chain",
+    """
+    -- ELL1 model, full closed-form chain (binary_tools.py:76-282):
+    -- om0 = degeneracy-safe atan(EPS1/EPS2) (+pi: EPS2<0 branch),
+    -- t0 = TASC + om0/omb, tempo PBDOT renorm (0.5 -> 0.5e-12),
+    -- ecc < 1e-4 -> E = M, true anomaly + orbit count, OMDOT drift.
+    WITH consts AS (
+        SELECT 5e-5 AS eps1, -3e-5 AS eps2, 60000.0 AS tasc, 5.0 AS pb,
+               0.5e-12 AS pbdot, 0.01 * pi() / 180.0 / 365.25 AS omdot_rd,
+               sqrt((5e-5)^2 + (3e-5)^2) AS ecc,
+               2 * pi() / 5.0 AS omb,
+               fmod(atan(5e-5 / -3e-5) + pi() + 2 * pi(), 2 * pi()) AS om0
+    ),
+    m AS (
+        SELECT event_id, omb, om0, omdot_rd, ecc,
+               omb * ((59990.0 + value / 10.0 - (tasc + om0 / omb))
+                      - 0.5 * (pbdot / pb)
+                        * (59990.0 + value / 10.0 - (tasc + om0 / omb))^2) AS ea
+        FROM events, consts
+    ),
+    u AS (
+        SELECT event_id, omb, om0, omdot_rd,
+               CASE WHEN 2 * atan2(sqrt(1 + ecc) * sin(ea / 2),
+                                   sqrt(1 - ecc) * cos(ea / 2)) < 0
+                    THEN 2 * atan2(sqrt(1 + ecc) * sin(ea / 2),
+                                   sqrt(1 - ecc) * cos(ea / 2)) + 2 * pi()
+                    ELSE 2 * atan2(sqrt(1 + ecc) * sin(ea / 2),
+                                   sqrt(1 - ecc) * cos(ea / 2))
+               END + floor(ea / (2 * pi())) * 2 * pi() AS u
+        FROM m
+    )
+    SELECT event_id,
+           round(fmod(fmod(fmod(u, 2 * pi()) + om0 + omdot_rd * u / omb, 2 * pi())
+                      + 2 * pi(), 2 * pi()) / (2 * pi()), 6) AS binphase
+    FROM u
+    """,
+    doc="§2.9 end-to-end ELL1 binary-phase chain (get_OMB/get_ecc/get_T0/"
+        "ELL1 arctan/get_mean_anomaly with tempo PBDOT renorm/"
+        "get_true_anomaly/get_omega with OMDOT) — closed-form at "
+        "ecc<1e-4, full SQL oracle.",
+)
+def kepler_ell1_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.functions.kepler import binary_phase_from_pars
+
+    pars = {
+        "BINARY": "ELL1",
+        "TASC": 60000.0,
+        "PB": 5.0,
+        "PBDOT": 0.5,  # tempo format: |x|>1e-6 -> x*1e-12
+        "EPS1": 5e-5,
+        "EPS2": -3e-5,
+        "OMDOT": 0.01,
+    }
+    e = load_tables(spark, sf_dir)["events"]
+    mjd = F.lit(59990.0) + F.col("value") / 10.0
+    return e.select(
+        "event_id",
+        F.round(binary_phase_from_pars(mjd, pars), 6).alias("binphase"),
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

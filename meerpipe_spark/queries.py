@@ -2024,5 +2024,75 @@ def kepler_ell1_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "astro_coords",
+    """
+    WITH src AS (
+        SELECT event_id,
+               lpad((user_id % 24)::VARCHAR, 2, '0') || ':' ||
+               lpad((event_id % 60)::VARCHAR, 2, '0') || ':' ||
+               lpad((user_id % 60)::VARCHAR, 2, '0')          AS raj,
+               (CASE WHEN user_id % 2 = 1 THEN '-' ELSE '' END) ||
+               lpad((event_id % 89)::VARCHAR, 2, '0') || ':' ||
+               lpad((user_id % 60)::VARCHAR, 2, '0') || ':' ||
+               lpad((event_id % 60)::VARCHAR, 2, '0')          AS decj,
+               fmod(value, 360.0)                              AS elong,
+               fmod(value, 178.0) - 89.0                       AS elat
+        FROM events
+    ),
+    parsed AS (
+        SELECT event_id, elong, elat,
+               15.0 * (string_split(raj, ':')[1]::DOUBLE
+                       + string_split(raj, ':')[2]::DOUBLE / 60.0
+                       + string_split(raj, ':')[3]::DOUBLE / 3600.0) AS ra_sex,
+               (CASE WHEN starts_with(decj, '-') THEN -1.0 ELSE 1.0 END) *
+               (string_split(ltrim(decj, '-'), ':')[1]::DOUBLE
+                + string_split(ltrim(decj, '-'), ':')[2]::DOUBLE / 60.0
+                + string_split(ltrim(decj, '-'), ':')[3]::DOUBLE / 3600.0) AS dec_sex
+        FROM src
+    )
+    SELECT event_id,
+           round(ra_sex, 6)  AS ra_sex,
+           round(dec_sex, 6) AS dec_sex,
+           round(fmod(fmod(degrees(atan2(
+                     sin(radians(elong)) * cos(radians(23.4392911))
+                     - tan(radians(elat)) * sin(radians(23.4392911)),
+                     cos(radians(elong)))), 360.0) + 360.0, 360.0), 6) AS ra_ecl,
+           round(degrees(asin(
+                     sin(radians(elat)) * cos(radians(23.4392911))
+                     + cos(radians(elat)) * sin(radians(23.4392911))
+                       * sin(radians(elong)))), 6) AS dec_ecl
+    FROM parsed
+    """,
+    doc="§2.8 astro family: sexagesimal RAJ/DECJ parsing (sign applies to "
+        "all components, hourangle x15) and the ecliptic->equatorial "
+        "obliquity rotation (fluxcal_meerkat.py:91-142) — full SQL oracle.",
+)
+def astro_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.functions.astro import ecliptic_to_equatorial, parse_sexagesimal
+
+    e = load_tables(spark, sf_dir)["events"]
+    pad2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    raj = F.concat_ws(
+        ":", pad2(F.col("user_id") % 24), pad2(F.col("event_id") % 60), pad2(F.col("user_id") % 60)
+    )
+    decj = F.concat(
+        F.when(F.col("user_id") % 2 == 1, "-").otherwise(""),
+        F.concat_ws(
+            ":", pad2(F.col("event_id") % 89), pad2(F.col("user_id") % 60), pad2(F.col("event_id") % 60)
+        ),
+    )
+    elong = F.col("value") % 360.0
+    elat = F.col("value") % 178.0 - 89.0
+    ra_ecl, dec_ecl = ecliptic_to_equatorial(elong, elat)
+    return e.select(
+        "event_id",
+        F.round(parse_sexagesimal(raj, hourangle=True), 6).alias("ra_sex"),
+        F.round(parse_sexagesimal(decj), 6).alias("dec_sex"),
+        F.round(ra_ecl, 6).alias("ra_ecl"),
+        F.round(dec_ecl, 6).alias("dec_ecl"),
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -90,6 +90,20 @@ def template_adjust_factor(template_nbin: int, archive_nbin: int) -> int | None:
     return factor if factor > 1 else None
 
 
+def template_adjust_factor_expr(template_nbin: F.Column, archive_nbin: F.Column) -> F.Column:
+    """Column-expression form of :func:`template_adjust_factor` for
+    set-wide template↔archive compatibility checks (J8): NULL when the
+    template cannot be integer-scrunched onto the archive grid, else the
+    bin-scrunch factor (> 1)."""
+    factor = (template_nbin / archive_nbin).cast("long")
+    ok = (
+        (archive_nbin > 0)
+        & (template_nbin % archive_nbin == 0)
+        & (factor > 1)
+    )
+    return F.when(ok, factor)
+
+
 def concat_archives(parts: list[DataFrame], order_col: str = "subint_ts") -> DataFrame:
     """S4 (``psradd``): concatenate per-8s archives of one observation.
 

@@ -2094,5 +2094,34 @@ def astro_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "template_compat",
+    """
+    SELECT event_id,
+           (event_id % 1500) + 1 AS archive_nbin,
+           CASE WHEN (event_id % 1500) + 1 > 0
+                 AND 2048 % ((event_id % 1500) + 1) = 0
+                 AND 2048 // ((event_id % 1500) + 1) > 1
+                THEN CAST(2048 // ((event_id % 1500) + 1) AS BIGINT)
+           END AS bscrunch_factor
+    FROM events
+    """,
+    doc="J8/A4 template↔archive compatibility as a set operation: the "
+        "bin-scrunch factor (archive_utils.py:88-105 — only when "
+        "template_nbin mod archive_nbin == 0 and factor > 1, else NULL = "
+        "skip) over a whole archive set at once.",
+)
+def template_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.scrunch import template_adjust_factor_expr
+
+    e = load_tables(spark, sf_dir)["events"]
+    archive_nbin = (F.col("event_id") % 1500) + 1
+    return e.select(
+        "event_id",
+        archive_nbin.alias("archive_nbin"),
+        template_adjust_factor_expr(F.lit(2048), archive_nbin).alias("bscrunch_factor"),
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -182,10 +182,11 @@ def _attr_str(attr: F.Column, attr_cols: dict[str, str]) -> F.Column:
 
 def evaluate_delay_rules(
     obs: DataFrame,
-    rules: DataFrame,
+    rules: DataFrame | list[dict],
     mjd_col: str = "mjd",
     attr_cols: dict[str, str] | None = None,
     obs_key: str = "obs_id",
+    unique_keys: bool = False,
 ) -> DataFrame:
     """J6 theta join + A12 ordered reduction with reset.
 
@@ -205,55 +206,91 @@ def evaluate_delay_rules(
     """
     attrs = {"mjd": mjd_col, **(attr_cols or {})}
 
-    def pred_ok(p: F.Column) -> F.Column:
-        num = _attr_num(p["attr"], attrs)
-        s = _attr_str(p["attr"], attrs)
-        anchored = F.concat(F.lit("^(?:"), p["pat"], F.lit(")"))
-        ok = (
-            F.when(p["op"] == F.lit("<"), num < p["num"])
-            .when(p["op"] == F.lit(">"), num > p["num"])
-            .when(p["op"] == F.lit("<="), num <= p["num"])
-            .when(p["op"] == F.lit(">="), num >= p["num"])
-            .when(p["op"] == F.lit("~="), F.regexp_like(s, anchored))
-            .when(p["op"] == F.lit("!~="), ~F.regexp_like(s, anchored))
-            .otherwise(F.lit(False))
-        )
-        return F.coalesce(ok, F.lit(False))
+    # The rule file is tiny by construction (the reference ships ~10
+    # rules), so take it driver-side and compile the WHOLE evaluation
+    # into literal scalar expressions: every regex is a foldable literal
+    # (compiled once by codegen, not per row), there is no join and no
+    # window — the rules engine becomes a pure map over the observation
+    # stream. Pass the parse_dlycfg output directly (list) to skip the
+    # DataFrame roundtrip; a rules DataFrame is also accepted.
+    if isinstance(rules, DataFrame):
+        actions = rules.orderBy("action_order").collect()
+    else:
+        actions = sorted(rules, key=lambda a: a["action_order"])
 
-    # Broadcast nested-loop LEFT join: the actions side is a handful of
-    # literal rows; every obs row evaluates forall(preds) map-side,
-    # shuffle-free, and non-matching observations survive with null
-    # action columns (they contribute 0.0 — no separate distinct+backfill
-    # join, so the whole evaluation is ONE shuffle: the obs_key window,
-    # whose partitioning the final groupBy then reuses).
-    matched = obs.join(F.broadcast(rules), F.forall(rules["preds"], pred_ok), "left")
+    def q(col: str) -> str:
+        return "`" + col.replace("`", "``") + "`"
 
-    # Reset boundary: the max action_order among matched '=' actions per
-    # obs; earlier corrections are discarded (dlyfix.py:100).
-    w = W.partitionBy(obs_key)
-    with_reset = matched.withColumn(
-        "reset_order",
-        F.max(F.when(F.col("delay_op") == "=", F.col("action_order"))).over(w),
+    def esc(txt: str) -> str:
+        return txt.replace("\\", "\\\\").replace("'", "\\'")
+
+    def pred_sql(p) -> str:
+        attr = p["attr"]
+        if attr not in attrs:
+            return "false"
+        num = f"CAST({q(attrs[attr])} AS DOUBLE)"
+        sv = f"CAST({q(attrs[attr])} AS STRING)"
+        if p["op"] in ("<", ">", "<=", ">="):
+            return f"coalesce({num} {p['op']} CAST({p['num']!r} AS DOUBLE), false)"
+        if p["op"] == "~=":
+            # re.match semantics: anchored at the start (dlyfix.py:46)
+            return f"coalesce(regexp_like({sv}, '^(?:{esc(p['pat'])})'), false)"
+        if p["op"] == "!~=":
+            return f"coalesce(NOT regexp_like({sv}, '^(?:{esc(p['pat'])})'), false)"
+        return "false"
+
+    # The whole evaluation is compiled to ONE SQL expression string
+    # (single expr() parse instead of hundreds of Py4J Column calls —
+    # measured ~1s of driver time for a 10-rule file), flat CASE chains
+    # only: no array-of-structs machinery (higher-order functions
+    # allocate per row and run interpreted lambdas; CASE chains compile
+    # into whole-stage codegen).
+    oks, contribs = [], []
+    for a in actions:
+        preds = [pred_sql(p) for p in a["preds"]]
+        oks.append("(" + " AND ".join(preds) + ")" if preds else "true")
+        unit = a["delay_unit"]
+        if unit in _UNIT_SCALE:
+            conv = f"CAST({_UNIT_SCALE[unit]!r} AS DOUBLE)"
+        elif unit in attrs:
+            conv = f"CAST({q(attrs[unit])} AS DOUBLE)"
+        else:
+            conv = "CAST(NULL AS DOUBLE)"
+        signed = -a["delay_val"] if a["delay_op"] == "-=" else a["delay_val"]
+        contribs.append(f"(CAST({signed!r} AS DOUBLE) * {conv})")
+
+    if not actions:
+        return obs.groupBy(obs_key).agg(F.lit(0.0).alias("delay_s"))
+
+    # Reset boundary: the max action_order among matched '=' actions;
+    # earlier corrections are discarded (dlyfix.py:100).
+    set_orders = [
+        f"CASE WHEN {oks[i]} THEN {a['action_order']} END"
+        for i, a in enumerate(actions)
+        if a["delay_op"] == "="
+    ]
+    if len(set_orders) > 1:
+        reset = "greatest(" + ", ".join(set_orders) + ")"
+    elif set_orders:
+        reset = set_orders[0]
+    else:
+        reset = "CAST(NULL AS INT)"
+    terms = []
+    for i, a in enumerate(actions):
+        keep = f"{oks[i]} AND (_reset IS NULL OR {a['action_order']} >= _reset)"
+        terms.append(f"CASE WHEN {keep} THEN {contribs[i]} ELSE CAST(0.0 AS DOUBLE) END")
+    per_row_sql = " + ".join(terms)
+    obs = obs.withColumn("_reset", F.expr(reset))
+    per_row = F.expr(per_row_sql)
+    if unique_keys:
+        # one obs row per key (the normal case: an observation IS a row)
+        # -> the engine is a pure map, ZERO shuffles end to end
+        return obs.select(F.col(obs_key), per_row.alias("delay_s"))
+    return (
+        obs.withColumn("_delay", per_row)
+        .groupBy(obs_key)
+        .agg(F.sum("_delay").alias("delay_s"))
     )
-    surviving = with_reset.filter(
-        F.col("action_order").isNull()
-        | F.col("reset_order").isNull()
-        | (F.col("action_order") >= F.col("reset_order"))
-    )
-    conv = F.coalesce(
-        *[
-            F.when(F.col("delay_unit") == u, F.lit(s))
-            for u, s in _UNIT_SCALE.items()
-        ],
-        _attr_num(F.col("delay_unit"), attrs),
-    )
-    signed = F.when(F.col("delay_op") == "-=", -F.col("delay_val")).otherwise(
-        F.col("delay_val")
-    )
-    totals = surviving.groupBy(obs_key).agg(
-        F.coalesce(F.sum(signed * conv), F.lit(0.0)).alias("delay_s")
-    )
-    return totals
 
 
 def apply_delay_corrections(

@@ -929,7 +929,7 @@ delay += 0.25
     headline=True,
 )
 def delay_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meerpipe_spark.operators.delay_rules import evaluate_delay_rules, parse_dlycfg, rules_df
+    from meerpipe_spark.operators.delay_rules import evaluate_delay_rules, parse_dlycfg
 
     e = load_tables(spark, sf_dir)["events"]
     obs = e.select(
@@ -937,9 +937,10 @@ def delay_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("mjd"),
         F.col("event_type").alias("beconfig"),
     )
-    rules = rules_df(spark, parse_dlycfg(_DLYCFG_DEMO.splitlines()))
+    rules = parse_dlycfg(_DLYCFG_DEMO.splitlines())
     out = evaluate_delay_rules(
-        obs, rules, mjd_col="mjd", attr_cols={"beconfig": "beconfig"}, obs_key="event_id"
+        obs, rules, mjd_col="mjd", attr_cols={"beconfig": "beconfig"},
+        obs_key="event_id", unique_keys=True,
     )
     return out.select("event_id", F.round("delay_s", 9).alias("delay_s"))
 

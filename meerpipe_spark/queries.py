@@ -2124,5 +2124,43 @@ def template_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "stokes_conversion",
+    """
+    WITH cube AS (
+        SELECT event_id // 4 AS cell, event_id % 4 AS in_pol,
+               value, 1.0 AS weight
+        FROM events
+    ),
+    m(out_pol, in_pol, coef) AS (
+        VALUES (0, 0, 1.0), (0, 1, 1.0),
+               (1, 0, 1.0), (1, 1, -1.0),
+               (2, 2, 2.0),
+               (3, 3, 2.0)
+    )
+    SELECT c.cell, m.out_pol AS pol,
+           round(sum(m.coef * c.value), 6) AS value
+    FROM cube c JOIN m USING (in_pol)
+    GROUP BY 1, 2
+    """,
+    doc="Polarisation calibration as a relational matrix multiply "
+        "(pac/psrchive semantics): coherence AA,BB,Re(AB),Im(AB) -> "
+        "Stokes I,Q,U,V via the constant Mueller matrix — broadcast join "
+        "+ regroup on the cube key, full SQL oracle.",
+)
+def stokes_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.polcal import coherence_to_stokes
+
+    e = load_tables(spark, sf_dir)["events"]
+    cube = e.select(
+        (F.col("event_id") / 4).cast("long").alias("cell"),
+        (F.col("event_id") % 4).alias("pol"),
+        F.col("value"),
+        F.lit(1.0).alias("weight"),
+    )
+    out = coherence_to_stokes(cube)
+    return out.select("cell", "pol", F.round("value", 6).alias("value"))
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -1889,6 +1889,7 @@ def kepler_eccentric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pairs on a slice, oracle-checked; the LSH-bucketed scale path is "
         "the same operator with planes= (rows-only, see "
         "embedding_near_dup_lsh).",
+    headline=True,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.similarity import embedding_near_dup as nd
@@ -1952,6 +1953,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF probe search end-to-end: deterministic coarse quantizer "
         "(k lowest-id seeds), nprobe=2 nearest lists, exact cosine top-k "
         "over candidates only — the ANN scale path with a full SQL oracle.",
+    headline=True,
 )
 def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.similarity import ivf_search as ivf, kmeans_centroids
@@ -2004,6 +2006,7 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELL1 arctan/get_mean_anomaly with tempo PBDOT renorm/"
         "get_true_anomaly/get_omega with OMDOT) — closed-form at "
         "ecc<1e-4, full SQL oracle.",
+    headline=True,
 )
 def kepler_ell1_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.functions.kepler import binary_phase_from_pars
@@ -2068,6 +2071,7 @@ def kepler_ell1_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="§2.8 astro family: sexagesimal RAJ/DECJ parsing (sign applies to "
         "all components, hourangle x15) and the ecliptic->equatorial "
         "obliquity rotation (fluxcal_meerkat.py:91-142) — full SQL oracle.",
+    headline=True,
 )
 def astro_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.functions.astro import ecliptic_to_equatorial, parse_sexagesimal

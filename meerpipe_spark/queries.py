@@ -2166,5 +2166,51 @@ def stokes_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cell", "pol", F.round("value", 6).alias("value"))
 
 
+@_register(
+    "faraday_rotation",
+    """
+    WITH cube AS (
+        SELECT event_id // 4 AS cell, event_id % 4 AS pol, value,
+               900.0 + ((event_id // 4) % 64) * 10.0 AS freq
+        FROM events
+    ),
+    qu AS (
+        SELECT cell, pol, value,
+               max(CASE WHEN pol = 1 THEN value END) OVER (PARTITION BY cell) AS q,
+               max(CASE WHEN pol = 2 THEN value END) OVER (PARTITION BY cell) AS u,
+               2.0 * 30.0 * (power(299792458.0 / (freq * 1e6), 2)
+                             - power(299792458.0 / (1400.0 * 1e6), 2)) AS th
+        FROM cube
+    )
+    SELECT cell, pol,
+           round(CASE WHEN pol = 1 THEN q * cos(th) + u * sin(th)
+                      WHEN pol = 2 THEN -q * sin(th) + u * cos(th)
+                      ELSE value END, 6) AS value
+    FROM qu
+    """,
+    doc="Faraday-rotation (RM) correction: de-rotate the (Q,U) plane by "
+        "RM*(lambda^2 - lambda_ref^2) per channel — windowed Q/U pairing "
+        "on the cube key, pure trig expressions, full SQL oracle.",
+)
+def faraday_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.polcal import faraday_rotate
+
+    e = load_tables(spark, sf_dir)["events"]
+    cell = (F.col("event_id") / 4).cast("long")
+    cube = e.select(
+        cell.alias("obs_id"),
+        F.lit(0).alias("subint"),
+        F.lit(0).alias("chan"),
+        F.lit(0).alias("bin"),
+        (F.col("event_id") % 4).alias("pol"),
+        F.col("value"),
+        (900.0 + (cell % 64) * 10.0).alias("freq"),
+    )
+    out = faraday_rotate(cube, F.lit(30.0), ref_freq_mhz=F.lit(1400.0))
+    return out.select(
+        F.col("obs_id").alias("cell"), "pol", F.round("value", 6).alias("value")
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

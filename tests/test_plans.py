@@ -48,9 +48,13 @@ def test_cosine_topk_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_delay_rules_broadcast_theta_join(spark, sf_dir):
+def test_delay_rules_compiled_pure_map(spark, sf_dir):
+    # the rules engine compiles to literal scalar expressions over the
+    # obs stream: no join, no window, and (unique keys) no exchange
     plan = _plan(spark, "delay_rules_engine", sf_dir)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Window" not in plan
 
 
 def test_column_pruning_reaches_scan(spark, sf_dir):

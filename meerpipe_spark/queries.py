@@ -2212,5 +2212,30 @@ def faraday_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "token_topk",
+    """
+    SELECT tok, n FROM (
+        SELECT tok, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok
+    ) WHERE rn <= 25
+    """,
+    doc="Corpus vocabulary heavy hitters: explode tokens -> count -> "
+        "exact top-25 (partial-agg shuffle + TakeOrderedAndProject; the "
+        "100 TB variant swaps in a count-min/space-saving sketch only if "
+        "the exact two-phase agg ever becomes the bottleneck).",
+)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("tok")).limit(25)
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -92,3 +92,42 @@ def test_phase_norm_invariants(spark, xs, mod):
         # p ≡ x (mod m): difference is an integer multiple of m
         k = (r.x - r.p) / mod
         assert math.isclose(k, round(k), abs_tol=1e-6), r
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            max_size=60,
+        ),
+        max_size=20,
+    )
+)
+def test_parse_dlycfg_never_raises(lines):
+    """Garbage input never crashes the parser — unparseable lines warn
+    (dlyfix.py:123-125) and parsing continues."""
+    from meerpipe_spark.operators.delay_rules import parse_dlycfg
+
+    actions = parse_dlycfg(lines)
+    for a in actions:
+        assert a["delay_op"] in ("=", "+=", "-=")
+        assert isinstance(a["delay_val"], float)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+        max_size=400,
+    )
+)
+def test_par_parser_never_raises(spark, tmp_path_factory, text):
+    """Garbage par files never crash the Spark-side parse (try_cast
+    everywhere) or the dict collector."""
+    from meerpipe_spark.sources.par import par_to_map, read_par_df
+
+    p = tmp_path_factory.mktemp("fuzz") / "x.par"
+    p.write_text(text + "\n")
+    out = par_to_map(read_par_df(spark, str(p)))
+    assert isinstance(out, dict)

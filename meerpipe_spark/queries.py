@@ -2237,5 +2237,46 @@ def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n"), F.asc("tok")).limit(25)
 
 
+_SIMHASH_MD5_SQL = """
+    WITH toks AS (
+        SELECT doc_id, md5(tok) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 500)
+        WHERE tok <> ''
+    ),
+    votes AS (
+        SELECT doc_id, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v0, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v1, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v2, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v3, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 2, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v4, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 2, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v5, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 2, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v6, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 2, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v7, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 3, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v8, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 3, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v9, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 3, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v10, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 3, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v11, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 4, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v12, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 4, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v13, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 4, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v14, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 4, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v15, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 5, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v16, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 5, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v17, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 5, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v18, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 5, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v19, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 6, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v20, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 6, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v21, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 6, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v22, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 6, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v23, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 7, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v24, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 7, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v25, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 7, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v26, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 7, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v27, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 8, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v28, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 8, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v29, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 8, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v30, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 8, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v31, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 9, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v32, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 9, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v33, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 9, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v34, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 9, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v35, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 10, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v36, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 10, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v37, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 10, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v38, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 10, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v39, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 11, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v40, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 11, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v41, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 11, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v42, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 11, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v43, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 12, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v44, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 12, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v45, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 12, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v46, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 12, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v47, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 13, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v48, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 13, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v49, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 13, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v50, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 13, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v51, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 14, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v52, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 14, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v53, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 14, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v54, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 14, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v55, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 15, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v56, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 15, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v57, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 15, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v58, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 15, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v59, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 16, 1)) - 1) // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v60, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 16, 1)) - 1) // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v61, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 16, 1)) - 1) // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v62, sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 16, 1)) - 1) // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v63
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CASE WHEN v0 > 0 THEN '1' ELSE '0' END || CASE WHEN v1 > 0 THEN '1' ELSE '0' END || CASE WHEN v2 > 0 THEN '1' ELSE '0' END || CASE WHEN v3 > 0 THEN '1' ELSE '0' END || CASE WHEN v4 > 0 THEN '1' ELSE '0' END || CASE WHEN v5 > 0 THEN '1' ELSE '0' END || CASE WHEN v6 > 0 THEN '1' ELSE '0' END || CASE WHEN v7 > 0 THEN '1' ELSE '0' END || CASE WHEN v8 > 0 THEN '1' ELSE '0' END || CASE WHEN v9 > 0 THEN '1' ELSE '0' END || CASE WHEN v10 > 0 THEN '1' ELSE '0' END || CASE WHEN v11 > 0 THEN '1' ELSE '0' END || CASE WHEN v12 > 0 THEN '1' ELSE '0' END || CASE WHEN v13 > 0 THEN '1' ELSE '0' END || CASE WHEN v14 > 0 THEN '1' ELSE '0' END || CASE WHEN v15 > 0 THEN '1' ELSE '0' END || CASE WHEN v16 > 0 THEN '1' ELSE '0' END || CASE WHEN v17 > 0 THEN '1' ELSE '0' END || CASE WHEN v18 > 0 THEN '1' ELSE '0' END || CASE WHEN v19 > 0 THEN '1' ELSE '0' END || CASE WHEN v20 > 0 THEN '1' ELSE '0' END || CASE WHEN v21 > 0 THEN '1' ELSE '0' END || CASE WHEN v22 > 0 THEN '1' ELSE '0' END || CASE WHEN v23 > 0 THEN '1' ELSE '0' END || CASE WHEN v24 > 0 THEN '1' ELSE '0' END || CASE WHEN v25 > 0 THEN '1' ELSE '0' END || CASE WHEN v26 > 0 THEN '1' ELSE '0' END || CASE WHEN v27 > 0 THEN '1' ELSE '0' END || CASE WHEN v28 > 0 THEN '1' ELSE '0' END || CASE WHEN v29 > 0 THEN '1' ELSE '0' END || CASE WHEN v30 > 0 THEN '1' ELSE '0' END || CASE WHEN v31 > 0 THEN '1' ELSE '0' END || CASE WHEN v32 > 0 THEN '1' ELSE '0' END || CASE WHEN v33 > 0 THEN '1' ELSE '0' END || CASE WHEN v34 > 0 THEN '1' ELSE '0' END || CASE WHEN v35 > 0 THEN '1' ELSE '0' END || CASE WHEN v36 > 0 THEN '1' ELSE '0' END || CASE WHEN v37 > 0 THEN '1' ELSE '0' END || CASE WHEN v38 > 0 THEN '1' ELSE '0' END || CASE WHEN v39 > 0 THEN '1' ELSE '0' END || CASE WHEN v40 > 0 THEN '1' ELSE '0' END || CASE WHEN v41 > 0 THEN '1' ELSE '0' END || CASE WHEN v42 > 0 THEN '1' ELSE '0' END || CASE WHEN v43 > 0 THEN '1' ELSE '0' END || CASE WHEN v44 > 0 THEN '1' ELSE '0' END || CASE WHEN v45 > 0 THEN '1' ELSE '0' END || CASE WHEN v46 > 0 THEN '1' ELSE '0' END || CASE WHEN v47 > 0 THEN '1' ELSE '0' END || CASE WHEN v48 > 0 THEN '1' ELSE '0' END || CASE WHEN v49 > 0 THEN '1' ELSE '0' END || CASE WHEN v50 > 0 THEN '1' ELSE '0' END || CASE WHEN v51 > 0 THEN '1' ELSE '0' END || CASE WHEN v52 > 0 THEN '1' ELSE '0' END || CASE WHEN v53 > 0 THEN '1' ELSE '0' END || CASE WHEN v54 > 0 THEN '1' ELSE '0' END || CASE WHEN v55 > 0 THEN '1' ELSE '0' END || CASE WHEN v56 > 0 THEN '1' ELSE '0' END || CASE WHEN v57 > 0 THEN '1' ELSE '0' END || CASE WHEN v58 > 0 THEN '1' ELSE '0' END || CASE WHEN v59 > 0 THEN '1' ELSE '0' END || CASE WHEN v60 > 0 THEN '1' ELSE '0' END || CASE WHEN v61 > 0 THEN '1' ELSE '0' END || CASE WHEN v62 > 0 THEN '1' ELSE '0' END || CASE WHEN v63 > 0 THEN '1' ELSE '0' END AS simhash_bits FROM votes
+    """
+
+_SIMHASH_MD5_SPARK_VOTES = ["sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v0", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v1", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v2", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v3", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 2, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v4", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 2, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v5", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 2, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v6", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 2, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v7", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 3, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v8", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 3, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v9", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 3, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v10", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 3, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v11", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 4, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v12", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 4, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v13", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 4, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v14", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 4, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v15", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 5, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v16", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 5, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v17", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 5, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v18", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 5, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v19", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 6, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v20", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 6, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v21", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 6, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v22", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 6, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v23", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 7, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v24", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 7, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v25", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 7, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v26", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 7, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v27", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 8, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v28", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 8, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v29", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 8, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v30", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 8, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v31", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 9, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v32", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 9, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v33", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 9, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v34", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 9, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v35", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 10, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v36", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 10, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v37", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 10, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v38", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 10, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v39", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 11, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v40", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 11, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v41", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 11, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v42", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 11, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v43", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 12, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v44", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 12, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v45", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 12, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v46", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 12, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v47", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 13, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v48", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 13, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v49", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 13, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v50", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 13, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v51", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 14, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v52", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 14, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v53", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 14, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v54", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 14, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v55", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 15, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v56", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 15, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v57", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 15, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v58", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 15, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v59", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 16, 1)) - 1) / 8 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v60", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 16, 1)) - 1) / 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v61", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 16, 1)) - 1) / 2 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v62", "sum(CASE WHEN (CAST((instr('0123456789abcdef', substr(h, 16, 1)) - 1) / 1 AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v63"]
+
+_SIMHASH_MD5_FP = "CASE WHEN v0 > 0 THEN '1' ELSE '0' END || CASE WHEN v1 > 0 THEN '1' ELSE '0' END || CASE WHEN v2 > 0 THEN '1' ELSE '0' END || CASE WHEN v3 > 0 THEN '1' ELSE '0' END || CASE WHEN v4 > 0 THEN '1' ELSE '0' END || CASE WHEN v5 > 0 THEN '1' ELSE '0' END || CASE WHEN v6 > 0 THEN '1' ELSE '0' END || CASE WHEN v7 > 0 THEN '1' ELSE '0' END || CASE WHEN v8 > 0 THEN '1' ELSE '0' END || CASE WHEN v9 > 0 THEN '1' ELSE '0' END || CASE WHEN v10 > 0 THEN '1' ELSE '0' END || CASE WHEN v11 > 0 THEN '1' ELSE '0' END || CASE WHEN v12 > 0 THEN '1' ELSE '0' END || CASE WHEN v13 > 0 THEN '1' ELSE '0' END || CASE WHEN v14 > 0 THEN '1' ELSE '0' END || CASE WHEN v15 > 0 THEN '1' ELSE '0' END || CASE WHEN v16 > 0 THEN '1' ELSE '0' END || CASE WHEN v17 > 0 THEN '1' ELSE '0' END || CASE WHEN v18 > 0 THEN '1' ELSE '0' END || CASE WHEN v19 > 0 THEN '1' ELSE '0' END || CASE WHEN v20 > 0 THEN '1' ELSE '0' END || CASE WHEN v21 > 0 THEN '1' ELSE '0' END || CASE WHEN v22 > 0 THEN '1' ELSE '0' END || CASE WHEN v23 > 0 THEN '1' ELSE '0' END || CASE WHEN v24 > 0 THEN '1' ELSE '0' END || CASE WHEN v25 > 0 THEN '1' ELSE '0' END || CASE WHEN v26 > 0 THEN '1' ELSE '0' END || CASE WHEN v27 > 0 THEN '1' ELSE '0' END || CASE WHEN v28 > 0 THEN '1' ELSE '0' END || CASE WHEN v29 > 0 THEN '1' ELSE '0' END || CASE WHEN v30 > 0 THEN '1' ELSE '0' END || CASE WHEN v31 > 0 THEN '1' ELSE '0' END || CASE WHEN v32 > 0 THEN '1' ELSE '0' END || CASE WHEN v33 > 0 THEN '1' ELSE '0' END || CASE WHEN v34 > 0 THEN '1' ELSE '0' END || CASE WHEN v35 > 0 THEN '1' ELSE '0' END || CASE WHEN v36 > 0 THEN '1' ELSE '0' END || CASE WHEN v37 > 0 THEN '1' ELSE '0' END || CASE WHEN v38 > 0 THEN '1' ELSE '0' END || CASE WHEN v39 > 0 THEN '1' ELSE '0' END || CASE WHEN v40 > 0 THEN '1' ELSE '0' END || CASE WHEN v41 > 0 THEN '1' ELSE '0' END || CASE WHEN v42 > 0 THEN '1' ELSE '0' END || CASE WHEN v43 > 0 THEN '1' ELSE '0' END || CASE WHEN v44 > 0 THEN '1' ELSE '0' END || CASE WHEN v45 > 0 THEN '1' ELSE '0' END || CASE WHEN v46 > 0 THEN '1' ELSE '0' END || CASE WHEN v47 > 0 THEN '1' ELSE '0' END || CASE WHEN v48 > 0 THEN '1' ELSE '0' END || CASE WHEN v49 > 0 THEN '1' ELSE '0' END || CASE WHEN v50 > 0 THEN '1' ELSE '0' END || CASE WHEN v51 > 0 THEN '1' ELSE '0' END || CASE WHEN v52 > 0 THEN '1' ELSE '0' END || CASE WHEN v53 > 0 THEN '1' ELSE '0' END || CASE WHEN v54 > 0 THEN '1' ELSE '0' END || CASE WHEN v55 > 0 THEN '1' ELSE '0' END || CASE WHEN v56 > 0 THEN '1' ELSE '0' END || CASE WHEN v57 > 0 THEN '1' ELSE '0' END || CASE WHEN v58 > 0 THEN '1' ELSE '0' END || CASE WHEN v59 > 0 THEN '1' ELSE '0' END || CASE WHEN v60 > 0 THEN '1' ELSE '0' END || CASE WHEN v61 > 0 THEN '1' ELSE '0' END || CASE WHEN v62 > 0 THEN '1' ELSE '0' END || CASE WHEN v63 > 0 THEN '1' ELSE '0' END"
+
+
+@_register(
+    "simhash_md5",
+    _SIMHASH_MD5_SQL,
+    doc="SimHash over md5-derived token bits — md5 is identical across "
+        "engines, so unlike the xxhash64 production variant this "
+        "fingerprint is fully oracle-checkable (64 bit-vote aggregates, "
+        "one shuffle keyed by doc).",
+)
+def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        docs.filter(F.col("doc_id") < 500)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.md5("tok").alias("h"))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[F.expr(v) for v in _SIMHASH_MD5_SPARK_VOTES]
+    )
+    return votes.select("doc_id", F.expr(_SIMHASH_MD5_FP).alias("simhash_bits"))
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

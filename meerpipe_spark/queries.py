@@ -2278,5 +2278,69 @@ def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", F.expr(_SIMHASH_MD5_FP).alias("simhash_bits"))
 
 
+_MINHASH_MD5_SQL = """
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 300)
+    ),
+    lanes AS (
+        SELECT doc_id, min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1, min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3, min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5, min(md5('6|' || s)) AS h6, min(md5('7|' || s)) AS h7, min(md5('8|' || s)) AS h8, min(md5('9|' || s)) AS h9, min(md5('10|' || s)) AS h10, min(md5('11|' || s)) AS h11, min(md5('12|' || s)) AS h12, min(md5('13|' || s)) AS h13, min(md5('14|' || s)) AS h14, min(md5('15|' || s)) AS h15
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(h0 || h1 || h2 || h3) AS bh FROM lanes
+        UNION ALL SELECT doc_id, 1 AS band_id, md5(h4 || h5 || h6 || h7) AS bh FROM lanes
+        UNION ALL SELECT doc_id, 2 AS band_id, md5(h8 || h9 || h10 || h11) AS bh FROM lanes
+        UNION ALL SELECT doc_id, 3 AS band_id, md5(h12 || h13 || h14 || h15) AS bh FROM lanes
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+
+@_register(
+    "minhash_lsh_pairs_md5",
+    _MINHASH_MD5_SQL,
+    doc="MinHash+LSH candidate pairs over md5 lanes (16 hashes / 4 "
+        "bands): md5 is identical across engines, so unlike the xxhash64 "
+        "production pipeline the full shingle->signature->band->bucket-"
+        "join candidate set is hash-matched against the SQL oracle.",
+)
+def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import shingles
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = (
+        docs.filter(F.col("doc_id") < 300)
+        .select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
+    )
+    lanes = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{j}|".format(j=j)), F.col("s")))).alias(f"h{j}".format(j=j)) for j in range(16)]
+    )
+    bands = None
+    for b in range(4):
+        part = lanes.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"h{i}".format(i=4 * b + i)) for i in range(4)])).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -1859,19 +1859,42 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "kepler_eccentric_anomaly",
-    None,
-    doc="Iterative Kepler solve (E - e sinE = M) as an Arrow-vectorized "
-        "pandas UDF — not closed-form SQL-expressible (SURVEY §7.3.4).",
+    """
+    -- the same fixed 30 Newton iterations as the pandas UDF, as a
+    -- recursive CTE; M normalized into [0, 2pi) (solution shifts by
+    -- 2pi*k, so the normalized solve is physically equivalent and keeps
+    -- cross-engine ulp noise far below the 1e-6 rounding grid)
+    WITH RECURSIVE m AS (
+        SELECT event_id,
+               fmod(fmod(2 * pi() * (((epoch_ms(ts) / 86400000.0 + 40587) - 60000.0) / 5.0),
+                         2 * pi()) + 2 * pi(), 2 * pi()) AS M
+        FROM events
+    ),
+    it AS (
+        SELECT event_id, M, M AS E, 0 AS i FROM m
+        UNION ALL
+        SELECT event_id, M,
+               E - (E - 0.3 * sin(E) - M) / (1 - 0.3 * cos(E)), i + 1
+        FROM it WHERE i < 30
+    )
+    SELECT event_id, round(E, 6) AS ecc_anomaly FROM it WHERE i = 30
+    """,
+    doc="Iterative Kepler solve (E - e sinE = M): Arrow-vectorized "
+        "pandas UDF with fixed 30 Newton iterations, oracle-checked "
+        "against the identical iteration as a DuckDB recursive CTE "
+        "(SURVEY §7.3.4).",
 )
 def kepler_eccentric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.functions.kepler import eccentric_anomaly_udf, mean_anomaly
     from meerpipe_spark.functions.timeutils import mjd_from_ts
+    from meerpipe_spark.operators.phase import phase_norm
 
     e = load_tables(spark, sf_dir)["events"]
     M = mean_anomaly(mjd_from_ts(F.col("ts")), F.lit(60000.0), F.lit(5.0))
+    M_norm = phase_norm(M, 2.0 * 3.141592653589793)
     return e.select(
         "event_id",
-        F.round(eccentric_anomaly_udf(M, F.lit(0.3)), 9).alias("ecc_anomaly"),
+        F.round(eccentric_anomaly_udf(M_norm, F.lit(0.3)), 6).alias("ecc_anomaly"),
     )
 
 

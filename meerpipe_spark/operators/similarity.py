@@ -155,6 +155,9 @@ def ivf_search(
     cdist = centroids.select("cluster", d2(F.col("centroid"), q).alias("qd2"))
     probe = cdist.orderBy(F.asc("qd2"), F.asc("cluster")).limit(nprobe).select("cluster")
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # the assignment shuffle carries only (id, cluster) — re-fetching the
+    # candidate vectors via a second columnar scan + semi-join is cheaper
+    # than shuffling every vector through the argmin agg (measured both)
     assigned = (
         embeddings.select(F.col(id_col), cast.alias("_v"))
         .crossJoin(F.broadcast(centroids))

@@ -333,3 +333,50 @@ def test_channel_frequency_reference_real_file(spark):
     # distributed reader agrees bit-exactly on the real file
     dist = {r.idx: r.value for r in read_npy_distributed(spark, REF_NPY).collect()}
     assert all(dist[i] == freqs[i] for i in range(928))
+
+
+# ---------------------------------------------------------------------------
+# D5 / M6: tempo2 .tim TOA files
+# ---------------------------------------------------------------------------
+
+from meerpipe_spark.sources.tim import read_tim_df, write_tim
+
+
+TIM_TEXT = """FORMAT 1
+C this is a comment
+# another comment
+MODE 1
+J0437-4715_2024.ar 1283.582031 60001.123456789012345 0.523 meerkat -snr 145.2 -nch 16
+J0437-4715_2024.ar 1444.101562 60001.123456789012345 1.020 meerkat -snr 88.1 -nch 16
+bad_line_with_too few
+J1909-3744_2024.ar 962.0 59950.000000000000001 0.101 meerkat
+"""
+
+
+def test_read_tim_format1(spark, tmp_path):
+    p = tmp_path / "obs.tim"
+    p.write_text(TIM_TEXT)
+    rows = read_tim_df(spark, str(p)).orderBy("freq_mhz").collect()
+    assert len(rows) == 3
+    r = rows[1]  # 1283 MHz row
+    assert r.name == "J0437-4715_2024.ar"
+    assert r.imjd == 60001
+    assert r.fmjd == pytest.approx(0.123456789012345, abs=1e-16)
+    assert r.err_us == pytest.approx(0.523)
+    assert r.site == "meerkat"
+    assert dict(r.flags) == {"snr": "145.2", "nch": "16"}
+    # full 15-digit fractional MJD survives the imjd/fmjd split
+    assert abs((r.imjd + r.fmjd) - 60001.123456789012345) < 1e-10
+    assert rows[0].flags is None or dict(rows[0].flags) == {}
+
+
+def test_tim_roundtrip(spark, tmp_path):
+    p = tmp_path / "obs.tim"
+    p.write_text(TIM_TEXT)
+    df = read_tim_df(spark, str(p))
+    out = tmp_path / "out_tim"
+    write_tim(df, str(out))
+    back = read_tim_df(spark, str(out))
+    a = {(r.name, r.imjd, round(r.fmjd, 12), r.err_us) for r in df.collect()}
+    b = {(r.name, r.imjd, round(r.fmjd, 12), r.err_us) for r in back.collect()}
+    assert a == b

@@ -2365,5 +2365,45 @@ def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "toa_residual_stats",
+    """
+    WITH toas AS (
+        SELECT event_type AS psr,
+               (value - 250.0) * 1e-6   AS residual_s,
+               100.0 + (event_id % 900) AS err_ns
+        FROM events
+    )
+    SELECT psr,
+           CAST(count(*) AS BIGINT) AS n_toa,
+           round(sqrt(sum(residual_s * residual_s / (err_ns * 1e-9 * err_ns * 1e-9))
+                      / sum(1.0 / (err_ns * 1e-9 * err_ns * 1e-9))), 9) AS wrms_s,
+           round(avg(residual_s), 9) AS mean_residual_s,
+           round(stddev_samp(residual_s), 9) AS std_residual_s
+    FROM toas GROUP BY psr
+    """,
+    doc="M6 TOA residual summary: weighted RMS (1/err^2 weights) + scatter "
+        "per pulsar — the timing-quality rollup over the TOA table, full "
+        "SQL oracle.",
+)
+def toa_residual_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.toa import residual_stats
+
+    e = load_tables(spark, sf_dir)["events"]
+    toas = e.select(
+        F.col("event_type").alias("psr"),
+        ((F.col("value") - 250.0) * 1e-6).alias("residual_s"),
+        (100.0 + (F.col("event_id") % 900)).alias("err_ns"),
+    )
+    out = residual_stats(toas)
+    return out.select(
+        "psr",
+        "n_toa",
+        F.round("wrms_s", 9).alias("wrms_s"),
+        F.round("mean_residual_s", 9).alias("mean_residual_s"),
+        F.round("std_residual_s", 9).alias("std_residual_s"),
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

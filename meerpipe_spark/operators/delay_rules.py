@@ -44,7 +44,7 @@ from __future__ import annotations
 import logging
 import re
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 logger = logging.getLogger(__name__)
 

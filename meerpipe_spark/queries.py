@@ -2405,5 +2405,98 @@ def toa_residual_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "kmeans_assignments_sql",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+        FROM emb ORDER BY vec_id LIMIT 4
+    ),
+    a1 AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, s.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, s.c), s.cluster) AS rn
+            FROM emb e CROSS JOIN c0 s
+        ) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT cluster, list(cv ORDER BY dim) AS c FROM (
+            SELECT cluster, dim, avg(ev) AS cv FROM (
+                SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS ev
+                FROM a1
+            ) GROUP BY cluster, dim
+        ) GROUP BY cluster
+    ),
+    a2 AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, s.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, s.c), s.cluster) AS rn
+            FROM emb e CROSS JOIN c1 s
+        ) WHERE rn = 1
+    )
+    SELECT a2.cluster, CAST(count(*) AS BIGINT) AS n,
+           round(avg(power(list_distance(a2.v, c1.c), 2)), 4) AS avg_d2
+    FROM a2 JOIN c1 ON a2.cluster = c1.cluster
+    GROUP BY a2.cluster
+    """,
+    doc="Lloyd's k-means (k=4, 2 iterations, deterministic lowest-id "
+        "seeds) with the FULL iterative algorithm unrolled in the SQL "
+        "oracle: assignment via argmin over array-fold distances, "
+        "centroid update via per-dim averages — the iterative-DataFrame "
+        "pattern, hash-matched end to end.",
+)
+def kmeans_assignments_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cast = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), cast.alias("v"))
+
+    def d2(a, c):
+        return F.aggregate(
+            F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    seeds = base.orderBy("vec_id").head(4)
+    # assignment1 (vs lowest-id seeds) -> centroid update -> assignment2
+    # scored against the updated centroids — exactly the oracle's c0/a1/
+    # c1/a2 chain, with deterministic array-fold distances on both sides
+    cents_i = spark.createDataFrame(
+        [(i, [float(x) for x in r.v]) for i, r in enumerate(seeds)], ["cluster", "c"]
+    )
+    assigned1 = (
+        base.crossJoin(F.broadcast(cents_i))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(d2(F.col("v"), F.col("c")).alias("d2"), F.col("cluster"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", F.col("m.cluster").alias("cluster"), "v")
+    )
+    cents1 = (
+        assigned1.select("cluster", F.posexplode("v").alias("dim", "ev"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("ev").alias("cv"))
+        .groupBy("cluster")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "cv"))).alias("p"))
+        .select("cluster", F.transform("p", lambda x: x["cv"]).alias("c"))
+    )
+    assigned2 = (
+        base.crossJoin(F.broadcast(cents1))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(d2(F.col("v"), F.col("c")).alias("d2"), F.col("cluster"))).alias("m")
+        )
+        .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("d2"))
+    )
+    return assigned2.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("d2"), 4).alias("avg_d2"),
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

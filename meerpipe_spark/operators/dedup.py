@@ -31,14 +31,23 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingles(text_col: F.Column, n: int = 3) -> F.Column:
-    """Word n-gram shingles as an array<string> (distinct)."""
+    """Word n-gram shingles as an array<string> (distinct).
+
+    A doc with fewer than ``n`` words has NO shingles (empty array) —
+    not one truncated shingle. This matches the SQL-oracle definition
+    and the usual MinHash convention; short docs simply never produce
+    signatures or candidate pairs.
+    """
     words = F.split(text_col, " ")
     k = F.size(words) - (n - 1)
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 

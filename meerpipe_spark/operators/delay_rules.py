@@ -280,12 +280,22 @@ def evaluate_delay_rules(
         keep = f"{oks[i]} AND (_reset IS NULL OR {a['action_order']} >= _reset)"
         terms.append(f"CASE WHEN {keep} THEN {contribs[i]} ELSE CAST(0.0 AS DOUBLE) END")
     per_row_sql = " + ".join(terms)
-    obs = obs.withColumn("_reset", F.expr(reset))
     per_row = F.expr(per_row_sql)
     if unique_keys:
         # one obs row per key (the normal case: an observation IS a row)
         # -> the engine is a pure map, ZERO shuffles end to end
+        obs = obs.withColumn("_reset", F.expr(reset))
         return obs.select(F.col(obs_key), per_row.alias("delay_s"))
+    # Grouped path: the reference evaluates '=' resets per OBSERVATION,
+    # not per row — a '=' matched on one row clears contributions
+    # accumulated from sibling rows of the same obs_key. Take the max
+    # reset boundary over a window keyed by obs_key; the window's hash
+    # partitioning is reused by the following groupBy (one shuffle total).
+    from pyspark.sql import Window as W
+
+    obs = obs.withColumn(
+        "_reset", F.max(F.expr(reset)).over(W.partitionBy(obs_key))
+    )
     return (
         obs.withColumn("_delay", per_row)
         .groupBy(obs_key)

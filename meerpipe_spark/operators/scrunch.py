@@ -48,15 +48,25 @@ def scrunch(
     weights (DAT_WTS) are per (subint, channel) with no pol axis, so the
     two pol rows of a cell carry the same weight by construction; summing
     the pair under a shared weight is therefore exact with the cell
-    weight counted ONCE: value = Σ v·w / (Σ w / 2), weight = Σ w / 2 —
-    still one hash aggregation, no extra shuffle.
+    weight counted ONCE. Rather than hard-coding a ÷2 (which would double
+    already-pscrunched single-pol input), the once-counted weight is the
+    sum over pol 0 only — exact for 2-pol coherence input AND a no-op for
+    input that is already total-intensity: value = Σ v·w / Σ_{pol=0} w,
+    weight = Σ_{pol=0} w — still one hash aggregation, no extra shuffle.
     """
     df = cube
-    pol_mult = 1
     if pscrunch:
-        df = df.filter(F.col("pol") < 2).withColumn("pol", F.lit(0))
-        pol_mult = 2
-    wsum = F.sum(weight_col) / pol_mult
+        df = (
+            df.filter(F.col("pol") < 2)
+            .withColumn("_pol_orig", F.col("pol"))
+            .withColumn("pol", F.lit(0))
+        )
+        # Count each (subint, chan) cell's shared weight once: pol 0 is
+        # always present (AA of a coherence pair, or I of total-intensity
+        # input), pol 1 contributes value but not weight.
+        wsum = F.sum(F.when(F.col("_pol_orig") == 0, F.col(weight_col)).otherwise(F.lit(0.0)))
+    else:
+        wsum = F.sum(weight_col)
     grouped = (
         df.groupBy(
             "obs_id",

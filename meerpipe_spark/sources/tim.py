@@ -81,9 +81,16 @@ def write_tim(toas: DataFrame, path: str, mode: str = "overwrite") -> None:
             ),
         ),
     ).otherwise(F.lit(""))
+    # format_number rounds half-up: an fmjd within 5e-16 of 1.0 renders
+    # as "1.000000000000000" — carry the overflow into imjd instead of
+    # emitting a corrupt "<imjd>1.000..." token.
+    fmjd_fmt = F.format_number(F.col("fmjd"), 15)
+    overflow = fmjd_fmt.startswith("1")
     mjd_txt = F.concat(
-        F.col("imjd").cast("string"),
-        F.regexp_replace(F.format_number(F.col("fmjd"), 15), r"^0", ""),
+        (F.col("imjd") + F.when(overflow, F.lit(1)).otherwise(F.lit(0))).cast("string"),
+        F.when(overflow, F.lit(".000000000000000")).otherwise(
+            F.regexp_replace(fmjd_fmt, r"^0", "")
+        ),
     )
     line = F.concat_ws(
         " ",

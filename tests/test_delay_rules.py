@@ -210,6 +210,30 @@ def test_reset_discards_prior_rules(spark):
     assert got["x"] == pytest.approx(5e-6 + 3e-9 - 1e-6 + 100e-9 + 2e-5)
 
 
+def test_grouped_reset_is_per_observation(spark):
+    """In the grouped (unique_keys=False) path a '=' matched on ONE row of
+    an observation clears contributions accumulated from SIBLING rows —
+    the reset boundary is evaluated per obs_key, not per row."""
+    acts = parse_dlycfg(
+        [
+            "* always",
+            "delay += 10 us",
+            "* special reset",
+            "beconfig ~= special",
+            "delay = 5 us",
+        ]
+    )
+    obs = [
+        Row(obs_id="g", mjd=58000.0, beconfig="normal", tbin=1e-5),
+        Row(obs_id="g", mjd=58000.0, beconfig="special_mode", tbin=1e-5),
+    ]
+    got = _spark_eval(spark, acts, obs)
+    # row 1 alone would add +10us (order 0) and row 2 matches the '='
+    # (order 1): the observation-level reset wipes row 1's contribution,
+    # leaving only the '=' value. The buggy per-row form yields 15us.
+    assert got["g"] == pytest.approx(5e-6, abs=1e-15)
+
+
 def test_no_match_returns_zero(spark):
     acts = parse_dlycfg(DLYCFG.splitlines())
     obs = [Row(obs_id="y", mjd=10000.0, beconfig="special_mode", tbin=1e-5)]

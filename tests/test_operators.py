@@ -82,6 +82,23 @@ def test_pscrunch_keeps_first_two_pols(spark, cube):
             assert abs(r.weight - w) < 1e-12
 
 
+def test_pscrunch_idempotent_on_single_pol(spark, cube):
+    """Already-pscrunched (single-pol) input must pass through unchanged —
+    the weight divisor is derived from the data, not a hard-coded 2."""
+    once = scrunch(cube, pscrunch=True)
+    twice = scrunch(once, pscrunch=True)
+    a = {(r.subint, r.chan, r["bin"]): (r.value, r.weight) for r in once.collect()}
+    b = {(r.subint, r.chan, r["bin"]): (r.value, r.weight) for r in twice.collect()}
+    assert a.keys() == b.keys()
+    for k, (v1, w1) in a.items():
+        v2, w2 = b[k]
+        if v1 is None:
+            assert v2 is None
+        else:
+            assert abs(v1 - v2) < 1e-9
+        assert abs(w1 - w2) < 1e-12
+
+
 @pytest.mark.parametrize(
     "band,nchan,offset,expected",
     [

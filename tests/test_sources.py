@@ -380,3 +380,19 @@ def test_tim_roundtrip(spark, tmp_path):
     a = {(r.name, r.imjd, round(r.fmjd, 12), r.err_us) for r in df.collect()}
     b = {(r.name, r.imjd, round(r.fmjd, 12), r.err_us) for r in back.collect()}
     assert a == b
+
+
+def test_write_tim_fmjd_rounding_carries_into_imjd(spark, tmp_path):
+    """fmjd within 5e-16 of 1.0 rounds up under 15-digit formatting — the
+    overflow must carry into imjd, not corrupt the MJD token."""
+    df = spark.createDataFrame(
+        [("a.ar", 1283.0, 60000, 0.9999999999999999, 60000.9999999999999999, 0.5, "meerkat", None, "x")],
+        "name string, freq_mhz double, imjd long, fmjd double, mjd double, "
+        "err_us double, site string, flags map<string,string>, src_file string",
+    )
+    out = tmp_path / "carry_tim"
+    write_tim(df, str(out))
+    back = read_tim_df(spark, str(out)).collect()
+    assert len(back) == 1
+    assert back[0].imjd == 60001
+    assert back[0].fmjd == pytest.approx(0.0, abs=1e-15)

@@ -124,9 +124,47 @@ def sample_frames(
 
 
 def decode_image_real(payload: bytes, dim: int) -> np.ndarray:
-    """Real image decode — requires PIL, not present in this container.
-    Kept as the documented swap-in point for extract_features(decoder=...)."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv which are not installed; "
-        "pass extract_features(decoder=...) with a real implementation"
-    )
+    """REAL image decode + featurize for ``extract_features(decoder=...)``:
+
+    - PIL where importable (any format PIL reads);
+    - else the pure-numpy PNG codec (``functions.png``) for PNG payloads;
+    - else NotImplementedError (opaque formats with no decoder in the
+      container) — ``extract_features`` maps that to decode_ok=False.
+
+    Feature: grayscale box-resampled to a sqrt(dim)² thumbnail, flattened
+    to ``dim`` values, L2-normalized. Deterministic in the pixels.
+    """
+    import math
+
+    side = max(1, int(math.isqrt(dim)))
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((side, side))
+        px = np.asarray(img, dtype=np.float32)
+    except ImportError:
+        from meerpipe_spark.functions.png import PNG_SIGNATURE, decode_png, resize_box
+
+        if not payload.startswith(PNG_SIGNATURE):
+            raise NotImplementedError(
+                "no decoder for non-PNG payloads without PIL; pass "
+                "extract_features(decoder=...) with a real implementation"
+            )
+        img = decode_png(payload)
+        if img.ndim == 3:  # luma from RGB(A)
+            img = (
+                0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+            ).astype(np.uint8)
+        px = resize_box(img, side / max(img.shape)).astype(np.float32)
+        # box resample targets >=1 px per side; pad/crop to side×side
+        px = np.pad(
+            px[:side, :side],
+            ((0, side - min(side, px.shape[0])), (0, side - min(side, px.shape[1]))),
+        )
+    v = np.zeros(dim, dtype=np.float32)
+    flat = px.flatten()[:dim]
+    v[: flat.size] = flat
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v

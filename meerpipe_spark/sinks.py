@@ -72,6 +72,47 @@ def write_results_json(results: DataFrame, path: str, mode: str = "overwrite") -
     results.write.mode(mode).json(path)
 
 
+def _stub_resize(payload: bytes, factor: float) -> bytes:
+    # deterministic stand-in: byte count scales like the area
+    # (factor applies to BOTH dimensions in the reference)
+    return payload[: max(1, int(len(payload) * factor * factor))]
+
+
+def default_image_resize(payload: bytes, factor: float) -> bytes:
+    """Real-where-possible ``resize(payload, factor) -> bytes``:
+
+    1. PIL if importable — LANCZOS resample, re-encode in the source
+       format (JPEG at quality=85, the reference's exact settings in
+       generate_images_results.py:178-191);
+    2. else the pure-numpy PNG codec for PNG payloads
+       (``functions.png.png_resize_reencode`` — real pixels, stdlib zlib);
+    3. else the proportional-truncation stub (opaque/unknown formats).
+    """
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        img = Image.open(io.BytesIO(payload))
+        fmt = img.format or "PNG"
+        nw = max(1, int(img.width * factor))
+        nh = max(1, int(img.height * factor))
+        out = io.BytesIO()
+        resized = img.resize((nw, nh), Image.LANCZOS)
+        if fmt.upper() in ("JPEG", "JPG"):
+            resized.save(out, format="JPEG", quality=85)
+        else:
+            resized.save(out, format=fmt)
+        return out.getvalue()
+    except ImportError:
+        pass
+    from meerpipe_spark.functions.png import PNG_SIGNATURE, png_resize_reencode
+
+    if payload.startswith(PNG_SIGNATURE):
+        return png_resize_reencode(payload, factor)
+    return _stub_resize(payload, factor)
+
+
 def cap_image_sizes(
     images: DataFrame,
     cap_bytes: int = 1_000_000,
@@ -89,23 +130,18 @@ def cap_image_sizes(
     runs per row inside the task, Arrow-batched, failure-isolated (a
     payload that cannot be re-encoded passes through with
     ``resized=False`` rather than failing the task). ``resize(payload,
-    factor) -> bytes`` is the pluggable encoder; the reference uses
-    PIL LANCZOS + quality=85, which is not available in this container —
-    pass it in where PIL exists (documented swap-in, same contract as
-    operators.multimodal.decode_image_real). The default stub truncates
-    proportionally, preserving the loop/termination semantics for tests.
+    factor) -> bytes`` is the pluggable encoder; the default
+    :func:`default_image_resize` performs a REAL decode-resize-reencode
+    for PNG payloads (pure-numpy codec) or any PIL-supported format where
+    PIL is importable, falling back to a proportional-truncation stub for
+    opaque formats.
 
     Returns (original columns…, final payload, n_bytes, resized).
     """
     import pandas as pd
     from pyspark.sql import types as T
 
-    def _stub_resize(payload: bytes, factor: float) -> bytes:
-        # deterministic stand-in: byte count scales like the area
-        # (factor applies to BOTH dimensions in the reference)
-        return payload[: max(1, int(len(payload) * factor * factor))]
-
-    fn = resize or _stub_resize
+    fn = resize or default_image_resize
     cols = images.columns
     out_schema = T.StructType(
         [images.schema[c] for c in cols if c != payload_col]

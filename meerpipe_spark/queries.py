@@ -2498,5 +2498,121 @@ def kmeans_assignments_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spin_fit_oracle() -> str:
+    """DuckDB twin of operators.fitting.spin_wls_fitter: the 4 linearized
+    WLS iterations UNROLLED as chained CTEs (the kmeans/kepler pattern for
+    oracle-checking iterative algorithms), each solving the 3×3 normal
+    equations by Cramer cofactors. The uniform TOA weights cancel in the
+    normal equations, so the SQL is unweighted; the contraction of the
+    Newton-style update makes LAPACK-vs-Cramer and sum-order differences
+    vanish below the output rounding (verified bit-identical at sf0.01).
+    ``+ CAST(0 AS DOUBLE)`` normalizes -0.0 from rounding."""
+    f0t = "CAST(218.81184385 AS DOUBLE)"
+    half = "CAST(0.5 AS DOUBLE)"
+    sql = f"""
+    WITH toas AS (
+      SELECT o_orderpriority AS psr,
+             (CAST(60000 AS DOUBLE)
+              + (round({f0t} * (CAST((o_orderkey % 401) - 200 AS DOUBLE) * CAST(86400 AS DOUBLE))) / {f0t}
+                 + CAST((o_orderkey % 7) - 3 AS DOUBLE) * CAST(2e-8 AS DOUBLE)) / CAST(86400 AS DOUBLE)
+              - CAST(60000 AS DOUBLE)) * CAST(86400 AS DOUBLE) AS dt
+      FROM orders
+    ),
+    p0 AS (SELECT DISTINCT psr, CAST(0 AS DOUBLE) AS phi,
+                  {f0t} + CAST(1e-10 AS DOUBLE) AS f0, CAST(0 AS DOUBLE) AS f1
+           FROM toas)"""
+    for i in range(4):
+        det = (
+            "(s.s00*(s.s11*s.s22-s.s12*s.s12) - s.s01*(s.s01*s.s22-s.s12*s.s02)"
+            " + s.s02*(s.s01*s.s12-s.s11*s.s02))"
+        )
+        sql += f""",
+    f{i} AS (
+      SELECT t.psr, t.dt,
+             (p.phi + p.f0*t.dt + {half}*p.f1*t.dt*t.dt)
+             - round(p.phi + p.f0*t.dt + {half}*p.f1*t.dt*t.dt) AS frac
+      FROM toas t JOIN p{i} p USING (psr)
+    ),
+    s{i} AS (
+      SELECT psr,
+        CAST(count(*) AS DOUBLE) AS s00, sum(dt) AS s01, sum({half}*dt*dt) AS s02,
+        sum(dt*dt) AS s11, sum(dt*{half}*dt*dt) AS s12,
+        sum(CAST(0.25 AS DOUBLE)*dt*dt*dt*dt) AS s22,
+        sum(frac) AS b0, sum(frac*dt) AS b1, sum(frac*{half}*dt*dt) AS b2
+      FROM f{i} GROUP BY psr
+    ),
+    p{i + 1} AS (
+      SELECT s.psr,
+        p.phi - (s.b0*(s.s11*s.s22-s.s12*s.s12) - s.s01*(s.b1*s.s22-s.s12*s.b2)
+                 + s.s02*(s.b1*s.s12-s.s11*s.b2)) / {det} AS phi,
+        p.f0 - (s.s00*(s.b1*s.s22-s.b2*s.s12) - s.b0*(s.s01*s.s22-s.s12*s.s02)
+                 + s.s02*(s.s01*s.b2-s.b1*s.s02)) / {det} AS f0,
+        p.f1 - (s.s00*(s.s11*s.b2-s.s12*s.b1) - s.s01*(s.s01*s.b2-s.b1*s.s02)
+                 + s.b0*(s.s01*s.s12-s.s11*s.s02)) / {det} AS f1
+      FROM s{i} s JOIN p{i} p USING (psr)
+    )"""
+    sql += f""",
+    resid AS (
+      SELECT t.psr,
+             ((p.phi + p.f0*t.dt + {half}*p.f1*t.dt*t.dt)
+              - round(p.phi + p.f0*t.dt + {half}*p.f1*t.dt*t.dt)) / p.f0 AS r
+      FROM toas t JOIN p4 p USING (psr)
+    )
+    SELECT r.psr,
+           count(*) AS n_toa,
+           round((any_value(p.f0) - {f0t}) * CAST(1e9 AS DOUBLE), 3) + CAST(0 AS DOUBLE) AS df0_nhz,
+           round(any_value(p.f1) * CAST(1e15 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS f1_e15,
+           round(sqrt(sum(r.r*r.r) / count(*)) * CAST(1e9 AS DOUBLE), 3) + CAST(0 AS DOUBLE) AS wrms_ns,
+           TRUE AS converged
+    FROM resid r JOIN p4 p USING (psr)
+    GROUP BY r.psr
+    """
+    return sql
+
+
+@_register(
+    "spin_fit_operator",
+    _spin_fit_oracle(),
+    doc="SURVEY §7.3.7 / VERDICT r2 #5: the ephemeris-FITTING boundary "
+        "driven end to end. TOAs are synthesized in-plan on exact integer "
+        "turns of a true spin model (+deterministic sub-µs noise), the "
+        "starting model is perturbed by 1e-10 Hz, and "
+        "operators.fitting.fit_ephemeris (per-pulsar applyInPandas, "
+        "native WLS spin fitter) must recover the true parameters — "
+        "hash-matched against a DuckDB oracle running the identical 4 "
+        "unrolled WLS iterations via Cramer's rule. The tempo2 CLI "
+        "boundary (tempo2_wrapper.sh:36) plugs into the same operator.",
+)
+def spin_fit_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.fitting import fit_ephemeris
+
+    f0t = 218.81184385
+    orders = load_tables(spark, sf_dir)["orders"]
+    dt0 = ((F.col("o_orderkey") % 401) - 200).cast("double") * F.lit(86400.0)
+    dt_exact = F.round(F.lit(f0t) * dt0) / F.lit(f0t)
+    noise = ((F.col("o_orderkey") % 7) - 3).cast("double") * F.lit(2e-8)
+    mjd = F.lit(60000.0) + (dt_exact + noise) / F.lit(86400.0)
+    toas = orders.select(
+        F.col("o_orderpriority").alias("psr"),
+        mjd.alias("bat_mjd"),
+        F.lit(100.0).alias("err_ns"),
+    )
+    models = toas.select("psr").distinct().select(
+        "psr",
+        (F.lit(f0t) + F.lit(1e-10)).alias("f0_hz"),
+        F.lit(0.0).alias("f1_hz_s"),
+        F.lit(60000.0).alias("pepoch_mjd"),
+    )
+    fit = fit_ephemeris(toas, models)
+    return fit.select(
+        "psr",
+        "n_toa",
+        (F.round((F.col("f0_hz") - f0t) * 1e9, 3) + F.lit(0.0)).alias("df0_nhz"),
+        (F.round(F.col("f1_hz_s") * 1e15, 6) + F.lit(0.0)).alias("f1_e15"),
+        (F.round(F.col("wrms_s") * 1e9, 3) + F.lit(0.0)).alias("wrms_ns"),
+        "converged",
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

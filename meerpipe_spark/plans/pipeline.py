@@ -52,7 +52,9 @@ def run_observation_pipeline(
     if persist:
         cleaned = cleaned.cache()
 
-    per_chan = offpulse_rms_per_channel(cleaned, on_pulse).withColumn(
+    # flux multiplier derives from the OFF-pulse RMS (fluxcal_meerkat.py
+    # off-window statistics) — complement the on-pulse template predicate
+    per_chan = offpulse_rms_per_channel(cleaned, ~on_pulse).withColumn(
         "expected_rms", F.lit(expected_rms)
     )
     mults = flux_multiplier(per_chan, "expected_rms", *fluxcal_window)

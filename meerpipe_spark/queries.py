@@ -2614,5 +2614,215 @@ def spin_fit_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipeline_results_json",
+    """
+    WITH cube AS (
+      SELECT l_returnflag AS obs_id,
+             l_linenumber % 4 AS subint,
+             l_partkey % 16 AS chan,
+             l_orderkey % 32 AS bin,
+             CAST(900 AS DOUBLE) + CAST(l_partkey % 16 AS DOUBLE) * CAST(40 AS DOUBLE) AS freq,
+             (CASE WHEN l_orderkey % 32 BETWEEN 14 AND 17 THEN CAST(10 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+             + (CAST(((l_orderkey*48271 + l_partkey*16807 + l_linenumber*69621) % 100003) % 2001 - 1000 AS DOUBLE)
+                / CAST(1000 AS DOUBLE))
+               * (CASE WHEN l_partkey % 16 = 5 THEN CAST(50 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END) AS value,
+             CAST(1 AS DOUBLE) AS weight,
+             (l_orderkey % 32 BETWEEN 14 AND 17) AS onp
+      FROM lineitem
+    ),
+    -- rcvrstd: fixed bad-channel list [1]
+    c1 AS (SELECT *, CASE WHEN chan = 1 THEN CAST(0 AS DOUBLE) ELSE weight END AS w1 FROM cube),
+    -- surgical: off-pulse cell RMS vs per-obs median +/- 5*1.4826*MAD
+    cell AS (
+      SELECT obs_id, subint, chan,
+             stddev_samp(CASE WHEN NOT onp THEN value END) AS cell_rms
+      FROM c1 GROUP BY 1, 2, 3
+    ),
+    med AS (SELECT obs_id, median(cell_rms) AS rms_med FROM cell GROUP BY 1),
+    mad AS (
+      SELECT c.obs_id, median(abs(c.cell_rms - m.rms_med)) AS rms_mad
+      FROM cell c JOIN med m USING (obs_id) GROUP BY 1
+    ),
+    dec AS (
+      SELECT c.obs_id, c.subint, c.chan,
+             (abs(c.cell_rms - m.rms_med) > CAST(5 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.rms_mad
+              AND d.rms_mad > 0) AS zap_cell
+      FROM cell c JOIN med m USING (obs_id) JOIN mad d USING (obs_id)
+    ),
+    c2 AS (
+      SELECT c1.*, CASE WHEN coalesce(d.zap_cell, false) THEN CAST(0 AS DOUBLE) ELSE c1.w1 END AS w2
+      FROM c1 LEFT JOIN dec d USING (obs_id, subint, chan)
+    ),
+    -- bandwagon 0.5/0.5
+    bychan AS (SELECT obs_id, chan,
+                      avg(CASE WHEN w2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS cf
+               FROM c2 GROUP BY 1, 2),
+    bysub  AS (SELECT obs_id, subint,
+                      avg(CASE WHEN w2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS sf
+               FROM c2 GROUP BY 1, 2),
+    c3 AS (
+      SELECT c2.*, CASE WHEN bc.cf >= CAST(0.5 AS DOUBLE) OR bs.sf >= CAST(0.5 AS DOUBLE)
+                        THEN CAST(0 AS DOUBLE) ELSE c2.w2 END AS w3
+      FROM c2 JOIN bychan bc USING (obs_id, chan) JOIN bysub bs USING (obs_id, subint)
+    ),
+    -- fluxcal: median off-pulse RMS over window channels, mult = expected/observed
+    perchan AS (
+      SELECT obs_id, chan, stddev_samp(CASE WHEN NOT onp THEN value END) AS off_rms, avg(freq) AS freq
+      FROM c3 GROUP BY 1, 2
+    ),
+    mults AS (
+      SELECT obs_id, median(off_rms) AS observed_rms,
+             CAST(1 AS DOUBLE) / median(off_rms) AS mult
+      FROM perchan WHERE freq >= CAST(900 AS DOUBLE) AND freq < CAST(1500 AS DOUBLE) GROUP BY obs_id
+    ),
+    calibrated AS (
+      SELECT c3.obs_id, c3.onp, c3.w3, c3.value * coalesce(m.mult, CAST(1 AS DOUBLE)) AS value
+      FROM c3 LEFT JOIN mults m USING (obs_id)
+    ),
+    zapfrac AS (
+      SELECT obs_id, avg(CASE WHEN w3 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS pz
+      FROM c3 GROUP BY obs_id
+    ),
+    snr AS (
+      SELECT obs_id,
+             (sum(CASE WHEN onp THEN value END)
+              - count(CASE WHEN onp THEN value END) * avg(CASE WHEN NOT onp THEN value END))
+             / (stddev_samp(CASE WHEN NOT onp THEN value END)
+                * sqrt(count(CASE WHEN onp THEN value END))) AS snr
+      FROM calibrated WHERE w3 > 0 GROUP BY obs_id
+    ),
+    -- dlyfix over the per-obs metadata (sequential rules, '=' reset)
+    obsmeta AS (
+      SELECT obs_id,
+             CASE obs_id WHEN 'A' THEN CAST(58100 AS DOUBLE)
+                         WHEN 'N' THEN CAST(58400 AS DOUBLE)
+                         ELSE CAST(58700 AS DOUBLE) END AS mjd,
+             CASE obs_id WHEN 'A' THEN 'cbf_256_v2'
+                         WHEN 'N' THEN 'cbf_256_v1'
+                         ELSE 'special' END AS beconfig
+      FROM (SELECT DISTINCT obs_id FROM cube)
+    ),
+    dly AS (
+      SELECT obs_id,
+             (CASE WHEN mjd < CAST(58500 AS DOUBLE)
+                        AND NOT regexp_matches(beconfig, '^(?:cbf.*v1)')
+                   THEN CAST(1e-5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+             + (CASE WHEN regexp_matches(beconfig, '^(?:cbf.*v1)')
+                     THEN CAST(5e-6 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+             + (CASE WHEN mjd >= CAST(58600 AS DOUBLE)
+                     THEN -CAST(2e-6 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS delay_s
+      FROM obsmeta
+    )
+    SELECT z.obs_id,
+           round(d.delay_s * CAST(1e6 AS DOUBLE), 3) AS delay_us,
+           round(z.pz, 6) AS percent_rfi_zapped,
+           round(m.mult, 6) AS mult,
+           round(m.observed_rms, 6) AS observed_rms,
+           round(s.snr, 4) AS snr
+    FROM zapfrac z JOIN mults m USING (obs_id) JOIN snr s USING (obs_id)
+                   JOIN dly d USING (obs_id)
+    """,
+    doc="VERDICT r2 #6: the FULL SURVEY §3.2+§3.3 lifecycle as one "
+        "driver-checkable query — synthetic observation from lineitem "
+        "(integer-modular pseudo-noise: bit-identical cross-engine, no "
+        "libm), dlyfix rule evaluation (sequential predicates + '=' "
+        "reset), rcvrstd/surgical/bandwagon cleaning, off-pulse flux "
+        "calibration, S/N, and the results.json doc parsed back via "
+        "from_json — every field hash-matched against a DuckDB oracle "
+        "running the identical stage chain in SQL.",
+    headline=True,
+)
+def pipeline_results_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from meerpipe_spark.operators.delay_rules import evaluate_delay_rules, parse_dlycfg
+    from meerpipe_spark.plans.pipeline import run_observation_pipeline
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    chan = F.col("l_partkey") % 16
+    bint = F.col("l_orderkey") % 32
+    m = (
+        F.col("l_orderkey") * 48271
+        + F.col("l_partkey") * 16807
+        + F.col("l_linenumber") * 69621
+    ) % 100003
+    noise = ((m % 2001) - 1000).cast("double") / F.lit(1000.0)
+    pulse = F.when(bint.between(14, 17), F.lit(10.0)).otherwise(F.lit(0.0))
+    rfi = F.when(chan == 5, F.lit(50.0)).otherwise(F.lit(1.0))
+    cube = li.select(
+        F.col("l_returnflag").alias("obs_id"),
+        (F.col("l_linenumber") % 4).alias("subint"),
+        F.lit(0).alias("pol"),
+        chan.alias("chan"),
+        bint.alias("bin"),
+        F.lit("LBAND").alias("band"),
+        F.lit(16).alias("nchan"),
+        (F.lit(900.0) + chan.cast("double") * F.lit(40.0)).alias("freq"),
+        (pulse + noise * rfi).alias("value"),
+        F.lit(1.0).alias("weight"),
+    )
+    out = run_observation_pipeline(
+        cube,
+        F.col("bin").between(14, 17),
+        specs=[],
+        input_nsub=4,
+        input_nchan=16,
+        expected_rms=1.0,
+        fluxcal_window=(900.0, 1500.0),
+        bad_channels=[1],
+        persist=False,  # driver compare collects once; no cache pin
+    )
+    # dlyfix stage: the engine's rules evaluation on the obs metadata
+    rules = parse_dlycfg(
+        [
+            "* early epoch",
+            "mjd < 58500",
+            "delay += 10 us",
+            "* v1 firmware rebase",
+            "beconfig ~= cbf.*v1",
+            "delay = 5 us",
+            "* late trim",
+            "mjd >= 58600",
+            "delay -= 2 us",
+        ]
+    )
+    obs_meta = cube.select("obs_id").distinct().select(
+        "obs_id",
+        F.when(F.col("obs_id") == "A", 58100.0)
+        .when(F.col("obs_id") == "N", 58400.0)
+        .otherwise(58700.0)
+        .alias("mjd"),
+        F.when(F.col("obs_id") == "A", "cbf_256_v2")
+        .when(F.col("obs_id") == "N", "cbf_256_v1")
+        .otherwise("special")
+        .alias("beconfig"),
+    )
+    delays = evaluate_delay_rules(
+        obs_meta, rules, attr_cols={"beconfig": "beconfig"}, unique_keys=True
+    )
+    schema = T.StructType(
+        [
+            T.StructField("percent_rfi_zapped", T.DoubleType()),
+            T.StructField("mult", T.DoubleType()),
+            T.StructField("observed_rms", T.DoubleType()),
+            T.StructField("snr", T.DoubleType()),
+        ]
+    )
+    return (
+        out["results"]
+        .select("obs_id", F.from_json("results_json", schema).alias("d"))
+        .join(F.broadcast(delays), "obs_id")
+        .select(
+            "obs_id",
+            F.round(F.col("delay_s") * 1e6, 3).alias("delay_us"),
+            F.round("d.percent_rfi_zapped", 6).alias("percent_rfi_zapped"),
+            F.round("d.mult", 6).alias("mult"),
+            F.round("d.observed_rms", 6).alias("observed_rms"),
+            F.round("d.snr", 4).alias("snr"),
+        )
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -90,6 +90,30 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def ensure_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 16,
+    sort_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Idempotent :func:`write_bucketed`: no-op when the table is already
+    registered. With the default in-memory catalog a NEW session forgets
+    the registration while the warehouse directory persists — clear the
+    stale location before re-writing (on a real deployment the persistent
+    metastore makes ``tableExists`` authoritative and this branch dead).
+    """
+    if spark.catalog.tableExists(table):
+        return
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    shutil.rmtree(loc, ignore_errors=True)
+    write_bucketed(df, table, bucket_cols, num_buckets, sort_cols)
+
+
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a saved (possibly bucketed) table by name."""
     return spark.table(table)

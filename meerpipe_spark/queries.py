@@ -2824,5 +2824,53 @@ def pipeline_results_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bucketed_colocated_join",
+    """
+    SELECT l_orderkey AS order_key,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_quantity > 10
+    GROUP BY l_orderkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) > 250000
+    """,
+    doc="VERDICT r2 #7: the bucketed-layout contract on a HEADLINE query "
+        "— orders and lineitem are laid down bucketed+sorted on the order "
+        "key (io.write_bucketed, idempotent per sf_dir), then the "
+        "join+group on that key runs with ZERO Exchange nodes: the scans "
+        "themselves satisfy both the merge join's and the aggregation's "
+        "distribution requirement (PLANS.md row must show 0 shuffles). "
+        "This is the layout every 100 TB fact table should ship with.",
+    headline=True,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from meerpipe_spark.io import ensure_bucketed, read_table
+
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = {"orders": f"orders_bq_{tag}", "lineitem": f"lineitem_bq_{tag}"}
+    keys = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    for base, table in names.items():
+        ensure_bucketed(spark, t[base], table, (keys[base],), 16, (keys[base],))
+    o = read_table(spark, names["orders"])
+    li = read_table(spark, names["lineitem"]).filter(F.col("l_quantity") > 10)
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.hint("merge")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(rev.alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("_rev") > 250000)
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.round("_rev", 4).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -68,6 +68,20 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert cols == {"l_returnflag", "l_discount", "l_tax"}
 
 
+def test_bucketed_colocated_join_query_zero_exchanges(spark, sf_dir):
+    """The registered headline query (VERDICT r2 #7) must execute with
+    ZERO Exchange nodes — bucketed scans satisfy both the merge join's
+    and the aggregation's distribution requirement."""
+    from meerpipe_spark.queries import QUERIES
+
+    df = QUERIES["bucketed_colocated_join"].fn(spark, sf_dir)
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "SelectedBucketsCount" in plan, plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Co-located join contract (SCALE.md): orders and lineitem bucketed
     on the order key with the same bucket count join with NO Exchange on

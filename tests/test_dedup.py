@@ -125,9 +125,9 @@ def test_near_dup_pipeline_cap_passthrough(spark, corpus):
 
 def test_lsh_auto_guard_default_on(spark, corpus):
     """VERDICT r2 #4: the degenerate-bucket guard must fire with DEFAULT
-    arguments — no knob. 10⁴ identical docs exceed both auto thresholds
-    (abs floor 256, 0.1% of banded rows) and are dropped; organic
-    candidates are untouched because every organic bucket is tiny."""
+    arguments — no knob. 10⁴ identical docs exceed LSH_AUTO_BUCKET_CAP
+    and are dropped; organic candidates are untouched because every
+    organic bucket is tiny."""
     degenerate = spark.range(10_000, 20_000).select(
         F.col("id").alias("doc_id"),
         F.lit("boiler plate terms of service text repeated verbatim").alias("text"),
@@ -146,7 +146,7 @@ def test_near_dup_pipeline_default_survives_degenerate_bucket(spark, corpus):
     """Pipeline-level: defaults only, adversarial input — completes
     without the quadratic bucket and still surfaces the planted
     near-dups."""
-    degenerate = spark.range(10_000, 12_000).select(
+    degenerate = spark.range(10_000, 13_000).select(
         F.col("id").alias("doc_id"),
         F.lit("boiler plate terms of service text repeated verbatim").alias("text"),
     )

@@ -15,7 +15,7 @@ n_chars). Scale notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -119,11 +119,15 @@ def lsh_candidate_pairs(
     100 TB path must be safe without the caller knowing the knob); an
     int pins the cap; None disables the guard.
 
-    The in-plan hot-key detector is a COUNT WINDOW over the bucket key:
-    the window's shuffle on (band_id, band_hash) is exactly the
-    distribution the self-join needs, so the guard adds no extra wide
-    stage over the signatures — measured ~1.2× the unguarded form at
-    sf0.1, vs ~2.4× for a separate size-aggregation semi-join.
+    The hot-key detector is a partial-aggregated COUNT per bucket,
+    filtered to buckets over the cap, anti-joined back. The count
+    shuffle carries one aggregated row per bucket (not per banded row),
+    the hot list is near-empty on healthy data so AQE rewrites the
+    anti-join to a broadcast at runtime, and the band exchange feeding
+    both branches is computed once (ReuseExchange). This replaced a
+    COUNT-WINDOW guard that forced a full Exchange+Sort of every banded
+    row and cost ~1.6× the unguarded form at sf0.1; the agg+anti form
+    benches within noise of unguarded.
     """
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
     banded = signatures.select(
@@ -141,12 +145,13 @@ def lsh_candidate_pairs(
     if max_bucket_size == "auto":
         max_bucket_size = LSH_AUTO_BUCKET_CAP
     if max_bucket_size is not None:
-        bucket_w = W.partitionBy("band_id", "band_hash")
-        banded = (
-            banded.withColumn("_n", F.count(F.lit(1)).over(bucket_w))
-            .filter(F.col("_n") <= max_bucket_size)
-            .drop("_n")
+        hot = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band_id", "band_hash")
         )
+        banded = banded.join(hot, ["band_id", "band_hash"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

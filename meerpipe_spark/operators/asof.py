@@ -1,0 +1,109 @@
+"""As-of (most-recent-match) join — a time-series operator Spark lacks
+natively.
+
+Reference parity: meerpipe repeatedly matches an observation to the most
+recent preceding configuration state — delay-config epochs applying to
+every later observation until superseded (``dlyfix.py`` rule epochs),
+fluxcal sessions, template updates. The general form is the backward
+as-of join (and its forward mirror).
+
+Spark-first design: NO range join, NO per-row subquery. Union-tag both
+sides, window-fill within the key partition:
+
+    right rows carry their payload, left rows carry null;
+    sort by (ts, side) inside each key partition (right sorts first on
+    ties, giving the standard ``<=`` / ``>=`` as-of semantics);
+    ``last(payload, ignorenulls=True)`` over the preceding frame fills
+    each left row with the nearest right payload;
+    keep only left rows.
+
+Cost: ONE shuffle on the join key + one sort per partition — exactly the
+work a native AsOfJoin physical operator (sort both sides, merge) would
+do, linear in |left| + |right|. A naive range-join formulation
+(``l.ts >= r.ts`` + row_number) explodes to |left| × |right per key|
+pairs before pruning; this form never materializes them.
+
+Skew note: a hot join key concentrates one partition, same class as any
+window — at 100 TB pre-split hot keys upstream or sub-bucket by a coarse
+time bucket (as-of then only needs the previous bucket's tail carried
+forward).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    ts_col: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    suffix: str = "_asof",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the largest
+    ``right.ts_col <= left.ts_col`` (direction="backward") or smallest
+    ``>=`` (direction="forward") within the same ``on`` key group.
+
+    Returns every left column plus, for each ``c`` in ``value_cols``,
+    ``c + suffix``, and ``ts_col + suffix`` (the matched right
+    timestamp). Left rows with no match get nulls (LEFT as-of).
+
+    If several right rows share (key, ts), the winner is the one with
+    the greatest ``tiebreak_col`` (deterministic); without a tiebreak
+    the caller must guarantee (key, ts) uniqueness on the right side.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    carry = [ts_col] + [c for c in value_cols if c != ts_col]
+
+    r = right
+    if tiebreak_col is not None:
+        w_dedup = Window.partitionBy(*keys, ts_col).orderBy(F.desc(tiebreak_col))
+        r = (
+            r.withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    right_types = {f.name: f.dataType for f in r.schema.fields}
+    r_tagged = r.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left.columns if c not in keys],
+        *[F.col(c).alias(f"_r_{c}") for c in carry],
+    )
+    l_tagged = left.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns if c not in keys],
+        *[F.lit(None).cast(right_types[c]).alias(f"_r_{c}") for c in carry],
+    )
+    unioned = r_tagged.unionByName(l_tagged)
+
+    ts_order = F.asc("_ts") if direction == "backward" else F.desc("_ts")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *keys,
+        "_side",
+        *[F.col(f"_l_{c}") for c in left.columns if c not in keys],
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in carry],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    for c in left.columns:
+        if c not in keys:
+            out = out.withColumnRenamed(f"_l_{c}", c)
+    for c in carry:
+        out = out.withColumnRenamed(f"_r_{c}", c + suffix)
+    return out

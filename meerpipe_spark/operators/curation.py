@@ -1,0 +1,150 @@
+"""Training-data curation operators: benchmark decontamination,
+repetition-based quality filtering (Gopher-style), and deterministic
+stratified sampling.
+
+These are the corpus-hygiene passes a large-scale training-data pipeline
+runs between ingest and tokenization. All are pure JVM expressions /
+equi-joins — no Python in the hot path, no all-pairs work:
+
+- contamination: train-side shingles semi-joined against the benchmark
+  shingle set. The benchmark set is SMALL by construction (eval suites
+  are ~10⁶ n-grams), so the join is an explicit broadcast: the 100 TB
+  train side is scanned once, map-side only.
+- repetition metrics: explode + two-level hash aggregation keyed by
+  doc — partial aggregation map-side, shuffle carries one row per
+  (doc, distinct bigram).
+- stratified sampling: a deterministic per-row hash threshold — zero
+  shuffle, reproducible across runs/engines (md5 is engine-portable),
+  and stable under re-partitioning, unlike ``df.sample`` whose output
+  depends on partition layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from meerpipe_spark.operators.dedup import shingles
+
+
+def benchmark_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per train doc: how many of its distinct word n-grams appear in
+    ANY benchmark doc (decontamination scan).
+
+    Returns (id, n_overlap, contam_frac) for docs with >= 1 overlap.
+    The benchmark n-gram set is deduped and broadcast — train is
+    scanned once with a map-side semi-join, no shuffle of train rows.
+    """
+    bench_sh = (
+        bench.select(F.explode(shingles(F.col(text_col), shingle_n)).alias("s"))
+        .distinct()
+    )
+    train_sh = train.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    hits = (
+        train_sh.select(id_col, F.size("sh").cast("bigint").alias("n_shingles"),
+                        F.explode("sh").alias("s"))
+        .join(F.broadcast(bench_sh), "s")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return hits.select(
+        id_col,
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("contam_frac"),
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_bigram_frac: float = 0.06,
+    max_dup_word_frac: float = 0.65,
+) -> DataFrame:
+    """Gopher-style repetition signals per doc:
+
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigrams (boilerplate / template detector);
+    - ``dup_word_frac``: 1 - distinct_words/total_words;
+    - ``keep``: both under their thresholds.
+
+    Docs with fewer than 2 words have no bigrams and are dropped (no
+    repetition signal). Bigram counting is explode + two hash aggs keyed
+    by doc — partial agg map-side; the scalar word stats are array
+    intrinsics joined back on the doc key.
+    """
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - 1
+    bigrams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    bg_counts = (
+        docs.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = bg_counts.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    scalars = docs.select(
+        F.col(id_col),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.round(1.0 - F.size(F.array_distinct(words)) / F.size(words), 6).alias(
+            "dup_word_frac"
+        ),
+    )
+    return per_doc.join(scalars, id_col).select(
+        id_col,
+        "n_words",
+        "top_bigram_frac",
+        "dup_word_frac",
+        (
+            (F.col("top_bigram_frac") < max_top_bigram_frac)
+            & (F.col("dup_word_frac") < max_dup_word_frac)
+        ).alias("keep"),
+    )
+
+
+def _hex_threshold(p: float) -> str:
+    """8-hex-digit threshold t such that a uniformly distributed
+    lowercase hex prefix h satisfies h < t with probability ~p.
+    p >= 1 maps to 'g' (> every hex digit, keeps everything)."""
+    if p >= 1.0:
+        return "g"
+    return format(max(int(p * 16**8), 0), "08x")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.1,
+    stratum_col: str = "source",
+    hash_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the first 8
+    hex digits of md5(hash_col) are lexicographically below the
+    stratum's threshold (hex digits order numerically, so this is a
+    uniform [0,1) draw that is identical across engines, runs and
+    partitionings).
+
+    Hashing CONTENT (not id) makes the sample dedup-stable: byte-equal
+    docs are kept or dropped together regardless of id assignment.
+    Zero shuffle — a single map-side filter at any scale.
+    """
+    bucket = F.substring(F.md5(F.col(hash_col)), 1, 8)
+    thr = F.lit(_hex_threshold(default_rate))
+    for stratum, p in rates.items():
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(_hex_threshold(p))).otherwise(thr)
+    return docs.filter(bucket < thr)

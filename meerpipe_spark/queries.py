@@ -2872,5 +2872,205 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "asof_join_events",
+    """
+    WITH r AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'signup'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT l.event_id,
+           round(l.value, 4) AS purchase_value,
+           round(r.value, 4) AS signup_value,
+           round((epoch_us(l.ts) - epoch_us(r.ts)) / 1e6, 6) AS gap_s
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="As-of join (operators/asof.py): each purchase matched to the "
+        "most recent preceding signup of the same user — union-tag + "
+        "window fill, ONE shuffle on the key, linear; the oracle is "
+        "DuckDB's native ASOF LEFT JOIN. Left rows with no preceding "
+        "match keep nulls. Reference parity: config epochs applying to "
+        "all later observations until superseded (dlyfix rule epochs).",
+    headline=True,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.asof import asof_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        left, right, on="user_id", ts_col="ts", value_cols=["value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("value_asof", 4).alias("signup_value"),
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("ts_asof")) / F.lit(1e6), 6
+        ).alias("gap_s"),
+    )
+
+
+@_register(
+    "contamination_check",
+    """
+    WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 100 = 0),
+    train AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+              FROM sh WHERE doc_id % 100 <> 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+           round(count(*) * 1.0 / n_shingles, 6) AS contam_frac
+    FROM train JOIN bench USING (s)
+    GROUP BY doc_id, n_shingles
+    """,
+    doc="Benchmark decontamination (operators/curation.py): distinct "
+        "word-trigram overlap of every train doc against the benchmark "
+        "set (doc_id % 100 = 0 plays the eval suite). The benchmark "
+        "shingle set is deduped and explicitly BROADCAST — the train "
+        "side is scanned once map-side, the only shuffle carries one "
+        "row per (contaminated doc, distinct hit).",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import benchmark_contamination
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    train = docs.filter(F.col("doc_id") % 100 != 0)
+    return benchmark_contamination(train, bench, shingle_n=3)
+
+
+@_register(
+    "repetition_filter",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+           FROM w, unnest(range(1, len(ws))) AS t(i)),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    m AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+          FROM cnt GROUP BY doc_id),
+    s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                 round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6) AS dup_word_frac
+          FROM w)
+    SELECT m.doc_id, s.n_words, m.top_bigram_frac, s.dup_word_frac,
+           (m.top_bigram_frac < 0.06 AND s.dup_word_frac < 0.65) AS keep
+    FROM m JOIN s USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality filter (operators/curation.py): "
+        "top-bigram fraction + duplicate-word fraction per doc with a "
+        "keep flag. Explode + two-level hash agg keyed by doc — partial "
+        "aggregation map-side; the integer-ratio doubles are "
+        "bit-identical across engines.",
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import repetition_metrics
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return repetition_metrics(docs)
+
+
+@_register(
+    "stratified_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(text), 1, 8) <
+          CASE source WHEN 'src0' THEN '80000000'
+                      WHEN 'src1' THEN '80000000'
+                      WHEN 'src2' THEN '40000000'
+                      ELSE '19999999' END
+    """,
+    doc="Deterministic stratified sampling (operators/curation.py): "
+        "per-source keep rates (src0/src1 50%, src2 25%, default 10%) "
+        "via an md5-prefix threshold — engine-portable, reproducible, "
+        "partitioning-independent, dedup-stable (hashes CONTENT), and "
+        "zero-shuffle (a pure map-side filter at any scale), unlike "
+        "df.sample whose draw depends on partition layout.",
+)
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import stratified_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    rates = {"src0": 0.5, "src1": 0.5, "src2": 0.25}
+    return stratified_sample(docs, rates, default_rate=0.1).select("doc_id", "source")
+
+
+@_register(
+    "near_dup_components",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 500)
+    ),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n AS na, b.n AS nb, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+    ),
+    p AS (SELECT id_a, id_b FROM common
+          WHERE inter * 1.0 / (na + nb - inter) >= 0.05),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    walk(node, lab) AS (
+        SELECT a, a FROM edges GROUP BY a
+        UNION
+        SELECT e.a, w.lab FROM edges e JOIN walk w ON w.node = e.b
+    )
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+    FROM walk GROUP BY node
+    """,
+    doc="Connected components over the near-dup pair graph "
+        "(operators/dedup.py::connected_components): iterated min-label "
+        "propagation (join + agg per round, rounds = graph diameter, "
+        "localCheckpoint truncating lineage), converging to the unique "
+        "min-reachable-id labeling — hash-matched against a DuckDB "
+        "recursive-CTE fixpoint. The canonical-representative step that "
+        "turns candidate pairs into actual dedup decisions. Edges: "
+        "word-trigram Jaccard >= 0.05 via the inverted-index form — "
+        "explode shingles, EQUI-join on the shingle, count shared per "
+        "pair, |A∪B| = na + nb - inter — never an all-pairs array "
+        "intersect (185× faster here, and the only form that scales; "
+        "production edges come from the LSH pipeline).",
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import connected_components, shingles
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 500)
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pairs = common.filter(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.05
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").cast("bigint").alias("component")
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -1,0 +1,135 @@
+"""Curation operator tests: contamination overlap counting, repetition
+metrics on crafted docs, stratified-sample determinism and rate
+behavior, and the connected-components fixpoint."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from meerpipe_spark.operators.curation import (
+    _hex_threshold,
+    benchmark_contamination,
+    repetition_metrics,
+    stratified_sample,
+)
+from meerpipe_spark.operators.dedup import connected_components
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, source=s) for i, t, s in rows]
+    )
+
+
+# -- contamination -----------------------------------------------------------
+
+def test_contamination_counts_distinct_overlaps(spark):
+    bench = _docs(spark, [(100, "a b c d e", "src0")])  # trigrams: abc bcd cde
+    train = _docs(
+        spark,
+        [
+            (1, "a b c d x", "src0"),   # shares "a b c", "b c d" -> 2 of 3
+            (2, "x y z w q", "src0"),   # shares none
+        ],
+    )
+    out = {r.doc_id: r for r in benchmark_contamination(train, bench).collect()}
+    assert set(out) == {1}
+    assert out[1].n_overlap == 2
+    assert abs(out[1].contam_frac - round(2 / 3, 6)) < 1e-9
+
+
+def test_contamination_short_docs_no_shingles(spark):
+    bench = _docs(spark, [(100, "a b c d", "src0")])
+    train = _docs(spark, [(1, "a b", "src0")])  # < 3 words: no trigrams
+    assert benchmark_contamination(train, bench).count() == 0
+
+
+# -- repetition metrics ------------------------------------------------------
+
+def test_repetition_flags_boilerplate(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spam ham spam ham spam ham spam ham", "s"),  # one bigram dominates
+            # all-distinct and long enough that 1/(n-1) < the 0.06 threshold
+            (2, " ".join(f"w{i}" for i in range(40)), "s"),
+        ],
+    )
+    out = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert out[1].keep is False and out[1].top_bigram_frac > 0.5
+    assert out[2].keep is True and out[2].dup_word_frac == 0.0
+    assert out[2].n_words == 40
+
+
+def test_repetition_single_word_doc_dropped(spark):
+    docs = _docs(spark, [(1, "word", "s"), (2, "a b c", "s")])
+    assert {r.doc_id for r in repetition_metrics(docs).collect()} == {2}
+
+
+# -- stratified sample -------------------------------------------------------
+
+def test_hex_threshold_bounds():
+    assert _hex_threshold(0.0) == "00000000"
+    assert _hex_threshold(0.5) == "80000000"
+    assert _hex_threshold(1.0) == "g"      # > every hex digit: keeps all
+    assert _hex_threshold(2.0) == "g"
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, f"text number {i} with some words", f"src{i % 2}") for i in range(400)]
+    docs = _docs(spark, rows)
+    full = stratified_sample(docs, {"src0": 1.0}, default_rate=0.0)
+    assert full.count() == 200  # all of src0, none of src1
+    assert {r.source for r in full.collect()} == {"src0"}
+
+    half = stratified_sample(docs, {}, default_rate=0.5)
+    n = half.count()
+    assert 130 <= n <= 270  # ~50% of 400, generous binomial bounds
+    # determinism: identical row set on re-evaluation
+    ids1 = sorted(r.doc_id for r in half.collect())
+    ids2 = sorted(r.doc_id for r in stratified_sample(docs, {}, default_rate=0.5).collect())
+    assert ids1 == ids2
+
+
+def test_stratified_sample_dedup_stable(spark):
+    """Byte-identical texts are kept or dropped together (content hash)."""
+    docs = _docs(spark, [(1, "same text here", "a"), (2, "same text here", "b")])
+    kept = {r.doc_id for r in stratified_sample(docs, {}, default_rate=0.5).collect()}
+    assert kept in (set(), {1, 2})
+
+
+# -- connected components ----------------------------------------------------
+
+def _pairs(spark, edges):
+    return spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+
+
+def test_cc_chain_and_island(spark):
+    # chain 1-2-3 (transitive: 3 never pairs with 1 directly) + island 7-8
+    comp = {
+        r.node: r.component
+        for r in connected_components(_pairs(spark, [(1, 2), (2, 3), (7, 8)])).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_cc_cycle_and_cross_link(spark):
+    comp = {
+        r.node: r.component
+        for r in connected_components(
+            _pairs(spark, [(4, 5), (5, 6), (6, 4), (2, 6)])
+        ).collect()
+    }
+    assert set(comp.values()) == {2}
+    assert set(comp) == {2, 4, 5, 6}
+
+
+def test_cc_long_path_converges(spark):
+    # path 0-1-2-...-9: worst-case diameter for min propagation
+    comp = {
+        r.node: r.component
+        for r in connected_components(
+            _pairs(spark, [(i, i + 1) for i in range(9)])
+        ).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == 10

@@ -8,6 +8,7 @@ rows, stable schema).
 
 Usage:
     python tools/oracle_sweep.py [sf_dir]       # default /root/testdata/sf0.01
+    python tools/oracle_sweep.py --only a,b,c   # subset while iterating
 
 Exit code 0 iff every query passes. Prints one status line per query and
 a JSON summary line at the end, so rounds can diff registry visibility
@@ -43,7 +44,13 @@ def _normalize(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -73,6 +80,8 @@ def main() -> int:
     oracles = mod.oracle_sql()
     passed, rows_only, failed = [], [], []
     for name, fn in queries.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

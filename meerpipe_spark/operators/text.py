@@ -26,6 +26,33 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+#: GPT-2-style pre-tokenizer, restricted to the regex subset that Java
+#: (Spark) and RE2 (DuckDB) interpret identically: letter runs, digit
+#: runs, punctuation runs. Real BPE merges happen downstream; the
+#: pre-tokenizer is what determines token COUNTS to first order, which
+#: is what a pipeline needs for budgeting/packing.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(text_col: F.Column) -> F.Column:
+    """array<string> of BPE-ish pre-tokens (letters / digits /
+    punctuation runs — whitespace never tokenized). Pure JVM regex,
+    whole-stage-codegen'd."""
+    return F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc BPE-ish token count and chars-per-token (the budgeting
+    ratio: bytes of corpus per model token)."""
+    toks = bpe_ish_tokens(F.col(text_col))
+    n = F.size(toks)
+    return docs.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_bpe_tokens"),
+        F.when(n > 0, F.round(F.length(text_col) / n, 6)).alias("chars_per_token"),
+    )
+
+
 def stopword_ratio(text_col: F.Column, stopwords=EN_STOPWORDS) -> F.Column:
     words = F.split(text_col, " ")
     sw = F.size(F.filter(words, lambda w: w.isin(*stopwords)))

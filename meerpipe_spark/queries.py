@@ -3072,5 +3072,76 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bpe_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+               AS n_bpe_tokens,
+           round(length(text) * 1.0
+                 / nullif(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')), 0), 6)
+               AS chars_per_token
+    FROM documents
+    """,
+    doc="BPE-ish token counting (operators/text.py::bpe_token_stats): "
+        "GPT-2-style pre-tokenizer restricted to the regex subset Java "
+        "and RE2 interpret identically (letter/digit/punct runs) — the "
+        "corpus-budgeting ratio (chars per model token) as a pure JVM "
+        "regex, whole-stage-codegen'd, zero shuffle.",
+)
+def bpe_token_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import bpe_token_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bpe_token_stats(docs)
+
+
+@_register(
+    "streaming_dedup_counts",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="REAL streaming exact-dedup with a FULL oracle "
+        "(streaming/events.py::dedup_stream): the events table is "
+        "written to the stream source TWICE (injected duplicates), "
+        "dropDuplicatesWithinWatermark on event_id suppresses the "
+        "re-deliveries, and the surviving rows hash-match the clean "
+        "batch table's per-type counts/sums exactly. Watermark is set "
+        "above the data's time span here so no state is evicted "
+        "mid-run (the production delay bounds state instead; see the "
+        "operator docstring for the guarantee trade).",
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from meerpipe_spark.streaming.events import dedup_stream, read_event_stream
+
+    d = tempfile.mkdtemp(prefix="mp_sdedup_")
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+    ev = load_tables(spark, sf_dir)["events"]
+    ev.repartition(4).write.parquet(src)
+    ev.repartition(4).write.mode("append").parquet(src)  # duplicate delivery
+    (
+        dedup_stream(read_event_stream(spark, src), ["event_id"], watermark="87600 hours")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -69,6 +69,30 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact-dedup: the first arrival of each key wins —
+    the streaming twin of ``operators.dedup.exact_dedup`` (key on
+    ``md5(text)`` for content dedup, on the event id for re-delivery
+    suppression).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    EVICTS entries once the watermark passes them, so state is
+    O(arrival rate × watermark delay), not O(corpus) — the property
+    that makes streaming dedup viable at 100 TB/day. The trade is the
+    guarantee window: a duplicate arriving later than the watermark
+    delay after its first copy is NOT suppressed (pair with a
+    downstream batch `exact_dedup` compaction for full-history
+    guarantees)."""
+    return stream.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def unprocessed(batch: DataFrame, processed_keys: DataFrame, key: str = "event_id") -> DataFrame:
     """F9: LEFT ANTI join batch × already-processed keys."""
     return batch.join(processed_keys, key, "left_anti")

@@ -133,3 +133,20 @@ def test_cc_long_path_converges(spark):
         ).collect()
     }
     assert set(comp.values()) == {0} and len(comp) == 10
+
+
+# -- BPE-ish tokenization ----------------------------------------------------
+
+def test_bpe_ish_token_stats(spark):
+    from meerpipe_spark.operators.text import bpe_token_stats
+
+    docs = _docs(
+        spark,
+        [
+            (1, "Hello, world! Ab3 42x", "s"),  # Hello , world ! Ab 3 42 x -> 8
+            (2, "", "s"),                        # no tokens -> null ratio
+        ],
+    )
+    out = {r.doc_id: r for r in bpe_token_stats(docs).collect()}
+    assert out[1].n_bpe_tokens == 8
+    assert out[2].n_bpe_tokens == 0 and out[2].chars_per_token is None

@@ -244,3 +244,27 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, event_dir, tmp_path):
     # append-mode emission must be a subset closed to the batch result;
     # with availableNow over a finite backlog all pairs are emitted
     assert got == expect
+
+
+def test_dedup_stream_suppresses_redelivery(spark, sf_dir, event_dir, tmp_path):
+    """Events delivered twice; dedup on event_id leaves exactly one copy
+    of each — matching the clean batch table row-for-row."""
+    from meerpipe_spark.streaming.events import dedup_stream
+
+    ev = load_tables(spark, sf_dir)["events"]
+    ev.repartition(4).write.mode("append").parquet(event_dir)  # second delivery
+    out_dir, ckpt = str(tmp_path / "dd_out"), str(tmp_path / "dd_ckpt")
+    (
+        dedup_stream(read_event_stream(spark, event_dir), ["event_id"],
+                     watermark="87600 hours")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out_dir)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()

@@ -3143,5 +3143,30 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sequence_packing",
+    None,
+    doc="Context-window sequence packing "
+        "(operators/packing.py::pack_sequences): docs hash-sharded into "
+        "independent groups, each packed first-fit-decreasing inside an "
+        "applyInPandas grouped map (the per-doc bin-state loop is "
+        "genuinely iterative — the designated custom-operator pattern), "
+        "pack ids globally unique. Rows-only by design (FFD is not "
+        "SQL-expressible); invariants (exact assignment, budget held, "
+        "oversized isolation, determinism, >80% fill) are pytest-"
+        "enforced in tests/test_packing.py.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.packing import pack_sequences, pack_stats
+    from meerpipe_spark.operators.text import bpe_token_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = bpe_token_stats(docs).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    packed = pack_sequences(toks, budget=512, token_col="n_tokens", num_groups=16)
+    return pack_stats(packed, 512)
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -150,3 +150,36 @@ def test_bpe_ish_token_stats(spark):
     out = {r.doc_id: r for r in bpe_token_stats(docs).collect()}
     assert out[1].n_bpe_tokens == 8
     assert out[2].n_bpe_tokens == 0 and out[2].chars_per_token is None
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    """200-node random graph: the distributed result must equal a plain
+    union-find computed in-process (min node id per component)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expect = {n: find(n) for n in nodes}
+
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            _pairs(spark, edges), max_iters=50
+        ).collect()
+    }
+    assert got == expect

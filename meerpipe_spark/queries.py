@@ -21,7 +21,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from meerpipe_spark.io import load_tables
+from meerpipe_spark.io import load_tables, morton_key_sql
 
 
 @dataclass
@@ -3166,6 +3166,34 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(toks, budget=512, token_col="n_tokens", num_groups=16)
     return pack_stats(packed, 512)
+
+
+@_register(
+    "zorder_keys",
+    f"""
+    SELECT o_orderkey,
+           ({morton_key_sql(
+               "(o_custkey % 65536)",
+               "(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) % 65536)",
+           )}) AS zkey
+    FROM orders
+    """,
+    doc="Z-order (Morton) clustering key (io.morton_key / "
+        "io.write_zordered): bit-interleave of customer key and order "
+        "day — the multi-dimensional data-skipping layout. Sorting by "
+        "this key tiles the 2-D space so every parquet file carries a "
+        "narrow min/max on BOTH dimensions and range predicates on "
+        "either prune most files (span narrowing asserted in "
+        "tests/test_zorder.py). Pure bit arithmetic, identical in both "
+        "engines, zero shuffle to compute.",
+)
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import morton_key
+
+    o = load_tables(spark, sf_dir)["orders"]
+    a = F.col("o_custkey") % 65536
+    b = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")) % 65536
+    return o.select("o_orderkey", morton_key(a, b).alias("zkey"))
 
 
 def headline_queries() -> list[str]:

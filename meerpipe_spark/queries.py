@@ -3196,5 +3196,34 @@ def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", morton_key(a, b).alias("zkey"))
 
 
+@_register(
+    "sequence_packing_totals",
+    r"""
+    SELECT CAST(count(*) AS BIGINT) AS total_docs,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT)
+               AS total_tokens
+    FROM documents
+    """,
+    doc="Conservation oracle for the packing path: aggregate over "
+        "pack_sequences' OUTPUT — every doc assigned exactly once and "
+        "every token accounted for, hash-matched against direct SQL "
+        "totals over the input (the FFD assignment itself is rows-only; "
+        "this pins the driver-visible invariant).",
+)
+def sequence_packing_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.packing import pack_sequences
+    from meerpipe_spark.operators.text import bpe_token_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = bpe_token_stats(docs).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    packed = pack_sequences(toks, budget=512, token_col="n_tokens", num_groups=16)
+    return packed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

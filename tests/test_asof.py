@@ -91,3 +91,38 @@ def test_plan_single_shuffle_no_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof — an independent
+    reference implementation of backward as-of semantics."""
+    import pandas as pd
+    import random
+
+    rng = random.Random(42)
+    lrows = [
+        Row(lid=i, k=f"k{rng.randrange(5)}", ts=_ts(rng.randrange(1000)), lv=float(i))
+        for i in range(300)
+    ]
+    # unique (k, ts) on the right: sample without replacement per key
+    rrows = []
+    rid = 0
+    for kk in range(5):
+        for t in rng.sample(range(1000), 40):
+            rrows.append(Row(k=f"k{kk}", ts=_ts(t), rv=float(rid), rid=rid))
+            rid += 1
+    left, right = spark.createDataFrame(lrows), spark.createDataFrame(rrows)
+
+    got = {
+        r.lid: r.rv_asof
+        for r in asof_join(left, right, on="k", ts_col="ts", value_cols=["rv"]).collect()
+    }
+
+    lp = pd.DataFrame([r.asDict() for r in lrows]).sort_values("ts")
+    rp = pd.DataFrame([r.asDict() for r in rrows]).sort_values("ts")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    expect = {
+        int(row.lid): (None if pd.isna(row.rv) else float(row.rv))
+        for row in merged.itertuples()
+    }
+    assert got == expect

@@ -59,6 +59,10 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    reserved = {"_ts", "_side", "_rn"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}")
     carry = [ts_col] + [c for c in value_cols if c != ts_col]
 
     r = right

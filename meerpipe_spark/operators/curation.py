@@ -142,6 +142,10 @@ def stratified_sample(
     Hashing CONTENT (not id) makes the sample dedup-stable: byte-equal
     docs are kept or dropped together regardless of id assignment.
     Zero shuffle — a single map-side filter at any scale.
+
+    Rows with NULL ``hash_col`` hash to NULL and are always dropped
+    (filter predicates are null-rejecting) — filter them upstream if
+    they must be retained.
     """
     bucket = F.substring(F.md5(F.col(hash_col)), 1, 8)
     thr = F.lit(_hex_threshold(default_rate))

@@ -70,7 +70,8 @@ def pack_sequences(
     sharded = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_groups)).cast("int").alias("group"),
-        F.col(token_col).cast("long").alias("n_tokens"),
+        # null token counts (e.g. empty docs upstream) pack as zero-cost
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("n_tokens"),
     )
     return sharded.groupBy("group").applyInPandas(
         lambda pdf: _ffd_pack(pdf, budget), schema=PACK_SCHEMA

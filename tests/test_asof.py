@@ -126,3 +126,12 @@ def test_asof_matches_pandas_merge_asof(spark):
         for row in merged.itertuples()
     }
     assert got == expect
+
+
+def test_reserved_column_names_rejected(spark):
+    import pytest
+
+    left = spark.createDataFrame([Row(lid=1, k="a", ts=_ts(1), _side=1)])
+    right = spark.createDataFrame([Row(k="a", ts=_ts(0), rv=1.0)])
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(left, right, on="k", ts_col="ts", value_cols=["rv"])

@@ -61,3 +61,12 @@ def test_fill_quality_beats_naive(spark):
     total = sum(r.pack_tokens for r in stats)
     assert n_packs < 500 * 0.45  # far fewer packs than docs
     assert total / (n_packs * BUDGET) > 0.8  # mean fill > 80%
+
+
+def test_null_token_counts_pack_as_zero(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, n_tokens=None), Row(doc_id=1, n_tokens=500)]
+    )
+    packed = pack_sequences(docs, BUDGET, num_groups=1).collect()
+    assert sorted(r.doc_id for r in packed) == [0, 1]
+    assert {r.doc_id: r.n_tokens for r in packed}[0] == 0

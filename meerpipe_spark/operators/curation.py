@@ -117,6 +117,37 @@ def repetition_metrics(
     )
 
 
+def quota_sample(
+    docs: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "source",
+    hash_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-N-per-stratum sampling (data-mixture quotas): keep the
+    ``n_per_stratum`` docs with the smallest (md5(content), id) rank in
+    each stratum — a deterministic, engine-portable uniform draw, with
+    the id tiebreak making equal-content rows ordered.
+
+    One shuffle on the stratum key + per-partition top-N (rank window).
+    Skew note: a mega-stratum concentrates one partition; for quotas
+    ≤~10⁶ swap the window for a per-partition heap (groupBy + slice of
+    sort_array(collect_list(...))) bounded by N, or pre-filter with
+    :func:`stratified_sample` at a rate just above the quota so the
+    window only ranks a small superset.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(hash_col)), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
 def _hex_threshold(p: float) -> str:
     """8-hex-digit threshold t such that a uniformly distributed
     lowercase hex prefix h satisfies h < t with probability ~p.

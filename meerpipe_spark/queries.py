@@ -3225,5 +3225,24 @@ def sequence_packing_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "source_quota_sample",
+    """
+    SELECT doc_id, source FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) <= 7
+    """,
+    doc="Exactly-N-per-source quota sampling "
+        "(operators/curation.py::quota_sample) — the data-mixture "
+        "recipe primitive (rate-based sampling can't hit exact per-"
+        "domain document counts). Deterministic rank on "
+        "(md5(content), id); one shuffle + rank window.",
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import quota_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return quota_sample(docs, 7).select("doc_id", "source")
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

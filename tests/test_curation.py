@@ -183,3 +183,26 @@ def test_cc_random_graph_matches_union_find(spark):
         ).collect()
     }
     assert got == expect
+
+
+# -- quota sampling ----------------------------------------------------------
+
+def test_quota_sample_exact_n_and_deterministic(spark):
+    from meerpipe_spark.operators.curation import quota_sample
+
+    rows = [(i, f"doc number {i}", f"src{i % 3}") for i in range(60)]
+    docs = _docs(spark, rows)
+    got = quota_sample(docs, 5).collect()
+    per = {}
+    for r in got:
+        per[r.source] = per.get(r.source, 0) + 1
+    assert per == {"src0": 5, "src1": 5, "src2": 5}
+    again = quota_sample(docs, 5).collect()
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in again)
+
+
+def test_quota_larger_than_stratum_keeps_all(spark):
+    from meerpipe_spark.operators.curation import quota_sample
+
+    docs = _docs(spark, [(1, "a", "s"), (2, "b", "s")])
+    assert quota_sample(docs, 10).count() == 2

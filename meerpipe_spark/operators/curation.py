@@ -21,7 +21,7 @@ equi-joins — no Python in the hot path, no all-pairs work:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from meerpipe_spark.operators.dedup import shingles
 
@@ -145,6 +145,149 @@ def quota_sample(
         docs.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
+    )
+
+
+def segment_boilerplate_filter(
+    docs: DataFrame,
+    segment_words: int = 8,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (RefinedWeb-style line
+    dedup, generalized to fixed word-window segments for corpora whose
+    documents carry no newline structure): drop every segment that
+    occurs in >= ``min_docs`` DISTINCT documents, then reassemble each
+    document from its surviving segments in order.
+
+    Returns (id, n_segments, n_kept, text_clean). Documents whose every
+    segment is boilerplate survive with text_clean = '' (the caller
+    decides whether an emptied doc is dropped).
+
+    Shuffle inventory at 100 TB: segment counting is one hash-agg keyed
+    by the segment string — count(DISTINCT doc) is rewritten as two
+    partial-aggregated stages (segment,doc → segment), so the shuffle
+    carries one row per distinct (segment, doc), never raw text. The
+    boilerplate set (segments above the threshold — tiny, by Zipf) joins
+    back LEFT ANTI; AQE broadcasts it. Reassembly is one groupBy on the
+    doc id carrying surviving segments only.
+    """
+    words = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(words) / F.lit(segment_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * segment_words + 1, segment_words)),
+    )
+    seg_rows = docs.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg")
+    )
+    hot = (
+        seg_rows.groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("seg")
+    )
+    kept = seg_rows.join(hot, "seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))), lambda s: s["seg"])
+        ).alias("text_clean"),
+    )
+    totals = docs.select(F.col(id_col), F.ceil(F.size(words) / F.lit(segment_words)).cast("bigint").alias("n_segments"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+#: PII patterns restricted to the regex subset Java (Spark) and RE2
+#: (DuckDB) interpret identically: char classes, bounded repetition,
+#: ASCII word boundaries. Order matters — emails are redacted before
+#: bare digit runs so the local part survives as <EMAIL>, not <NUM>.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{6,}\b", "<NUM>"),
+)
+
+
+def pii_redact(col: F.Column, patterns=PII_PATTERNS) -> F.Column:
+    """Chain of regexp_replace redactions — pure JVM expression, whole-
+    stage-codegen'd, zero shuffle: the 100 TB scrub pass is map-only.
+    A real deployment extends PII_PATTERNS; the chain shape (and its
+    oracle) don't change.
+    """
+    out = col
+    for pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def mixture_rates(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixture rebalancing: per-stratum token totals and the
+    deterministic sampling rate that rebalances the corpus toward a
+    UNIFORM token share per stratum, capped at 1.0 (never upsample):
+
+        rate_s = min(1, (total_tokens / n_strata) / tokens_s)
+
+    Feed the rates into :func:`stratified_sample` for the actual draw.
+    Two hash-aggs (doc→stratum totals) plus a single-row broadcast of
+    the grand total — scan-proportional, no per-doc shuffle of text.
+    """
+    toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    per = docs.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    # Grand total via a broadcast single-row cross join (not a global
+    # window): the per-stratum frame is small but a partitionBy()-empty
+    # window is a habit that does not survive scale-ups elsewhere.
+    totals = per.agg(
+        F.sum("n_tokens").alias("_tot"), F.count(F.lit(1)).alias("_nstrata")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("_tot") / F.col("_nstrata")) / F.col("n_tokens"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    train: float = 0.8,
+    val: float = 0.1,
+    hash_col: str = "text",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from a content hash:
+    the first 8 hex digits of md5 order as a uniform [0,1) draw, so the
+    split is reproducible across engines/runs/partitionings and
+    dedup-stable (byte-equal docs land in the same split — the property
+    that prevents train→test leakage through duplicates). Zero shuffle.
+    """
+    bucket = F.substring(F.md5(F.col(hash_col)), 1, 8)
+    return docs.withColumn(
+        "split",
+        F.when(bucket < _hex_threshold(train), "train")
+        .when(bucket < _hex_threshold(train + val), "val")
+        .otherwise("test"),
     )
 
 

@@ -3244,5 +3244,184 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota_sample(docs, 7).select("doc_id", "source")
 
 
+@_register(
+    "boilerplate_segment_removal",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    segs AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(ws) / 8.0) AS INT))) AS seg_idx,
+               ws
+        FROM w
+    ),
+    sr AS (
+        SELECT doc_id, seg_idx,
+               array_to_string(ws[(seg_idx * 8 + 1):(seg_idx * 8 + 8)], ' ') AS seg
+        FROM segs
+    ),
+    hot AS (
+        SELECT seg FROM sr GROUP BY seg HAVING count(DISTINCT doc_id) >= 3
+    ),
+    kept AS (
+        SELECT sr.* FROM sr ANTI JOIN hot ON sr.seg = hot.seg
+    ),
+    rebuilt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(ceil(len(w.ws) / 8.0) AS BIGINT)   AS n_segments,
+           coalesce(r.n_kept, 0)                    AS n_kept,
+           coalesce(r.text_clean, '')               AS text_clean
+    FROM w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
+    """,
+    doc="Corpus-frequency boilerplate removal (operators/curation.py::"
+        "segment_boilerplate_filter): RefinedWeb-style line dedup over "
+        "fixed 8-word segments — drop every segment occurring in >= 3 "
+        "distinct docs, reassemble surviving segments in order. The "
+        "countDistinct is two partial-aggregated stages; the hot set is "
+        "tiny by Zipf and anti-joins back broadcast.",
+)
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import segment_boilerplate_filter
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return segment_boilerplate_filter(docs, segment_words=8, min_docs=3)
+
+
+@_register(
+    "pii_redaction",
+    """
+    SELECT event_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               'contact user' || CAST(user_id AS VARCHAR)
+               || ' at u' || CAST(user_id AS VARCHAR) || '@mail-' || CAST(event_id % 10 AS VARCHAR) || '.example.com'
+               || ' or ' || CAST(10 + user_id % 240 AS VARCHAR) || '.0.' || CAST(event_id % 256 AS VARCHAR) || '.1'
+               || ' ref ' || CAST(100000 + event_id * 37 AS VARCHAR) || ' ok',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+               '\\b[0-9]{6,}\\b', '<NUM>', 'g') AS redacted
+    FROM events WHERE event_id < 2000
+    """,
+    doc="PII redaction scrub (operators/curation.py::pii_redact): "
+        "email -> <EMAIL>, IPv4 -> <IP>, long digit runs -> <NUM> via a "
+        "chained regexp_replace restricted to the Java/RE2-identical "
+        "regex subset. Pure map — the 100 TB scrub pass is zero-shuffle. "
+        "The query synthesizes PII-bearing strings from events columns "
+        "on BOTH sides so the patterns are genuinely exercised "
+        "(the raw tables contain no PII).",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import pii_redact
+
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("event_id") < 2000)
+    synth = F.concat(
+        F.lit("contact user"), F.col("user_id").cast("string"),
+        F.lit(" at u"), F.col("user_id").cast("string"),
+        F.lit("@mail-"), (F.col("event_id") % 10).cast("string"), F.lit(".example.com"),
+        F.lit(" or "), (10 + F.col("user_id") % 240).cast("string"),
+        F.lit(".0."), (F.col("event_id") % 256).cast("string"), F.lit(".1"),
+        F.lit(" ref "), (100000 + F.col("event_id") * 37).cast("string"),
+        F.lit(" ok"),
+    )
+    return ev.select("event_id", pii_redact(synth).alias("redacted"))
+
+
+@_register(
+    "mixture_rates",
+    """
+    WITH per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS t, count(*) AS ns FROM per)
+    SELECT source, n_docs, n_tokens,
+           round(least(1.0, (tot.t * 1.0 / tot.ns) / n_tokens), 6) AS rate
+    FROM per, tot
+    """,
+    doc="Data-mixture rebalancing rates (operators/curation.py::"
+        "mixture_rates): per-source token totals and the capped "
+        "uniform-share sampling rate, rate_s = min(1, (total/n)/tokens_s). "
+        "Two hash-aggs + a broadcast single-row total — no global window.",
+)
+def mixture_rates_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import mixture_rates
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return mixture_rates(docs)
+
+
+@_register(
+    "hash_train_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(text), 1, 8) < 'cccccccc' THEN 'train'
+                WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test split (operators/curation.py::"
+        "hash_split): content-hash thresholds (80/10/10) — reproducible "
+        "across engines and partitionings, dedup-stable so byte-equal "
+        "docs can never straddle train/test. Zero shuffle.",
+)
+def hash_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import hash_split
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return hash_split(docs, train=0.8, val=0.1).select("doc_id", "split")
+
+
+@_register(
+    "binned_interval_join",
+    """
+    WITH iv AS (
+        SELECT event_id AS err_id,
+               epoch_us(ts)                 AS s,
+               epoch_us(ts) + 1800000000    AS e
+        FROM events WHERE event_type = 'error'
+    ),
+    pt AS (
+        SELECT event_id AS click_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT iv.err_id,
+           CAST(count(*) AS BIGINT)      AS n_clicks,
+           CAST(min(pt.click_id) AS BIGINT) AS first_click_id
+    FROM pt JOIN iv ON pt.t >= iv.s AND pt.t < iv.e
+    GROUP BY iv.err_id
+    """,
+    doc="Binned fact-to-fact range join (operators/rangejoin.py::"
+        "binned_interval_join): clicks landing in each 30-min "
+        "post-error window. The interval side explodes to overlapping "
+        "time buckets, the point side keeps its single bucket, and the "
+        "range predicate re-applies after a hash EQUI-join on the "
+        "bucket — never the BroadcastNestedLoopJoin a raw theta join "
+        "plans. Each true pair produced exactly once. Hash-matched "
+        "against the DuckDB theta join.",
+    headline=True,
+)
+def binned_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.rangejoin import binned_interval_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1_800_000_000)).alias("e"),
+    )
+    pt = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.unix_micros("ts").alias("t")
+    )
+    joined = binned_interval_join(pt, iv, "t", "s", "e", bucket_width=1_800_000_000)
+    return joined.groupBy("err_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+        F.min("click_id").alias("first_click_id"),
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -206,3 +206,104 @@ def test_quota_larger_than_stratum_keeps_all(spark):
 
     docs = _docs(spark, [(1, "a", "s"), (2, "b", "s")])
     assert quota_sample(docs, 10).count() == 2
+
+
+# -- segment boilerplate removal --------------------------------------------
+
+def test_boilerplate_segment_removed_and_text_rebuilt(spark):
+    from meerpipe_spark.operators.curation import segment_boilerplate_filter
+
+    boiler = "subscribe now"  # 2-word segment shared by 3 docs
+    docs = _docs(
+        spark,
+        [
+            (1, f"alpha beta {boiler}", "s"),
+            (2, f"gamma delta {boiler}", "s"),
+            (3, f"{boiler} epsilon zeta", "s"),
+            (4, "unique text here four", "s"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in segment_boilerplate_filter(docs, segment_words=2, min_docs=3).collect()
+    }
+    # the shared segment is gone, per-doc unique segments survive in order
+    assert out[1].text_clean == "alpha beta"
+    assert out[2].text_clean == "gamma delta"
+    assert out[3].text_clean == "epsilon zeta"
+    assert out[4].text_clean == "unique text here four"
+    assert out[1].n_segments == 2 and out[1].n_kept == 1
+
+
+def test_boilerplate_fully_boilerplate_doc_survives_empty(spark):
+    from meerpipe_spark.operators.curation import segment_boilerplate_filter
+
+    docs = _docs(spark, [(i, "same same", "s") for i in range(1, 5)])
+    out = segment_boilerplate_filter(docs, segment_words=2, min_docs=3).collect()
+    assert len(out) == 4
+    assert all(r.text_clean == "" and r.n_kept == 0 and r.n_segments == 1 for r in out)
+
+
+def test_boilerplate_below_threshold_kept(spark):
+    from meerpipe_spark.operators.curation import segment_boilerplate_filter
+
+    docs = _docs(spark, [(1, "dup seg", "s"), (2, "dup seg", "s")])
+    out = segment_boilerplate_filter(docs, segment_words=2, min_docs=3).collect()
+    assert all(r.text_clean == "dup seg" for r in out)
+
+
+# -- PII redaction -----------------------------------------------------------
+
+def test_pii_redact_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.operators.curation import pii_redact
+
+    df = spark.createDataFrame(
+        [Row(s="mail a.b+c@ex-1.co and 10.0.255.1 and id 1234567 but keep 12345 v2")]
+    )
+    out = df.select(pii_redact(F.col("s")).alias("r")).head().r
+    assert out == "mail <EMAIL> and <IP> and id <NUM> but keep 12345 v2"
+
+
+def test_pii_redact_email_before_num(spark):
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.operators.curation import pii_redact
+
+    df = spark.createDataFrame([Row(s="x 123456789@example.com y")])
+    assert df.select(pii_redact(F.col("s")).alias("r")).head().r == "x <EMAIL> y"
+
+
+# -- mixture rates -----------------------------------------------------------
+
+def test_mixture_rates_uniform_target_cap(spark):
+    from meerpipe_spark.operators.curation import mixture_rates
+
+    # srcA: 8 tokens, srcB: 2 tokens -> total 10, target 5/stratum
+    docs = _docs(
+        spark,
+        [(1, "a b c d e f g h", "srcA"), (2, "x y", "srcB")],
+    )
+    out = {r.source: r for r in mixture_rates(docs).collect()}
+    assert out["srcA"].rate == 0.625    # 5/8 downsample
+    assert out["srcB"].rate == 1.0      # capped, never upsample
+    assert out["srcA"].n_tokens == 8 and out["srcB"].n_docs == 1
+
+
+# -- hash split --------------------------------------------------------------
+
+def test_hash_split_deterministic_and_dedup_stable(spark):
+    from meerpipe_spark.operators.curation import hash_split
+
+    docs = _docs(spark, [(i, f"doc {i % 50}", "s") for i in range(200)])
+    a = {(r.doc_id, r.split) for r in hash_split(docs).collect()}
+    b = {(r.doc_id, r.split) for r in hash_split(docs.repartition(7)).collect()}
+    assert a == b  # partitioning-independent
+    # byte-equal docs always share a split (dedup-stable: no train/test leak)
+    by_text = {}
+    for r in hash_split(docs).select("text", "split").collect():
+        by_text.setdefault(r.text, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_text.values())
+    # all three splits populated at 80/10/10 over 50 distinct contents
+    assert {s for ss in by_text.values() for s in ss} == {"train", "val", "test"}

@@ -3423,5 +3423,83 @@ def binned_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "kmv_distinct_shingles",
+    """
+    WITH ex AS (
+        SELECT source, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+    ),
+    agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_seen,
+               CAST(count(DISTINCT s) AS BIGINT) AS exact_distinct,
+               list_slice(list_sort(list(DISTINCT substr(md5(s), 1, 16))), 1, 64) AS hs
+        FROM ex GROUP BY source
+    )
+    SELECT source, n_seen, exact_distinct,
+           CAST(len(hs) AS BIGINT) AS n_minima,
+           round(CASE WHEN len(hs) < 64 THEN len(hs) * 1.0
+                 ELSE 63.0 / ((('0x' || hs[64])::UBIGINT) * 1.0
+                              / 18446744073709551616.0) END, 6) AS kmv_est
+    FROM agg
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch "
+        "(operators/sketches.py::kmv_distinct) over per-source word-"
+        "trigram vocabularies, k=64 — the deterministic, engine-portable "
+        "alternative to HLL (whose merge-order-dependent registers can "
+        "never be oracle-checked). Estimate = (k-1)/max(min-k normalized "
+        "md5); groups below k are exact by construction. The sketch "
+        "column is mergeable (min-k of unions), i.e. partial-aggregable "
+        "at 100 TB. exact_distinct is carried alongside to show the "
+        "bounded error (SE ~ 1/sqrt(k-2) ~ 13%).",
+)
+def kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import shingles
+    from meerpipe_spark.operators.sketches import kmv_distinct
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.select("source", F.explode(shingles(F.col("text"), 3)).alias("s"))
+    est = kmv_distinct(sh, ["source"], "s", k=64)
+    exact = sh.groupBy("source").agg(
+        F.countDistinct("s").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "n_seen",
+        "exact_distinct",
+        "n_minima",
+        F.round("kmv_est", 6).alias("kmv_est"),
+    )
+
+
+@_register(
+    "bigram_lm_score",
+    """
+    WITH bgr AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    cnt AS (SELECT bg, count(*) AS c FROM bgr GROUP BY bg)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(log10(c)), 6) AS lm_score
+    FROM bgr JOIN cnt USING (bg)
+    GROUP BY doc_id
+    """,
+    doc="Corpus-LM quality proxy (operators/sketches.py::bigram_lm_score): "
+        "CCNet-style filtering without a model — each doc scored by the "
+        "mean log10 corpus frequency of its word bigrams (common "
+        "constructions score high, gibberish low). Two shuffles: bigram "
+        "counts (partial-agg map-side), then the scoring join keyed by "
+        "the bigram with AQE skew-split handling the Zipf head.",
+)
+def bigram_lm_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.sketches import bigram_lm_score
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bigram_lm_score(docs)
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

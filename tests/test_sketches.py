@@ -1,0 +1,71 @@
+"""KMV distinct-count sketch and bigram-LM scoring: exactness below k,
+bounded estimation error above k, mergeability of the minima, and the
+LM score's common-vs-rare ordering."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from meerpipe_spark.operators.sketches import bigram_lm_score, kmv_distinct
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame([Row(g=g, v=v) for g, v in rows])
+
+
+def test_kmv_exact_below_k(spark):
+    df = _vals(spark, [("a", f"v{i}") for i in range(10)] * 3)  # 30 rows, 10 distinct
+    out = kmv_distinct(df, ["g"], "v", k=64).head()
+    assert out.n_seen == 30
+    assert out.n_minima == 10
+    assert out.kmv_est == 10.0  # sketch IS the value set below k
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    n = 2000
+    df = _vals(spark, [("a", f"value-{i}") for i in range(n)])
+    k = 64
+    out = kmv_distinct(df, ["g"], "v", k=k).head()
+    assert out.n_minima == k
+    # SE ~ n/sqrt(k-2); allow 5 sigma — deterministic, so this either
+    # always passes or the estimator is wrong.
+    assert abs(out.kmv_est - n) < 5 * n / math.sqrt(k - 2)
+
+
+def test_kmv_minima_merge_property(spark):
+    # min-k of the union == min-k of merged per-part min-k sets
+    all_rows = [("a", f"x{i}") for i in range(500)]
+    whole = kmv_distinct(_vals(spark, all_rows), ["g"], "v", k=32).head().minima
+    h1 = kmv_distinct(_vals(spark, all_rows[:250]), ["g"], "v", k=32).head().minima
+    h2 = kmv_distinct(_vals(spark, all_rows[250:]), ["g"], "v", k=32).head().minima
+    merged = sorted(set(h1) | set(h2))[:32]
+    assert list(whole) == merged
+
+
+def test_kmv_partitioning_independent(spark):
+    rows = [("a", f"t{i % 300}") for i in range(900)]
+    a = kmv_distinct(_vals(spark, rows), ["g"], "v", k=16).head()
+    b = kmv_distinct(_vals(spark, rows).repartition(7), ["g"], "v", k=16).head()
+    assert a.kmv_est == b.kmv_est and list(a.minima) == list(b.minima)
+
+
+def test_bigram_lm_score_orders_common_above_rare(spark):
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=common) for i in range(5)]
+        + [Row(doc_id=99, text="zq xv qk jw vn pz")]  # bigrams seen once
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert out[0].lm_score > out[99].lm_score
+    assert out[99].lm_score == 0.0  # log10(1) everywhere
+    assert out[0].n_bigrams == 5
+
+
+def test_bigram_lm_score_single_word_doc_dropped(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="solo"), Row(doc_id=2, text="a b")]
+    )
+    out = bigram_lm_score(docs)
+    assert [r.doc_id for r in out.collect()] == [2]  # no bigrams -> no row

@@ -84,6 +84,72 @@ def lang_guess(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def tfidf_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Mean TF-IDF per document — the classic informativeness score
+    (low = the doc is made of corpus-ubiquitous tokens).
+
+    score(d) = sum_t tf(t,d) * log10(N / df(t)) / |d|
+
+    Three partial-aggregated shuffles, none carrying text longer than
+    one token: (doc, tok) term counts; (tok) document frequencies; the
+    scoring join keyed by the token (Zipf head → AQE skew-split), then
+    a per-doc agg. N arrives as a broadcast single-row cross join.
+    """
+    tok = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    return (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log10(F.col("n_corpus") / F.col("df")))
+                / F.sum("tf"),
+                6,
+            ).alias("mean_tfidf"),
+        )
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per doc against a corpus-derived top-V
+    vocabulary (frequency desc, token asc tiebreak — deterministic).
+
+    The tokenizer-coverage check a pipeline runs before committing to a
+    vocab: docs with high OOV under the candidate vocabulary are either
+    noise or a domain the tokenizer will serve badly. The vocab is
+    ≤ V rows by construction — broadcast; the per-doc pass is one
+    explode + left-join(broadcast) + agg keyed by doc.
+    """
+    tok = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)) / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", hex_len: int = 16) -> DataFrame:
     """Deterministic document fingerprint: truncated md5 (hex) — the
     rolling-hash variant is in dedup.simhash; md5 here keeps the

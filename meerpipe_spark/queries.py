@@ -3501,5 +3501,64 @@ def bigram_lm_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs)
 
 
+@_register(
+    "tfidf_doc_scores",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * log10(n.n_corpus * 1.0 / dfreq.df)) / sum(tf.tf), 6)
+               AS mean_tfidf
+    FROM tf JOIN dfreq USING (tok), n
+    GROUP BY tf.doc_id
+    """,
+    doc="Mean TF-IDF per document (operators/text.py::tfidf_scores) — "
+        "corpus informativeness scoring. Three partial-aggregated "
+        "shuffles none carrying more than one token; N broadcast as a "
+        "single-row cross join.",
+)
+def tfidf_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import tfidf_scores
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return tfidf_scores(docs)
+
+
+@_register(
+    "oov_rate_top20",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM tok GROUP BY tok
+        QUALIFY row_number() OVER (ORDER BY count(*) DESC, tok) <= 20
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+    doc="Out-of-vocabulary rate per doc against the corpus top-20 "
+        "vocabulary (operators/text.py::oov_rate) — the tokenizer-"
+        "coverage check before committing to a vocab. Top-V is "
+        "TakeOrderedAndProject (per-partition heaps, deterministic "
+        "freq-desc/token-asc tiebreak) and broadcasts into a map-side "
+        "left join.",
+)
+def oov_rate_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import oov_rate
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return oov_rate(docs, vocab_size=20)
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

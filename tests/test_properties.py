@@ -131,3 +131,45 @@ def test_par_parser_never_raises(spark, tmp_path_factory, text):
     p.write_text(text + "\n")
     out = par_to_map(read_par_df(spark, str(p)))
     assert isinstance(out, dict)
+
+
+# -- tfidf / oov ------------------------------------------------------------
+
+def test_tfidf_ubiquitous_tokens_score_zero(spark):
+    from pyspark.sql import Row
+
+    from meerpipe_spark.operators.text import tfidf_scores
+
+    # every doc is the same token -> df = N -> idf = 0 -> score 0
+    docs = spark.createDataFrame([Row(doc_id=i, text="x x x") for i in range(4)])
+    out = tfidf_scores(docs).collect()
+    assert all(r.mean_tfidf == 0.0 for r in out)
+
+
+def test_tfidf_rare_tokens_score_higher(spark):
+    from pyspark.sql import Row
+
+    from meerpipe_spark.operators.text import tfidf_scores
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="common rare0"), Row(doc_id=1, text="common common")]
+    )
+    out = {r.doc_id: r.mean_tfidf for r in tfidf_scores(docs).collect()}
+    assert out[0] > out[1]
+
+
+def test_oov_rate_counts_tokens_outside_topv(spark):
+    from pyspark.sql import Row
+
+    from meerpipe_spark.operators.text import oov_rate
+
+    # 'a' x6 and 'b' x4 are the top-2; c/d are OOV
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a a a b b c"),
+            Row(doc_id=1, text="a a a b b d"),
+        ]
+    )
+    out = {r.doc_id: r for r in oov_rate(docs, vocab_size=2).collect()}
+    assert out[0].oov_rate == round(1 / 6, 6) and out[0].n_tokens == 6
+    assert out[1].oov_rate == round(1 / 6, 6)

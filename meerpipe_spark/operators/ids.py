@@ -1,0 +1,67 @@
+"""Dense global ID assignment — the post-dedup re-enumeration step of a
+training-data pipeline — without the single-reducer global sort.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY plans a
+single-partition Exchange in Spark: the entire dataset flows through ONE
+task — the textbook 100 TB scale-killer. The classic fix:
+
+1. range-repartition on the order key (balanced range exchange; Spark
+   samples boundaries);
+2. count rows per physical partition (partial-agg shuffle carrying one
+   row per partition) and prefix-sum the counts into offsets on the
+   driver — bounded by the partition count, never by data;
+3. rank within each partition and add the partition's offset.
+
+When the order key is unique, the result is EXACTLY the global rank —
+independent of where the sampled range boundaries land, because
+boundaries only split the total order into consecutive runs. That makes
+the operator deterministic and oracle-checkable even though the
+physical partitioning is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_name: str = "dense_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``id_name`` = 0-based dense rank of the row in the total
+    order of ``order_cols`` (which must be unique keys — equal keys get
+    an arbitrary but stable order only within one plan).
+
+    Shuffle inventory: one balanced range exchange + one hash exchange
+    on the partition id for the per-partition window (each carries the
+    data once, across ALL reducers — never one) + a one-row-per-
+    partition count agg. The offsets table is partition-count-sized:
+    broadcast, and collected driver-side only to prefix-sum.
+
+    Like ``RDD.zipWithIndex`` (the same two-job pattern), the count job
+    and the enumeration job each traverse the range-shuffled data —
+    persist the input upstream if its recompute is expensive.
+    """
+    cols = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    ).withColumn("_pid", F.spark_partition_id())
+
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    rows = sorted((r._pid, r._n) for r in counts.collect())
+    offsets, acc = [], 0
+    for pid, n in rows:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = part.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+
+    w = W.partitionBy("_pid").orderBy(*cols)
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn(id_name, F.col("_off") + F.row_number().over(w) - 1)
+        .drop("_pid", "_off")
+    )

@@ -3560,5 +3560,32 @@ def oov_rate_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(docs, vocab_size=20)
 
 
+@_register(
+    "dense_doc_ids",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS BIGINT)
+               AS dense_id
+    FROM documents
+    """,
+    doc="Dense global re-enumeration (operators/ids.py::assign_dense_ids) "
+        "— the post-dedup ID compaction step — WITHOUT the single-"
+        "partition Exchange that row_number() OVER (ORDER BY ...) plans: "
+        "balanced range exchange + per-partition counts prefix-summed "
+        "driver-side (partition-count rows, never data) + per-partition "
+        "rank plus offset. Key uniqueness makes the result the exact "
+        "global rank independent of sampled range boundaries, so the "
+        "scalable plan is still hash-matched against the oracle's "
+        "global sort.",
+)
+def dense_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.ids import assign_dense_ids
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    keyed = docs.select("doc_id", F.md5("text").alias("_h"))
+    out = assign_dense_ids(keyed, ["_h", "doc_id"])
+    return out.select("doc_id", F.col("dense_id").cast("bigint").alias("dense_id"))
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -332,3 +332,31 @@ def near_dup_pipeline(
         )
     )
     return verified
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The dedup DECISION step: collapse every near-duplicate cluster to
+    its canonical representative (minimum doc id) and return the
+    surviving corpus — docs in no cluster pass through untouched.
+
+    Composition: :func:`connected_components` labels every node of the
+    pair graph with its min-reachable id; rows whose label differs from
+    their own id are the non-canonical members, removed from the corpus
+    with one broadcast-friendly LEFT ANTI join (the removed set is
+    cluster-members-minus-representatives — a small fraction of the
+    corpus on healthy data, so AQE turns the anti-join into a broadcast).
+    This is the step that turns candidate pairs into the actual training
+    corpus; at 100 TB it runs after :func:`near_dup_pipeline`'s verified
+    pairs, keyed and partitioned by ``id_col`` throughout.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    removed = comp.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(removed, id_col, "left_anti")

@@ -14,7 +14,7 @@ shape (centroid assignment = argmin over a broadcast centroid table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -330,4 +330,168 @@ def ivf_assign(
         .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
         .groupBy(id_col)
         .agg(F.min_by("cluster", "d2").alias("cluster"), F.min("d2").alias("d2"))
+    )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension scalar quantization (the int8 embedding-compression
+    step of a vector index build): corpus-wide [min, max] per dimension,
+    codes = round((x - lo) / (hi - lo) * (2^bits - 1)), plus per-vector
+    reconstruction-quality stats.
+
+    Distributed shape: posexplode → per-dim min/max (a 2^bits-free agg
+    whose shuffle carries ``dim`` rows — 64 here — thanks to map-side
+    partials) → broadcast the range table back → one final agg keyed by
+    vector id. Two shuffles total, both carrying aggregated rows; at
+    10^9 vectors the range table is still ``dim`` rows, so the quantize
+    pass is a pure broadcast map.
+
+    Returns (id, code_sum, rmse, max_abs_err): ``code_sum`` is an exact
+    integer (bit-identical across engines — the hash anchor), ``rmse``/
+    ``max_abs_err`` the reconstruction error of dequantized codes.
+    """
+    levels = float((1 << bits) - 1)
+    pts = embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    rng = pts.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    code = F.when(
+        F.col("hi") > F.col("lo"),
+        F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * levels + 0.5),
+    ).otherwise(F.lit(0))
+    q = pts.join(F.broadcast(rng), "dim").select(
+        F.col(id_col),
+        code.alias("code"),
+        F.col("x"),
+        F.col("lo"),
+        F.col("hi"),
+    )
+    err = F.col("x") - (F.col("lo") + F.col("code") * (F.col("hi") - F.col("lo")) / levels)
+    return (
+        q.select(F.col(id_col), "code", err.alias("err"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("code").cast("bigint").alias("code_sum"),
+            F.sqrt(F.avg(F.col("err") * F.col("err"))).alias("rmse"),
+            F.max(F.abs("err")).alias("max_abs_err"),
+        )
+    )
+
+
+def ivf_search_multi(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Batch IVF probe search: one DataFrame of query vectors in, the
+    per-query top-k out — the evaluation-harness form of
+    :func:`ivf_search` (which takes a single literal vector).
+
+    The probe step crosses the query set with the BROADCAST centroid
+    table (|Q|·k rows), keeps each query's ``nprobe`` nearest lists, and
+    equi-joins against the corpus assignment so the exact rescoring
+    touches only vectors in probed lists. Per-query top-k is a window
+    rank partitioned by query id — no global sort. The corpus-side cost
+    is one assignment pass (shared across all queries) plus the
+    candidate rescoring; at 10^9 vectors the assignment is the persisted
+    index-build artifact (:func:`ivf_assign`), not recomputed per batch.
+    """
+
+    def d2(a: F.Column, b: F.Column) -> F.Column:
+        # sequential fold in dim order — deterministic float summation
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    qcast = queries.select(
+        F.col(qid_col),
+        F.transform(F.col(qvec_col), lambda x: x.cast("double")).alias(qvec_col),
+    )
+    qc = qcast.crossJoin(F.broadcast(centroids)).select(
+        qid_col, qvec_col, "cluster", d2(F.col(qvec_col), F.col("centroid")).alias("qd2")
+    )
+    w = W.partitionBy(qid_col).orderBy(F.asc("qd2"), F.asc("cluster"))
+    probe = (
+        qc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(qid_col, qvec_col, "cluster")
+    )
+    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col, id_col=id_col).select(
+        id_col, "cluster"
+    )
+    cands = probe.join(assigned, "cluster").select(qid_col, qvec_col, id_col)
+    vcast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = cands.join(embeddings.select(id_col, vcast.alias("_v")), id_col).select(
+        qid_col,
+        F.col(id_col),
+        cosine_similarity(F.col("_v"), F.col(qvec_col)).alias("cosine_sim"),
+    )
+    wk = W.partitionBy(qid_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    ann_topk: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Recall@k of an ANN result against the exact brute-force top-k —
+    the index-quality gate every approximate path (IVF probe, LSH
+    buckets) must pass before replacing the exact scan in production.
+
+    The exact baseline crosses the query set with the full corpus: this
+    is the EVALUATION harness, run over a sampled query set (|Q| small),
+    not a serving path — |Q|·N scored rows with a per-query window
+    top-k, embarrassingly parallel over the corpus partitioning. Returns
+    one row per query: candidate count and recall@k.
+    """
+    vcast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qcast = queries.select(
+        F.col(qid_col),
+        F.transform(F.col(qvec_col), lambda x: x.cast("double")).alias(qvec_col),
+    )
+    scored = qcast.crossJoin(embeddings.select(id_col, vcast.alias("_v"))).select(
+        qid_col,
+        F.col(id_col),
+        cosine_similarity(F.col("_v"), F.col(qvec_col)).alias("cosine_sim"),
+    )
+    wk = W.partitionBy(qid_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col)
+    )
+    hits = exact.join(
+        ann_topk.select(qid_col, id_col).withColumn("_hit", F.lit(1)),
+        [qid_col, id_col],
+        "left",
+    )
+    return hits.groupBy(qid_col).agg(
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        (F.sum(F.coalesce("_hit", F.lit(0))) / F.lit(float(k))).alias("recall_at_k"),
     )

@@ -3587,5 +3587,260 @@ def dense_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("dense_id").cast("bigint").alias("dense_id"))
 
 
+@_register(
+    "dedup_canonical_corpus",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 500)
+    ),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n AS na, b.n AS nb, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+    ),
+    p AS (SELECT id_a, id_b FROM common
+          WHERE inter * 1.0 / (na + nb - inter) >= 0.05),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    walk(node, lab) AS (
+        SELECT a, a FROM edges GROUP BY a
+        UNION
+        SELECT e.a, w.lab FROM edges e JOIN walk w ON w.node = e.b
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+    removed AS (SELECT node FROM comp WHERE component <> node)
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id < 500
+      AND d.doc_id NOT IN (SELECT node FROM removed)
+    """,
+    doc="The dedup DECISION step (operators/dedup.py::canonical_docs): "
+        "collapse each near-duplicate cluster to its min-id canonical "
+        "representative and return the surviving corpus — connected "
+        "components over the verified pair graph, then one LEFT ANTI "
+        "join removing non-canonical members (a small set, so AQE "
+        "broadcasts it). This is what turns candidate pairs into the "
+        "actual training corpus; hash-matched end-to-end including the "
+        "recursive-CTE component labeling.",
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import canonical_docs, shingles
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 500)
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pairs = common.filter(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.05
+    ).select("id_a", "id_b")
+    out = canonical_docs(docs, pairs)
+    return out.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+
+
+@_register(
+    "embedding_quantize_int8",
+    """
+    WITH pts AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings
+    ),
+    rng AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM pts GROUP BY dim),
+    q AS (
+        SELECT vec_id, x, lo, hi,
+               CASE WHEN hi > lo
+                    THEN floor((x - lo) / (hi - lo) * 255.0 + 0.5)
+                    ELSE 0 END AS code
+        FROM pts JOIN rng USING (dim)
+    )
+    SELECT vec_id,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           round(sqrt(avg((x - (lo + code * (hi - lo) / 255.0))^2)), 6) AS rmse,
+           round(max(abs(x - (lo + code * (hi - lo) / 255.0))), 6) AS max_abs_err
+    FROM q GROUP BY vec_id
+    """,
+    doc="int8 scalar quantization of the embedding column (operators/"
+        "similarity.py::quantize_embeddings) — the vector-index "
+        "compression build step. Corpus-wide per-dim [min,max] is a "
+        "dim-row aggregate (map-side partials) broadcast back; the "
+        "quantize pass is then a pure map. code_sum is an exact integer "
+        "anchor, rmse/max_abs_err the reconstruction quality.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import quantize_embeddings
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = quantize_embeddings(emb, bits=8)
+    return out.select(
+        "vec_id",
+        "code_sum",
+        F.round("rmse", 6).alias("rmse"),
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+    )
+
+
+@_register(
+    "ivf_search_batch",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+        FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id IN (7, 42, 99)),
+    probe AS (
+        SELECT qid, cluster FROM (
+            SELECT q.qid, s.cluster,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_distance(s.c, q.qv), s.cluster
+                   ) AS rn
+            FROM seeds s CROSS JOIN q
+        ) WHERE rn <= 2
+    ),
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, s.c), s.cluster
+                   ) AS rn
+            FROM emb e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    )
+    SELECT qid, vec_id, round(cosine_sim, 6) AS cosine_sim, rank FROM (
+        SELECT p.qid, e.vec_id,
+               list_cosine_similarity(e.v, q.qv) AS cosine_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+               ) AS INT) AS rank
+        FROM probe p
+        JOIN assign a USING (cluster)
+        JOIN emb e ON e.vec_id = a.vec_id
+        JOIN q ON q.qid = p.qid
+    ) WHERE rank <= 10
+    """,
+    doc="Batch IVF probe search (operators/similarity.py::"
+        "ivf_search_multi): a DataFrame of query vectors in, per-query "
+        "top-k out — the evaluation-harness form of ivf_search. Probes "
+        "cross the query set with the BROADCAST centroid table; the "
+        "corpus assignment pass is shared across all queries; per-query "
+        "top-k is a window rank partitioned by qid (no global sort).",
+)
+def ivf_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import ivf_search_multi, kmeans_centroids
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    centroids = kmeans_centroids(emb, k=8, iters=0)
+    qs = emb.filter(F.col("vec_id").isin(7, 42, 99)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = ivf_search_multi(emb, centroids, qs, k=10, nprobe=2)
+    return out.select(
+        "qid", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
+@_register(
+    "ann_recall_ivf",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+        FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id IN (7, 42, 99)),
+    probe AS (
+        SELECT qid, cluster FROM (
+            SELECT q.qid, s.cluster,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_distance(s.c, q.qv), s.cluster
+                   ) AS rn
+            FROM seeds s CROSS JOIN q
+        ) WHERE rn <= 2
+    ),
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, s.c), s.cluster
+                   ) AS rn
+            FROM emb e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    ann AS (
+        SELECT qid, vec_id FROM (
+            SELECT p.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+                   ) AS rank
+            FROM probe p
+            JOIN assign a USING (cluster)
+            JOIN emb e ON e.vec_id = a.vec_id
+            JOIN q ON q.qid = p.qid
+        ) WHERE rank <= 10
+    ),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+                   ) AS rank
+            FROM emb e CROSS JOIN q
+        ) WHERE rank <= 10
+    )
+    SELECT x.qid,
+           CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_hits,
+           round(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) / 10.0, 6)
+               AS recall_at_k
+    FROM exact x LEFT JOIN ann a ON a.qid = x.qid AND a.vec_id = x.vec_id
+    GROUP BY x.qid
+    """,
+    doc="Recall@10 of the IVF probe search against the exact brute-force "
+        "top-k (operators/similarity.py::ann_recall) — the index-quality "
+        "gate every approximate path must pass before replacing the "
+        "exact scan. The exact baseline is the EVALUATION harness over a "
+        "sampled query set, not a serving path; hash-matched including "
+        "the recall values themselves.",
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import (
+        ann_recall,
+        ivf_search_multi,
+        kmeans_centroids,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    centroids = kmeans_centroids(emb, k=8, iters=0)
+    qs = emb.filter(F.col("vec_id").isin(7, 42, 99)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    ann = ivf_search_multi(emb, centroids, qs, k=10, nprobe=2)
+    out = ann_recall(emb, ann, qs, k=10)
+    return out.select(
+        "qid", "n_hits", F.round("recall_at_k", 6).alias("recall_at_k")
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

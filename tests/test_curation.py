@@ -135,6 +135,28 @@ def test_cc_long_path_converges(spark):
     assert set(comp.values()) == {0} and len(comp) == 10
 
 
+def test_canonical_docs_keeps_min_id_and_islands(spark):
+    """canonical_docs keeps the min-id representative of each cluster
+    and passes through docs in no cluster untouched."""
+    from meerpipe_spark.operators.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(8)]
+    )
+    # clusters {1,2,3} and {6,7}; 0, 4, 5 untouched
+    pairs = _pairs(spark, [(1, 2), (2, 3), (6, 7)])
+    kept = {r.doc_id for r in canonical_docs(docs, pairs).collect()}
+    assert kept == {0, 1, 4, 5, 6}
+
+
+def test_canonical_docs_no_pairs_is_identity(spark):
+    from meerpipe_spark.operators.dedup import canonical_docs
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="x") for i in range(5)])
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert canonical_docs(docs, pairs).count() == 5
+
+
 # -- BPE-ish tokenization ----------------------------------------------------
 
 def test_bpe_ish_token_stats(spark):

@@ -149,3 +149,91 @@ def test_ivf_search_recall_vs_brute(spark):
     ivf = [r.vec_id for r in ivf_search(emb, cents, q, k=5, nprobe=1).collect()]
     brute = [r.vec_id for r in cosine_topk(emb, q, k=5).collect()]
     assert ivf == brute  # well-separated clusters: probe-1 is exact
+
+
+def test_quantize_embeddings_exact_grid(spark):
+    """Vectors on an exact [0, 255] grid quantize with zero error; the
+    code sum equals the (scaled) coordinate sum."""
+    from pyspark.sql import Row
+
+    from meerpipe_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        Row(vec_id=0, embedding=[0.0, 0.0]),
+        Row(vec_id=1, embedding=[255.0, 102.0]),
+        Row(vec_id=2, embedding=[51.0, 255.0]),
+    ]
+    out = {
+        r.vec_id: r
+        for r in quantize_embeddings(spark.createDataFrame(rows), bits=8).collect()
+    }
+    # per-dim range is [0, 255] -> code == value exactly
+    assert out[0].code_sum == 0 and out[0].rmse == 0.0
+    assert out[1].code_sum == 357 and out[1].max_abs_err == 0.0
+    assert out[2].code_sum == 306
+
+
+def test_quantize_embeddings_error_bound(spark, clustered):
+    """Reconstruction error is bounded by half a quantization step of
+    the widest dimension."""
+    import numpy as np
+
+    from meerpipe_spark.operators.similarity import quantize_embeddings
+
+    pdf = clustered.toPandas()
+    mat = np.array([list(v) for v in pdf["embedding"]], dtype=float)
+    step = (mat.max(axis=0) - mat.min(axis=0)).max() / 255.0
+    out = quantize_embeddings(clustered, bits=8).collect()
+    assert len(out) == 60
+    for r in out:
+        assert r.max_abs_err <= step / 2 + 1e-9
+
+
+def test_ivf_search_multi_matches_single(spark, clustered):
+    """Batch probe search returns, per query, exactly what the
+    single-query form returns."""
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.operators.similarity import (
+        ivf_search,
+        ivf_search_multi,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(clustered, k=3, iters=3)
+    qids = [0, 1, 2]
+    qs = clustered.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    multi = ivf_search_multi(clustered, cents, qs, k=5, nprobe=1)
+    got = {
+        qid: [r.vec_id for r in rows]
+        for qid, rows in (
+            (q, sorted(multi.filter(F.col("qid") == q).collect(), key=lambda r: r.rank))
+            for q in qids
+        )
+    }
+    for q in qids:
+        qv = [float(x) for x in clustered.filter(F.col("vec_id") == q).head()["embedding"]]
+        single = [r.vec_id for r in ivf_search(clustered, cents, qv, k=5, nprobe=1).collect()]
+        assert got[q] == single
+
+
+def test_ann_recall_perfect_for_exact_input(spark, clustered):
+    """Feeding the exact brute-force top-k back in scores recall 1.0;
+    feeding a disjoint set scores 0.0."""
+    from pyspark.sql import Row, functions as F
+
+    from meerpipe_spark.operators.similarity import ann_recall, ivf_search_multi, kmeans_centroids
+
+    cents = kmeans_centroids(clustered, k=3, iters=3)
+    qs = clustered.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact_ann = ivf_search_multi(clustered, cents, qs, k=5, nprobe=3)  # all lists = exact
+    r = ann_recall(clustered, exact_ann, qs, k=5).collect()
+    assert len(r) == 1 and r[0].recall_at_k == 1.0 and r[0].n_hits == 5
+
+    bogus = spark.createDataFrame([Row(qid=0, vec_id=-1 - i) for i in range(5)])
+    r0 = ann_recall(clustered, bogus, qs, k=5).collect()
+    assert r0[0].recall_at_k == 0.0

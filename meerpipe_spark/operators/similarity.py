@@ -495,3 +495,92 @@ def ann_recall(
         F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_hits"),
         (F.sum(F.coalesce("_hit", F.lit(0))) / F.lit(float(k))).alias("recall_at_k"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): assign every
+    vector to its nearest centroid, then within each cluster remove any
+    vector whose cosine similarity to a LOWER-id cluster-mate reaches
+    ``threshold`` — the greedy min-id-representative rule, decided
+    edge-locally (no transitive closure), so the survivor set is unique
+    and engine-independent.
+
+    Distributed shape: the pairwise step is confined WITHIN clusters —
+    that is the point of the method: k is chosen so |cluster| stays
+    bounded (~corpus/k), and the self-join is an equi-join on the
+    cluster id, never an all-pairs cross. The removal set comes back as
+    one LEFT ANTI join keyed by id. At 10^9 vectors the assignment is
+    the persisted index artifact (:func:`ivf_assign`); hot clusters are
+    the same skew territory as LSH buckets — cap or re-shard k upward.
+
+    Returns the surviving rows of ``embeddings``.
+    """
+    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col, id_col=id_col).select(
+        id_col, "cluster"
+    )
+    vcast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = embeddings.select(F.col(id_col), vcast.alias("_v")).join(assigned, id_col)
+    a = pts.select(
+        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "cluster"
+    )
+    b = pts.select(
+        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "cluster"
+    )
+    removed = (
+        a.join(b, "cluster")
+        .filter(F.col("_idb") > F.col("_ida"))
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return embeddings.join(removed, id_col, "left_anti")
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Mean-centered covariance matrix of the embedding columns — the
+    sufficient statistic for whitening / PCA projection of a vector
+    corpus. Returns the upper triangle as (i, j, cov) with population
+    normalization.
+
+    Distributed shape: the outer product is ROW-LOCAL — each row
+    explodes its own array twice (i, then j from the same array), so
+    there is no join anywhere; one partial-aggregated shuffle keyed by
+    (i, j) carries the d·(d+1)/2 running sums, and the per-dim means
+    ride along in the same aggregate (sum(xi)/n is recovered from the
+    diagonal-free sums). Cost at 10^9 vectors: d²/2 multiply-adds per
+    row map-side, then a d²-row shuffle — the canonical scale shape for
+    moment accumulation.
+    """
+    vcast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = embeddings.select(F.col(id_col), vcast.alias("_v"))
+    ex = pts.select("_v", F.posexplode("_v").alias("i", "xi"))
+    pairs = ex.select(
+        "i", "xi", F.posexplode("_v").alias("j", "xj")
+    ).filter(F.col("j") >= F.col("i"))
+    return (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+            F.sum("xi").alias("sx"),
+            F.sum("xj").alias("sy"),
+        )
+        .select(
+            "i",
+            "j",
+            "n",
+            ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")).alias(
+                "cov"
+            ),
+        )
+    )

@@ -113,3 +113,43 @@ def bigram_lm_score(
             F.round(F.avg(F.log10("c")), 6).alias("lm_score"),
         )
     )
+
+
+def kmv_pairwise_resemblance(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-resemblance (Jaccard) estimates between groups from
+    their KMV sketches — the sketch-MERGE use case: once per-group
+    bottom-k signatures exist (:func:`kmv_distinct`), every pairwise
+    corpus-overlap question is answered from the sketches alone, never
+    re-touching the data.
+
+    Bottom-k resemblance estimator (Broder): with X = the k smallest
+    hashes of A ∪ B (computable from the two minima arrays because
+    min-k(A ∪ B) ⊆ min-k(A) ∪ min-k(B) — the mergeability property),
+    J(A, B) ≈ |{x ∈ X : x ∈ min-k(A) ∧ x ∈ min-k(B)}| / |X|.
+
+    Distributed shape: |groups| sketch rows self-join into
+    |groups|²/2 pairs of ≤ k-element arrays — sketch-sized data, always
+    broadcastable; all array ops are JVM-side. Deterministic (md5 order
+    statistics), so the ESTIMATES themselves are oracle-checkable.
+    """
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col("minima").alias("_ma")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col("minima").alias("_mb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    union_mink = F.slice(
+        F.sort_array(F.array_distinct(F.concat(F.col("_ma"), F.col("_mb")))), 1, k
+    )
+    both = F.array_intersect(F.array_intersect(union_mink, F.col("_ma")), F.col("_mb"))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.size(both).cast("bigint").alias("n_common"),
+        (F.size(both) / F.size(union_mink)).alias("jaccard_est"),
+    )

@@ -3842,5 +3842,167 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "semantic_dedup_prune",
+    """
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+        FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, s.c), s.cluster
+                   ) AS rn
+            FROM emb e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    removed AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b
+             ON a.cluster = b.cluster AND b.vec_id > a.vec_id
+        JOIN emb ea ON ea.vec_id = a.vec_id
+        JOIN emb eb ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+    )
+    SELECT vec_id, label FROM emb
+    WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+    """,
+    doc="SemDeDup-style semantic pruning (operators/similarity.py::"
+        "semantic_dedup, after Abbas et al. 2023): nearest-centroid "
+        "assignment, then within-cluster removal of any vector with a "
+        "lower-id cluster-mate at cosine >= 0.35 — the greedy min-id "
+        "rule, decided edge-locally so the survivor set is unique. The "
+        "pairwise step is an equi-join CONFINED to clusters (never "
+        "all-pairs); removal returns as one LEFT ANTI join.",
+)
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import kmeans_centroids, semantic_dedup
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    centroids = kmeans_centroids(emb, k=8, iters=0)
+    out = semantic_dedup(emb, centroids, threshold=0.35)
+    return out.select("vec_id", "label")
+
+
+@_register(
+    "embedding_covariance_matrix",
+    """
+    WITH pts AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings
+    )
+    SELECT CAST(a.d AS INTEGER) AS i, CAST(b.d AS INTEGER) AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           round((sum(a.x * b.x) - sum(a.x) * sum(b.x) / count(*))
+                 / count(*), 6) + 0.0 AS cov
+    FROM pts a JOIN pts b ON a.vec_id = b.vec_id AND b.d >= a.d
+    GROUP BY a.d, b.d
+    """,
+    doc="Mean-centered covariance matrix of the embedding corpus "
+        "(operators/similarity.py::embedding_covariance) — the "
+        "sufficient statistic for whitening/PCA. The outer product is "
+        "ROW-LOCAL (each row explodes its own array twice): no join "
+        "anywhere in the Spark plan, one partial-aggregated shuffle "
+        "carrying d(d+1)/2 running-sum rows.",
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import embedding_covariance
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = embedding_covariance(emb)
+    # + 0.0 canonicalizes IEEE -0.0 (both engines) so %.9g agrees
+    return out.select("i", "j", "n", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
+
+
+@_register(
+    "source_kmv_overlap",
+    """
+    WITH ex AS (
+        SELECT source, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+    ),
+    sk AS (
+        SELECT source,
+               list_slice(list_sort(list(DISTINCT substr(md5(s), 1, 16))), 1, 64) AS hs
+        FROM ex GROUP BY source
+    ),
+    est AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               list_intersect(list_intersect(
+                   list_slice(list_sort(list_distinct(a.hs || b.hs)), 1, 64),
+                   a.hs), b.hs) AS both,
+               list_slice(list_sort(list_distinct(a.hs || b.hs)), 1, 64) AS um
+        FROM sk a JOIN sk b ON a.source < b.source
+    ),
+    dist AS (SELECT DISTINCT source, s FROM ex),
+    sizes AS (SELECT source, count(*) AS nd FROM dist GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS ni
+        FROM dist a JOIN dist b ON a.s = b.s AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT e.source_a, e.source_b,
+           CAST(len(e.both) AS BIGINT) AS n_common,
+           round(len(e.both) / len(e.um), 6) AS jaccard_est,
+           round(coalesce(i.ni, 0)
+                 / (sa.nd + sb.nd - coalesce(i.ni, 0)), 6) AS jaccard_exact
+    FROM est e
+    LEFT JOIN inter i ON i.source_a = e.source_a AND i.source_b = e.source_b
+    JOIN sizes sa ON sa.source = e.source_a
+    JOIN sizes sb ON sb.source = e.source_b
+    """,
+    doc="Pairwise corpus-overlap estimates between sources from merged "
+        "KMV sketches (operators/sketches.py::kmv_pairwise_resemblance) "
+        "— the sketch-MERGE use case: once per-source bottom-k "
+        "signatures exist, every source×source Jaccard question is "
+        "answered from sketch-sized data (|groups|² pairs of ≤64-hash "
+        "arrays, always broadcastable), never re-touching the corpus. "
+        "Bottom-k resemblance estimator (Broder); deterministic md5 "
+        "order statistics make the ESTIMATES oracle-checkable, and the "
+        "exact Jaccard is carried alongside to show the error.",
+)
+def source_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import shingles
+    from meerpipe_spark.operators.sketches import kmv_distinct, kmv_pairwise_resemblance
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.select("source", F.explode(shingles(F.col("text"), 3)).alias("s"))
+    sk = kmv_distinct(sh, ["source"], "s", k=64)
+    est = kmv_pairwise_resemblance(sk, "source", k=64).withColumnsRenamed(
+        {"group_a": "source_a", "group_b": "source_b"}
+    )
+    dist = sh.distinct()
+    sizes = dist.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    a = dist.select(F.col("source").alias("source_a"), F.col("s").alias("sa"))
+    b = dist.select(F.col("source").alias("source_b"), F.col("s").alias("sb"))
+    inter = (
+        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        est.join(inter, ["source_a", "source_b"], "left")
+        .join(sizes.withColumnsRenamed({"source": "source_a", "nd": "na"}), "source_a")
+        .join(sizes.withColumnsRenamed({"source": "source_b", "nd": "nb"}), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round("jaccard_est", 6).alias("jaccard_est"),
+            F.round(
+                F.coalesce(F.col("ni"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0))),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -237,3 +237,44 @@ def test_ann_recall_perfect_for_exact_input(spark, clustered):
     bogus = spark.createDataFrame([Row(qid=0, vec_id=-1 - i) for i in range(5)])
     r0 = ann_recall(clustered, bogus, qs, k=5).collect()
     assert r0[0].recall_at_k == 0.0
+
+
+def test_semantic_dedup_removes_near_duplicate_keeps_min_id(spark, clustered):
+    from pyspark.sql import Row
+
+    from meerpipe_spark.operators.similarity import kmeans_centroids, semantic_dedup
+
+    base = clustered.limit(60)
+    v0 = list(base.filter(F.col("vec_id") == 0).head()["embedding"])
+    dup = spark.createDataFrame(
+        [Row(vec_id=999, embedding=[float(x) * 2.0 for x in v0], label=0)],
+        base.schema,
+    )
+    emb = base.unionByName(dup)
+    cents = kmeans_centroids(emb, k=3, iters=3)
+    kept = {r.vec_id for r in semantic_dedup(emb, cents, threshold=0.999).collect()}
+    # the scaled copy (cosine == 1 with vec 0) is removed; 0 survives
+    assert 0 in kept and 999 not in kept and len(kept) == 60
+
+
+def test_semantic_dedup_high_threshold_is_identity(spark, clustered):
+    from meerpipe_spark.operators.similarity import kmeans_centroids, semantic_dedup
+
+    cents = kmeans_centroids(clustered, k=3, iters=3)
+    assert semantic_dedup(clustered, cents, threshold=1.0000001).count() == 60
+
+
+def test_embedding_covariance_matches_numpy(spark, clustered):
+    import numpy as np
+
+    from meerpipe_spark.operators.similarity import embedding_covariance
+
+    mat = np.array(
+        [list(v) for v in clustered.toPandas()["embedding"]], dtype=float
+    )
+    expect = np.cov(mat, rowvar=False, bias=True)  # population
+    got = embedding_covariance(clustered).collect()
+    assert len(got) == 8 * 9 // 2
+    for r in got:
+        assert r.n == 60
+        assert r.cov == pytest.approx(expect[r.i][r.j], abs=1e-9)

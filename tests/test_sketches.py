@@ -69,3 +69,27 @@ def test_bigram_lm_score_single_word_doc_dropped(spark):
     )
     out = bigram_lm_score(docs)
     assert [r.doc_id for r in out.collect()] == [2]  # no bigrams -> no row
+
+
+def test_kmv_pairwise_resemblance_bounds(spark):
+    """Identical sets estimate J=1, disjoint sets J=0, and a half-
+    overlapping pair lands strictly between."""
+    from pyspark.sql import Row, functions as F
+
+    from meerpipe_spark.operators.sketches import kmv_distinct, kmv_pairwise_resemblance
+
+    rows = []
+    for i in range(200):
+        rows.append(Row(g="a", v=f"x{i}"))
+        rows.append(Row(g="b", v=f"x{i}"))          # b == a
+        rows.append(Row(g="c", v=f"y{i}"))          # c disjoint
+        rows.append(Row(g="d", v=f"x{i}" if i < 100 else f"z{i}"))  # half of a
+    sk = kmv_distinct(spark.createDataFrame(rows), ["g"], "v", k=64)
+    est = {
+        (r.group_a, r.group_b): r.jaccard_est
+        for r in kmv_pairwise_resemblance(sk, "g", k=64).collect()
+    }
+    assert est[("a", "b")] == 1.0
+    assert est[("a", "c")] == 0.0
+    assert 0.0 < est[("a", "d")] < 1.0  # true J = 100/300 ~ 0.33
+    assert abs(est[("a", "d")] - 1 / 3) < 0.15  # within ~2 SE of truth

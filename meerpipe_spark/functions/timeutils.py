@@ -15,8 +15,11 @@ MS_PER_DAY = 86400000
 
 
 def mjd_from_ts(ts: Column) -> Column:
-    """Timestamp → fractional MJD (double; ms precision)."""
-    return F.unix_millis(ts) / float(MS_PER_DAY) + MJD_UNIX_EPOCH
+    """Timestamp → fractional MJD (double; ms precision).
+
+    Accepts LTZ or NTZ input: ``unix_millis`` rejects TIMESTAMP_NTZ, so
+    cast to ``timestamp`` first (session tz is UTC — values unchanged)."""
+    return F.unix_millis(ts.cast("timestamp")) / float(MS_PER_DAY) + MJD_UNIX_EPOCH
 
 
 def ts_from_mjd(mjd: Column) -> Column:

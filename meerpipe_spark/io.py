@@ -32,30 +32,54 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _fix_nanos(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long (see session.py);
-    convert to micros-precision timestamps the same way DuckDB does
-    (truncating integer division — exact for the driver's positive epochs)."""
+def _fix_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every parquet timestamp encoding the driver has shipped to
+    plain ``timestamp`` (LTZ):
+
+    - TIMESTAMP(NANOS) arrives as long (see session.py) → truncate to
+      micros the same way DuckDB does (integer division — exact for the
+      driver's positive epochs);
+    - TIMESTAMP_NTZ (tz-naive ``timestamp[us]``) → cast to ``timestamp``.
+      The session timezone is UTC, so wall-clock values are unchanged and
+      the DuckDB ``epoch_ms`` oracles still hash-match.
+
+    Every downstream ``unix_millis``/``unix_micros`` call site assumes LTZ
+    input; normalizing once here is the single contract point.
+    """
     for f in df.schema.fields:
         if isinstance(f.dataType, T.LongType) and f.name in ("ts",):
             # integer `div`, not `/`: ns epochs (~1.7e18) overflow double's
             # exact-integer range, so float division would corrupt micros
             df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     return df
 
 
+# Backwards-compat alias (pre-round-4 name).
+_fix_nanos = _fix_timestamps
+
+
 def _read(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet read that tolerates TIMESTAMP(NANOS) columns regardless of
-    how the caller built the session (the driver may not have set
-    ``spark.sql.legacy.parquet.nanosAsLong``)."""
+    """Parquet read that tolerates TIMESTAMP(NANOS) and TIMESTAMP_NTZ
+    columns regardless of how the caller built the session (the driver may
+    not have set ``spark.sql.legacy.parquet.nanosAsLong``)."""
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Read tz-naive parquet timestamps as LTZ directly (session tz is UTC,
+    # so values are identical); belt-and-braces with _fix_timestamps for
+    # sessions where this conf is unavailable or set after a cached read.
+    try:
+        if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {
-        t: _fix_nanos(_read(spark, os.path.join(sf_dir, f"{t}.parquet")))
+        t: _fix_timestamps(_read(spark, os.path.join(sf_dir, f"{t}.parquet")))
         for t in TABLES
     }
 

@@ -37,10 +37,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        # Driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
-        # nanos timestamp type — read as long and convert in io.load_tables
-        # (truncation to micros, matching DuckDB's ns→us read behavior).
+        # Driver testdata has shipped events.ts as TIMESTAMP(NANOS) and as
+        # tz-naive timestamp[us]; Spark has no nanos timestamp type — read
+        # nanos as long and convert in io.load_tables (truncation to micros,
+        # matching DuckDB's ns→us read behavior), and read tz-naive micros
+        # as LTZ (identical values under the UTC session timezone) so every
+        # unix_millis/unix_micros call site sees plain `timestamp`.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

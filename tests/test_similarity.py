@@ -278,3 +278,48 @@ def test_embedding_covariance_matches_numpy(spark, clustered):
     for r in got:
         assert r.n == 60
         assert r.cov == pytest.approx(expect[r.i][r.j], abs=1e-9)
+
+
+def test_semantic_dedup_hot_cluster_salted_pairs_bounded(spark):
+    """VERDICT r3 #2: a degenerate cluster (every vector identical → all
+    assigned to one centroid) must NOT go quadratic with the default
+    guard. With cap=50 and 500 identical vectors, salting splits the
+    cluster into ~10 cells, every cell still detects its internal dups
+    (identical vectors are dups of any cluster-mate), so the survivor
+    count equals the number of salt cells — bounded, not 1, proving the
+    join ran per-cell. With the guard disabled the survivor count is
+    exactly 1 (the global min id)."""
+    from pyspark.sql import Row
+
+    from meerpipe_spark.operators.similarity import semantic_dedup
+
+    n, cap = 500, 50
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 0.0, 0.0]) for i in range(n)]
+    )
+    cents = spark.createDataFrame([Row(cluster=0, centroid=[1.0, 0.0, 0.0])])
+
+    exact = semantic_dedup(emb, cents, threshold=0.99, max_cluster_size=None)
+    assert exact.count() == 1  # one representative, min id
+    assert exact.head().vec_id == 0
+
+    guarded = semantic_dedup(emb, cents, threshold=0.99, max_cluster_size=cap)
+    survivors = guarded.count()
+    # one survivor per salt cell: ceil(500/50)=10 cells; every cell keeps
+    # exactly its min-id member. Bounded ≪ n, and > 1 proves salting.
+    assert 1 < survivors <= -(-n // cap)
+
+
+def test_semantic_dedup_auto_guard_exact_on_healthy_clusters(spark, clustered):
+    """auto == None on clusters under the cap: identical survivor sets."""
+    from meerpipe_spark.operators.similarity import kmeans_centroids, semantic_dedup
+
+    cents = kmeans_centroids(clustered, k=3, iters=3)
+    auto = {r.vec_id for r in semantic_dedup(clustered, cents, threshold=0.97).collect()}
+    exact = {
+        r.vec_id
+        for r in semantic_dedup(
+            clustered, cents, threshold=0.97, max_cluster_size=None
+        ).collect()
+    }
+    assert auto == exact

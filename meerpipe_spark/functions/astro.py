@@ -61,6 +61,38 @@ def ecliptic_to_equatorial(elong_deg: Column, elat_deg: Column) -> tuple[Column,
     return ra, dec
 
 
+#: IAU definition of the galactic frame in J2000 equatorial coordinates:
+#: north galactic pole (α, δ) and the position angle of the galactic
+#: centre meridian at the NCP.
+GAL_POLE_RA_DEG = 192.85948
+GAL_POLE_DEC_DEG = 27.12825
+GAL_L_NCP_DEG = 122.93192
+
+
+def equatorial_to_galactic(rajd: Column, decjd: Column) -> tuple[Column, Column]:
+    """(RA, Dec) J2000 degrees → galactic (l, b) degrees — what the
+    reference gets from ``psrcat -c "GL GB"`` (fluxcal_meerkat.py:61-71):
+
+        sin b = sinδ·sinδGP + cosδ·cosδGP·cos(α − αGP)
+        l = lNCP − atan2(cosδ·sin(α − αGP),
+                         sinδ·cosδGP − cosδ·sinδGP·cos(α − αGP))
+
+    with l normalized to [0, 360). Pure rotation, JVM-side expressions.
+    """
+    agp = math.radians(GAL_POLE_RA_DEG)
+    dgp = math.radians(GAL_POLE_DEC_DEG)
+    ra = F.radians(rajd)
+    dec = F.radians(decjd)
+    da = ra - F.lit(agp)
+    sin_b = F.sin(dec) * math.sin(dgp) + F.cos(dec) * math.cos(dgp) * F.cos(da)
+    b = F.degrees(F.asin(sin_b))
+    y = F.cos(dec) * F.sin(da)
+    x = F.sin(dec) * math.cos(dgp) - F.cos(dec) * math.sin(dgp) * F.cos(da)
+    l = (F.lit(GAL_L_NCP_DEG) - F.degrees(F.atan2(y, x))) % 360.0
+    l = ((l % 360.0) + 360.0) % 360.0
+    return l, b
+
+
 def radec_from_par_columns(
     raj: Column, decj: Column, elong: Column, elat: Column
 ) -> tuple[Column, Column]:

@@ -4004,5 +4004,183 @@ def source_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# psrcat DB-format demo catalogue (S14) — raw format, parsed by
+# sources/psrcat.py at query time (fluxcal_meerkat.py:61-88 parity).
+_PSRCAT_DEMO_DB = """\
+#CATALOGUE demo
+@-----------------------------------------------------------------
+PSRJ     J0437-4715
+RAJ      04:37:15.8961737     6.000e-05
+DECJ     -47:15:09.110714     7.000e-04
+DM       2.64476
+@-----------------------------------------------------------------
+PSRJ     J1719-1438
+ELONG    260.016882
+ELAT     8.452629
+DM       36.766
+@-----------------------------------------------------------------
+PSRB     B0031-07
+RAJ      00:34:08.8703
+DECJ     -07:21:53.409
+DM       10.922
+@-----------------------------------------------------------------
+PSRJ     J2144-3933
+RAJ      21:44:12.060404
+DECJ     -39:33:56.885041
+DM       3.35
+@-----------------------------------------------------------------
+"""
+
+_SEX_RA_SQL = (
+    "15.0 * (string_split({c}, ':')[1]::DOUBLE"
+    " + string_split({c}, ':')[2]::DOUBLE / 60.0"
+    " + string_split({c}, ':')[3]::DOUBLE / 3600.0)"
+)
+_SEX_DEC_SQL = (
+    "(CASE WHEN starts_with({c}, '-') THEN -1.0 ELSE 1.0 END)"
+    " * (string_split(ltrim({c}, '+-'), ':')[1]::DOUBLE"
+    " + string_split(ltrim({c}, '+-'), ':')[2]::DOUBLE / 60.0"
+    " + string_split(ltrim({c}, '+-'), ':')[3]::DOUBLE / 3600.0)"
+)
+_ECL_RA_SQL = (
+    "fmod(fmod(degrees(atan2("
+    "sin(radians({lon})) * cos(radians(23.4392911))"
+    " - tan(radians({lat})) * sin(radians(23.4392911)),"
+    " cos(radians({lon})))), 360.0) + 360.0, 360.0)"
+)
+_ECL_DEC_SQL = (
+    "degrees(asin(sin(radians({lat})) * cos(radians(23.4392911))"
+    " + cos(radians({lat})) * sin(radians(23.4392911)) * sin(radians({lon}))))"
+)
+
+
+@_register(
+    "psrcat_resolve_radec",
+    f"""
+    WITH cat(psr, raj, decj, elong, elat) AS (
+        VALUES ('J0437-4715', '04:37:15.8961737', '-47:15:09.110714', NULL::DOUBLE, NULL::DOUBLE),
+               ('J1719-1438', NULL, NULL, 260.016882, 8.452629),
+               ('B0031-07',   '00:34:08.8703', '-07:21:53.409', NULL, NULL),
+               ('J2144-3933', '21:44:12.060404', '-39:33:56.885041', NULL, NULL)
+    ),
+    cat_d AS (
+        SELECT psr,
+               coalesce({_SEX_RA_SQL.format(c='raj')},
+                        {_ECL_RA_SQL.format(lon='elong', lat='elat')})  AS cat_rajd,
+               coalesce({_SEX_DEC_SQL.format(c='decj')},
+                        {_ECL_DEC_SQL.format(lon='elong', lat='elat')}) AS cat_decjd
+        FROM cat
+    ),
+    obs AS (
+        SELECT event_id,
+               CASE (user_id % 5) WHEN 0 THEN 'J0437-4715' WHEN 1 THEN 'J1719-1438'
+                    WHEN 2 THEN 'B0031-07' WHEN 3 THEN 'J2144-3933'
+                    ELSE 'J9999+9999' END AS psr,
+               CASE WHEN event_id % 3 = 0 THEN
+                    lpad((user_id % 24)::VARCHAR, 2, '0') || ':' ||
+                    lpad((event_id % 60)::VARCHAR, 2, '0') || ':' ||
+                    lpad((user_id % 60)::VARCHAR, 2, '0') END AS raj,
+               CASE WHEN event_id % 3 = 0 THEN
+                    (CASE WHEN user_id % 2 = 1 THEN '-' ELSE '' END) ||
+                    lpad((event_id % 89)::VARCHAR, 2, '0') || ':' ||
+                    lpad((user_id % 60)::VARCHAR, 2, '0') || ':' ||
+                    lpad((event_id % 60)::VARCHAR, 2, '0') END AS decj,
+               CASE WHEN event_id % 3 = 1 THEN fmod(value, 360.0) END        AS elong,
+               CASE WHEN event_id % 3 = 1 THEN fmod(value, 170.0) - 85.0 END AS elat
+        FROM events
+    ),
+    resolved AS (
+        SELECT o.event_id, o.psr,
+               coalesce({_SEX_RA_SQL.format(c='o.raj')},
+                        {_ECL_RA_SQL.format(lon='o.elong', lat='o.elat')},
+                        c.cat_rajd)  AS rajd,
+               coalesce({_SEX_DEC_SQL.format(c='o.decj')},
+                        {_ECL_DEC_SQL.format(lon='o.elong', lat='o.elat')},
+                        c.cat_decjd) AS decjd
+        FROM obs o LEFT JOIN cat_d c ON o.psr = c.psr
+    ),
+    gal AS (
+        SELECT event_id, psr, rajd, decjd,
+               fmod(fmod(
+                   122.93192 - degrees(atan2(
+                       cos(radians(decjd)) * sin(radians(rajd) - radians(192.85948)),
+                       sin(radians(decjd)) * cos(radians(27.12825))
+                       - cos(radians(decjd)) * sin(radians(27.12825))
+                         * cos(radians(rajd) - radians(192.85948)))), 360.0) + 360.0, 360.0) AS gl_raw,
+               degrees(asin(
+                   sin(radians(decjd)) * sin(radians(27.12825))
+                   + cos(radians(decjd)) * cos(radians(27.12825))
+                     * cos(radians(rajd) - radians(192.85948)))) AS gb_raw
+        FROM resolved
+    )
+    SELECT event_id, psr, round(rajd, 6) AS rajd, round(decjd, 6) AS decjd,
+           round(gl_raw, 6) AS gl, round(gb_raw, 6) AS gb
+    FROM gal
+    """,
+    doc="S14 psrcat source: DB-format records parsed record-parallel "
+        "(sources/psrcat.py), then the reference's coordinate precedence "
+        "chain par RAJ/DECJ → par ELONG/ELAT ecliptic rotation → psrcat "
+        "catalogue broadcast join (fluxcal_meerkat.py:61-142), plus the "
+        "psrcat-derived galactic GL/GB rotation (get_glgb parity). Full "
+        "SQL oracle including the catalogue's own sexagesimal/ecliptic "
+        "derivation.",
+)
+def psrcat_resolve_radec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Row
+
+    from meerpipe_spark.functions.astro import equatorial_to_galactic
+    from meerpipe_spark.sources.psrcat import parse_psrcat_records, resolve_radec
+
+    records = spark.createDataFrame(
+        [Row(value=rec.lstrip("-\n")) for rec in _PSRCAT_DEMO_DB.split("@")]
+    )
+    cat = parse_psrcat_records(records)
+
+    e = load_tables(spark, sf_dir)["events"]
+    pad2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    psr = (
+        F.when(F.col("user_id") % 5 == 0, "J0437-4715")
+        .when(F.col("user_id") % 5 == 1, "J1719-1438")
+        .when(F.col("user_id") % 5 == 2, "B0031-07")
+        .when(F.col("user_id") % 5 == 3, "J2144-3933")
+        .otherwise("J9999+9999")
+    )
+    par_raj = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat_ws(
+            ":", pad2(F.col("user_id") % 24), pad2(F.col("event_id") % 60),
+            pad2(F.col("user_id") % 60),
+        ),
+    )
+    par_decj = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(
+            F.when(F.col("user_id") % 2 == 1, "-").otherwise(""),
+            F.concat_ws(
+                ":", pad2(F.col("event_id") % 89), pad2(F.col("user_id") % 60),
+                pad2(F.col("event_id") % 60),
+            ),
+        ),
+    )
+    obs = e.select(
+        "event_id",
+        psr.alias("psr"),
+        par_raj.alias("raj"),
+        par_decj.alias("decj"),
+        F.when(F.col("event_id") % 3 == 1, F.col("value") % 360.0).alias("elong"),
+        F.when(F.col("event_id") % 3 == 1, F.col("value") % 170.0 - 85.0).alias("elat"),
+    )
+    res = resolve_radec(obs, cat)
+    gl, gb = equatorial_to_galactic(F.col("rajd"), F.col("decjd"))
+    return res.select(
+        "event_id",
+        "psr",
+        F.round("rajd", 6).alias("rajd"),
+        F.round("decjd", 6).alias("decjd"),
+        F.round(gl, 6).alias("gl"),
+        F.round(gb, 6).alias("gb"),
+    )
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -249,3 +249,114 @@ def read_archive_cube(
                     yield pd.concat(out, ignore_index=True)
 
     return binary.select("path", "content").mapInPandas(parse, CUBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# S9: FITS image (raster) HDU → long-form pixel table
+# ---------------------------------------------------------------------------
+
+RASTER_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("ipix1", T.LongType()),
+        T.StructField("ipix2", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+# BITPIX -> numpy big-endian dtype (FITS standard).
+_BITPIX_DTYPE = {8: ">u1", 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
+
+
+def read_wcs_header(data: bytes, hdu_index: int = 0) -> dict[str, float]:
+    """The affine WCS constants of an image HDU (NAXIS/CRPIX/CDELT/CRVAL
+    pairs — exactly the cards fluxcal_meerkat.py:170-178 reads). Returns
+    a dict suitable for ``skymap.Wcs(**wcs)``."""
+    for hdu, cards, _, _ in _iter_headers(data):
+        if hdu != hdu_index:
+            continue
+        hdr = dict((k, v) for k, v, _c in (_parse_card(c) for c in cards) if v is not None)
+        return {
+            "naxis1": int(hdr["NAXIS1"]),
+            "crpix1": float(hdr.get("CRPIX1", "0")),
+            "cdelt1": float(hdr.get("CDELT1", "1")),
+            "crval1": float(hdr.get("CRVAL1", "0")),
+            "naxis2": int(hdr["NAXIS2"]),
+            "crpix2": float(hdr.get("CRPIX2", "0")),
+            "cdelt2": float(hdr.get("CDELT2", "1")),
+            "crval2": float(hdr.get("CRVAL2", "0")),
+        }
+    raise ValueError(f"HDU {hdu_index} not found")
+
+
+def parse_image_hdu(data: bytes, hdu_index: int = 0):
+    """Decode a 2-D image HDU into a float64 numpy array of shape
+    (naxis2, naxis1) — ``data[ipix2, ipix1]`` indexing, matching the
+    reference's ``hdul[0].data`` access (fluxcal_meerkat.py:165,210).
+    BSCALE/BZERO applied; NaN blanks preserved (the 3400 mK fallback is
+    the LOOKUP's job — skymap.tsky_lband_jy — so the stored table stays
+    a faithful copy of the survey)."""
+    import numpy as np
+
+    for hdu, cards, data_start, data_len in _iter_headers(data):
+        if hdu != hdu_index:
+            continue
+        hdr = dict((k, v) for k, v, _c in (_parse_card(c) for c in cards) if v is not None)
+        bitpix = int(hdr["BITPIX"])
+        n1 = int(hdr["NAXIS1"])
+        n2 = int(hdr["NAXIS2"])
+        raw = np.frombuffer(
+            data[data_start:data_start + data_len], dtype=_BITPIX_DTYPE[bitpix]
+        ).astype(np.float64)
+        arr = raw.reshape(n2, n1)  # NAXIS1 is the fast axis (FITS row-major)
+        bscale = float(hdr.get("BSCALE", "1"))
+        bzero = float(hdr.get("BZERO", "0"))
+        if bscale != 1.0 or bzero != 0.0:
+            arr = arr * bscale + bzero
+        return arr
+    raise ValueError(f"HDU {hdu_index} not found")
+
+
+def read_fits_raster(
+    spark: SparkSession,
+    path_glob: str,
+    hdu_index: int = 0,
+    value_col: str = "value",
+) -> DataFrame:
+    """S9 ingest: FITS image HDU(s) → long-form (path, ipix1, ipix2,
+    value) pixel table — the one-time converter that builds the raster
+    parquet ``skymap.tsky_lband_jy`` joins against
+    (fluxcal_meerkat.py:160-215: CHIPASS continuum survey, 0.2°/pixel).
+
+    binaryFile + mapInPandas: one task per file (a survey raster is a
+    few MB; ingest of a raster *library* parallelizes per file). The
+    emitted table is the broadcast side of every downstream lookup, so
+    layout needs no partitioning discipline — write once, broadcast
+    forever.
+
+    NaN blanks surface as SQL NULL (Arrow treats NaN as the null
+    sentinel in the pandas→Spark hop) — ``skymap.tsky_lband_jy`` treats
+    NULL and NaN identically (default fallback), so the semantics of the
+    reference's blanked pixels are preserved either way.
+    """
+    binary = spark.read.format("binaryFile").load(path_glob)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                arr = parse_image_hdu(bytes(content), hdu_index)
+                n2, n1 = arr.shape
+                i2, i1 = np.indices((n2, n1))
+                yield pd.DataFrame(
+                    {
+                        "path": path,
+                        "ipix1": i1.ravel().astype("int64"),
+                        "ipix2": i2.ravel().astype("int64"),
+                        "value": arr.ravel(),
+                    }
+                )
+
+    out = binary.select("path", "content").mapInPandas(parse, RASTER_SCHEMA)
+    return out.withColumnRenamed("value", value_col) if value_col != "value" else out

@@ -396,3 +396,79 @@ def test_write_tim_fmjd_rounding_carries_into_imjd(spark, tmp_path):
     assert len(back) == 1
     assert back[0].imjd == 60001
     assert back[0].fmjd == pytest.approx(0.0, abs=1e-15)
+
+
+# ---------------------------------------------------------------------------
+# S9: FITS raster ingest → tsky lookup end-to-end (VERDICT r3 #5)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def chipass_file(tmp_path):
+    """Synthetic CHIPASS-like raster: primary image HDU, BITPIX=-32,
+    8×6 pixels, affine WCS cards, one NaN-blanked pixel at (1,1).
+    value(ipix2, ipix1) = 3500 + 10*ipix2 + ipix1 (mK)."""
+    import math
+
+    n1, n2 = 8, 6
+    hdr = (
+        _card("SIMPLE", "T")
+        + _card("BITPIX", "-32")
+        + _card("NAXIS", "2")
+        + _card("NAXIS1", str(n1))
+        + _card("NAXIS2", str(n2))
+        + _card("CRPIX1", "0.0")
+        + _card("CDELT1", "0.2", "deg/pixel")
+        + _card("CRVAL1", "0.0")
+        + _card("CRPIX2", "0.0")
+        + _card("CDELT2", "0.2")
+        + _card("CRVAL2", "-25.0")
+        + b"END".ljust(80)
+    )
+    vals = []
+    for i2 in range(n2):
+        for i1 in range(n1):
+            vals.append(math.nan if (i1, i2) == (1, 1) else 3500.0 + 10 * i2 + i1)
+    payload = b"".join(struct.pack(">f", v) for v in vals)
+    p = tmp_path / "chipass.fits"
+    p.write_bytes(_blank_pad(hdr) + _blank_pad(payload))
+    return str(p)
+
+
+def test_read_fits_raster_values_and_nan(spark, chipass_file):
+    from meerpipe_spark.sources.fits import read_fits_raster
+
+    df = read_fits_raster(spark, chipass_file, value_col="tsky_mk")
+    assert df.count() == 48
+    got = {(r.ipix1, r.ipix2): r.tsky_mk for r in df.collect()}
+    assert got[(0, 0)] == 3500.0
+    assert got[(7, 5)] == 3557.0
+    # NaN blank arrives as NULL (Arrow NaN-as-null in the pandas hop);
+    # the tsky lookup treats NULL == NaN == blanked
+    assert got[(1, 1)] is None
+
+
+def test_chipass_ingest_to_tsky_lookup_end_to_end(spark, chipass_file):
+    """The full S9 path: FITS raster file → pixel table + WCS cards →
+    tsky_lband_jy lookup with NaN-blank and out-of-bounds falling back
+    to 3400 mK (fluxcal_meerkat.py:160-215)."""
+    from pyspark.sql import Row
+
+    from meerpipe_spark.operators.skymap import Wcs, tsky_lband_jy
+    from meerpipe_spark.sources.fits import read_fits_raster, read_wcs_header
+
+    raster = read_fits_raster(spark, chipass_file, value_col="tsky_mk").drop("path")
+    wcs = Wcs(**read_wcs_header(open(chipass_file, "rb").read()))
+    assert wcs.naxis1 == 8 and wcs.cdelt2 == 0.2 and wcs.crval2 == -25.0
+
+    obs = spark.createDataFrame(
+        [
+            Row(obs_id=1, rajd=0.6, decjd=-24.6),   # pixel (3, 2) -> 3523 mK
+            Row(obs_id=2, rajd=0.2, decjd=-24.8),   # pixel (1, 1) -> NaN -> 3400
+            Row(obs_id=3, rajd=50.0, decjd=-24.8),  # x out of bounds -> 3400
+        ]
+    )
+    out = {r.obs_id: r.tsky_jy for r in tsky_lband_jy(obs, raster, wcs).collect()}
+    jy = lambda mk: 1.7202 * (mk - 3372.0) * (19.0 / 1000.0)  # noqa: E731
+    assert out[1] == pytest.approx(jy(3523.0))
+    assert out[2] == pytest.approx(jy(3400.0))
+    assert out[3] == pytest.approx(jy(3400.0))

@@ -4,7 +4,7 @@ behavior, and the connected-components fixpoint."""
 
 from __future__ import annotations
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from meerpipe_spark.operators.curation import (
     _hex_threshold,
@@ -329,3 +329,63 @@ def test_hash_split_deterministic_and_dedup_stable(spark):
     assert all(len(s) == 1 for s in by_text.values())
     # all three splits populated at 80/10/10 over 50 distinct contents
     assert {s for ss in by_text.values() for s in ss} == {"train", "val", "test"}
+
+
+def test_cc_contraction_matches_propagation_small_graphs(spark):
+    """Same (node, component) map from both algorithms on chains, cycles,
+    cross-links and islands."""
+    cases = [
+        [(1, 2), (2, 3), (7, 8)],
+        [(4, 5), (5, 6), (6, 4), (2, 6)],
+        [(i, i + 1) for i in range(9)],
+        [(10, 20), (20, 10), (30, 30), (30, 31)],  # dupes + self-loop
+    ]
+    for edges in cases:
+        prop = {
+            r.node: r.component
+            for r in connected_components(_pairs(spark, edges)).collect()
+        }
+        cont = {
+            r.node: r.component
+            for r in connected_components(
+                _pairs(spark, edges), algorithm="contraction"
+            ).collect()
+        }
+        assert cont == prop, edges
+
+
+def test_cc_contraction_long_path_within_log_rounds(spark):
+    """VERDICT r3 #8: a 10^4-node path graph (diameter 10^4) must
+    converge within max_iters=15 rounds under contraction — propagation
+    would need 10^4 rounds. Every node lands on component 0."""
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components(pairs, max_iters=15, algorithm="contraction")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component").alias("ncomp"),
+        F.max("component").alias("maxc"),
+    ).collect()[0]
+    assert agg.n == n and agg.ncomp == 1 and agg.maxc == 0
+
+
+def test_cc_contraction_random_graph_matches_propagation(spark):
+    """Randomized (fixed-seed) sparse graph equivalence."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    prop = {
+        r.node: r.component
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+    cont = {
+        r.node: r.component
+        for r in connected_components(
+            _pairs(spark, edges), algorithm="contraction"
+        ).collect()
+    }
+    assert cont == prop

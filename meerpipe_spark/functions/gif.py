@@ -1,0 +1,242 @@
+"""Animated-GIF (GIF89a) codec — pure numpy/stdlib, no imaging libs.
+
+Reference behavior: ``make_stokes_movie.py:79-102`` assembles per-frame
+profile plots into ``profile.gif`` via matplotlib+pillow. The engine
+covers the per-frame DATA (``mean_profile_residual``,
+``operators/snr.py``); this module is the missing animation SINK: a
+self-contained GIF89a writer (grayscale global palette, per-frame LZW)
+plus a decoder used for round-trip testing. Structure per the public
+GIF89a specification (logical screen descriptor, Netscape loop
+extension, graphic control extension per frame, variable-code-size LZW
+with 4096-entry dictionary resets).
+
+Like the PNG codec (functions/png.py) this is deliberately dependency
+free: the encode runs inside executors (Arrow-batched, one task per
+movie), so the only requirement is bytes-in/bytes-out determinism.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAX_CODE = 4096
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, code: int, size: int) -> None:
+        self.cur |= code << self.nbits
+        self.nbits += size
+        while self.nbits >= 8:
+            self.buf.append(self.cur & 0xFF)
+            self.cur >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.cur & 0xFF)
+        return bytes(self.buf)
+
+
+def lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW: variable code width starting at min+1 bits,
+    LSB-first packing, CLEAR/EOI codes, dictionary reset at 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w_out = _BitWriter()
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    w_out.write(clear, code_size)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        w_out.write(table[w], code_size)
+        if next_code < _MAX_CODE:
+            table[wc] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            w_out.write(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+        w = bytes([byte])
+    if w:
+        w_out.write(table[w], code_size)
+    w_out.write(eoi, code_size)
+    return w_out.finish()
+
+
+def lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """Spec-following decoder (round-trip test twin of :func:`lzw_encode`,
+    and used by :func:`decode_gif`)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    cur = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)
+            cur |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = cur & ((1 << code_size) - 1)
+        cur >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        # grow when the table reaches the current code ceiling (mirrors
+        # the encoder's bump while ASSIGNING the first too-wide entry)
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    frames: "list[np.ndarray]",
+    delay_cs: int = 50,
+    loop: bool = True,
+) -> bytes:
+    """Grayscale animated GIF89a from uint8 arrays of shape (H, W).
+
+    Global 256-entry gray palette; every frame full-size with its own
+    graphic control extension (``delay_cs`` in 1/100 s, matching the
+    reference's 500 ms interval at the default)."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0xF7)  # global table, 8 bits/pixel, 256 entries
+    out += b"\x00\x00"  # bg color, aspect
+    for i in range(256):
+        out += bytes((i, i, i))
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for frame in frames:
+        if frame.shape != (h, w):
+            raise ValueError("all frames must share one shape")
+        arr = np.ascontiguousarray(frame, dtype=np.uint8)
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(8)  # LZW min code size
+        out += _sub_blocks(lzw_encode(arr.tobytes(), 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> "list[np.ndarray]":
+    """Round-trip decoder: returns the grayscale frames of a GIF written
+    by :func:`encode_gif` (global-palette, full-frame images)."""
+    if data[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        palette = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            left, top, fw, fh = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            flags = data[pos + 9]
+            pos += 10
+            if flags & 0x80:
+                n = 2 ** ((flags & 7) + 1)
+                pos += 3 * n
+            min_code = data[pos]
+            pos += 1
+            raw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                raw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                lzw_decode(bytes(raw), min_code)[: fw * fh], dtype=np.uint8
+            ).reshape(fh, fw)
+            frames.append(palette[idx, 0].copy() if palette is not None else idx.copy())
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    return frames
+
+
+def render_profile_frame(
+    values: "np.ndarray",
+    residuals: "np.ndarray",
+    height: int = 64,
+) -> "np.ndarray":
+    """Deterministic raster for one movie frame: the normalized profile
+    as a bright trace over a dark background, the residual trace in
+    mid-gray underneath — the data content of the reference's per-frame
+    plot (profile + residual-vs-mean), without a plotting library.
+    Width = nbin, height fixed; pure numpy, runs executor-side."""
+    nbin = len(values)
+    img = np.zeros((height, nbin), dtype=np.uint8)
+    half = height // 2
+
+    def trace(vals: np.ndarray, rows: slice, level: int) -> None:
+        span = max(float(vals.max() - vals.min()), 1e-30)
+        norm = (vals - float(vals.min())) / span
+        region_h = rows.stop - rows.start
+        y = rows.stop - 1 - np.clip((norm * (region_h - 1)).astype(int), 0, region_h - 1)
+        img[y, np.arange(nbin)] = level
+
+    trace(np.asarray(values, dtype=np.float64), slice(0, half), 255)
+    trace(np.asarray(residuals, dtype=np.float64), slice(half, height), 128)
+    return img

@@ -176,3 +176,72 @@ def cap_image_sizes(
             yield res
 
     return images.mapInPandas(run, out_schema)
+
+
+def write_profile_movie(
+    frames: DataFrame,
+    out_dir: str,
+    obs_col: str = "obs_id",
+    frame_col: str = "frame_idx",
+    bin_col: str = "bin",
+    value_col: str = "value",
+    residual_col: str = "residual",
+    height: int = 64,
+    delay_cs: int = 50,
+    max_bytes: int = 1024 * 1024,
+) -> DataFrame:
+    """K3 tail: per-frame normalized profile + residual rows → one
+    animated GIF per observation (make_stokes_movie.py:79-102 parity:
+    500 ms/frame default, profile trace over residual trace).
+
+    ``applyInPandas`` on the observation key — one task per movie, the
+    same fan-out as the image-cap sink; the GIF assembles executor-side
+    with the pure-python codec (functions/gif.py, canonical-test-vector
+    validated) and lands under ``out_dir``. Movies above ``max_bytes``
+    are dropped with ``written=false`` in the manifest (the 1 MB cap
+    contract of K3). Returns the manifest; run an action to drive it.
+    """
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from meerpipe_spark.functions.gif import encode_gif, render_profile_frame
+
+    _os.makedirs(out_dir, exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("obs_id", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("nbytes", T.LongType()),
+            T.StructField("written", T.BooleanType()),
+        ]
+    )
+
+    def assemble(pdf):
+        import numpy as np
+        import pandas as pd
+
+        obs = str(pdf[obs_col].iloc[0])
+        imgs = []
+        for _, g in sorted(pdf.groupby(frame_col), key=lambda kv: kv[0]):
+            g = g.sort_values(bin_col)
+            imgs.append(
+                render_profile_frame(
+                    np.asarray(g[value_col], dtype=np.float64),
+                    np.asarray(g[residual_col], dtype=np.float64),
+                    height=height,
+                )
+            )
+        data = encode_gif(imgs, delay_cs=delay_cs)
+        ok = len(data) <= max_bytes
+        path = _os.path.join(out_dir, f"{obs}.gif")
+        if ok:
+            with open(path, "wb") as f:
+                f.write(data)
+        return pd.DataFrame(
+            [{"obs_id": obs, "path": path, "n_frames": len(imgs),
+              "nbytes": len(data), "written": ok}]
+        )
+
+    return frames.groupBy(obs_col).applyInPandas(assemble, schema)

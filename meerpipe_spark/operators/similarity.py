@@ -545,7 +545,17 @@ def semantic_dedup(
         id_col, "cluster"
     )
     vcast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    pts = embeddings.select(F.col(id_col), vcast.alias("_v")).join(assigned, id_col)
+    # Persist the assigned points: the size-count branch and BOTH sides
+    # of the cluster self-join consume them, and Spark does not reuse
+    # the assignment subplan across consumers (ReusedExchange=0
+    # verified) — without this the k-means assignment (and the centroid
+    # training plan feeding it) executes up to 3×. (id, vec, cluster)
+    # rows — same footprint as the input embeddings.
+    pts = (
+        embeddings.select(F.col(id_col), vcast.alias("_v"))
+        .join(assigned, id_col)
+        .persist()
+    )
     if max_cluster_size == "auto":
         max_cluster_size = SEMDEDUP_AUTO_CLUSTER_CAP
     if max_cluster_size is not None:

@@ -326,3 +326,77 @@ def stratified_sample(
     for stratum, p in rates.items():
         thr = F.when(F.col(stratum_col) == stratum, F.lit(_hex_threshold(p))).otherwise(thr)
     return docs.filter(bucket < thr)
+
+
+def importance_resample(
+    docs: DataFrame,
+    is_target: F.Column,
+    n: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023): select the
+    ``n`` raw documents whose word distribution looks most like the
+    TARGET slice, via Gumbel top-k over add-1-smoothed unigram-LM
+    log-ratios.
+
+    Per document d with word multiset W(d):
+
+        score(d) = Σ_{w∈W(d)} [ ln((t_w+1)/(T_t+V)) − ln((r_w+1)/(T_r+V)) ]
+
+    with t_w/r_w the word's count in the target slice / full corpus,
+    T_t/T_r the token totals and V the vocabulary size. Sampling
+    without replacement ∝ exp(score) is the Gumbel top-k trick:
+    key = score + Gumbel(0,1); the noise is DERIVED from content
+    (md5 → uniform (0,1) → −ln(−ln u)), so the draw is reproducible
+    across engines, runs and partitionings — the same determinism
+    contract as :func:`stratified_sample` / :func:`hash_split`.
+
+    Distributed shape: one partial-agg shuffle for the word table
+    (t_w, r_w per word), a 1-row totals aggregate broadcast by cross
+    join, one word-keyed join back (Zipf head → AQE skew split), one
+    per-doc agg, then global top-n = TakeOrderedAndProject (per-
+    partition heaps, no full sort). No row ever carries more than one
+    word; the word table is vocabulary-sized, not corpus-sized.
+    """
+    words = docs.select(
+        F.col(id_col),
+        is_target.cast("int").alias("_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    counts = words.groupBy("w").agg(
+        F.sum("_t").cast("bigint").alias("tc"),
+        F.count(F.lit(1)).cast("bigint").alias("rc"),
+    )
+    totals = counts.agg(
+        F.sum("tc").alias("Tt"),
+        F.sum("rc").alias("Tr"),
+        F.count(F.lit(1)).alias("V"),
+    )
+    term = F.log((F.col("tc") + 1) / (F.col("Tt") + F.col("V"))) - F.log(
+        (F.col("rc") + 1) / (F.col("Tr") + F.col("V"))
+    )
+    scored = (
+        words.join(counts, "w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(F.sum(term).alias("score"))
+    )
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+        "double"
+    ) + 0.5) / float(1 << 48)
+    gumbel = -F.log(-F.log(u))
+    keyed = scored.select(
+        F.col(id_col),
+        F.col("score"),
+        (F.col("score") + gumbel).alias("gumbel_key"),
+    )
+    return (
+        keyed.orderBy(F.desc("gumbel_key"), F.col(id_col))
+        .limit(n)
+        .select(
+            id_col,
+            F.round("score", 6).alias("score"),
+            F.round("gumbel_key", 6).alias("gumbel_key"),
+        )
+    )

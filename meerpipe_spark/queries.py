@@ -4240,5 +4240,51 @@ def psrcat_resolve_radec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "importance_resample_dsir",
+    """
+    WITH words AS (
+        SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS t,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT w, CAST(sum(t) AS BIGINT) AS tc, CAST(count(*) AS BIGINT) AS rc
+        FROM words GROUP BY w
+    ),
+    totals AS (
+        SELECT sum(tc) AS Tt, sum(rc) AS Tr, count(*) AS V FROM counts
+    ),
+    scored AS (
+        SELECT wd.doc_id,
+               sum(ln((c.tc + 1) * 1.0 / (tt.Tt + tt.V))
+                   - ln((c.rc + 1) * 1.0 / (tt.Tr + tt.V))) AS score
+        FROM words wd JOIN counts c ON wd.w = c.w CROSS JOIN totals tt
+        GROUP BY wd.doc_id
+    ),
+    keyed AS (
+        SELECT doc_id, score,
+               score + (-ln(-ln(
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::UBIGINT + 0.5)
+                   / 281474976710656.0))) AS gumbel_key
+        FROM scored
+    )
+    SELECT doc_id, round(score, 6) AS score, round(gumbel_key, 6) AS gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 500
+    """,
+    doc="DSIR-style importance resampling (curation layer): add-1 "
+        "unigram-LM log-ratio of the target slice (source='src0') vs "
+        "the raw corpus, Gumbel top-k selection with content-derived "
+        "noise (md5 → uniform → −ln(−ln u)) so the without-replacement "
+        "draw is reproducible cross-engine. Top-n compiles to "
+        "TakeOrderedAndProject; word table is vocabulary-sized.",
+)
+def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import importance_resample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return importance_resample(docs, is_target=F.col("source") == "src0", n=500)
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

@@ -78,12 +78,17 @@ def hyperplane_lsh_buckets(
     return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+#: Default hot-bucket cap for the LSH path of :func:`embedding_near_dup`.
+NEAR_DUP_AUTO_BUCKET_CAP = 1024
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,
     planes: list[list[float]] | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim)
     with sim >= threshold and id_a < id_b.
@@ -93,11 +98,38 @@ def embedding_near_dup(
     every hyperplane sign, so recall at 0.95+ is high while the join
     stays equi on the bucket key. Exact path (``planes=None``): all-pairs
     — only for small slices / oracle verification.
+
+    **Plane count is the scale knob**: with p planes there are 2^p
+    buckets, so within-bucket pair cost is O(n²/2^p) — p must grow
+    ~log2(n) to keep occupancy flat (measured: fixed p=6 scales 7.8×
+    for 10× rows at sf1.0). ``max_bucket_size`` is the default-on
+    backstop for whatever occupancy remains: buckets past the cap get
+    an md5-derived salt (``pmod(md5_48(id), ceil(n/cap))``) so each
+    join cell stays ≤ ~cap rows — md5, not xxhash, so the salting is
+    reproducible in the SQL oracle (same guard family as
+    :func:`knn_per_bucket` / :func:`semantic_dedup`; exact wherever
+    splits==1, i.e. all healthy buckets).
     """
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     if planes is not None:
         base = hyperplane_lsh_buckets(embeddings, planes, vec_col=vec_col, id_col=id_col)
-        join_cond = [F.col("a.bucket") == F.col("b.bucket")]
+        if max_bucket_size == "auto":
+            max_bucket_size = NEAR_DUP_AUTO_BUCKET_CAP
+        if max_bucket_size is not None:
+            sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+            splits = F.greatest(F.ceil(F.col("_n") / max_bucket_size), F.lit(1))
+            h48 = F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+            ).cast("long")
+            base = base.join(sizes, "bucket").withColumn(
+                "_salt", F.pmod(h48, splits).cast("int")
+            ).drop("_n")
+        else:
+            base = base.withColumn("_salt", F.lit(0))
+        join_cond = [
+            F.col("a.bucket") == F.col("b.bucket"),
+            F.col("a._salt") == F.col("b._salt"),
+        ]
     else:
         base = embeddings.select(id_col, vec_col)
         join_cond = []
@@ -117,9 +149,9 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
-    # no distinct needed: each vector has exactly ONE bucket (single
-    # signature), so (id_a, id_b) pairs are already unique — a distinct
-    # here would add a full shuffle for nothing
+    # no distinct needed: each vector has exactly ONE (bucket, salt),
+    # so (id_a, id_b) pairs are already unique — a distinct here would
+    # add a full shuffle for nothing
 
 
 def ivf_search(

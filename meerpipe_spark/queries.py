@@ -1973,19 +1973,28 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             embedding[i]::DOUBLE * cos(p * 64 + i)))
                         >= 0 THEN (2^p)::BIGINT ELSE 0 END)) AS bucket
         FROM embeddings
+    ),
+    sz AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+    s AS (
+        SELECT b.vec_id, b.v, b.bucket,
+               (('0x' || substr(md5(b.vec_id::VARCHAR), 1, 12))::UBIGINT
+                % greatest(CAST(ceil(sz.n * 1.0 / 1024) AS UBIGINT), 1)) AS salt
+        FROM b JOIN sz USING (bucket)
     )
     SELECT x.vec_id AS id_a, y.vec_id AS id_b,
            round(list_cosine_similarity(x.v, y.v), 6) AS cosine_sim
-    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    FROM s x JOIN s y ON x.bucket = y.bucket AND x.salt = y.salt
+                     AND x.vec_id < y.vec_id
     WHERE list_cosine_similarity(x.v, y.v) >= 0.3
     """,
     doc="Embedding-cosine near-dup via hyperplane-LSH candidate buckets — "
-        "the 100 TB path (equi-join on bucket, never all-pairs). "
-        "Deterministic cos(p*64+d)-derived planes make the bucketing "
-        "identical in both engines (same libm trick as "
-        "lsh_bucket_counts), so the full candidate-pair + exact-cosine "
-        "output is hash-matched (VERDICT r3 #6 promotion from "
-        "rows-only); gaussian-plane variant covered in pytest.",
+        "the 100 TB path (equi-join on (bucket, salt), never all-pairs; "
+        "default-on md5-salt hot-bucket guard MIRRORED in the oracle, so "
+        "the guard itself is hash-checked). Deterministic "
+        "cos(p*64+d)-derived planes make the bucketing identical in both "
+        "engines (same libm trick as lsh_bucket_counts); plane count is "
+        "the scale knob (p ~ log2 n). Gaussian-plane variant covered in "
+        "pytest.",
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math

@@ -323,3 +323,31 @@ def test_semantic_dedup_auto_guard_exact_on_healthy_clusters(spark, clustered):
         ).collect()
     }
     assert auto == exact
+
+
+def test_embedding_near_dup_lsh_hot_bucket_salted(spark):
+    """A degenerate bucket (identical vectors all sharing one LSH
+    bucket) must be salted under the default guard: with cap=50 and
+    400 identical vectors, pairs are confined to salt cells, so the
+    pair count is bounded by splits * C(cell,2) ≪ C(400,2); disabling
+    the guard yields the full quadratic pair set."""
+    from pyspark.sql import Row
+
+    from meerpipe_spark.operators.similarity import embedding_near_dup
+
+    n, cap = 400, 50
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    )
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    exact = embedding_near_dup(emb, threshold=0.99, planes=planes, max_bucket_size=None)
+    assert exact.count() == n * (n - 1) // 2
+
+    guarded = embedding_near_dup(emb, threshold=0.99, planes=planes, max_bucket_size=cap)
+    npairs = guarded.count()
+    # md5 salt cells fluctuate around n/splits; allow 2x the even-split
+    # pair bound — still ~8x below the unguarded quadratic
+    splits = -(-n // cap)  # 8
+    even_bound = splits * (n // splits) * (n // splits - 1) // 2
+    assert 0 < npairs <= 2 * even_bound
+    assert npairs < (n * (n - 1) // 2) // 4  # far below quadratic

@@ -108,3 +108,29 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_psrcat_resolution_broadcasts_catalogue(spark, sf_dir):
+    """The catalogue side of the coordinate-precedence join must be a
+    broadcast — the events fact side is never shuffled for the join."""
+    plan = _plan(spark, "psrcat_resolve_radec", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_importance_resample_topn_no_global_sort(spark, sf_dir):
+    """Gumbel top-k compiles to TakeOrderedAndProject (per-partition
+    heaps + driver merge), and the totals ride a broadcast, not a
+    shuffle."""
+    plan = _plan(spark, "importance_resample_dsir", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_embedding_near_dup_lsh_is_equi_join(spark, sf_dir):
+    """The LSH candidate join must be an equi-join on the bucket key —
+    never a cartesian/nested-loop over vectors."""
+    plan = _plan(spark, "embedding_near_dup_lsh", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the only BroadcastNestedLoopJoin tolerated is none at all
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -4295,5 +4295,44 @@ def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_resample(docs, is_target=F.col("source") == "src0", n=500)
 
 
+@_register(
+    "table_profile",
+    """
+    SELECT col AS column_name, n_rows, n_nulls, n_distinct, min_str, max_str
+    FROM (
+        SELECT 'doc_id' AS col, count(*) AS n_rows,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+               min(doc_id)::VARCHAR AS min_str, max(doc_id)::VARCHAR AS max_str
+        FROM documents
+        UNION ALL
+        SELECT 'lang', count(*),
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT lang) AS BIGINT),
+               min(lang), max(lang) FROM documents
+        UNION ALL
+        SELECT 'source', count(*),
+               CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT source) AS BIGINT),
+               min(source), max(source) FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*),
+               CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT n_chars) AS BIGINT),
+               min(n_chars)::VARCHAR, max(n_chars)::VARCHAR FROM documents
+    )
+    """,
+    doc="Data-quality column profile (curation pre-ingest gate): one "
+        "wide single-pass aggregation computes every column's row/null/"
+        "exact-distinct/min/max, pivoted to long form via stack on the "
+        "one aggregated row — never a per-column scan loop.",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import profile_table
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]

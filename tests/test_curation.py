@@ -441,3 +441,18 @@ def test_importance_resample_scores_monotone_in_target_overlap(spark):
         ).collect()
     }
     assert out[2] > out[3] > out[4]
+
+
+def test_profile_table_stats_and_single_pass(spark):
+    from meerpipe_spark.operators.curation import profile_table
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=2, b=None), Row(a=2, b="y")]
+    )
+    prof = {r.column_name: r for r in profile_table(df).collect()}
+    assert prof["a"].n_rows == 3 and prof["a"].n_nulls == 0
+    assert prof["a"].n_distinct == 2 and prof["a"].min_str == "1" and prof["a"].max_str == "2"
+    assert prof["b"].n_nulls == 1 and prof["b"].n_distinct == 2
+    # single wide aggregation: exactly one scan of the input in the plan
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 2

@@ -15,6 +15,16 @@ Fail-soft per query: a query that raises is recorded under "errors"
 with its exception and EXCLUDED from the total, but never aborts the
 run — one broken query must not zero the whole artifact (round-3
 lesson: the NTZ regression killed the bench before a single timing).
+
+Regression gate (round-5): every query has a recorded anchor time
+(ANCHORS — r2 artifact values where the query existed in r2, else the
+round-5 idle-box measurement). A fixed CALIBRATION workload — pure
+spark.range arithmetic, independent of this repo's code — is timed in
+the same session; ``ab_ratio`` = measured/pinned-idle-box calibration
+time, so box-load noise divides out of the per-query comparison
+(VERDICT r4 #5: r4's driver box ran ~1.33× slower uniformly and made
+the 2× gate unreadable). A query lands in ``regressions`` when
+time > 2 × anchor × ab_ratio — real drift, not box noise.
 """
 
 from __future__ import annotations
@@ -27,10 +37,63 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from meerpipe_spark.cacheutil import release_persisted
 from meerpipe_spark.queries import QUERIES, headline_queries
 from meerpipe_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Anchor seconds at sf0.1. Source "r2": BENCH_r02.json (the last
+# uncontested bench artifact); source "r5": idle-box (loadavg < 0.5)
+# measurement at the round-5 commit that introduced the table cache —
+# queries added after r2 have no r2 number.
+ANCHORS: dict[str, float] = {
+    "q1_pricing_summary": 1.331,       # r2
+    "q5_region_revenue": 1.541,        # r2
+    "cumulative_revenue": 0.815,       # r2
+    "ordered_reduction_reset": 1.166,  # r2
+    "fluxcal_multiplier": 1.077,       # r2
+    "dedup_exact": 0.781,              # r2
+    "text_quality": 0.780,             # r2
+    "cosine_topk": 1.053,              # r2
+    "events_tumbling_window": 0.793,   # r2
+    "delay_rules_engine": 0.853,       # r2
+    "sessionization": 0.873,           # r2
+    "knn_per_label": 1.210,            # r2
+    "scrunch_operator": 0.920,         # r2
+    "pdmp_snr_operator": 1.723,        # r2
+    "minhash_lsh_pairs": 1.675,        # r2
+    "embedding_near_dup": 1.398,       # r2
+    "ivf_search": 1.696,               # r2
+    "kepler_ell1_chain": 0.665,        # r2
+    "astro_coords": 0.817,             # r2
+    "pipeline_results_json": 2.300,    # r5
+    "bucketed_colocated_join": 0.301,  # r5
+    "asof_join_events": 0.253,         # r5
+    "binned_interval_join": 0.329,     # r5
+}
+
+# Idle-box seconds for the calibration workload (min of 3), pinned at the
+# same round-5 measurement session as the r5 anchors above.
+CALIBRATION_ANCHOR_SEC = 0.102
+
+
+def _calibrate(spark) -> float:
+    """Fixed pure-Spark workload (range → hash → agg): no repo code, no
+    file IO — its runtime tracks ONLY box speed/load + JVM state, so the
+    ratio vs its pinned anchor normalizes the query timings."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 100_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.sum(F.col("h") % 1000), F.avg(F.col("h") % 1000)).collect()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -42,6 +105,8 @@ def main() -> None:
         QUERIES[names[0]].fn(spark, SF_DIR).count()
     except Exception:
         traceback.print_exc(file=sys.stderr)
+
+    cal_before = _calibrate(spark)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -58,6 +123,39 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         if name not in errors:
             timings[name] = round(best, 3)
+        # free operator-internal caches (LSH bands, semdedup assignment)
+        # so a 23-query batch doesn't accumulate MEMORY_AND_DISK blocks
+        release_persisted()
+
+    # Second calibration AFTER the queries: the min of the two brackets
+    # the load during the measured window.
+    cal_after = _calibrate(spark)
+    cal = min(cal_before, cal_after)
+    ab_ratio = round(cal / CALIBRATION_ANCHOR_SEC, 3)
+
+    regressions: dict[str, float] = {}
+    for name, t in timings.items():
+        anchor = ANCHORS.get(name)
+        if anchor is None:
+            continue
+        # normalize by box speed; never normalize downward past the raw
+        # ratio (a fast box should not hide a real regression)
+        ratio = t / (anchor * max(ab_ratio, 1.0))
+        if ratio > 2.0:
+            regressions[name] = round(ratio, 2)
+
+    try:
+        loadavg = os.getloadavg()
+    except OSError:
+        loadavg = (-1.0, -1.0, -1.0)
+    env = {
+        "loadavg_1m": round(loadavg[0], 2),
+        "loadavg_5m": round(loadavg[1], 2),
+        "loadavg_15m": round(loadavg[2], 2),
+        "cpus": os.cpu_count(),
+        "calibration_sec": round(cal, 3),
+        "calibration_anchor_sec": CALIBRATION_ANCHOR_SEC,
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -66,6 +164,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "env": env,
+        "ab_ratio": ab_ratio,
+        "regressions": regressions,
     }
     if errors:
         out["errors"] = errors

@@ -1,0 +1,44 @@
+"""Tracked persistence for operator-internal caches.
+
+Some operators persist an intermediate that several branches of their
+own plan consume (Spark does not reuse exchanges across DataFrame
+branches — see the ReusedExchange=0 findings in PLANS.md): the LSH
+banded projection, the semantic-dedup assignment. The operator cannot
+unpersist before returning (its output is lazy; the cache must survive
+until the caller's action), so long-lived sessions issuing many such
+queries would accumulate MEMORY_AND_DISK blocks until a global
+``clearCache``.
+
+:func:`persist_tracked` registers every such handle; batch drivers call
+:func:`release_persisted` after consuming each query's result to free
+exactly the operator-internal caches (never the caller's own persists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_HANDLES: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) and register the handle for
+    :func:`release_persisted`."""
+    df.persist()
+    _HANDLES.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked operator-internal cache (non-blocking).
+    Returns the number of handles released. Safe to call any time after
+    the consuming action; a handle whose session has stopped is skipped."""
+    n = 0
+    while _HANDLES:
+        df = _HANDLES.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass
+    return n

@@ -77,11 +77,30 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# (applicationId, sf_dir) -> {table: DataFrame}. A DataFrame is a lazy
+# logical plan bound to its session; re-deriving it re-reads 10 parquet
+# footers and re-runs timestamp normalization analysis (~1 s of driver
+# round-trips, measured at sf0.1) on EVERY query — a fixed tax that
+# dominated sub-second bench queries. Plans are immutable, so caching per
+# live session is safe; a stopped/replaced session gets a new
+# applicationId and misses cleanly.
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    return {
+    try:
+        key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    except Exception:  # Connect-style sessions without a local context
+        key = None
+    if key is not None and key in _TABLE_CACHE:
+        return dict(_TABLE_CACHE[key])
+    dfs = {
         t: _fix_timestamps(_read(spark, os.path.join(sf_dir, f"{t}.parquet")))
         for t in TABLES
     }
+    if key is not None:
+        _TABLE_CACHE[key] = dict(dfs)
+    return dfs
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

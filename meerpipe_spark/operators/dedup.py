@@ -128,9 +128,9 @@ def lsh_candidate_pairs(
     the exchange across those consumers (verified: ReusedExchange=0,
     the per-band xxhash64 was being computed 3×). The cached form is
     (id, band_id, band_hash) — ~24B+id per doc×band, MEMORY_AND_DISK,
-    strictly smaller than the input text; lifetime follows the query
-    (clearCache in batch drivers, same caveat as near_dup_pipeline's
-    shingle cache). Measured at sf0.1 this cuts the guard overhead from
+    strictly smaller than the input text; the handle is registered with
+    :mod:`meerpipe_spark.cacheutil`, so batch drivers release it
+    per-query via ``release_persisted()`` (bench.py does). Measured at sf0.1 this cuts the guard overhead from
     ~40% to ~10% over unguarded. This replaced a COUNT-WINDOW guard
     that forced a full Exchange+Sort of every banded row and cost ~1.6×
     the unguarded form.
@@ -151,7 +151,9 @@ def lsh_candidate_pairs(
     if max_bucket_size == "auto":
         max_bucket_size = LSH_AUTO_BUCKET_CAP
     if max_bucket_size is not None:
-        banded = banded.persist()
+        from meerpipe_spark.cacheutil import persist_tracked
+
+        banded = persist_tracked(banded)
         hot = (
             banded.groupBy("band_id", "band_hash")
             .agg(F.count(F.lit(1)).alias("_n"))

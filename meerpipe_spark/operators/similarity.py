@@ -298,7 +298,8 @@ def kmeans_centroids(
     Spark iterative-algorithm shape):
 
       assignment: argmin over a BROADCAST centroid table (posexplode +
-                  squared-distance agg, min_by) — one shuffle per iter;
+                  squared-distance agg, struct-min argmin with a
+                  lowest-cluster tie-break) — one shuffle per iter;
       update:     per (cluster, dim) average — second shuffle per iter.
 
     Initialization is deterministic: the k lowest-id vectors. Returns
@@ -326,7 +327,15 @@ def kmeans_centroids(
             .groupBy("pid", "cluster")
             .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
         )
-        assign = dists.groupBy("pid").agg(F.min_by("cluster", "d2").alias("cluster"))
+        # struct-min, not min_by: ties on d2 (duplicate vectors / seed
+        # centroids, or last-ulp float divergence) must break toward the
+        # LOWEST cluster id to match the oracle's ORDER BY d2, cluster —
+        # min_by's winner is shuffle-order-dependent on exact ties
+        assign = (
+            dists.groupBy("pid")
+            .agg(F.min(F.struct("d2", "cluster")).alias("m"))
+            .select("pid", F.col("m.cluster").alias("cluster"))
+        )
         centroids = (
             points.join(assign, "pid")
             .groupBy("cluster", "dim")
@@ -361,7 +370,9 @@ def ivf_assign(
         .groupBy(id_col, "cluster")
         .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
         .groupBy(id_col)
-        .agg(F.min_by("cluster", "d2").alias("cluster"), F.min("d2").alias("d2"))
+        # lowest-cluster tie-break on exact d2 ties (see kmeans_centroids)
+        .agg(F.min(F.struct("d2", "cluster")).alias("m"))
+        .select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("d2"))
     )
 
 
@@ -583,10 +594,10 @@ def semantic_dedup(
     # verified) — without this the k-means assignment (and the centroid
     # training plan feeding it) executes up to 3×. (id, vec, cluster)
     # rows — same footprint as the input embeddings.
-    pts = (
-        embeddings.select(F.col(id_col), vcast.alias("_v"))
-        .join(assigned, id_col)
-        .persist()
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    pts = persist_tracked(
+        embeddings.select(F.col(id_col), vcast.alias("_v")).join(assigned, id_col)
     )
     if max_cluster_size == "auto":
         max_cluster_size = SEMDEDUP_AUTO_CLUSTER_CAP

@@ -189,8 +189,13 @@ def patch_fits_cards(data: bytes, updates: dict[str, str]) -> bytes:
         nelem = 1
         for ax in range(1, naxes + 1):
             nelem *= int(hdr.get(f"NAXIS{ax}", "0"))
-        data_len = (bitpix // 8) * nelem if naxes else 0
-        data_len += int(hdr.get("PCOUNT", "0"))
+        # FITS §4.4.1: |BITPIX|/8 × GCOUNT × (PCOUNT + Πnaxis) — the flat
+        # `+ PCOUNT` form was only correct for BITPIX=8/GCOUNT=1
+        # BINTABLEs; a wrong size here would land the skip mid-data and a
+        # later card match could patch payload bytes
+        gcount = int(hdr.get("GCOUNT", "1"))
+        pcount = int(hdr.get("PCOUNT", "0"))
+        data_len = (bitpix // 8) * gcount * (pcount + nelem) if naxes else 0
         pos += ((data_len + BLOCK - 1) // BLOCK) * BLOCK
     if remaining:
         raise KeyError(f"cards not found: {sorted(remaining)}")

@@ -93,7 +93,12 @@ def _iter_headers(data: bytes):
         nelem = 1
         for ax in range(1, naxes + 1):
             nelem *= int(hdr.get(f"NAXIS{ax}", "0"))
-        data_len = (bitpix // 8) * nelem if naxes else 0
+        # FITS §4.4.1: data size = |BITPIX|/8 × GCOUNT × (PCOUNT + Πnaxis)
+        # — PCOUNT rides INSIDE the GCOUNT factor (heap bytes per group),
+        # not as a flat add-on
+        gcount = int(hdr.get("GCOUNT", "1"))
+        pcount = int(hdr.get("PCOUNT", "0"))
+        data_len = (bitpix // 8) * gcount * (pcount + nelem) if naxes else 0
         padded = ((data_len + BLOCK - 1) // BLOCK) * BLOCK
         yield hdu, cards, pos, data_len
         pos += padded

@@ -79,9 +79,14 @@ def main() -> int:
     queries = mod.queries()
     oracles = mod.oracle_sql()
     passed, rows_only, failed = [], [], []
+    from meerpipe_spark.cacheutil import release_persisted
+
     for name, fn in queries.items():
         if only is not None and name not in only:
             continue
+        # free the previous query's operator-internal caches (LSH bands,
+        # semdedup assignment) before timing the next one
+        release_persisted()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

@@ -2008,6 +2008,50 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_near_dup_lsh_auto",
+    """
+    WITH p AS (
+        SELECT greatest(4, CAST(ceil(log2(count(*) / 128.0)) AS INT)) AS p
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_sum(list_transform(range(0, (SELECT p FROM p)), k ->
+                   CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                            embedding[i]::DOUBLE * cos(k * 64 + i)))
+                        >= 0 THEN (2^k)::BIGINT ELSE 0 END)) AS bucket
+        FROM embeddings
+    ),
+    sz AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+    s AS (
+        SELECT b.vec_id, b.v, b.bucket,
+               (('0x' || substr(md5(b.vec_id::VARCHAR), 1, 12))::UBIGINT
+                % greatest(CAST(ceil(sz.n * 1.0 / 1024) AS UBIGINT), 1)) AS salt
+        FROM b JOIN sz USING (bucket)
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round(list_cosine_similarity(x.v, y.v), 6) AS cosine_sim
+    FROM s x JOIN s y ON x.bucket = y.bucket AND x.salt = y.salt
+                     AND x.vec_id < y.vec_id
+    WHERE list_cosine_similarity(x.v, y.v) >= 0.3
+    """,
+    doc="embedding_near_dup with planes='auto' (VERDICT r4 #2): plane "
+        "count p = max(4, ceil(log2(n/128))) derived from one corpus "
+        "count, so occupancy stays ~128/bucket as the corpus grows — "
+        "sf0.1 picks p=4, sf1.0 picks p=8 with no caller knob. The "
+        "oracle computes the SAME p from count(*) and the same "
+        "cos-derived planes, so the auto-scaling law itself is "
+        "hash-checked.",
+)
+def embedding_near_dup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import embedding_near_dup as nd
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = nd(emb, threshold=0.3, planes="auto")
+    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@_register(
     "ivf_search",
     """
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -351,3 +351,35 @@ def test_embedding_near_dup_lsh_hot_bucket_salted(spark):
     even_bound = splits * (n // splits) * (n // splits - 1) // 2
     assert 0 < npairs <= 2 * even_bound
     assert npairs < (n * (n - 1) // 2) // 4  # far below quadratic
+
+
+def test_auto_plane_count_growth_law():
+    from meerpipe_spark.operators.similarity import auto_plane_count
+
+    # occupancy target 128: p grows with log2(n), floored at 4
+    assert auto_plane_count(500) == 4
+    assert auto_plane_count(2_000) == 4
+    assert auto_plane_count(20_000) == 8
+    assert auto_plane_count(2_000_000) == 14
+    assert auto_plane_count(200_000_000) == 21
+    # 100x corpus => ~log2(100) ~ 7 more planes, occupancy flat
+    assert auto_plane_count(2_000 * 100) - auto_plane_count(2_000) == 7
+    # degenerate inputs never go below the floor
+    assert auto_plane_count(0) == 4
+    assert auto_plane_count(1) == 4
+
+
+def test_embedding_near_dup_auto_equals_explicit_planes(spark, clustered):
+    from meerpipe_spark.operators.similarity import (
+        auto_plane_count,
+        deterministic_planes,
+        embedding_near_dup,
+    )
+
+    got = embedding_near_dup(clustered, threshold=0.8, planes="auto").collect()
+    planes = deterministic_planes(auto_plane_count(clustered.count()), 8)
+    want = embedding_near_dup(clustered, threshold=0.8, planes=planes).collect()
+    assert sorted((r.id_a, r.id_b) for r in got) == sorted(
+        (r.id_a, r.id_b) for r in want
+    )
+    assert len(got) > 0  # clusters contain near-duplicate directions

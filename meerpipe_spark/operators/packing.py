@@ -62,14 +62,30 @@ def pack_sequences(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     num_groups: int = 64,
+    shard_hash: str = "xxhash64",
 ) -> DataFrame:
     """Returns (doc_id, group, pack_id, n_tokens): every doc assigned to
     exactly one pack; every pack's token sum <= budget unless it is a
     singleton oversized doc. Deterministic for a given input set and
-    num_groups (hash sharding + FFD tiebreak on id)."""
+    num_groups (hash sharding + FFD tiebreak on id).
+
+    ``shard_hash="md5"`` shards on the first 48 bits of md5(id) instead
+    of xxhash64 — bit-identical in ANSI SQL engines, so the ENTIRE
+    layout (shard → FFD bin assignment) is reproducible cross-engine
+    and the oracle can hash-match per-doc pack ids, not just totals
+    (VERDICT r4 #6). Same uniformity, marginally slower hash — the
+    production default stays xxhash64."""
+    if shard_hash == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+        ).cast("long")
+    elif shard_hash == "xxhash64":
+        h = F.xxhash64(F.col(id_col))
+    else:
+        raise ValueError(f"unknown shard_hash {shard_hash!r}")
     sharded = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_groups)).cast("int").alias("group"),
+        F.pmod(h, F.lit(num_groups)).cast("int").alias("group"),
         # null token counts (e.g. empty docs upstream) pack as zero-cost
         F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("n_tokens"),
     )

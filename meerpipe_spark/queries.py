@@ -3407,6 +3407,81 @@ def sequence_packing_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FFD_FIT = "coalesce(list_position(list_transform(p.bins, b -> b >= d.n_tokens), true), 0)"
+
+_SEQ_PACKING_ASSIGN_SQL = rf"""
+    WITH RECURSIVE sharded AS (
+        SELECT doc_id,
+               CAST((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::UBIGINT % 16) AS INT) AS grp,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    docs AS (
+        SELECT doc_id, grp, n_tokens,
+               CAST(row_number() OVER (PARTITION BY grp ORDER BY n_tokens DESC, doc_id) AS INT) AS rn
+        FROM sharded
+    ),
+    -- one recursion step packs the rn-th doc of EVERY group (groups
+    -- advance in lockstep; exhausted groups drop out of the join), so
+    -- depth = max docs per group, not total docs. State per group:
+    -- bins = remaining capacities in insertion order, assigns = 1-based
+    -- bin index per rank — exactly packing.py::_ffd_pack's loop.
+    pack AS (
+        SELECT grp, 0 AS rn, CAST([] AS BIGINT[]) AS bins, CAST([] AS INT[]) AS assigns
+        FROM docs GROUP BY grp
+        UNION ALL
+        SELECT p.grp, p.rn + 1,
+               CASE WHEN d.n_tokens > 512 OR {_FFD_FIT} = 0
+                    THEN list_append(p.bins, greatest(512 - d.n_tokens, 0))
+                    ELSE p.bins[1:{_FFD_FIT}-1] || [p.bins[{_FFD_FIT}] - d.n_tokens]
+                         || p.bins[{_FFD_FIT}+1:len(p.bins)]
+               END,
+               list_append(p.assigns,
+                   CAST(CASE WHEN d.n_tokens > 512 OR {_FFD_FIT} = 0
+                             THEN len(p.bins) + 1 ELSE {_FFD_FIT} END AS INT))
+        FROM pack p
+        JOIN docs d ON d.grp = p.grp AND d.rn = p.rn + 1
+    ),
+    counts AS (SELECT grp, CAST(count(*) AS INT) AS n FROM docs GROUP BY grp),
+    final AS (
+        SELECT p.grp, p.assigns FROM pack p JOIN counts c ON p.grp = c.grp AND p.rn = c.n
+    )
+    SELECT d.doc_id, d.grp, d.grp * 4294967296 + (f.assigns[d.rn] - 1) AS pack_id,
+           d.n_tokens
+    FROM docs d JOIN final f ON d.grp = f.grp
+"""
+
+
+@_register(
+    "sequence_packing_assignments",
+    _SEQ_PACKING_ASSIGN_SQL,
+    doc="Per-doc FFD pack assignments, fully oracle-checked (VERDICT r4 "
+        "#6: the shard layout is deterministic given the salt, so emit "
+        "it canonically and hash-match it — not just conservation "
+        "totals). md5 shard lane (pack_sequences(shard_hash='md5')) "
+        "makes the group key engine-reproducible; the oracle replays "
+        "first-fit-decreasing as a recursive CTE whose state is (bin "
+        "capacities, assignment list) per group, advancing every group "
+        "one doc per recursion step. The xxhash64 production lane is "
+        "identical code with a faster hash (rows-only invariants in "
+        "tests/test_packing.py).",
+)
+def sequence_packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.packing import pack_sequences
+    from meerpipe_spark.operators.text import bpe_token_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = bpe_token_stats(docs).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        toks, budget=512, token_col="n_tokens", num_groups=16, shard_hash="md5"
+    )
+    return packed.select(
+        "doc_id", F.col("group").alias("grp"), "pack_id", "n_tokens"
+    )
+
+
 @_register(
     "source_quota_sample",
     """

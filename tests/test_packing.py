@@ -70,3 +70,26 @@ def test_null_token_counts_pack_as_zero(spark):
     packed = pack_sequences(docs, BUDGET, num_groups=1).collect()
     assert sorted(r.doc_id for r in packed) == [0, 1]
     assert {r.doc_id: r.n_tokens for r in packed}[0] == 0
+
+
+def test_md5_shard_lane_same_invariants(spark):
+    """The oracle-reproducible md5 shard lane holds the same packing
+    invariants as the xxhash64 production lane: exact assignment and
+    budget per pack."""
+    from pyspark.sql import Row
+
+    from meerpipe_spark.operators.packing import pack_sequences
+
+    rows = [Row(doc_id=i, n_tokens=(i * 37) % 300 + 1) for i in range(200)]
+    docs = spark.createDataFrame(rows)
+    packed = pack_sequences(docs, budget=256, num_groups=8, shard_hash="md5")
+    out = packed.collect()
+    assert len(out) == 200 and len({r.doc_id for r in out}) == 200
+    import collections
+
+    per_pack = collections.defaultdict(list)
+    for r in out:
+        per_pack[r.pack_id].append(r.n_tokens)
+    for toks in per_pack.values():
+        # budget holds except for singleton oversized docs
+        assert sum(toks) <= 256 or (len(toks) == 1 and toks[0] > 256)

@@ -1320,6 +1320,80 @@ def mjd_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mjd_decimal_roundtrip",
+    """
+    -- HUGEINT = int128: exact for imjd*1e19 + frac (DuckDB's DECIMAL
+    -- falls back to DOUBLE past 38 combined digits — measured ~100 ns
+    -- error; Spark's DECIMAL(38,0) lane is exact, see timeutils)
+    WITH s AS (
+        SELECT event_id,
+               epoch_ms(ts) // 86400000 + 40587 AS imjd,
+               (epoch_ms(ts) % 86400000) * 1000000
+                   + event_id * 987654321 % 1000000 AS day_ns,
+               event_id * 777 % 4096 AS delay_ns
+        FROM events
+    ),
+    bat AS (
+        SELECT event_id,
+               imjd::HUGEINT * 10000000000000000000::HUGEINT
+               + (day_ns::HUGEINT * 10000000000000000000::HUGEINT) // 86400000000000
+               + (delay_ns::HUGEINT * 10000000000000000000::HUGEINT) // 86400000000000
+               AS b
+        FROM s
+    )
+    SELECT event_id,
+           CAST(b // 10000000000000000000::HUGEINT AS BIGINT) AS stt_imjd,
+           CAST((((b % 10000000000000000000::HUGEINT) * 86400000000000
+                  + 5000000000000000000) // 10000000000000000000::HUGEINT)
+                // 1000000000 AS BIGINT) AS stt_smjd,
+           CAST((((b % 10000000000000000000::HUGEINT) * 86400000000000
+                  + 5000000000000000000) // 10000000000000000000::HUGEINT)
+                % 1000000000 AS BIGINT) AS stt_offs_ns,
+           CAST(b // 10000000000000000000::HUGEINT AS BIGINT)::VARCHAR || '.' ||
+               lpad((b % 10000000000000000000::HUGEINT)::VARCHAR, 19, '0') AS bat_str
+    FROM bat
+    """,
+    doc="SURVEY §7.3.1 decimal MJD end-to-end at ns precision (VERDICT "
+        "r4 #8): compose a TOA from (imjd, ns-of-day), add a per-event "
+        "ns delay residual, decompose back to STT_IMJD/STT_SMJD/"
+        "STT_OFFS_NS — all in the scaled-integer DECIMAL(38,0) "
+        "representation (1e-19 day units, functions/timeutils.py::"
+        "mjd_scaled_*). Every division is the exact-quotient identity "
+        "(x - x%d)/d, immune to Spark's divide-scale collapse (a naive "
+        "DECIMAL(38,19) divide keeps only 6 fractional digits = 86 ms). "
+        "The oracle runs the identical integer chain in HUGEINT; "
+        "bat_str locks the full 1e-19-day rendering, the integer "
+        "fields lock the ns round-trip.",
+)
+def mjd_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.functions.timeutils import (
+        mjd_scaled_add_ns,
+        mjd_scaled_compose,
+        mjd_scaled_decompose,
+        mjd_scaled_str,
+    )
+
+    e = load_tables(spark, sf_dir)["events"]
+    # synthesize sub-ms structure deterministically: parquet ts is ms, so
+    # extend with an event-derived microsecond part plus a ns-scale delay
+    imjd = F.expr("unix_millis(ts) div 86400000") + 40587
+    day_ns = (
+        F.expr("unix_millis(ts) % 86400000") * F.lit(1_000_000)
+        + F.col("event_id") * 987654321 % 1_000_000
+    )
+    delay_ns = F.col("event_id") * 777 % 4096
+    bat = mjd_scaled_add_ns(mjd_scaled_compose(imjd, day_ns), delay_ns)
+    s_imjd, s_smjd, s_offs = mjd_scaled_decompose(bat)
+    return e.select(
+        "event_id",
+        s_imjd.alias("stt_imjd"),
+        s_smjd.alias("stt_smjd"),
+        s_offs.alias("stt_offs_ns"),
+        mjd_scaled_str(bat).alias("bat_str"),
+    )
+
+
+@_register(
     "knn_per_label",
     """
     WITH sub AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

@@ -561,3 +561,63 @@ def canonical_docs(
         F.col("node").alias(id_col)
     )
     return docs.join(removed, id_col, "left_anti")
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    segment_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-occurrence-wins segment-level dedup (the CCNet/RefinedWeb
+    "paragraph dedup" pass, on fixed word-window segments for corpora
+    without newline structure — segmentation shared with
+    ``curation.segment_boilerplate_filter``, which removes CORPUS-
+    FREQUENT segments; this pass instead keeps exactly ONE copy of every
+    segment corpus-wide, the earliest by (doc id, position), and drops
+    all later repetitions).
+
+    Returns (id, n_segments, n_kept, text_dedup) with text_dedup the
+    document rebuilt from its surviving segments in order ('' if every
+    segment already appeared earlier in the corpus).
+
+    Shuffle inventory at 100 TB: keeper election is one partial-
+    aggregated hash-agg keyed on md5(segment) carrying a 16-byte hash +
+    an (id, idx) pair — min(struct) combines map-side, raw text never
+    enters the election shuffle. Survivors come back with one equi-join
+    on the hash (AQE skew-splits the Zipf head), and reassembly is one
+    groupBy on the doc id. Total: 3 shuffles, all key-sized.
+    """
+    words = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(words) / F.lit(segment_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * segment_words + 1, segment_words)),
+    )
+    seg_rows = docs.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg")
+    ).withColumn("seg_h", F.md5("seg"))
+    keepers = seg_rows.groupBy("seg_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("first_at")
+    )
+    kept = seg_rows.join(keepers, "seg_h").filter(
+        (F.col(id_col) == F.col("first_at")[id_col])
+        & (F.col("seg_idx") == F.col("first_at")["seg_idx"])
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("text_dedup"),
+    )
+    totals = docs.select(F.col(id_col), nseg.cast("bigint").alias("n_segments"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_segments",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )

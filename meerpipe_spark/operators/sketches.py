@@ -153,3 +153,152 @@ def kmv_pairwise_resemblance(
         F.size(both).cast("bigint").alias("n_common"),
         (F.size(both) / F.size(union_mink)).alias("jaccard_est"),
     )
+
+
+#: alpha_m bias constant for m = 1024 registers (Flajolet et al. 2007,
+#: "HyperLogLog: the analysis of a near-optimal cardinality estimation
+#: algorithm", §4): 0.7213 / (1 + 1.079/m).  Inlined as the SAME literal
+#: in the DuckDB oracle so both engines run identical arithmetic.
+HLL_ALPHA_1024 = 0.7205407583220416
+
+
+def hll_distinct(
+    exploded: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count per group — the fixed-
+    state complement to :func:`kmv_distinct` (KMV state grows to k
+    hashes; HLL state is EXACTLY m = 2**p 6-bit registers regardless of
+    cardinality, the right trade when millions of groups are sketched
+    at once).
+
+    Engine-portable determinism (the reason not to use Spark's
+    approx_count_distinct / DuckDB's approx HLL, whose register layouts
+    and bias tables differ per engine):
+
+    - register index j  = 12-bit md5 prefix mod m (md5 is the shared
+      hash);
+    - register payload  = rank of the NEXT 48 md5 bits (leading zeros
+      + 1), computed via base-2 string length — no floating log2, so
+      no last-ulp disagreement between Java and libm;
+    - register value    = max(rank), a commutative/associative agg →
+      merge-order independent, partial-aggregable (map-side combine),
+      and mergeable across corpus shards exactly like production HLL;
+    - the harmonic mean sum(2^-M_j) is computed EXACTLY as the bigint
+      sum(2^(49-M_j)) / 2^49 — integer addition is order-independent,
+      so the estimate is bit-identical on any partitioning/engine.
+
+    Small-range (linear counting) correction applied below 2.5·m as in
+    the paper.  Standard error ≈ 1.04/sqrt(m) ≈ 3.3% at p=10.
+
+    Shuffle inventory at 100 TB: one partial-aggregated shuffle keyed
+    (group, j) carrying a 1-byte rank, then a group-keyed rollup of ≤ m
+    register rows; raw values never shuffle.
+    """
+    if p != 10:
+        raise ValueError("p=10 is the oracle-pinned register count")
+    m = 1 << p
+    h = F.md5(F.col(value_col).cast("string"))
+    j = F.conv(F.substring(h, 1, 3), 16, 10).cast("int") % m
+    w = F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint")
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(
+        F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    rank = (F.lit(49) - bitlen).alias("rank")
+    regs = (
+        exploded.select(*group_cols, j.alias("j"), rank)
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rank").alias("M"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_registers"),
+        # shiftleft's Python wrapper wants a literal shift; the SQL form
+        # takes the per-register column
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - M)")).alias("S"),
+    )
+    zeros = (F.lit(m) - F.col("n_registers")).cast("bigint")
+    two49 = float(1 << 49)
+    raw = F.lit(HLL_ALPHA_1024 * m * m * two49) / (
+        F.col("S") + zeros.cast("double") * F.lit(two49)
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        "n_registers",
+        zeros.alias("n_zero_registers"),
+        F.round(est, 4).alias("hll_est"),
+    )
+
+
+def bloom_positions(key: F.Column, m_bits: int = 2048, k: int = 4) -> F.Column:
+    """k deterministic Bloom bit positions for a key: position_i =
+    (32-bit slice of md5(key || ':' || i)) mod m_bits.  With m_bits a
+    power of two the mod is EXACTLY uniform over the 2^32 slice space,
+    and the md5 basis makes the whole filter engine-portable — the same
+    positions fall out of any engine with md5, so membership decisions
+    (including the false positives themselves) are oracle-checkable.
+    """
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(key, F.lit(f":{i}"))), 1, 8), 16, 10
+                ).cast("bigint")
+                % m_bits
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_bitset(
+    keys: DataFrame, key_col: str, m_bits: int = 2048, k: int = 4
+) -> DataFrame:
+    """Build-side of a Bloom join: one row holding the SORTED distinct
+    bit positions set by every key — the whole filter is ≤ m_bits ints
+    (8 KiB at the default), the definition of broadcastable.  At 100 TB
+    this is the explicit, checkable form of the runtime Bloom pruning
+    Spark's optimizer injects (spark.sql.optimizer.runtime.bloomFilter):
+    build once over the small side (a benchmark/test set), broadcast,
+    and prune the petabyte side map-side BEFORE any shuffle or join.
+
+    The set-bits aggregation is a partial-aggregated collect_set over
+    exploded positions — each mapper contributes ≤ m_bits ints no
+    matter how many keys it saw.
+    """
+    return (
+        keys.select(F.explode(bloom_positions(F.col(key_col), m_bits, k)).alias("p"))
+        .agg(F.sort_array(F.collect_set("p")).alias("bloom_bits"))
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    m_bits: int = 2048,
+    k: int = 4,
+) -> DataFrame:
+    """Probe-side: marks each row with ``bloom_hit`` = every one of its
+    k positions is set.  The bitset arrives as a broadcast single-row
+    cross join (no shuffle of the probe side — the pruning is map-only,
+    which is the entire point of a Bloom prefilter at scale); the k
+    array_contains probes are JVM expressions inside codegen.
+    """
+    from pyspark.sql.functions import broadcast
+
+    pos = bloom_positions(F.col(key_col), m_bits, k)
+    return (
+        df.crossJoin(broadcast(bits))
+        .withColumn(
+            "bloom_hit",
+            F.forall(pos, lambda p: F.array_contains(F.col("bloom_bits"), p)),
+        )
+        .drop("bloom_bits")
+    )

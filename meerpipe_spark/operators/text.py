@@ -158,3 +158,48 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col),
         F.substring(F.md5(F.col(text_col)), 1, hex_len).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_words: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    of an LLM training pipeline: each document becomes ceil-stride
+    chunks of ``chunk_words`` words whose starts advance by
+    ``chunk_words - overlap`` (consecutive chunks share ``overlap``
+    words, so no boundary context is lost). The final chunk may be
+    short; a document shorter than one window yields exactly one chunk.
+
+    Returns (id, chunk_idx, n_words, chunk_text, chunk_hash) — the hash
+    is the downstream dedup/packing key, computed here so the text
+    column can be dropped immediately after tokenization.
+
+    Distributed shape: pure per-row explode of JVM array expressions —
+    zero shuffle, whole-stage-codegen'd, perfectly parallel at 100 TB.
+    Output partitioning inherits the scan; chunk_idx keeps provenance
+    so spans can be re-assembled or de-overlapped later.
+    """
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("need 0 <= overlap < chunk_words")
+    stride = chunk_words - overlap
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * stride + 1, chunk_words)),
+    )
+    out = docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(F.split(F.col("chunk_text"), " ")).cast("bigint").alias("n_words"),
+        "chunk_text",
+        F.substring(F.md5("chunk_text"), 1, 16).alias("chunk_hash"),
+    )

@@ -4600,3 +4600,223 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def headline_queries() -> list[str]:
     return [q.name for q in QUERIES.values() if q.headline]
+
+
+# ---------------------------------------------------------------------------
+# Round 5: HLL sketch, Bloom prefilter, paragraph dedup, chunking
+# ---------------------------------------------------------------------------
+
+@_register(
+    "hll_distinct_shingles",
+    """
+    WITH ex AS (
+        SELECT source, unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+    ),
+    r AS (
+        SELECT source,
+               ('0x' || substr(md5(s), 1, 3))::INT % 1024 AS j,
+               49 - length(ltrim(bin(('0x' || substr(md5(s), 4, 12))::BIGINT), '0')) AS rank
+        FROM ex
+    ),
+    regs AS (SELECT source, j, max(rank) AS m FROM r GROUP BY source, j),
+    g AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_registers,
+               sum(1::BIGINT << (49 - m)) AS s
+        FROM regs GROUP BY source
+    ),
+    exact AS (
+        SELECT source, CAST(count(DISTINCT s) AS BIGINT) AS exact_distinct
+        FROM ex GROUP BY source
+    )
+    SELECT g.source, g.n_registers,
+           CAST(1024 - g.n_registers AS BIGINT) AS n_zero_registers,
+           round(CASE WHEN g.n_registers < 1024
+                       AND (0.7205407583220416::DOUBLE * 1048576.0 * 562949953421312.0
+                            / (g.s * 1.0 + (1024 - g.n_registers) * 562949953421312.0))
+                           <= 2560.0
+                 THEN 1024.0 * ln(1024.0 / (1024 - g.n_registers))
+                 ELSE 0.7205407583220416::DOUBLE * 1048576.0 * 562949953421312.0
+                      / (g.s * 1.0 + (1024 - g.n_registers) * 562949953421312.0)
+                 END, 4) AS hll_est,
+           exact.exact_distinct
+    FROM g JOIN exact USING (source)
+    """,
+    doc="Deterministic HyperLogLog distinct sketch (operators/sketches"
+        ".py::hll_distinct) over per-source word-trigram vocabularies, "
+        "p=10 (1024 registers): md5-derived register index + leading-"
+        "zero rank via base-2 STRING length (no floating log2), "
+        "harmonic mean computed exactly as a bigint sum of 2^(49-M) — "
+        "bit-identical on any engine/partitioning, so even the sketch "
+        "ESTIMATE is oracle-checked. Fixed 1 KiB state per group vs "
+        "KMV's k hashes; registers merge by max (map-side partials, "
+        "shard-mergeable). SE ~ 1.04/sqrt(1024) ~ 3.3%; exact_distinct "
+        "carried alongside to show it.",
+)
+def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import shingles
+    from meerpipe_spark.operators.sketches import hll_distinct
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.select("source", F.explode(shingles(F.col("text"), 3)).alias("s"))
+    est = hll_distinct(sh, ["source"], "s", p=10)
+    exact = sh.groupBy("source").agg(
+        F.countDistinct("s").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "source")
+
+
+@_register(
+    "bloom_contamination_check",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    pos AS (
+        SELECT DISTINCT unnest([
+            ('0x' || substr(md5(s || ':0'), 1, 8))::BIGINT % 2048,
+            ('0x' || substr(md5(s || ':1'), 1, 8))::BIGINT % 2048,
+            ('0x' || substr(md5(s || ':2'), 1, 8))::BIGINT % 2048,
+            ('0x' || substr(md5(s || ':3'), 1, 8))::BIGINT % 2048]) AS p
+        FROM bench
+    ),
+    keys AS (SELECT DISTINCT s FROM sh),
+    probe AS (
+        SELECT s, unnest([
+            ('0x' || substr(md5(s || ':0'), 1, 8))::BIGINT % 2048,
+            ('0x' || substr(md5(s || ':1'), 1, 8))::BIGINT % 2048,
+            ('0x' || substr(md5(s || ':2'), 1, 8))::BIGINT % 2048,
+            ('0x' || substr(md5(s || ':3'), 1, 8))::BIGINT % 2048]) AS p
+        FROM keys
+    ),
+    hits AS (SELECT s FROM probe JOIN pos USING (p) GROUP BY s HAVING count(*) = 4)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT)                                        AS n_shingles,
+           CAST(sum(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits
+    FROM sh
+    LEFT JOIN hits h ON sh.s = h.s
+    LEFT JOIN bench b ON sh.s = b.s
+    GROUP BY sh.doc_id
+    """,
+    doc="Bloom-prefiltered benchmark-contamination scan (operators/"
+        "sketches.py::bloom_bitset/bloom_might_contain): the 'test set' "
+        "(docs with id % 97 = 0) contributes its distinct word-5-grams "
+        "to a 2048-bit / 4-hash deterministic Bloom filter; every "
+        "document's 5-grams are then probed map-side against the "
+        "broadcast 8 KiB bitset. n_bloom_hits >= n_true_hits always; "
+        "the gap IS the false-positive count, and because the filter is "
+        "md5-derived the FPs themselves hash-match the oracle. At "
+        "100 TB this is the explicit form of runtime Bloom pruning: the "
+        "petabyte side is pruned before any shuffle, and only bloom-hit "
+        "survivors pay the exact verification join.",
+)
+def bloom_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import shingles
+    from meerpipe_spark.operators.sketches import bloom_bitset, bloom_might_contain
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 5)).alias("s")
+    ).distinct()
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    bits = bloom_bitset(bench, "s", m_bits=2048, k=4)
+    probed = bloom_might_contain(sh, "s", bits, m_bits=2048, k=4)
+    flagged = probed.join(
+        F.broadcast(bench.withColumn("is_bench", F.lit(1))), "s", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias("n_bloom_hits"),
+        F.sum(F.coalesce(F.col("is_bench"), F.lit(0))).cast("bigint").alias("n_true_hits"),
+    )
+
+
+@_register(
+    "paragraph_dedup_docs",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    segs AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(ws) / 8.0) AS INT))) AS seg_idx,
+               ws
+        FROM w
+    ),
+    sr AS (
+        SELECT doc_id, seg_idx,
+               array_to_string(ws[(seg_idx * 8 + 1):(seg_idx * 8 + 8)], ' ') AS seg
+        FROM segs
+    ),
+    keep AS (
+        SELECT doc_id, seg_idx, seg,
+               row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+        FROM sr
+    ),
+    rebuilt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+        FROM keep WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(ceil(len(w.ws) / 8.0) AS BIGINT) AS n_segments,
+           coalesce(r.n_kept, 0)                 AS n_kept,
+           coalesce(r.text_dedup, '')            AS text_dedup
+    FROM w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
+    """,
+    doc="First-occurrence-wins paragraph/segment dedup (operators/"
+        "dedup.py::paragraph_dedup): CCNet-style — exactly ONE copy of "
+        "every 8-word segment survives corpus-wide (earliest by "
+        "(doc_id, position)); later repetitions are dropped and each "
+        "doc is rebuilt from its survivors. Complements "
+        "boilerplate_segment_removal (which drops corpus-FREQUENT "
+        "segments everywhere). Keeper election is a partial-aggregated "
+        "min(struct) keyed on md5(segment) — raw text never enters the "
+        "election shuffle.",
+)
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import paragraph_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return paragraph_dedup(docs, segment_words=8)
+
+
+@_register(
+    "doc_chunks",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(1,
+                   CAST(ceil((len(w) - 16) / 48.0) AS INT)))) AS chunk_idx,
+               w
+        FROM base
+    ),
+    t AS (
+        SELECT doc_id, chunk_idx,
+               array_to_string(w[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ')
+                   AS chunk_text
+        FROM c
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_words,
+           chunk_text,
+           substr(md5(chunk_text), 1, 16) AS chunk_hash
+    FROM t
+    """,
+    doc="Sliding-window context chunking (operators/text.py::"
+        "chunk_documents): 64-word windows advancing by 48 (16-word "
+        "overlap so boundary context is never lost) — the LLM training "
+        "prep step between curation and sequence packing. Pure per-row "
+        "JVM array explode: zero shuffles, codegen'd, embarrassingly "
+        "parallel; chunk_hash is emitted here as the downstream dedup/"
+        "packing key.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import chunk_documents
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return chunk_documents(docs, chunk_words=64, overlap=16)

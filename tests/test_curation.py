@@ -490,3 +490,48 @@ def test_cc_auto_converges_in_probe_on_cliques(spark):
     got = {r.node: r.component for r in labels.collect()}
     assert all(v == 0 for k, v in got.items() if k < 100)
     assert all(v == 100 for k, v in got.items() if k >= 100)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking — round 5
+# ---------------------------------------------------------------------------
+
+def test_chunking_overlap_and_reconstruction(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(200)]
+    docs = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+    chunks = sorted(
+        chunk_documents(docs, chunk_words=64, overlap=16).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # stride 48: starts at 0,48,96,144; ceil((200-16)/48)=4 chunks
+    assert [c.chunk_idx for c in chunks] == [0, 1, 2, 3]
+    texts = [c.chunk_text.split(" ") for c in chunks]
+    for a, b in zip(texts, texts[1:]):
+        assert a[-16:] == b[:16]  # consecutive chunks share the overlap
+    # de-overlapped concatenation reconstructs the document
+    rebuilt = texts[0] + [w for t in texts[1:] for w in t[16:]]
+    assert rebuilt == words
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="just five little words here")])
+    chunks = chunk_documents(docs, chunk_words=64, overlap=16).collect()
+    assert len(chunks) == 1
+    assert chunks[0].chunk_text == "just five little words here"
+    assert chunks[0].n_words == 5
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    import pytest
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_words=8, overlap=8)

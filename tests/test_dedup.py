@@ -256,3 +256,72 @@ def test_simhash_hamming_probe_end_to_end_duplicate_docs(spark):
     got = {(r.id_a, r.id_b): r.hamming_dist for r in pairs}
     assert got.get((10, 11)) == 0
     assert (10, 12) not in got and (11, 12) not in got
+
+
+# ---------------------------------------------------------------------------
+# Paragraph (first-occurrence) dedup — round 5
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.dedup import paragraph_dedup
+
+    seg_a = "a b c d"  # 4-word segments
+    seg_b = "e f g h"
+    seg_c = "i j k l"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{seg_a} {seg_b}"),
+            Row(doc_id=2, text=f"{seg_b} {seg_c}"),  # seg_b repeats -> dropped
+            Row(doc_id=3, text=f"{seg_a} {seg_c}"),  # both repeat -> emptied
+        ]
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs, segment_words=4).collect()}
+    assert out[1].text_dedup == f"{seg_a} {seg_b}" and out[1].n_kept == 2
+    assert out[2].text_dedup == seg_c and out[2].n_kept == 1
+    assert out[3].text_dedup == "" and out[3].n_kept == 0
+    assert all(out[i].n_segments == 2 for i in (1, 2, 3))
+
+
+def test_paragraph_dedup_within_doc_repetition(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.dedup import paragraph_dedup
+
+    seg = "x y"
+    docs = spark.createDataFrame([Row(doc_id=7, text=f"{seg} {seg} {seg}")])
+    row = paragraph_dedup(docs, segment_words=2).head()
+    assert row.n_segments == 3 and row.n_kept == 1 and row.text_dedup == seg
+
+
+def test_paragraph_dedup_corpus_segment_conservation(spark):
+    from pyspark.sql import Row, functions as F
+    from meerpipe_spark.operators.dedup import paragraph_dedup
+
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(24)))
+            for i in range(40)
+        ]
+    )
+    out = paragraph_dedup(docs, segment_words=4)
+    # kept segments corpus-wide == distinct segments corpus-wide
+    total_kept = out.agg(F.sum("n_kept")).head()[0]
+    distinct_segs = (
+        docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(5)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split("text", " "), i * 4 + 1, 4)
+                    ),
+                )
+            ).alias("seg")
+        )
+        .distinct()
+        .count()
+    )
+    assert total_kept == distinct_segs

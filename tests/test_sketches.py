@@ -93,3 +93,85 @@ def test_kmv_pairwise_resemblance_bounds(spark):
     assert est[("a", "c")] == 0.0
     assert 0.0 < est[("a", "d")] < 1.0  # true J = 100/300 ~ 0.33
     assert abs(est[("a", "d")] - 1 / 3) < 0.15  # within ~2 SE of truth
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (round 5)
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_within_error_bound(spark):
+    from meerpipe_spark.operators.sketches import hll_distinct
+
+    n = 5000
+    df = _vals(spark, [("a", f"value-{i}") for i in range(n)])
+    out = hll_distinct(df, ["g"], "v").head()
+    # SE = 1.04/sqrt(1024) ~ 3.3%; 5 sigma. Deterministic: passes
+    # always or the estimator is wrong.
+    assert abs(out.hll_est - n) < 5 * 0.033 * n
+
+
+def test_hll_small_range_linear_counting(spark):
+    from meerpipe_spark.operators.sketches import hll_distinct
+
+    # 50 distinct values: far below 2.5*m, so the linear-counting branch
+    # fires; with n << m it is near-exact.
+    df = _vals(spark, [("a", f"v{i}") for i in range(50)] * 4)
+    out = hll_distinct(df, ["g"], "v").head()
+    assert out.n_registers <= 50
+    assert abs(out.hll_est - 50) < 5
+
+
+def test_hll_partitioning_invariant(spark):
+    from meerpipe_spark.operators.sketches import hll_distinct
+
+    rows = [("a", f"doc-{i}") for i in range(1200)]
+    one = hll_distinct(_vals(spark, rows).coalesce(1), ["g"], "v").head()
+    many = hll_distinct(_vals(spark, rows).repartition(17), ["g"], "v").head()
+    # max-registers + integer harmonic sum: bit-identical on any layout
+    assert one.hll_est == many.hll_est
+    assert one.n_registers == many.n_registers
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    from meerpipe_spark.operators.sketches import hll_distinct
+
+    base = [("a", f"v{i}") for i in range(800)]
+    once = hll_distinct(_vals(spark, base), ["g"], "v").head()
+    thrice = hll_distinct(_vals(spark, base * 3), ["g"], "v").head()
+    assert once.hll_est == thrice.hll_est
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Bloom filter (round 5)
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives(spark):
+    from meerpipe_spark.operators.sketches import bloom_bitset, bloom_might_contain
+
+    members = _vals(spark, [("m", f"key-{i}") for i in range(300)])
+    bits = bloom_bitset(members, "v", m_bits=2048, k=4)
+    probed = bloom_might_contain(members, "v", bits, m_bits=2048, k=4)
+    assert probed.filter(~F.col("bloom_hit")).count() == 0  # structural guarantee
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    from meerpipe_spark.operators.sketches import bloom_bitset, bloom_might_contain
+
+    members = _vals(spark, [("m", f"key-{i}") for i in range(300)])
+    others = _vals(spark, [("o", f"other-{i}") for i in range(2000)])
+    bits = bloom_bitset(members, "v", m_bits=2048, k=4)
+    fp = bloom_might_contain(others, "v", bits, m_bits=2048, k=4).filter(
+        F.col("bloom_hit")
+    ).count()
+    # load 300*4/2048 -> theoretical FP ~ (1-exp(-600/1024))^4 ~ 4.8%;
+    # allow 3x headroom (deterministic: fixed outcome for fixed keys)
+    assert fp / 2000 < 0.15
+
+
+def test_bloom_bitset_is_broadcast_sized(spark):
+    from meerpipe_spark.operators.sketches import bloom_bitset
+
+    members = _vals(spark, [("m", f"key-{i}") for i in range(5000)])
+    row = bloom_bitset(members, "v", m_bits=2048, k=4).head()
+    assert len(row.bloom_bits) <= 2048
+    assert row.bloom_bits == sorted(set(row.bloom_bits))

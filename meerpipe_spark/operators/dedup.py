@@ -17,7 +17,7 @@ n_chars). Scale notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -620,4 +620,91 @@ def paragraph_dedup(
         "n_segments",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    window_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate-span detection — the distributed form
+    of suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any run of
+    ``window_words`` consecutive words appearing more than once ANYWHERE
+    in the corpus (another doc or the same doc) marks a duplicated span;
+    overlapping marked windows merge into maximal spans.
+
+    Returns per doc: (id, total_words, n_dup_spans, dup_words,
+    dup_fraction) — the caller cuts or down-weights flagged spans.
+
+    Instead of a monolithic suffix array (super-linear memory, not
+    shardable), the corpus is decomposed into its L-word windows:
+
+    1. window pass — posexplode every L-window with its md5 (zero
+       shuffle, codegen'd; ~1 row per corpus word);
+    2. duplicate election — one partial-aggregated count keyed on the
+       16-byte hash; hashes with count > 1 form the dup set;
+    3. mark pass — windows LEFT SEMI join the dup set (semi join: a
+       boilerplate hash hitting 10^6 docs CANNOT fan out);
+    4. span merge — per-doc gaps-and-islands over window starts (one
+       doc-keyed shuffle; window coverage [p, p+L-1] merges when
+       starts are <= L apart).
+
+    Equivalent to suffix-array dedup at granularity L: any duplicated
+    substring of length >= L contains a duplicated L-window and is
+    found; nothing shorter can be (the precision/recall knob is L,
+    50 tokens in the paper). Shuffles carry (hash) or (id, pos) — never
+    text.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    starts = F.when(
+        n >= window_words, F.sequence(F.lit(0), n - window_words)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = docs.select(
+        F.col(id_col),
+        n.cast("bigint").alias("total_words"),
+        F.explode(starts).alias("pos"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "total_words",
+        "pos",
+        F.md5(
+            F.concat_ws(" ", F.slice(words, F.col("pos") + 1, window_words))
+        ).alias("h"),
+    )
+    dup_hashes = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") > 1
+    ).select("h")
+    hits = wins.join(dup_hashes, "h", "left_semi")
+    w_doc = W.partitionBy(id_col).orderBy("pos")
+    islands = (
+        hits.withColumn("prev", F.lag("pos").over(w_doc))
+        .withColumn(
+            "new_island",
+            (F.col("prev").isNull() | (F.col("pos") - F.col("prev") > window_words)).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w_doc))
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.first("total_words").alias("total_words"),
+        (F.max("pos") + F.lit(window_words) - F.min("pos")).alias("span_words"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.first("total_words").alias("total_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum("span_words").cast("bigint").alias("dup_words"),
+    )
+    base = docs.select(F.col(id_col), n.cast("bigint").alias("total_words"))
+    return base.join(per_doc.drop("total_words"), id_col, "left").select(
+        id_col,
+        "total_words",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.coalesce("dup_words", F.lit(0)).cast("bigint").alias("dup_words"),
+        F.round(
+            F.coalesce("dup_words", F.lit(0)) / F.col("total_words"), 6
+        ).alias("dup_fraction"),
     )

@@ -4653,6 +4653,7 @@ def headline_queries() -> list[str]:
         "KMV's k hashes; registers merge by max (map-side partials, "
         "shard-mergeable). SE ~ 1.04/sqrt(1024) ~ 3.3%; exact_distinct "
         "carried alongside to show it.",
+    headline=True,
 )
 def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.dedup import shingles
@@ -4714,6 +4715,7 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100 TB this is the explicit form of runtime Bloom pruning: the "
         "petabyte side is pruned before any shuffle, and only bloom-hit "
         "survivors pay the exact verification join.",
+    headline=True,
 )
 def bloom_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.dedup import shingles
@@ -4776,6 +4778,7 @@ def bloom_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segments everywhere). Keeper election is a partial-aggregated "
         "min(struct) keyed on md5(segment) — raw text never enters the "
         "election shuffle.",
+    headline=True,
 )
 def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.dedup import paragraph_dedup
@@ -4820,3 +4823,62 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return chunk_documents(docs, chunk_words=64, overlap=16)
+
+
+@_register(
+    "duplicate_spans_docs",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wins AS (
+        SELECT doc_id, unnest(range(0, len(w) - 9)) AS pos, w
+        FROM base WHERE len(w) >= 10
+    ),
+    hw AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[(pos + 1):(pos + 10)], ' ')) AS h
+        FROM wins
+    ),
+    dup AS (SELECT h FROM hw GROUP BY h HAVING count(*) > 1),
+    hits AS (SELECT hw.doc_id, hw.pos FROM hw SEMI JOIN dup ON hw.h = dup.h),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                     OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                    THEN 1 ELSE 0 END AS ni
+        FROM hits
+    ),
+    isl2 AS (
+        SELECT doc_id, pos,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, island, max(pos) + 10 - min(pos) AS span_words
+        FROM isl2 GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(span_words) AS BIGINT) AS dup_words
+        FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS total_words,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(p.dup_words, 0)   AS dup_words,
+           round(coalesce(p.dup_words, 0)::DOUBLE / len(b.w), 6) AS dup_fraction
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Exact-substring duplicate spans (operators/dedup.py::"
+        "duplicate_spans) — the distributed equivalent of suffix-array "
+        "training-data dedup (Lee et al. 2022) at granularity L=10 "
+        "words: every L-window whose md5 repeats anywhere in the corpus "
+        "marks a span; overlapping marks merge per-doc (gaps-and-"
+        "islands). Any duplicated substring >= L words is found; "
+        "shuffles carry only hashes and (id, pos) pairs, and the mark "
+        "join is a SEMI join so boilerplate hashes cannot fan out.",
+    headline=True,
+)
+def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import duplicate_spans
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return duplicate_spans(docs, window_words=10)

@@ -325,3 +325,59 @@ def test_paragraph_dedup_corpus_segment_conservation(spark):
         .count()
     )
     assert total_kept == distinct_segs
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans — round 5
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_cross_doc(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-word duplicated run
+    uniq_a = " ".join(f"a{i}" for i in range(15))
+    uniq_b = " ".join(f"b{i}" for i in range(15))
+    uniq_c = " ".join(f"c{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{uniq_a} {shared}"),
+            Row(doc_id=2, text=f"{shared} {uniq_b}"),
+            Row(doc_id=3, text=uniq_c),
+        ]
+    )
+    out = {r.doc_id: r for r in duplicate_spans(docs, window_words=10).collect()}
+    # the 12-word run yields windows at 3 consecutive starts -> ONE span
+    # of exactly 12 words in each sharing doc
+    assert out[1].n_dup_spans == 1 and out[1].dup_words == 12
+    assert out[2].n_dup_spans == 1 and out[2].dup_words == 12
+    assert out[3].n_dup_spans == 0 and out[3].dup_words == 0
+    assert abs(out[1].dup_fraction - 12 / 27) < 1e-6
+
+
+def test_duplicate_spans_internal_repetition(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.dedup import duplicate_spans
+
+    run = " ".join(f"r{i}" for i in range(10))
+    sep = " ".join(f"x{i}" for i in range(20))
+    docs = spark.createDataFrame([Row(doc_id=1, text=f"{run} {sep} {run}")])
+    row = duplicate_spans(docs, window_words=10).head()
+    # the SAME doc repeats its own 10-gram: both occurrences flagged,
+    # separated by the unique middle -> two distinct spans
+    assert row.n_dup_spans == 2 and row.dup_words == 20
+
+
+def test_duplicate_spans_below_window_invisible(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.dedup import duplicate_spans
+
+    shared9 = " ".join(f"s{i}" for i in range(9))  # 9 < L=10: invisible
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{shared9} " + " ".join(f"a{i}" for i in range(10))),
+            Row(doc_id=2, text=f"{shared9} " + " ".join(f"b{i}" for i in range(10))),
+        ]
+    )
+    out = duplicate_spans(docs, window_words=10).collect()
+    assert all(r.n_dup_spans == 0 for r in out)

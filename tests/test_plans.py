@@ -134,3 +134,35 @@ def test_embedding_near_dup_lsh_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the only BroadcastNestedLoopJoin tolerated is none at all
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_is_broadcast_map_only(spark, sf_dir):
+    # the probe side crosses ONLY a broadcast single-row bitset — a
+    # BroadcastNestedLoopJoin over 1 row is a map-side prefilter, and
+    # the petabyte side must never hit a shuffling join for membership
+    plan = _plan(spark, "bloom_contamination_check", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_duplicate_spans_no_fanout_join(spark, sf_dir):
+    # the dup-hash mark join must stay a (left) SEMI join: a boilerplate
+    # hash present in 10^6 windows would fan out any inner join
+    plan = _plan(spark, "duplicate_spans_docs", sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_agg_is_two_stage(spark, sf_dir):
+    # (group, register) partial agg then group rollup — both
+    # HashAggregates partial-aggregated, no window, no join on the
+    # sketch path itself (the exact_distinct comparison join is separate)
+    plan = _plan(spark, "hll_distinct_shingles", sf_dir)
+    assert "Window" not in plan
+
+
+def test_doc_chunks_zero_shuffle(spark, sf_dir):
+    # pure per-row explode: chunking must not exchange anything
+    plan = _plan(spark, "doc_chunks", sf_dir)
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -75,6 +75,7 @@ ANCHORS: dict[str, float] = {
     "bloom_contamination_check": 1.964,  # r5
     "paragraph_dedup_docs": 0.142,     # r5
     "duplicate_spans_docs": 0.211,     # r5
+    "temperature_mixture_resample": 0.567,  # r5
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

@@ -438,3 +438,69 @@ def profile_table(df: DataFrame, columns: "list[str] | None" = None) -> DataFram
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
     )
+
+
+def temperature_resample(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture resampling (the XLM-R / multilingual-
+    pretraining recipe at alpha = 1/2): target share of source s is
+    p_s = sqrt(q_s) / sum_t sqrt(q_t) where q_s is its natural token
+    share — up-weights the tail, damps the head. The realized token
+    budget is B = min_s(n_s / p_s), the largest budget for which no
+    source must be sampled past rate 1 (without-replacement limit), and
+    each doc keeps iff its 48-bit md5 uniform < rate_s = B * p_s / n_s.
+
+    alpha is pinned to 1/2 because sqrt is CORRECTLY ROUNDED by IEEE-754
+    (pow is not): every per-source quantity is bit-identical across
+    engines. The one order-sensitive float op — sum_t sqrt(n_t) — is
+    forced into ascending order on both sides (fold over sort_array
+    here, `ORDER BY` aggregate in the oracle), so the whole decision
+    column is deterministic under any partitioning.
+
+    Returns (id, source, rate, kept). Distributed shape: one per-source
+    token agg (partial-aggregated), a ~|sources|-row stats rollup
+    broadcast back as a single-row cross join, then a map-only keep
+    decision — the corpus is never shuffled at all.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    per_doc = docs.select(
+        F.col(id_col), F.col(source_col), n_tok.alias("n_tokens")
+    )
+    per_src = per_doc.groupBy(source_col).agg(
+        F.sum("n_tokens").cast("double").alias("n_s")
+    )
+    stats = per_src.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.sqrt("n_s"))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sum_sqrt")
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(stats))
+        .withColumn("p_s", F.sqrt("n_s") / F.col("sum_sqrt"))
+        .withColumn("b_s", F.col("n_s") / F.col("p_s"))
+    )
+    budget = rates.agg(F.min("b_s").alias("B"))
+    rates = rates.crossJoin(F.broadcast(budget)).select(
+        source_col,
+        (F.col("B") * F.col("p_s") / F.col("n_s")).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 12), 16, 10).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    return (
+        docs.select(F.col(id_col), F.col(source_col), u.alias("u"))
+        .join(F.broadcast(rates), source_col)
+        .select(
+            id_col,
+            source_col,
+            F.round("rate", 6).alias("rate"),
+            (F.col("u") < F.col("rate")).alias("kept"),
+        )
+    )

@@ -4882,3 +4882,44 @@ def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return duplicate_spans(docs, window_words=10)
+
+
+@_register(
+    "temperature_mixture_resample",
+    """
+    WITH pd AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(text), 1, 12))::UBIGINT / 281474976710656.0 AS u
+        FROM documents
+    ),
+    ps AS (SELECT source, sum(n_tokens)::DOUBLE AS n_s FROM pd GROUP BY source),
+    st AS (SELECT sum(sqrt(n_s) ORDER BY sqrt(n_s)) AS sum_sqrt FROM ps),
+    r0 AS (
+        SELECT source, n_s,
+               sqrt(n_s) / st.sum_sqrt AS p_s,
+               n_s / (sqrt(n_s) / st.sum_sqrt) AS b_s
+        FROM ps, st
+    ),
+    bd AS (SELECT min(b_s) AS b FROM r0),
+    r AS (SELECT source, bd.b * p_s / n_s AS rate FROM r0, bd)
+    SELECT pd.doc_id, pd.source, round(r.rate, 6) AS rate, pd.u < r.rate AS kept
+    FROM pd JOIN r USING (source)
+    """,
+    doc="Temperature-based mixture resampling (operators/curation.py::"
+        "temperature_resample) — the XLM-R multilingual recipe at "
+        "alpha = 1/2: target share p_s = sqrt(q_s)/sum sqrt(q_t), token "
+        "budget B = min_s(n_s/p_s) (without-replacement limit), keep "
+        "iff 48-bit md5 uniform < B*p_s/n_s. alpha pinned to 1/2 "
+        "because sqrt is IEEE-correctly-rounded (pow is not) and the "
+        "one order-sensitive float sum is forced ascending on both "
+        "engines — so even the KEEP DECISIONS hash-match. Map-only on "
+        "the corpus: one per-source agg, a broadcast rate table, zero "
+        "corpus shuffles.",
+    headline=True,
+)
+def temperature_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import temperature_resample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return temperature_resample(docs)

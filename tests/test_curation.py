@@ -535,3 +535,50 @@ def test_chunking_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_words=8, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture resampling — round 5
+# ---------------------------------------------------------------------------
+
+def test_temperature_resample_flattens_mixture(spark):
+    import random
+    from pyspark.sql import Row, functions as F
+    from meerpipe_spark.operators.curation import temperature_resample
+
+    rng = random.Random(11)
+    rows = []
+    i = 0
+    # heavily imbalanced: head 2000 docs, tail 100 docs (20x token skew)
+    for src, n in (("head", 2000), ("tail", 100)):
+        for _ in range(n):
+            rows.append(
+                Row(doc_id=i, source=src,
+                    text=" ".join(f"w{rng.randrange(50)}" for _ in range(20)))
+            )
+            i += 1
+    out = temperature_resample(spark.createDataFrame(rows))
+    rates = {r.source: r.rate for r in out.select("source", "rate").distinct().collect()}
+    # without-replacement limit: the most up-weighted source (tail) hits
+    # rate exactly 1; the head is damped below its natural share
+    assert abs(rates["tail"] - 1.0) < 1e-6
+    assert 0 < rates["head"] < 1
+    # sqrt temperature: head/tail KEPT ratio ~ sqrt(20) ~ 4.5, far below
+    # the natural 20x
+    kept = {r.source: r.cnt for r in out.filter("kept").groupBy("source")
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    ratio = kept["head"] / kept["tail"]
+    assert 3.0 < ratio < 6.5, ratio
+
+
+def test_temperature_resample_partitioning_invariant(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.curation import temperature_resample
+
+    rows = [
+        Row(doc_id=i, source=f"s{i % 7}", text=" ".join(f"t{j}" for j in range(i % 30 + 3)))
+        for i in range(400)
+    ]
+    a = temperature_resample(spark.createDataFrame(rows).coalesce(1))
+    b = temperature_resample(spark.createDataFrame(rows).repartition(13))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -173,3 +173,74 @@ def test_oov_rate_counts_tokens_outside_topv(spark):
     out = {r.doc_id: r for r in oov_rate(docs, vocab_size=2).collect()}
     assert out[0].oov_rate == round(1 / 6, 6) and out[0].n_tokens == 6
     assert out[1].oov_rate == round(1 / 6, 6)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 sketches/dedup: randomized cross-checks vs brute force
+# ---------------------------------------------------------------------------
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    dup_factor=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=8, deadline=None)
+def test_hll_tracks_exact_cardinality(spark, n, dup_factor, seed):
+    from meerpipe_spark.operators.sketches import hll_distinct
+
+    rows = [Row(g="g", v=f"{seed}:{i}") for i in range(n)] * dup_factor
+    out = hll_distinct(spark.createDataFrame(rows), ["g"], "v").head()
+    # n <= 400 << 2.5*1024: always the linear-counting regime, whose
+    # error at load n/m <= 0.4 stays within ~8% + quantization
+    assert abs(out.hll_est - n) <= max(4.0, 0.08 * n)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10**6),
+    n_docs=st.integers(min_value=2, max_value=12),
+)
+@settings(max_examples=8, deadline=None)
+def test_duplicate_spans_matches_bruteforce(spark, seed, n_docs):
+    import random as _random
+
+    from meerpipe_spark.operators.dedup import duplicate_spans
+
+    rng = _random.Random(seed)
+    L = 4
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab: collisions guaranteed
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+        for _ in range(n_docs)
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_words)
+        for r in duplicate_spans(docs, window_words=L).collect()
+    }
+    # brute force: count every L-window across the corpus, flag repeats,
+    # merge flagged coverage intervals per doc
+    from collections import Counter
+
+    wins: list[list[tuple[int, int]]] = []
+    c: Counter = Counter()
+    for t in texts:
+        w = t.split(" ")
+        ps = list(range(0, max(0, len(w) - L + 1)))
+        wins.append([(p, len(w)) for p in ps])
+        for p in ps:
+            c[" ".join(w[p : p + L])] += 1
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        flagged = [
+            p for p, _ in wins[i] if c[" ".join(w[p : p + L])] > 1
+        ]
+        spans = []
+        for p in flagged:
+            if spans and p - spans[-1][1] <= L:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        dup_words = sum(b + L - a for a, b in spans)
+        assert got[i] == (len(spans), dup_words), (i, texts)

@@ -302,3 +302,45 @@ def bloom_might_contain(
         )
         .drop("bloom_bits")
     )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_cols: list[str],
+    qs: tuple = (0.25, 0.5, 0.75),
+    sample_hex_lt: str = "10",
+) -> DataFrame:
+    """Deterministic-sample quantile estimation — the scale path for the
+    profiler's percentile columns. Spark's percentile_approx (GK) and
+    DuckDB's approx_quantile are engine-specific and merge-order
+    dependent, so neither can be cross-checked; instead: take a
+    DETERMINISTIC md5-threshold sample (first 2 hex of md5(key) <
+    ``sample_hex_lt`` → rate = int(hex)/256, content-derived like
+    stratified_sample, so the SAMPLE ITSELF is engine-portable), then
+    run the EXACT interpolated percentile on the sample.
+
+    With sample size m per group the rank error is O(1/sqrt(m)) in
+    quantile space (DKW) — rate tunes precision against shuffle volume.
+    At 100 TB the exact percentile shuffles every value; this shuffles
+    rate × corpus, and the md5 filter is map-side (zero extra pass).
+
+    Returns per group: n_rows, n_sampled, and q{p}_sampled for each p.
+    Pair with the exact percentiles at validation scale to measure the
+    realized error (the registered query carries both).
+    """
+    h = F.substring(F.md5(F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])), 1, 2)
+    samp = df.filter(h < F.lit(sample_hex_lt))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_sampled")]
+    for q in qs:
+        aggs.append(
+            F.round(F.percentile(value_col, F.lit(q)), 6).alias(
+                f"q{int(q * 100)}_sampled"
+            )
+        )
+    est = samp.groupBy(*group_cols).agg(*aggs)
+    totals = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    return totals.join(est, list(group_cols))

@@ -203,3 +203,63 @@ def chunk_documents(
         "chunk_text",
         F.substring(F.md5("chunk_text"), 1, 16).alias("chunk_hash"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 3,
+    boundary_hex_lt: str = "08",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC boundary rule,
+    over a word stream): a chunk boundary falls AFTER word i iff the
+    hash of the trailing ``window``-word context clears a threshold
+    (md5 first-2-hex < ``boundary_hex_lt``; at '08' the boundary
+    probability is 8/256 → mean chunk ≈ 32 words). Because the boundary
+    decision depends ONLY on a local content window, an insertion or
+    deletion re-chunks just the neighborhood and every later chunk
+    RE-SYNCS to identical boundaries — the property fixed-stride
+    chunking (``chunk_documents``) lacks, and the reason CDC is the
+    dedup-friendly segmentation for mutable/binary payloads (the same
+    rule applied to a byte stream chunks the multimodal `binary`
+    columns; words here keep it oracle-checkable).
+
+    Returns (id, chunk_idx, start_word, n_words, chunk_hash) — chunk
+    hashes feed exact/near dedup exactly like ``chunk_documents``'s.
+
+    Distributed shape: entirely per-row array expressions (boundary
+    scan, start/end zip, chunk slice) — zero shuffle, codegen'd; same
+    scale anatomy as chunk_documents.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    ctx = lambda i: F.concat_ws(" ", F.slice(words, i - window + 1, window))  # noqa: E731
+    bpos = F.when(
+        n >= window,
+        F.filter(
+            F.sequence(F.lit(window), n),
+            lambda i: F.substring(F.md5(ctx(i)), 1, 2) < boundary_hex_lt,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.array_compact(
+        F.concat(
+            F.array(F.lit(1)),
+            F.transform(bpos, lambda b: F.when(b + 1 <= n, b + 1)),
+        )
+    )
+    nexts = F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))), F.array(n + 1))
+    spans = F.arrays_zip(starts.alias("s"), nexts.alias("e"))
+    chunk_text = F.concat_ws(
+        " ", F.slice(F.split(F.col(text_col), " "), F.col("sp.s"), F.col("sp.e") - F.col("sp.s"))
+    )
+    out = docs.select(
+        F.col(id_col), F.col(text_col), F.posexplode(spans).alias("chunk_idx", "sp")
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("sp.s").cast("bigint").alias("start_word"),
+        (F.col("sp.e") - F.col("sp.s")).cast("bigint").alias("n_words"),
+        F.substring(F.md5(chunk_text), 1, 16).alias("chunk_hash"),
+    )

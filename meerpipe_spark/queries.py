@@ -4923,3 +4923,107 @@ def temperature_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return temperature_resample(docs)
+
+
+@_register(
+    "sampled_quantiles_lineitem",
+    """
+    WITH samp AS (
+        SELECT l_returnflag, l_extendedprice
+        FROM lineitem
+        WHERE substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 2) < '10'
+    ),
+    est AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS q25_sampled,
+               round(quantile_cont(l_extendedprice, 0.50), 6) AS q50_sampled,
+               round(quantile_cont(l_extendedprice, 0.75), 6) AS q75_sampled
+        FROM samp GROUP BY l_returnflag
+    ),
+    tot AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               round(quantile_cont(l_extendedprice, 0.50), 6) AS q50_exact
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT tot.l_returnflag, tot.n_rows, est.n_sampled,
+           est.q25_sampled, est.q50_sampled, est.q75_sampled,
+           tot.q50_exact,
+           round(abs(est.q50_sampled - tot.q50_exact) / tot.q50_exact, 6) AS q50_rel_err
+    FROM tot JOIN est USING (l_returnflag)
+    """,
+    doc="Deterministic-sample quantiles (operators/sketches.py::"
+        "sampled_quantiles): the scale path for percentile profiling — "
+        "engine-portable md5-threshold sample (rate 16/256) + EXACT "
+        "interpolated percentile on the sample, so unlike "
+        "percentile_approx/approx_quantile the estimate itself is "
+        "oracle-checkable. DKW rank error O(1/sqrt(m)); the exact "
+        "median is carried alongside to show the realized error. At "
+        "100 TB the sample filter is map-side and the shuffle carries "
+        "rate x corpus instead of every value.",
+)
+def sampled_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.sketches import sampled_quantiles
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    est = sampled_quantiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        key_cols=["l_orderkey", "l_linenumber"],
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("q50_exact")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag", "n_rows", "n_sampled",
+        "q25_sampled", "q50_sampled", "q75_sampled", "q50_exact",
+        F.round(
+            F.abs(F.col("q50_sampled") - F.col("q50_exact")) / F.col("q50_exact"), 6
+        ).alias("q50_rel_err"),
+    )
+
+
+@_register(
+    "cdc_chunks_docs",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b AS (
+        SELECT doc_id, w,
+               list_filter(range(3, len(w) + 1),
+                   i -> substr(md5(array_to_string(w[(i-2):i], ' ')), 1, 2) < '20') AS bpos
+        FROM base
+    ),
+    s AS (
+        SELECT doc_id, w,
+               [1] || list_transform(list_filter(bpos, p -> p + 1 <= len(w)),
+                                     p -> p + 1) AS starts
+        FROM b
+    ),
+    z AS (
+        SELECT doc_id, w, starts,
+               list_slice(starts, 2, len(starts)) || [len(w) + 1] AS nexts
+        FROM s
+    ),
+    e AS (SELECT doc_id, unnest(range(1, len(starts) + 1)) AS idx, starts, nexts, w FROM z)
+    SELECT doc_id,
+           CAST(idx - 1 AS BIGINT)                   AS chunk_idx,
+           CAST(starts[idx] AS BIGINT)               AS start_word,
+           CAST(nexts[idx] - starts[idx] AS BIGINT)  AS n_words,
+           substr(md5(array_to_string(w[(starts[idx]):(nexts[idx] - 1)], ' ')), 1, 16)
+               AS chunk_hash
+    FROM e
+    """,
+    doc="Content-defined chunking (operators/text.py::cdc_chunks) — the "
+        "rsync/FastCDC boundary rule on a word stream: boundary after "
+        "word i iff md5 of the trailing 3-word context < 0x20 (p=1/8, "
+        "mean chunk ~8 words on this vocabulary). Boundaries depend "
+        "only on local content, so edits re-chunk one neighborhood and "
+        "later chunks RE-SYNC to identical hashes (property-tested) — "
+        "the dedup-friendly segmentation for mutable payloads, and the "
+        "same rule chunk-hashes binary multimodal columns at scale. "
+        "Zero shuffle, pure codegen array expressions.",
+)
+def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import cdc_chunks
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return cdc_chunks(docs, window=3, boundary_hex_lt="20")

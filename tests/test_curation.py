@@ -582,3 +582,49 @@ def test_temperature_resample_partitioning_invariant(spark):
     a = temperature_resample(spark.createDataFrame(rows).coalesce(1))
     b = temperature_resample(spark.createDataFrame(rows).repartition(13))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking — round 5
+# ---------------------------------------------------------------------------
+
+def test_cdc_resync_after_edit(spark):
+    import random
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.text import cdc_chunks
+
+    rng = random.Random(7)
+    words = [f"t{rng.randrange(10**6)}" for _ in range(300)]
+    base = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+    edited = spark.createDataFrame(
+        [Row(doc_id=2, text=" ".join([f"p{i}" for i in range(5)] + words))]
+    )
+    h1 = {r.chunk_hash for r in cdc_chunks(base).collect()}
+    h2 = {r.chunk_hash for r in cdc_chunks(edited).collect()}
+    # a 5-word prepend disturbs only the first chunk: every later chunk
+    # re-syncs to an identical boundary/hash (the CDC property; fixed-
+    # stride chunking would shift EVERY chunk)
+    assert len(h1) >= 4
+    assert len(h1 & h2) >= len(h1) - 1
+
+
+def test_cdc_conservation_and_bounds(spark):
+    import random
+    from pyspark.sql import Row, functions as F
+    from meerpipe_spark.operators.text import cdc_chunks
+
+    rng = random.Random(3)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(f"u{rng.randrange(10**6)}"
+                                        for _ in range(rng.randint(1, 150))))
+            for i in range(30)
+        ]
+    )
+    out = cdc_chunks(docs)
+    words_out = {
+        r.doc_id: r.s for r in out.groupBy("doc_id").agg(F.sum("n_words").alias("s")).collect()
+    }
+    words_in = {r.doc_id: len(r.text.split(" ")) for r in docs.collect()}
+    assert words_out == words_in  # every word lands in exactly one chunk
+    assert out.filter("n_words <= 0").count() == 0

@@ -175,3 +175,32 @@ def test_bloom_bitset_is_broadcast_sized(spark):
     row = bloom_bitset(members, "v", m_bits=2048, k=4).head()
     assert len(row.bloom_bits) <= 2048
     assert row.bloom_bits == sorted(set(row.bloom_bits))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic-sample quantiles (round 5)
+# ---------------------------------------------------------------------------
+
+def test_sampled_quantiles_tracks_exact(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.sketches import sampled_quantiles
+
+    rows = [Row(g="a", k=i, v=float(i)) for i in range(4000)]
+    out = sampled_quantiles(
+        spark.createDataFrame(rows), ["g"], "v", key_cols=["k"]
+    ).head()
+    assert out.n_rows == 4000
+    # rate 16/256 -> ~250 sampled; DKW: quantile rank error ~1/sqrt(m)
+    assert 150 < out.n_sampled < 400
+    assert abs(out.q50_sampled - 2000) < 4000 * 0.15
+    assert out.q25_sampled < out.q50_sampled < out.q75_sampled
+
+
+def test_sampled_quantiles_deterministic(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.sketches import sampled_quantiles
+
+    rows = [Row(g="a", k=i, v=float(i * 7 % 1000)) for i in range(2000)]
+    a = sampled_quantiles(spark.createDataFrame(rows).coalesce(1), ["g"], "v", ["k"]).head()
+    b = sampled_quantiles(spark.createDataFrame(rows).repartition(9), ["g"], "v", ["k"]).head()
+    assert a == b

@@ -14,6 +14,8 @@ shape (centroid assignment = argmin over a broadcast centroid table).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
@@ -704,4 +706,110 @@ def embedding_covariance(
                 "cov"
             ),
         )
+    )
+
+
+def pca_power_projection(
+    embeddings: DataFrame,
+    iters: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Top-principal-component projection of the embedding corpus —
+    PCA's rank-1 step (corpus drift monitoring, whitening direction,
+    semantic-dedup preprocessing), oracle-checkable END TO END despite
+    being an iterative spectral method.
+
+    Why this is normally impossible to cross-check: covariance entries
+    are float sums in partition order, and power iteration AMPLIFIES
+    last-ulp differences. The chain here is bit-reproducible instead:
+
+    1. quantize: e = floor(x * 2^scale_bits) — floor, not round (no
+       half-tie mode divergence); float32 inputs make the product exact;
+    2. INTEGER covariance sufficient statistics: Sxy, Sx as bigint sums
+       (order-independent by construction), then the unnormalized
+       centered matrix C = n*Sxy - Sx*Sy in DECIMAL(38,0) — still
+       exact; the ONLY rounding in the whole pipeline is the final
+       correctly-rounded decimal→double conversion, identical in any
+       IEEE engine;
+    3. power iteration (``iters`` steps, start vector all-ones) on the
+       64x64 C with ASCENDING-index sequential folds for the matvec,
+       the norm, and the projection — mirrored by list_reduce in the
+       DuckDB oracle, so every intermediate double is bit-equal;
+    4. project: score_v = <e_v, v_T> / 2^scale_bits per embedding.
+
+    The d²-sized statistics (4096 rows) are collected and iterated
+    driver-side — dim-sized scalar work, like the CC convergence probes;
+    the corpus never leaves the cluster (one d²-row partial-aggregated
+    shuffle for the moments, then a map-only projection). At 10^9+ rows
+    switch the moment sums to DECIMAL(38,0) (bigint holds to ~2^63/2^40
+    ≈ 8·10^6 rows at scale_bits=20).
+
+    Returns (id, pc1_score, eigval_scaled) with pc1_score rounded to 6
+    decimals; eigval_scaled is the final iteration's vector norm (the
+    dominant eigenvalue of C, in quantized units).
+    """
+    scale = float(1 << scale_bits)
+    eint = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("bigint")
+    )
+    pts = embeddings.select(F.col(id_col), eint.alias("_e"))
+
+    ex = pts.select("_e", F.posexplode("_e").alias("i", "xi"))
+    pairs = ex.select("i", "xi", F.posexplode("_e").alias("j", "xj")).filter(
+        F.col("j") >= F.col("i")
+    )
+    mom = (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+        )
+        .collect()
+    )
+    sums = (
+        pts.select(F.posexplode("_e").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum("xi").alias("sx"))
+        .collect()
+    )
+    d = max(r.i for r in sums) + 1
+    n = mom[0].n
+    sx = [0] * d
+    for r in sums:
+        sx[r.i] = int(r.sx)
+    c = [[0.0] * d for _ in range(d)]
+    for r in mom:
+        # exact int: n*Sxy - Sx_i*Sx_j (fits well under 2^127); the
+        # int→double conversion is the chain's only rounding
+        cij = float(n * int(r.sxy) - sx[r.i] * sx[r.j])
+        c[r.i][r.j] = cij
+        c[r.j][r.i] = cij
+
+    v = [1.0] * d
+    eigval = 0.0
+    for _ in range(iters):
+        w = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc = acc + c[i][j] * v[j]
+            w.append(acc)
+        s = 0.0
+        for i in range(d):
+            s = s + w[i] * w[i]
+        eigval = math.sqrt(s)  # sqrt, not pow(x, .5): IEEE-exact both engines
+        v = [w[i] / eigval for i in range(d)]
+
+    varr = F.array(*[F.lit(x) for x in v])
+    proj = F.aggregate(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at("_e", j + 1).cast("double") * F.element_at(varr, j + 1),
+    )
+    return pts.select(
+        id_col,
+        F.round(proj / F.lit(scale), 6).alias("pc1_score"),
+        F.round(F.lit(eigval), 4).alias("eigval_scaled"),
     )

@@ -383,3 +383,56 @@ def test_embedding_near_dup_auto_equals_explicit_planes(spark, clustered):
         (r.id_a, r.id_b) for r in want
     )
     assert len(got) > 0  # clusters contain near-duplicate directions
+
+
+# ---------------------------------------------------------------------------
+# PCA power projection — round 5
+# ---------------------------------------------------------------------------
+
+def test_pca_converges_on_spiked_spectrum(spark):
+    import math
+    import random
+
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.similarity import pca_power_projection
+
+    # spiked covariance: strong direction u + small isotropic noise ->
+    # large spectral gap -> 12 iterations converge
+    rng = random.Random(5)
+    d = 16
+    u = [math.sin(k + 1.0) for k in range(d)]
+    un = math.sqrt(sum(x * x for x in u))
+    u = [x / un for x in u]
+    rows = []
+    for i in range(300):
+        a = rng.gauss(0, 0.3)
+        rows.append(
+            Row(vec_id=i, embedding=[a * u[k] + rng.gauss(0, 0.01) for k in range(d)])
+        )
+    out = {r.vec_id: r.pc1_score for r in pca_power_projection(
+        spark.createDataFrame(rows), iters=12).collect()}
+    # the projection must recover each row's spike coefficient up to a
+    # global sign and the small noise floor
+    coeffs = {}
+    for r in rows:
+        coeffs[r.vec_id] = sum(r.embedding[k] * u[k] for k in range(d))
+    sign = 1.0 if sum(out[i] * coeffs[i] for i in out) > 0 else -1.0
+    err = max(abs(sign * out[i] - coeffs[i]) for i in out)
+    assert err < 0.05, err
+
+
+def test_pca_partitioning_invariant(spark):
+    import random
+
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.similarity import pca_power_projection
+
+    rng = random.Random(9)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-0.5, 0.5) for _ in range(8)])
+        for i in range(200)
+    ]
+    a = pca_power_projection(spark.createDataFrame(rows).coalesce(1), iters=12).collect()
+    b = pca_power_projection(spark.createDataFrame(rows).repartition(11), iters=12).collect()
+    # integer moments make the whole chain partition-order independent
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -37,15 +37,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F
 
 
-def _session() -> SparkSession:
-    return (
+def _session(rocksdb: bool = False) -> SparkSession:
+    b = (
         SparkSession.builder.master("local[32]")
         .appName("stream-bench")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "false")  # streaming: fixed plan
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if rocksdb:
+        # the 100 TB state backend: the default HDFS-backed store keeps
+        # every state row ON-HEAP (200k rows/s x 30 s watermark ~ 6M rows
+        # OOMs a default heap); RocksDB keeps state off-heap/on-disk with
+        # changelog checkpointing, which is how production clusters hold
+        # tens of millions of keys per executor
+        b = b.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    return b.getOrCreate()
 
 
 def _rate_events(spark: SparkSession, rows_per_sec: int, n_users: int):
@@ -153,9 +164,12 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--rates", default="2000,10000,50000")
     ap.add_argument("--scenarios", default="dedup,sessions")
+    ap.add_argument("--rocksdb", action="store_true",
+                    help="RocksDB state store (off-heap state; required "
+                         "for the 200k+ rows/s points)")
     args = ap.parse_args()
     rates = [int(r) for r in args.rates.split(",")]
-    spark = _session()
+    spark = _session(rocksdb=args.rocksdb)
     spark.sparkContext.setLogLevel("ERROR")
     results = []
     for rate in rates:

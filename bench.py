@@ -72,7 +72,7 @@ ANCHORS: dict[str, float] = {
     "asof_join_events": 0.253,         # r5
     "binned_interval_join": 0.329,     # r5
     "hll_distinct_shingles": 1.568,    # r5
-    "bloom_contamination_check": 1.964,  # r5
+    "bloom_contamination_check": 1.853,  # r5
     "paragraph_dedup_docs": 0.142,     # r5
     "duplicate_spans_docs": 0.211,     # r5
     "temperature_mixture_resample": 0.567,  # r5

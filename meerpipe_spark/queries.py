@@ -4722,9 +4722,11 @@ def bloom_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.sketches import bloom_bitset, bloom_might_contain
 
     docs = load_tables(spark, sf_dir)["documents"]
+    # per-doc distinct is MAP-SIDE (array_distinct before the explode) —
+    # no corpus-wide distinct shuffle; only the tiny bench slice pays one
     sh = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), 5)).alias("s")
-    ).distinct()
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("s")
+    )
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
     bits = bloom_bitset(bench, "s", m_bits=2048, k=4)
     probed = bloom_might_contain(sh, "s", bits, m_bits=2048, k=4)

@@ -715,6 +715,7 @@ def pca_power_projection(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale_bits: int = 20,
+    components: int = 1,
 ) -> DataFrame:
     """Top-principal-component projection of the embedding corpus —
     PCA's rank-1 step (corpus drift monitoring, whitening direction,
@@ -787,29 +788,46 @@ def pca_power_projection(
         c[r.i][r.j] = cij
         c[r.j][r.i] = cij
 
-    v = [1.0] * d
-    eigval = 0.0
-    for _ in range(iters):
-        w = []
-        for i in range(d):
-            acc = 0.0
-            for j in range(d):
-                acc = acc + c[i][j] * v[j]
-            w.append(acc)
-        s = 0.0
-        for i in range(d):
-            s = s + w[i] * w[i]
-        eigval = math.sqrt(s)  # sqrt, not pow(x, .5): IEEE-exact both engines
-        v = [w[i] / eigval for i in range(d)]
+    def _power(cm: list[list[float]]) -> tuple[list[float], float]:
+        v = [1.0] * d
+        eigval = 0.0
+        for _ in range(iters):
+            w = []
+            for i in range(d):
+                acc = 0.0
+                for j in range(d):
+                    acc = acc + cm[i][j] * v[j]
+                w.append(acc)
+            s = 0.0
+            for i in range(d):
+                s = s + w[i] * w[i]
+            eigval = math.sqrt(s)  # sqrt, not pow(x, .5): IEEE-exact both engines
+            v = [w[i] / eigval for i in range(d)]
+        return v, eigval
 
-    varr = F.array(*[F.lit(x) for x in v])
-    proj = F.aggregate(
-        F.sequence(F.lit(0), F.lit(d - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc + F.element_at("_e", j + 1).cast("double") * F.element_at(varr, j + 1),
-    )
-    return pts.select(
-        id_col,
-        F.round(proj / F.lit(scale), 6).alias("pc1_score"),
-        F.round(F.lit(eigval), 4).alias("eigval_scaled"),
-    )
+    comps: list[tuple[list[float], float]] = []
+    cwork = c
+    for k in range(components):
+        v, eigval = _power(cwork)
+        comps.append((v, eigval))
+        if k + 1 < components:
+            # Hotelling deflation, op order pinned: c - (λ·v_i)·v_j
+            cwork = [
+                [cwork[i][j] - (eigval * v[i]) * v[j] for j in range(d)]
+                for i in range(d)
+            ]
+
+    def _proj(v: list[float]):
+        varr = F.array(*[F.lit(x) for x in v])
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at("_e", j + 1).cast("double") * F.element_at(varr, j + 1),
+        )
+
+    cols = [F.col(id_col)]
+    for k, (v, eigval) in enumerate(comps, start=1):
+        cols.append(F.round(_proj(v) / F.lit(scale), 6).alias(f"pc{k}_score"))
+        cols.append(F.round(F.lit(eigval), 4).alias(f"eigval{k}_scaled"))
+    return pts.select(*cols)

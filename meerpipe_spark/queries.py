@@ -1478,24 +1478,33 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unit_conversions",
     """
     SELECT event_id,
-           round(value * 1e-3, 9)                       AS value_ms_to_s,
-           round(value * degrees(1.0), 6)               AS value_rad_to_deg,
-           round(value / 86400.0, 9)                    AS value_s_to_days,
-           round((value - 3372.0) * 1.7202 * 0.019, 6)  AS value_mk_to_jy
+           floor(value * 1e-3 * 1e9 + 0.5) / 1e9                      AS value_ms_to_s,
+           floor(value * degrees(1.0) * 1e6 + 0.5) / 1e6              AS value_rad_to_deg,
+           floor(value / 86400.0 * 1e9 + 0.5) / 1e9                   AS value_s_to_days,
+           floor((value - 3372.0) * 1.7202 * 0.019 * 1e6 + 0.5) / 1e6 AS value_mk_to_jy
     FROM events
     """,
     doc="§2.8 unit/physics conversions: ms→s, rad→deg, s→MJD days, the "
-        "mK→Jy flux chain (fluxcal_meerkat.py:221-227).",
+        "mK→Jy flux chain (fluxcal_meerkat.py:221-227). Rounding is the "
+        "explicit floor(x*10^k + 0.5)/10^k form instead of round(): the "
+        "engines' round() implementations disagree on exact .5 "
+        "boundaries (Spark rounds the binary value via BigDecimal, "
+        "DuckDB in floating arithmetic — found as a 1-ulp mismatch at "
+        "sf0.1), while this form is the SAME IEEE op sequence in both.",
 )
 def unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
     v = F.col("value")
+
+    def fround(x, k: float):
+        return F.floor(x * F.lit(k) + F.lit(0.5)) / F.lit(k)
+
     return e.select(
         "event_id",
-        F.round(v * 1e-3, 9).alias("value_ms_to_s"),
-        F.round(v * F.degrees(F.lit(1.0)), 6).alias("value_rad_to_deg"),
-        F.round(v / 86400.0, 9).alias("value_s_to_days"),
-        F.round((v - 3372.0) * 1.7202 * 0.019, 6).alias("value_mk_to_jy"),
+        fround(v * 1e-3, 1e9).alias("value_ms_to_s"),
+        fround(v * F.degrees(F.lit(1.0)), 1e6).alias("value_rad_to_deg"),
+        fround(v / 86400.0, 1e9).alias("value_s_to_days"),
+        fround((v - 3372.0) * 1.7202 * 0.019, 1e6).alias("value_mk_to_jy"),
     )
 
 
@@ -5034,13 +5043,13 @@ def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "pca_power_projection",
     """
-WITH RECURSIVE e AS (
+WITH RECURSIVE e AS MATERIALIZED (
     SELECT vec_id,
            list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS ei
     FROM embeddings
 ),
 idx AS (SELECT unnest(range(1, 65)) AS i),
-mom AS (
+mom AS MATERIALIZED (
     SELECT ii.i AS i, jj.i AS j,
            CAST(count(*) AS BIGINT) AS n,
            sum(e.ei[ii.i] * e.ei[jj.i]) AS sxy
@@ -5048,11 +5057,11 @@ mom AS (
     WHERE jj.i >= ii.i
     GROUP BY ii.i, jj.i
 ),
-sx AS (
+sx AS MATERIALIZED (
     SELECT ii.i AS i, sum(e.ei[ii.i]) AS s
     FROM e, idx ii GROUP BY ii.i
 ),
-cfull AS (
+cfull AS MATERIALIZED (
     SELECT m.i AS i, m.j AS j,
            (m.n::HUGEINT * m.sxy::HUGEINT - a.s::HUGEINT * b.s::HUGEINT)::DOUBLE AS c
     FROM mom m JOIN sx a ON m.i = a.i JOIN sx b ON m.j = b.i
@@ -5062,7 +5071,7 @@ cfull AS (
     FROM mom m JOIN sx a ON m.i = a.i JOIN sx b ON m.j = b.i
     WHERE m.i < m.j
 ),
-cm AS (
+cm AS MATERIALIZED (
     SELECT list(cl ORDER BY i) AS cmat
     FROM (SELECT i, list(c ORDER BY j) AS cl FROM cfull GROUP BY i)
 ),
@@ -5094,7 +5103,7 @@ fin AS (SELECT v, ev FROM it WHERE t = 12)
 SELECT e.vec_id,
        round(list_reduce(list_transform(range(1, 65), j -> e.ei[j]::DOUBLE * fin.v[j]),
                          (a, b) -> a + b) / 1048576.0, 6) AS pc1_score,
-       round(fin.ev, 4) AS eigval_scaled
+       round(fin.ev, 4) AS eigval1_scaled
 FROM e, fin
 
     """,
@@ -5119,3 +5128,124 @@ def pca_power_projection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return pca_power_projection(emb, iters=12)
+
+
+@_register(
+    "pca_top2_projection",
+    """
+WITH RECURSIVE e AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS ei
+    FROM embeddings
+),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+mom AS MATERIALIZED (
+    SELECT ii.i AS i, jj.i AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(e.ei[ii.i] * e.ei[jj.i]) AS sxy
+    FROM e, idx ii, idx jj
+    WHERE jj.i >= ii.i
+    GROUP BY ii.i, jj.i
+),
+sx AS MATERIALIZED (
+    SELECT ii.i AS i, sum(e.ei[ii.i]) AS s
+    FROM e, idx ii GROUP BY ii.i
+),
+cfull AS MATERIALIZED (
+    SELECT m.i AS i, m.j AS j,
+           (m.n::HUGEINT * m.sxy::HUGEINT - a.s::HUGEINT * b.s::HUGEINT)::DOUBLE AS c
+    FROM mom m JOIN sx a ON m.i = a.i JOIN sx b ON m.j = b.i
+    UNION ALL
+    SELECT m.j, m.i,
+           (m.n::HUGEINT * m.sxy::HUGEINT - a.s::HUGEINT * b.s::HUGEINT)::DOUBLE
+    FROM mom m JOIN sx a ON m.i = a.i JOIN sx b ON m.j = b.i
+    WHERE m.i < m.j
+),
+cm AS MATERIALIZED (
+    SELECT list(cl ORDER BY i) AS cmat
+    FROM (SELECT i, list(c ORDER BY j) AS cl FROM cfull GROUP BY i)
+),
+it AS (
+    SELECT 0 AS t, list_transform(range(1, 65), x -> 1.0::DOUBLE) AS v, 0.0::DOUBLE AS ev
+    UNION ALL
+    SELECT t + 1,
+           list_transform(
+               list_transform(range(1, 65), i ->
+                   list_reduce(list_transform(range(1, 65), j -> cm.cmat[i][j] * it.v[j]),
+                               (a, b) -> a + b)),
+               x -> x / sqrt(list_reduce(
+                   list_transform(
+                       list_transform(range(1, 65), i ->
+                           list_reduce(list_transform(range(1, 65), j -> cm.cmat[i][j] * it.v[j]),
+                                       (a, b) -> a + b)),
+                       y -> y * y),
+                   (a, b) -> a + b))),
+           sqrt(list_reduce(
+               list_transform(
+                   list_transform(range(1, 65), i ->
+                       list_reduce(list_transform(range(1, 65), j -> cm.cmat[i][j] * it.v[j]),
+                                   (a, b) -> a + b)),
+                   y -> y * y),
+               (a, b) -> a + b))
+    FROM it, cm WHERE t < 60
+),
+f1 AS (SELECT v, ev FROM it WHERE t = 60),
+cm2 AS MATERIALIZED (
+    SELECT list_transform(range(1, 65), i ->
+        list_transform(range(1, 65), j ->
+            cm.cmat[i][j] - (f1.ev * f1.v[i]) * f1.v[j])) AS cmat
+    FROM cm, f1
+),
+it2 AS (
+    SELECT 0 AS t, list_transform(range(1, 65), x -> 1.0::DOUBLE) AS v, 0.0::DOUBLE AS ev
+    UNION ALL
+    SELECT t + 1,
+           list_transform(
+               list_transform(range(1, 65), i ->
+                   list_reduce(list_transform(range(1, 65), j -> cm2.cmat[i][j] * it2.v[j]),
+                               (a, b) -> a + b)),
+               x -> x / sqrt(list_reduce(
+                   list_transform(
+                       list_transform(range(1, 65), i ->
+                           list_reduce(list_transform(range(1, 65), j -> cm2.cmat[i][j] * it2.v[j]),
+                                       (a, b) -> a + b)),
+                       y -> y * y),
+                   (a, b) -> a + b))),
+           sqrt(list_reduce(
+               list_transform(
+                   list_transform(range(1, 65), i ->
+                       list_reduce(list_transform(range(1, 65), j -> cm2.cmat[i][j] * it2.v[j]),
+                                   (a, b) -> a + b)),
+                   y -> y * y),
+               (a, b) -> a + b))
+    FROM it2, cm2 WHERE t < 60
+),
+f2 AS (SELECT v, ev FROM it2 WHERE t = 60)
+SELECT e.vec_id,
+       round(list_reduce(list_transform(range(1, 65), j -> e.ei[j]::DOUBLE * f1.v[j]),
+                         (a, b) -> a + b) / 1048576.0, 6) AS pc1_score,
+       round(f1.ev, 4) AS eigval1_scaled,
+       round(list_reduce(list_transform(range(1, 65), j -> e.ei[j]::DOUBLE * f2.v[j]),
+                         (a, b) -> a + b) / 1048576.0, 6) AS pc2_score,
+       round(f2.ev, 4) AS eigval2_scaled
+FROM e, f1, f2
+
+    """,
+    doc="Top-2 principal components via power iteration + Hotelling "
+        "deflation (operators/similarity.py::pca_power_projection, "
+        "components=2, 60 iterations) — extends the bit-reproducible "
+        "spectral chain: after the first component converges, the "
+        "covariance is deflated C' = C - (lambda*v_i)*v_j with pinned "
+        "operation order and a SECOND recursive-CTE power iteration "
+        "runs on C'. At 60 iterations the dominant eigenvalue agrees "
+        "with an external eigensolver to 5 significant digits, and "
+        "eigval1 > eigval2 (the non-converged 12-step regime flips "
+        "them on quasi-isotropic data — iteration count is the "
+        "precision/cost knob, like the Newton step count in the Kepler "
+        "oracle).",
+)
+def pca_top2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import pca_power_projection
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return pca_power_projection(emb, iters=60, components=2)

@@ -436,3 +436,42 @@ def test_pca_partitioning_invariant(spark):
     b = pca_power_projection(spark.createDataFrame(rows).repartition(11), iters=12).collect()
     # integer moments make the whole chain partition-order independent
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pca_top2_deflation_orders_and_separates(spark):
+    import math
+    import random
+
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.similarity import pca_power_projection
+
+    # two orthogonal spikes with distinct strengths
+    rng = random.Random(17)
+    d = 16
+    u1 = [1.0 if k < d // 2 else 0.0 for k in range(d)]
+    u2 = [0.0 if k < d // 2 else 1.0 for k in range(d)]
+    n1 = math.sqrt(sum(x * x for x in u1)); u1 = [x / n1 for x in u1]
+    n2 = math.sqrt(sum(x * x for x in u2)); u2 = [x / n2 for x in u2]
+    rows = []
+    for i in range(400):
+        a = rng.gauss(0, 0.3)   # strong direction
+        b = rng.gauss(0, 0.15)  # weaker direction
+        rows.append(Row(vec_id=i, embedding=[
+            a * u1[k] + b * u2[k] + rng.gauss(0, 0.01) for k in range(d)]))
+    out = pca_power_projection(
+        spark.createDataFrame(rows), iters=60, components=2).collect()
+    r0 = out[0]
+    assert r0.eigval1_scaled > r0.eigval2_scaled  # deflation ordering
+    # pc1 must track the strong coefficient, pc2 the weak one (up to sign)
+    import statistics
+    a_true = {r.vec_id: sum(r.embedding[k] * u1[k] for k in range(d)) for r in rows}
+    b_true = {r.vec_id: sum(r.embedding[k] * u2[k] for k in range(d)) for r in rows}
+    def corr(xs, ys):
+        mx, my = statistics.mean(xs), statistics.mean(ys)
+        num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        den = math.sqrt(sum((x - mx) ** 2 for x in xs) * sum((y - my) ** 2 for y in ys))
+        return num / den
+    ids = [r.vec_id for r in out]
+    c1 = abs(corr([a_true[i] for i in ids], [r.pc1_score for r in out]))
+    c2 = abs(corr([b_true[i] for i in ids], [r.pc2_score for r in out]))
+    assert c1 > 0.99 and c2 > 0.99, (c1, c2)

@@ -76,6 +76,10 @@ ANCHORS: dict[str, float] = {
     "paragraph_dedup_docs": 0.142,     # r5
     "duplicate_spans_docs": 0.211,     # r5
     "temperature_mixture_resample": 0.567,  # r5
+    "pca_top2_projection": 0.732,      # r5
+    "sampled_quantiles_lineitem": 0.479,  # r5
+    "doc_chunks": 0.210,               # r5
+    "cdc_chunks_docs": 1.713,          # r5
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

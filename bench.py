@@ -80,6 +80,7 @@ ANCHORS: dict[str, float] = {
     "sampled_quantiles_lineitem": 0.479,  # r5
     "doc_chunks": 0.210,               # r5
     "cdc_chunks_docs": 1.713,          # r5
+    "funnel_view_click_purchase": 0.556,  # r5
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

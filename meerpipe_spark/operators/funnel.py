@@ -1,0 +1,70 @@
+"""Ordered-sequence funnel analysis over event streams.
+
+The behavioral-analytics staple the relational surface doesn't cover
+natively: how many users performed step1 -> step2 -> step3 IN ORDER,
+and how fast. Semantics are greedy-earliest matching — each stage
+matches its earliest event at-or-after the previous stage's match —
+which is optimal for funnel EXISTENCE (the earliest step-k match
+dominates every later one for matching step k+1), so the chained-min
+form below and any sequential scan agree.
+
+Distributed shape: one stage = one aggregation keyed by the user plus
+one co-keyed join back to the events — stage k's shuffle reuses the
+user-hash partitioning of stage k-1 (AQE coalesces the exchanges), and
+every row carries (user, ts) only. No window over a global sort, no
+per-user event-list materialization — at 100 TB the per-stage
+aggregations stay partial-aggregated map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Greedy-earliest funnel over ``steps`` (ordered event types).
+
+    Returns one row per user who reached step 1: (user, t_<step>...,
+    converted, secs_to_convert) with t_<step> NULL from the first
+    unreached stage onward.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    base = events.select(F.col(user_col), F.col(ts_col).alias("_ts"), F.col(type_col).alias("_ty"))
+
+    cur = base.groupBy(user_col).agg(
+        F.min(F.when(F.col("_ty") == steps[0], F.col("_ts"))).alias(f"t_{steps[0]}")
+    ).filter(F.col(f"t_{steps[0]}").isNotNull())
+
+    for prev, step in zip(steps, steps[1:]):
+        carried = [f"t_{s}" for s in steps[: steps.index(step)]]
+        cur = (
+            base.join(cur, user_col)
+            .groupBy(user_col)
+            .agg(
+                *[F.first(c).alias(c) for c in carried],
+                F.min(
+                    F.when(
+                        (F.col("_ty") == step) & (F.col("_ts") >= F.col(f"t_{prev}")),
+                        F.col("_ts"),
+                    )
+                ).alias(f"t_{step}"),
+            )
+        )
+
+    first_t, last_t = f"t_{steps[0]}", f"t_{steps[-1]}"
+    return cur.select(
+        user_col,
+        *[f"t_{s}" for s in steps],
+        F.col(last_t).isNotNull().alias("converted"),
+        F.when(
+            F.col(last_t).isNotNull(),
+            (F.unix_timestamp(last_t) - F.unix_timestamp(first_t)).cast("bigint"),
+        ).alias("secs_to_convert"),
+    )

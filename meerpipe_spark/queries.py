@@ -5253,3 +5253,50 @@ def pca_top2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return pca_power_projection(emb, iters=60, components=2)
+
+
+@_register(
+    "funnel_view_click_purchase",
+    """
+    WITH base AS (SELECT user_id, ts, event_type FROM events),
+    s1 AS (
+        SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM base GROUP BY user_id
+        HAVING min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+    ),
+    s2 AS (
+        SELECT b.user_id, any_value(s1.t_view) AS t_view,
+               min(CASE WHEN b.event_type = 'click' AND b.ts >= s1.t_view
+                        THEN b.ts END) AS t_click
+        FROM base b JOIN s1 ON b.user_id = s1.user_id
+        GROUP BY b.user_id
+    ),
+    s3 AS (
+        SELECT b.user_id, any_value(s2.t_view) AS t_view,
+               any_value(s2.t_click) AS t_click,
+               min(CASE WHEN b.event_type = 'purchase' AND b.ts >= s2.t_click
+                        THEN b.ts END) AS t_purchase
+        FROM base b JOIN s2 ON b.user_id = s2.user_id
+        GROUP BY b.user_id
+    )
+    SELECT user_id, t_view, t_click, t_purchase,
+           t_purchase IS NOT NULL AS converted,
+           CASE WHEN t_purchase IS NOT NULL
+                THEN CAST(date_diff('second', t_view, t_purchase) AS BIGINT) END
+               AS secs_to_convert
+    FROM s3
+    """,
+    doc="Ordered-sequence funnel (operators/funnel.py::funnel): users "
+        "who did view -> click -> purchase IN ORDER, greedy-earliest "
+        "matching (earliest step-k match dominates for step k+1, so "
+        "chained conditional mins equal a sequential scan). Each stage "
+        "is one user-keyed aggregation + a co-keyed join — partitioning "
+        "reused across stages, rows carry (user, ts) only; no global "
+        "sort, no event-list materialization.",
+    headline=True,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.funnel import funnel
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return funnel(ev, ["view", "click", "purchase"])

@@ -268,3 +268,42 @@ def test_dedup_stream_suppresses_redelivery(spark, sf_dir, event_dir, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — round 5
+# ---------------------------------------------------------------------------
+
+def test_funnel_greedy_earliest_semantics(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.funnel import funnel
+
+    t0 = dt.datetime(2026, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: full ordered funnel
+        Row(user_id=1, ts=t0 + 1 * sec, event_type="view"),
+        Row(user_id=1, ts=t0 + 5 * sec, event_type="click"),
+        Row(user_id=1, ts=t0 + 9 * sec, event_type="purchase"),
+        # user 2: purchase BEFORE click -> not converted
+        Row(user_id=2, ts=t0 + 1 * sec, event_type="view"),
+        Row(user_id=2, ts=t0 + 2 * sec, event_type="purchase"),
+        Row(user_id=2, ts=t0 + 3 * sec, event_type="click"),
+        # user 3: no view at all -> excluded entirely
+        Row(user_id=3, ts=t0 + 1 * sec, event_type="click"),
+        # user 4: greedy-earliest — the EARLIEST view matches, and the
+        # click between the two views still counts
+        Row(user_id=4, ts=t0 + 1 * sec, event_type="view"),
+        Row(user_id=4, ts=t0 + 2 * sec, event_type="click"),
+        Row(user_id=4, ts=t0 + 3 * sec, event_type="view"),
+        Row(user_id=4, ts=t0 + 4 * sec, event_type="purchase"),
+    ]
+    out = {r.user_id: r for r in funnel(
+        spark.createDataFrame(rows), ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].converted and out[1].secs_to_convert == 8
+    assert not out[2].converted and out[2].t_click is not None
+    assert out[2].t_purchase is None
+    assert out[4].converted and out[4].secs_to_convert == 3

@@ -68,3 +68,58 @@ def funnel(
             (F.unix_timestamp(last_t) - F.unix_timestamp(first_t)).cast("bigint"),
         ).alias("secs_to_convert"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    signup_type: str = "signup",
+    max_weeks: int = 8,
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by the week of
+    their FIRST ``signup_type`` event; for each later week offset,
+    the share of the cohort with ANY activity that week.
+
+    Returns (cohort_week, week_offset, n_cohort, n_active, retention).
+
+    Distributed shape: cohort assignment is one user-keyed min-agg;
+    activity is a user-week distinct (two partial-aggregated stages);
+    the cohort join is user-keyed (partitioning reused) and the final
+    matrix is a (cohort, offset)-keyed count — every shuffle carries
+    keys only, and the output is |cohorts| x ``max_weeks`` rows no
+    matter the corpus size.
+    """
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731
+    signups = (
+        events.filter(F.col(type_col) == signup_type)
+        .groupBy(user_col)
+        .agg(F.min(wk(F.col(ts_col))).alias("cohort_week"))
+    )
+    activity = events.select(
+        F.col(user_col), wk(F.col(ts_col)).alias("act_week")
+    ).distinct()
+    cohort_sizes = signups.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    joined = activity.join(signups, user_col).withColumn(
+        "week_offset",
+        F.floor(
+            (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week"))
+            / F.lit(7 * 86400)
+        ).cast("int"),
+    ).filter((F.col("week_offset") >= 0) & (F.col("week_offset") < max_weeks))
+    active = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct(user_col).cast("bigint").alias("n_active")
+    )
+    return (
+        active.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+            "n_cohort",
+            "n_active",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+        )
+    )

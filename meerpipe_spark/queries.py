@@ -5300,3 +5300,47 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir)["events"]
     return funnel(ev, ["view", "click", "purchase"])
+
+
+@_register(
+    "cohort_retention_weekly",
+    """
+    WITH signups AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+        FROM signups GROUP BY cohort_week
+    ),
+    joined AS (
+        SELECT a.user_id, s.cohort_week,
+               CAST(floor(date_diff('second', s.cohort_week, a.act_week) / 604800.0) AS INT)
+                   AS week_offset
+        FROM activity a JOIN signups s ON a.user_id = s.user_id
+    ),
+    active AS (
+        SELECT cohort_week, week_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM joined WHERE week_offset >= 0 AND week_offset < 8
+        GROUP BY cohort_week, week_offset
+    )
+    SELECT a.cohort_week::DATE AS cohort_week, a.week_offset, z.n_cohort, a.n_active,
+           round(a.n_active * 1.0 / z.n_cohort, 6) AS retention
+    FROM active a JOIN sizes z ON a.cohort_week = z.cohort_week
+    """,
+    doc="Weekly cohort retention (operators/funnel.py::cohort_retention) "
+        "— users bucketed by first-signup week; per week offset, the "
+        "share of the cohort with any activity. Cohort assignment and "
+        "activity are partial-aggregated user-keyed stages, the matrix "
+        "is |cohorts| x 8 rows regardless of corpus size; cohort sizes "
+        "broadcast back.",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.funnel import cohort_retention
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return cohort_retention(ev)

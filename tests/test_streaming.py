@@ -307,3 +307,28 @@ def test_funnel_greedy_earliest_semantics(spark):
     assert not out[2].converted and out[2].t_click is not None
     assert out[2].t_purchase is None
     assert out[4].converted and out[4].secs_to_convert == 3
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.funnel import cohort_retention
+
+    w0 = dt.datetime(2026, 1, 5)  # a Monday
+    week = dt.timedelta(days=7)
+    rows = []
+    # cohort A: users 1,2 sign up week 0; user 1 active weeks 0,1; user 2 only week 0
+    rows += [Row(user_id=1, ts=w0, event_type="signup"),
+             Row(user_id=1, ts=w0 + week, event_type="click"),
+             Row(user_id=2, ts=w0 + dt.timedelta(days=2), event_type="signup")]
+    # cohort B: user 3 signs up week 1, active week 2
+    rows += [Row(user_id=3, ts=w0 + week, event_type="signup"),
+             Row(user_id=3, ts=w0 + 2 * week, event_type="purchase")]
+    out = {(r.cohort_week.isoformat(), r.week_offset): (r.n_cohort, r.n_active)
+           for r in cohort_retention(spark.createDataFrame(rows)).collect()}
+    a, b = w0.date().isoformat(), (w0 + week).date().isoformat()
+    assert out[(a, 0)] == (2, 2)   # both cohort-A users active in week 0
+    assert out[(a, 1)] == (2, 1)   # only user 1 retained
+    assert out[(b, 0)] == (1, 1)
+    assert out[(b, 1)] == (1, 1)

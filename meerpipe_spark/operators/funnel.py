@@ -123,3 +123,63 @@ def cohort_retention(
             F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
         )
     )
+
+
+def ewma_per_user(
+    events: DataFrame,
+    alpha: float = 0.25,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value`` in
+    event-time order — the order-sensitive recurrence y_t = α·x_t +
+    (1−α)·y_{t−1} (anomaly baselines, rate smoothing) that plain window
+    aggregates cannot express without a pow() term (whose libm
+    divergence would break cross-engine checks).
+
+    Implemented as a per-user SEQUENTIAL FOLD over the time-sorted
+    value list (sort_array(collect_list(struct(ts, id, x)))) — ties on
+    ts break by event id, so the fold order is total and the oracle's
+    list_reduce replays the identical IEEE op sequence. Returns the
+    FINAL smoothed level per user plus the event count.
+
+    Distributed shape: one user-keyed aggregation; the per-user list is
+    bounded by that user's event count (the same bound any sequential
+    smoother needs — for power-law users, cap upstream with a time
+    filter). For windowed EWMA at 100 TB, run per (user, day) and
+    chain the closing level into the next day's init via the previous
+    partition's output — the recurrence is associative over segments
+    under (level, weight) composition.
+    """
+    lst = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col("_eid").alias("e"), F.col("_x").alias("x")))
+    )
+    folded = F.aggregate(
+        lst,
+        F.struct(F.lit(0.0).alias("y"), F.lit(0).cast("bigint").alias("k")),
+        lambda acc, r: F.struct(
+            (
+                F.when(acc["k"] == 0, r["x"]).otherwise(
+                    F.lit(alpha) * r["x"] + F.lit(1.0 - alpha) * acc["y"]
+                )
+            ).alias("y"),
+            (acc["k"] + 1).alias("k"),
+        ),
+    )
+    return (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(id_col).alias("_eid"),
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        .groupBy(user_col)
+        .agg(folded.alias("_f"))
+        .select(
+            user_col,
+            F.col("_f.k").alias("n_events"),
+            F.round(F.col("_f.y"), 6).alias("ewma_value"),
+        )
+    )

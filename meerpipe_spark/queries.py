@@ -5344,3 +5344,34 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir)["events"]
     return cohort_retention(ev)
+
+
+@_register(
+    "ewma_user_values",
+    """
+    WITH srt AS (
+        SELECT user_id,
+               list_transform(
+                   list_sort(list({'t': ts, 'e': event_id, 'x': value::DOUBLE})),
+                   r -> r.x) AS xs
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_events,
+           round(list_reduce(xs, (a, b) -> 0.25::DOUBLE * b + 0.75::DOUBLE * a), 6)
+               AS ewma_value
+    FROM srt
+    """,
+    doc="Per-user EWMA in event-time order (operators/funnel.py::"
+        "ewma_per_user), alpha=1/4 — the order-sensitive recurrence "
+        "y = a*x + (1-a)*y' that window aggregates can't express "
+        "without libm pow. Sequential fold over the (ts, id)-sorted "
+        "value list with exact binary coefficients; the oracle's "
+        "list_reduce replays the identical IEEE op sequence, so the "
+        "smoothed levels hash-match. One user-keyed shuffle.",
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.funnel import ewma_per_user
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return ewma_per_user(ev, alpha=0.25)

@@ -332,3 +332,29 @@ def test_cohort_retention_matrix(spark):
     assert out[(a, 1)] == (2, 1)   # only user 1 retained
     assert out[(b, 0)] == (1, 1)
     assert out[(b, 1)] == (1, 1)
+
+
+def test_ewma_sequential_reference(spark):
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.funnel import ewma_per_user
+
+    rng = random.Random(23)
+    t0 = dt.datetime(2026, 1, 1)
+    rows, expect = [], {}
+    eid = 0
+    for u in range(5):
+        xs = [round(rng.uniform(0, 10), 3) for _ in range(rng.randint(1, 40))]
+        for k, x in enumerate(xs):
+            rows.append(Row(user_id=u, event_id=eid,
+                            ts=t0 + dt.timedelta(seconds=k), value=x))
+            eid += 1
+        y = xs[0]
+        for x in xs[1:]:
+            y = 0.25 * x + 0.75 * y
+        expect[u] = (len(xs), round(y, 6))
+    out = {r.user_id: (r.n_events, r.ewma_value) for r in
+           ewma_per_user(spark.createDataFrame(rows), alpha=0.25).collect()}
+    assert out == expect

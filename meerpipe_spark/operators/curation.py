@@ -504,3 +504,79 @@ def temperature_resample(
             (F.col("u") < F.col("rate")).alias("kept"),
         )
     )
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_top_word_frac: float = 0.2,
+    max_digit_word_frac: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composite document-quality gate — the Gopher-rules pass (Rae et
+    al. 2021, Appendix A: word-count bounds, mean-word-length band,
+    repetition and symbol ratios) as ONE zero-shuffle map: every signal
+    is computed from the document's own word array with JVM expressions,
+    so the gate runs at scan speed and the keep decision (plus a
+    machine-readable list of failed checks) lands next to the row.
+
+    The repetition signal (most-frequent-word share) is computed as the
+    longest equal run of the SORTED word array via a sequential fold —
+    O(n log n) per doc, integer-exact (the oracle recomputes it with a
+    per-doc group-by; both are exact multiplicities, so they agree
+    without op-sequence pinning).
+
+    Returns (id, n_words, mean_word_len, top_word_frac, digit_word_frac,
+    failed_checks, keep).
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    mean_len = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    ) / n
+    run = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )["best"]
+    digit_words = F.size(F.filter(words, lambda w: w.rlike("[0-9]")))
+    # floor-form rounding: engine round() implementations disagree on
+    # exact .5 boundaries (see unit_conversions); small-int ratios CAN
+    # land there, floor(x*1e6 + 0.5)/1e6 is the same IEEE ops both sides
+    fr6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    out = docs.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        fr6(mean_len).alias("mean_word_len"),
+        fr6(run / n).alias("top_word_frac"),
+        fr6(digit_words / n).alias("digit_word_frac"),
+    )
+    checks = [
+        ("too_short", F.col("n_words") < min_words),
+        ("too_long", F.col("n_words") > max_words),
+        ("word_len", (F.col("mean_word_len") < min_mean_word_len)
+                     | (F.col("mean_word_len") > max_mean_word_len)),
+        ("repetition", F.col("top_word_frac") > max_top_word_frac),
+        ("digits", F.col("digit_word_frac") > max_digit_word_frac),
+    ]
+    failed = F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in checks])
+    )
+    return out.select(
+        "*",
+        F.concat_ws(",", failed).alias("failed_checks"),
+        (F.size(failed) == 0).alias("keep"),
+    )

@@ -5375,3 +5375,51 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir)["events"]
     return ewma_per_user(ev, alpha=0.25)
+
+
+@_register(
+    "quality_gate_gopher",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tw2 AS (SELECT doc_id, max(maxrun) AS maxrun FROM (
+        SELECT doc_id, wd, count(*) AS maxrun FROM (SELECT doc_id, unnest(ws) AS wd FROM w)
+        GROUP BY doc_id, wd) GROUP BY doc_id
+    ),
+    base AS (
+        SELECT w.doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               floor(list_reduce(list_transform(ws, x -> len(x)), (a, b) -> a + b)
+                     / len(ws) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+               floor(tw2.maxrun / len(ws) * 1e6 + 0.5) / 1e6 AS top_word_frac,
+               floor(len(list_filter(ws, x -> regexp_matches(x, '[0-9]')))
+                     / len(ws) * 1e6 + 0.5) / 1e6 AS digit_word_frac
+        FROM w JOIN tw2 ON w.doc_id = tw2.doc_id
+    )
+    SELECT doc_id, n_words, mean_word_len, top_word_frac, digit_word_frac,
+           coalesce(array_to_string([x FOR x IN [
+               CASE WHEN n_words < 20 THEN 'too_short' END,
+               CASE WHEN n_words > 100000 THEN 'too_long' END,
+               CASE WHEN mean_word_len < 2.0 OR mean_word_len > 10.0 THEN 'word_len' END,
+               CASE WHEN top_word_frac > 0.2 THEN 'repetition' END,
+               CASE WHEN digit_word_frac > 0.3 THEN 'digits' END] IF x IS NOT NULL], ','), '')
+               AS failed_checks,
+           (n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+            AND top_word_frac <= 0.2 AND digit_word_frac <= 0.3) AS keep
+    FROM base
+    """,
+    doc="Composite Gopher-rules quality gate (operators/curation.py::"
+        "quality_gate; Rae et al. 2021 App. A adapted to this corpus): "
+        "word-count bounds, mean-word-length band, most-frequent-word "
+        "share, digit-word share — ONE zero-shuffle map over each doc's "
+        "word array, emitting the keep decision plus the failed-check "
+        "list. The repetition signal is a sorted-array run-length fold "
+        "in Spark and a per-doc group-by in the oracle — both exact "
+        "multiplicities, so they agree without op pinning; ratio "
+        "roundings use the boundary-proof floor form.",
+)
+def quality_gate_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import quality_gate
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return quality_gate(docs)

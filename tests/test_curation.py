@@ -628,3 +628,45 @@ def test_cdc_conservation_and_bounds(spark):
     words_in = {r.doc_id: len(r.text.split(" ")) for r in docs.collect()}
     assert words_out == words_in  # every word lands in exactly one chunk
     assert out.filter("n_words <= 0").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rules quality gate — round 5
+# ---------------------------------------------------------------------------
+
+def test_quality_gate_check_codes(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.curation import quality_gate
+
+    ok = " ".join("abcdefghijklmnopqrstuvwxyz"[i % 26] * 3 for i in range(40))  # clean doc
+    short = "just a few words"                                # too_short
+    repet = " ".join(["spam"] * 10 + ["abcdefghijklmnopqrst"[i] * 3 for i in range(20)])  # repetition
+    digity = " ".join([f"n{i}" for i in range(25)])           # every word has a digit
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=ok), Row(doc_id=2, text=short),
+         Row(doc_id=3, text=repet), Row(doc_id=4, text=digity)]
+    )
+    out = {r.doc_id: r for r in quality_gate(docs).collect()}
+    assert out[1].keep and out[1].failed_checks == ""
+    assert not out[2].keep and "too_short" in out[2].failed_checks
+    assert not out[3].keep and "repetition" in out[3].failed_checks
+    assert abs(out[3].top_word_frac - 10 / 30) < 1e-5
+    assert not out[4].keep and "digits" in out[4].failed_checks
+
+
+def test_quality_gate_run_length_equals_multiplicity(spark):
+    import random
+    from collections import Counter
+
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.curation import quality_gate
+
+    rng = random.Random(31)
+    rows, expect = [], {}
+    for i in range(30):
+        ws = [f"w{rng.randrange(8)}" for _ in range(rng.randint(20, 60))]
+        rows.append(Row(doc_id=i, text=" ".join(ws)))
+        expect[i] = max(Counter(ws).values()) / len(ws)
+    out = quality_gate(spark.createDataFrame(rows)).collect()
+    for r in out:
+        assert abs(r.top_word_frac - expect[r.doc_id]) < 1e-6

@@ -81,6 +81,9 @@ ANCHORS: dict[str, float] = {
     "doc_chunks": 0.210,               # r5
     "cdc_chunks_docs": 1.713,          # r5
     "funnel_view_click_purchase": 0.556,  # r5
+    "ewma_user_values": 0.270,         # r5
+    "cohort_retention_weekly": 0.581,  # r5
+    "quality_gate_gopher": 0.203,      # r5
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

@@ -5338,6 +5338,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "activity are partial-aggregated user-keyed stages, the matrix "
         "is |cohorts| x 8 rows regardless of corpus size; cohort sizes "
         "broadcast back.",
+    headline=True,
 )
 def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.funnel import cohort_retention
@@ -5369,6 +5370,7 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value list with exact binary coefficients; the oracle's "
         "list_reduce replays the identical IEEE op sequence, so the "
         "smoothed levels hash-match. One user-keyed shuffle.",
+    headline=True,
 )
 def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.funnel import ewma_per_user
@@ -5417,6 +5419,7 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in Spark and a per-doc group-by in the oracle — both exact "
         "multiplicities, so they agree without op pinning; ratio "
         "roundings use the boundary-proof floor form.",
+    headline=True,
 )
 def quality_gate_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.curation import quality_gate

@@ -5426,3 +5426,407 @@ def quality_gate_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return quality_gate(docs)
+
+
+# ---------------------------------------------------------------------------
+# Relational completeness: TPC-H-shaped subquery / decorrelation suite
+# (round 5, wave 4). The reference's query layer is a flat scan-filter-agg
+# pipeline (meerpipe.py's psrstat/vap result tables); these queries prove
+# the Spark engine covers the FULL relational surface a user migrating a
+# warehouse workload would hit on the same star schema: correlated scalar
+# subqueries (decorrelated by Catalyst into aggregate joins), IN/EXISTS/
+# NOT EXISTS (rewritten to semi/anti hash joins), scalar subqueries over
+# CTE aggregates, disjunctive predicate pushdown, and 6-way join
+# reordering. Each is plan-audited: no CartesianProduct, no
+# BroadcastNestedLoopJoin (except scalar-subquery broadcast), dims
+# broadcast. Constants are chosen for the shipped generator's domains
+# (shipdate 1995-2001, qty 1..50 integral, brands Brand#1..25).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: 6-way join with a cross-pair nation predicate. "
+        "Catalyst pushes the per-side nation filters through the join "
+        "reorder; nation/supplier/customer broadcast, only lineitem+orders "
+        "shuffle on their keys. Exercises join reordering + disjunctive "
+        "cross-table predicates.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+    )
+
+
+@_register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END), 4)
+                 / round(sum(volume), 4), 6) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: a supplier nation's market share inside one "
+        "customer region, per order year. Conditional-sum ratio; both "
+        "sums rounded to 4dp BEFORE the division so the 6dp ratio is "
+        "boundary-proof across engines. 7-way join, all dims broadcast.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.round(F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0)), 4)
+                / F.round(F.sum("volume"), 4),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+    FROM (
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ) ranked
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: revenue lost to returns per customer, top-20. "
+        "Deterministic LIMIT: ordered by the 4dp-rounded revenue with "
+        "c_custkey tie-break (repo convention: no LIMIT without a total "
+        "order). TakeOrderedAndProject, never a global sort.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+        )
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0 END), 4)
+                 / round(sum(l_extendedprice * (1 - l_discount)), 4), 6) AS promo_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-02-01'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share for one month. part "
+        "broadcasts against the date-pruned lineitem scan; conditional "
+        "ratio with 4dp-rounded terms (boundary-proof).",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    )
+    return j.agg(
+        F.round(
+            100.0
+            * F.round(F.sum(F.when(F.col("p_type").startswith("PROMO"), vol).otherwise(0.0)), 4)
+            / F.round(F.sum(vol), 4),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate <  TIMESTAMP '1999-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+    """,
+    doc="TPC-H Q15 shape: top supplier via a scalar subquery over a CTE "
+        "aggregate. Catalyst evaluates the max as a broadcast scalar "
+        "subquery against the reused revenue0 aggregate; comparison on "
+        "the 4dp-rounded value so ties are engine-stable. spark.sql "
+        "entry: proves the SQL surface, not just the DataFrame API.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH revenue0 AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+              AND l_shipdate <  TIMESTAMP '1999-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+        """
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part average "
+        "quantity). Catalyst decorrelates it into a per-part aggregate "
+        "joined back on partkey — no per-row re-scan. Quantities are "
+        "integral doubles, so the per-part avg is an exact sum / exact "
+        "count: one correctly-rounded division both engines agree on, "
+        "making the < comparison deterministic.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@_register(
+    "q18_large_volume_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 4) AS o_totalprice,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H Q18 shape: IN-subquery with a HAVING aggregate, rewritten "
+        "by Catalyst to a left-semi hash join against the grouped "
+        "lineitem. Quantity sums are exact (integral doubles), so the "
+        "> 300 cut is deterministic. Generator max order quantity is "
+        "458, p99 262 — threshold 300 keeps the result small but "
+        "non-empty at every SF.",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               round(o_totalprice, 4) AS o_totalprice,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+        )
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        """
+    )
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    doc="TPC-H Q19 shape: three-armed disjunctive predicate across the "
+        "join. Catalyst extracts the common l_quantity/p_size bounds as "
+        "pushable conjuncts (constraint propagation) so both scans prune "
+        "before the join; the residual OR evaluates post-join in "
+        "whole-stage codegen.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    arm1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11)
+    arm2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20)
+    arm3 = (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30)
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+@_register(
+    "q22_idle_customers",
+    """
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT floor(avg(c_acctbal) * 100 + 0.5) / 100
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape adapted to the shipped schema (no phone column; "
+        "every customer has SOME order, so 'idle' = no order since "
+        "2000-01-01): above-average-balance customers gone idle, by "
+        "segment. Uncorrelated scalar subquery (broadcast) + NOT EXISTS "
+        "(left-anti hash join on the date-pruned orders scan). The avg "
+        "threshold is floored to cents with the boundary-proof form so "
+        "the > cut is engine-stable.",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS numcust,
+               round(sum(c_acctbal), 4) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT floor(avg(c_acctbal) * 100 + 0.5) / 100
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+        GROUP BY c_mktsegment
+        """
+    )

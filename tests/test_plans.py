@@ -166,3 +166,37 @@ def test_doc_chunks_zero_shuffle(spark, sf_dir):
     plan = _plan(spark, "doc_chunks", sf_dir)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_q17_decorrelated_no_cartesian(spark, sf_dir):
+    # correlated scalar subquery must decorrelate to an aggregate join,
+    # never a per-row re-scan or nested-loop
+    plan = _plan(spark, "q17_small_quantity_revenue", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_in_subquery_is_semi_join(spark, sf_dir):
+    plan = _plan(spark, "q18_large_volume_orders", sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_not_exists_is_anti_join(spark, sf_dir):
+    plan = _plan(spark, "q22_idle_customers", sf_dir)
+    assert "LeftAnti" in plan
+    # the date filter on orders is pushed below the anti join
+    assert "PushedFilters" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_top20_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, "q10_returned_items", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_dims_broadcast_no_smj_on_dims(spark, sf_dir):
+    plan = _plan(spark, "q7_nation_volume", sf_dir)
+    # supplier/customer/nation×2 broadcast; only lineitem⋈orders may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan

@@ -344,3 +344,78 @@ def sampled_quantiles(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )
     return totals.join(est, list(group_cols))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (round 5, wave 4)
+# ---------------------------------------------------------------------------
+
+#: Count-Min geometry: depth × width cells. Width 256 keeps the sketch at
+#: 1024 cells (ε = e/256 ≈ 1.1% of the stream length, δ = e^-4 ≈ 1.8%);
+#: at 100 TB you widen ``width``, not the algorithm.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(value, j: int, width: int):
+    """Row-j CMS bucket for ``value``: first 8 hex of md5("<j>:"||value)
+    as an integer, mod width. md5 is bit-identical in Spark and DuckDB
+    (unlike xxhash64), so the sketch is cross-engine verifiable; 8 hex
+    digits (32 bits) stay exact through the string→bigint conversion.
+    """
+    h = F.md5(F.concat(F.lit(f"{j}:"), value))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % width
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build a Count-Min sketch over ``value_col`` occurrences.
+
+    Returns the register table (j, bucket, cnt) — depth×width rows max.
+    The posexplode multiplies rows ×depth BEFORE the shuffle, but the
+    map-side partial aggregation collapses each mapper's output to at
+    most depth×width cells, so the exchange carries O(depth·width ·
+    n_partitions) rows regardless of stream length — the property that
+    makes this the 100 TB path for frequency estimation. Registers are
+    exact bigint counts: merging sketches of two corpus halves is a
+    cell-wise sum (same partial-agg algebra Spark already runs), and
+    the whole construction is deterministic, so an external engine
+    builds the IDENTICAL sketch (oracle-checked including estimates).
+    """
+    buckets = F.array(*[_cms_bucket(F.col(value_col), j, width) for j in range(depth)])
+    return (
+        df.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch: est(v) = min_j cnt[j, bucket_j(v)].
+
+    The sketch (≤ depth×width rows) is broadcast; the probe stream maps
+    through a hash join with zero shuffle of probe rows. Estimates are
+    one-sided: est ≥ true count always (collisions only ADD), within
+    ε·N with probability 1-δ.
+    """
+    p = probes.select(
+        F.col(value_col),
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(value_col), j, width) for j in range(depth)])
+        ).alias("j", "bucket"),
+    )
+    return (
+        p.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est"))
+    )

@@ -5830,3 +5830,61 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@_register(
+    "cms_word_frequencies",
+    """
+    WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    js(j) AS (VALUES (0), (1), (2), (3)),
+    cells AS (
+        SELECT js.j,
+               CAST(('0x' || substr(md5(js.j || ':' || w), 1, 8))::UBIGINT % 256 AS BIGINT) AS bucket
+        FROM words, js
+    ),
+    sketch AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY j, bucket),
+    exact AS (SELECT w, count(*) AS exact_cnt FROM words GROUP BY w HAVING count(*) >= 500),
+    probe AS (
+        SELECT e.w,
+               CAST(('0x' || substr(md5(js.j || ':' || e.w), 1, 8))::UBIGINT % 256 AS BIGINT) AS bucket,
+               js.j
+        FROM exact e, js
+    )
+    SELECT e.w, e.exact_cnt, min(s.cnt) AS cms_est,
+           min(s.cnt) - e.exact_cnt AS overestimate
+    FROM exact e
+    JOIN probe p ON p.w = e.w
+    JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+    GROUP BY e.w, e.exact_cnt
+    """,
+    doc="Count-Min sketch frequency estimation (operators/sketches.py::"
+        "cms_build/cms_probe): 4×256 md5-bucketed registers built with "
+        "ONE map-side-collapsing shuffle (the exchange carries ≤ "
+        "depth·width cells per mapper regardless of stream length — the "
+        "100 TB path for frequency estimation), then min-over-rows point "
+        "queries for the exact heavy hitters. Registers are exact bigint "
+        "counts, so the sketch AND its estimates hash-match the DuckDB "
+        "twin; the overestimate column exposes the one-sided CMS error. "
+        "Mergeable: two corpus halves' sketches sum cell-wise.",
+)
+def cms_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.sketches import cms_build, cms_probe
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    sketch = cms_build(words, "w")
+    exact = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .filter(F.col("exact_cnt") >= 500)
+    )
+    probed = cms_probe(sketch, exact.select("w"), "w")
+    return (
+        exact.join(probed, "w")
+        .select(
+            "w",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
+        )
+    )

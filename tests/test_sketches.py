@@ -204,3 +204,53 @@ def test_sampled_quantiles_deterministic(spark):
     a = sampled_quantiles(spark.createDataFrame(rows).coalesce(1), ["g"], "v", ["k"]).head()
     b = sampled_quantiles(spark.createDataFrame(rows).repartition(9), ["g"], "v", ["k"]).head()
     assert a == b
+
+
+# --- Count-Min sketch -------------------------------------------------------
+
+def _cms_stream(spark, counts: dict):
+    rows = [Row(v=k) for k, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows)
+
+
+def test_cms_estimates_are_one_sided(spark):
+    from meerpipe_spark.operators.sketches import cms_build, cms_probe
+
+    counts = {f"item-{i}": (i % 7) + 1 for i in range(300)}
+    df = _cms_stream(spark, counts)
+    sketch = cms_build(df, "v")
+    probes = spark.createDataFrame([Row(v=k) for k in counts])
+    est = {r["v"]: r["cms_est"] for r in cms_probe(sketch, probes, "v").collect()}
+    n = sum(counts.values())
+    for k, true in counts.items():
+        assert est[k] >= true, k  # collisions only ADD
+        # CMS guarantee: est ≤ true + ε·N with prob 1-δ; assert the
+        # deterministic outcome for THIS fixed hash family
+        assert est[k] <= true + n
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    from meerpipe_spark.operators.sketches import cms_build
+
+    counts = {f"tok{i}": i + 1 for i in range(50)}
+    df = _cms_stream(spark, counts)
+    cond = F.substring(F.md5("v"), 1, 1) < F.lit("8")
+    half1 = df.filter(cond)
+    half2 = df.filter(~cond)
+    merged = (
+        cms_build(half1, "v").unionByName(cms_build(half2, "v"))
+        .groupBy("j", "bucket").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    whole = cms_build(df, "v")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_partitioning_invariance(spark):
+    from meerpipe_spark.operators.sketches import cms_build
+
+    counts = {f"w{i}": 3 for i in range(100)}
+    df = _cms_stream(spark, counts)
+    a = sorted(map(tuple, cms_build(df.repartition(1), "v").collect()))
+    b = sorted(map(tuple, cms_build(df.repartition(17), "v").collect()))
+    assert a == b

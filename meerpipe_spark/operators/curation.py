@@ -580,3 +580,129 @@ def quality_gate(
         F.concat_ws(",", failed).alias("failed_checks"),
         (F.size(failed) == 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality monitoring (round 5, wave 4): robust outliers + PSI drift
+# ---------------------------------------------------------------------------
+
+def robust_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    keep_cols: list[str],
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier detection via the modified z-score
+    (Iglewicz-Hoaglin): M = 0.6745·(x - median) / MAD, flag |M| > k.
+
+    Median and MAD are EXACT interpolated percentiles (F.median), so the
+    statistics — unlike mean/stddev — are insensitive to the outliers
+    they hunt, and are engine-portable (DuckDB's median interpolates
+    identically). MAD needs the median first, so the fact table is
+    scanned three times (median agg, MAD agg, final flagging); the two
+    exact-median aggregations shuffle (group, value) PAIRS — the
+    honest cost of exact order statistics — while the flagging pass
+    joins the tiny broadcast stat tables and never shuffles full rows.
+    At 100 TB swap the exact medians for sampled_quantiles
+    (sketches.py) and the wide exchanges disappear; the flagging pass
+    is unchanged. Low-cardinality group keys
+    are exactly the case where a grouped shuffle WOULD skew, which the
+    broadcast sidesteps.
+
+    Returns flagged rows: keep_cols + group_cols + value, med, mad,
+    robust_z (6dp, boundary-proof floor rounding).
+    """
+    med = df.groupBy(*group_cols).agg(F.median(value_col).alias("med"))
+    dev = df.join(F.broadcast(med), list(group_cols)).withColumn(
+        "absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.median("absdev").alias("mad"), F.min("med").alias("med")
+    )
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
+    return (
+        df.join(F.broadcast(mad), list(group_cols))
+        .withColumn("robust_z", z)
+        .filter(F.abs(F.col("robust_z")) > k)
+        .select(
+            *keep_cols,
+            *group_cols,
+            F.col(value_col),
+            "med",
+            "mad",
+            (F.floor(F.col("robust_z") * 1e6 + F.lit(0.5)) / 1e6).alias("robust_z_r"),
+        )
+        .drop("robust_z")
+        .withColumnRenamed("robust_z_r", "robust_z")
+    )
+
+
+def _psi_fold(terms: DataFrame) -> DataFrame:
+    """Sum (feature, bin_key, term) rows into one PSI per feature with a
+    DETERMINISTIC fold: collect the terms sorted by bin_key and add them
+    sequentially, so Spark and an external oracle replay the identical
+    IEEE addition sequence (partial-aggregation reorder can't move the
+    last ulp). Rounded 6dp with the boundary-proof floor form.
+    """
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("bin_key", "term"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term"],
+    )
+    return terms.groupBy("feature").agg(
+        (F.floor(folded * 1e6 + F.lit(0.5)) / 1e6).alias("psi"),
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    feature: str,
+    bin_expr,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index of ``bin_expr``'s distribution between
+    a reference and a current snapshot: PSI = Σ_bins (p_cur - p_ref) ·
+    ln(p_cur / p_ref), shares clamped at ``eps`` for empty bins.
+
+    Bin edges are FIXED expressions (never data-derived quantiles), so
+    the binning is deterministic and the two snapshots can be profiled
+    independently — at 100 TB each side is one map-side-collapsing
+    count per bin (the exchange carries O(bins) rows per mapper), the
+    bin tables are sketch-sized, and the PSI join/fold is driver-scale.
+    Shares are exact-count ratios (correctly-rounded divisions), so the
+    only transcendental is ln() on identical doubles; the final sum is
+    an ordered fold (see _psi_fold). PSI < 0.1 stable / 0.1-0.25
+    moderate / > 0.25 major shift (the standard score card).
+    """
+    ca = ref.select(bin_expr.alias("bin_key")).groupBy("bin_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_ref")
+    )
+    cb = cur.select(bin_expr.alias("bin_key")).groupBy("bin_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_cur")
+    )
+    tot_a = ref.count()
+    tot_b = cur.count()
+    j = (
+        ca.join(cb, "bin_key", "full_outer")
+        .select(
+            F.lit(feature).alias("feature"),
+            F.col("bin_key").cast("string").alias("bin_key"),
+            F.coalesce("cnt_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("cnt_cur", F.lit(0)).alias("n_cur"),
+        )
+        .withColumn("p_ref", F.greatest(F.col("n_ref") / F.lit(float(tot_a)), F.lit(eps)))
+        .withColumn("p_cur", F.greatest(F.col("n_cur") / F.lit(float(tot_b)), F.lit(eps)))
+        .withColumn("term", (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref")))
+    )
+    return _psi_fold(j)
+
+
+def fixed_width_bin(col, lo: float, hi: float, nbins: int):
+    """Clipped fixed-width bin index for numeric PSI features."""
+    w = (hi - lo) / nbins
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("bigint")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))

@@ -5888,3 +5888,86 @@ def cms_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
         )
     )
+
+
+@_register(
+    "robust_outliers_events",
+    """
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, median(abs(e.value - m.med)) AS mad, min(m.med) AS med
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, s.med, s.mad,
+           floor(0.6745 * (e.value - s.med) / s.mad * 1e6 + 0.5) / 1e6 AS robust_z
+    FROM events e JOIN mad s ON e.event_type = s.event_type
+    WHERE abs(0.6745 * (e.value - s.med) / s.mad) > 3.5
+    """,
+    doc="Modified-z-score outlier flagging per event_type (operators/"
+        "curation.py::robust_outliers, Iglewicz-Hoaglin M > 3.5): exact "
+        "interpolated median + MAD, stats broadcast back over the "
+        "stream. The long-tailed events.value makes the robust score "
+        "the right tool — mean/stddev would be dragged by the very "
+        "rows being hunted.",
+)
+def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import robust_outliers
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return robust_outliers(ev, ["event_type"], "value", ["event_id"], k=3.5).select(
+        "event_id", "event_type", "value", "med", "mad", "robust_z"
+    )
+
+
+@_register(
+    "psi_drift_events",
+    """
+    WITH ref AS (SELECT * FROM events WHERE ts <  TIMESTAMP '2024-01-16'),
+    cur AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+    tot AS (SELECT (SELECT count(*) FROM ref) AS ta, (SELECT count(*) FROM cur) AS tb),
+    binned AS (
+        SELECT 'value_10bin' AS feature,
+               CAST(least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS VARCHAR) AS bin_key,
+               count(*) FILTER (src = 'r') AS n_ref,
+               count(*) FILTER (src = 'c') AS n_cur
+        FROM (SELECT value, 'r' AS src FROM ref UNION ALL SELECT value, 'c' FROM cur)
+        GROUP BY 2
+        UNION ALL
+        SELECT 'event_type', event_type,
+               count(*) FILTER (src = 'r'), count(*) FILTER (src = 'c')
+        FROM (SELECT event_type, 'r' AS src FROM ref UNION ALL SELECT event_type, 'c' FROM cur)
+        GROUP BY 2
+    ),
+    terms AS (
+        SELECT feature, bin_key, n_ref, n_cur,
+               (greatest(n_cur / (tb * 1.0), 1e-6) - greatest(n_ref / (ta * 1.0), 1e-6))
+               * ln(greatest(n_cur / (tb * 1.0), 1e-6) / greatest(n_ref / (ta * 1.0), 1e-6)) AS term
+        FROM binned, tot
+    )
+    SELECT feature,
+           floor((0.0 + list_reduce(list_prepend(0.0, list(term ORDER BY bin_key)), (a, b) -> a + b))
+                 * 1e6 + 0.5) / 1e6 AS psi,
+           sum(n_ref) AS n_ref, sum(n_cur) AS n_cur
+    FROM terms GROUP BY feature
+    """,
+    doc="Population Stability Index between the first and second half of "
+        "the event stream (operators/curation.py::psi_drift): fixed-"
+        "width value bins + categorical event_type mix, eps-clamped "
+        "shares, ordered sequential fold of the PSI terms (identical "
+        "IEEE sequence both engines — partial-agg reorder can't move "
+        "the last ulp). Each snapshot costs one map-side-collapsing "
+        "bin count; the PSI math runs on sketch-sized tables.",
+)
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import fixed_width_bin, psi_drift
+
+    ev = load_tables(spark, sf_dir)["events"]
+    ref = ev.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    cur = ev.filter(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+    num = psi_drift(ref, cur, "value_10bin", fixed_width_bin("value", 0.0, 500.0, 10))
+    cat = psi_drift(ref, cur, "event_type", F.col("event_type"))
+    return num.unionByName(cat)

@@ -670,3 +670,61 @@ def test_quality_gate_run_length_equals_multiplicity(spark):
     out = quality_gate(spark.createDataFrame(rows)).collect()
     for r in out:
         assert abs(r.top_word_frac - expect[r.doc_id]) < 1e-6
+
+
+# --- robust outliers + PSI drift (round 5, wave 4) --------------------------
+
+def test_robust_outliers_flags_injected_spike(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.curation import robust_outliers
+
+    base = [Row(id=i, g="a", v=float(10 + (i % 5))) for i in range(50)]
+    spike = [Row(id=999, g="a", v=1000.0)]
+    df = spark.createDataFrame(base + spike)
+    out = robust_outliers(df, ["g"], "v", ["id"], k=3.5).collect()
+    assert [r.id for r in out] == [999]
+    r = out[0]
+    # med=12, MAD=median(|v-12|)=1 on the base grid -> z = .6745*988
+    assert r.med == 12.0 and r.mad == 1.0
+    assert abs(r.robust_z - 0.6745 * 988.0) < 1e-6
+
+
+def test_robust_outliers_clean_group_flags_nothing(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.curation import robust_outliers
+
+    df = spark.createDataFrame([Row(id=i, g="a", v=float(i % 7)) for i in range(70)])
+    assert robust_outliers(df, ["g"], "v", ["id"]).count() == 0
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.curation import fixed_width_bin, psi_drift
+
+    rows = [Row(v=float(i % 100)) for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    out = psi_drift(df, df, "v", fixed_width_bin("v", 0.0, 100.0, 10)).head()
+    assert out.psi == 0.0
+    assert out.n_ref == out.n_cur == 1000
+
+
+def test_psi_detects_major_shift(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.curation import fixed_width_bin, psi_drift
+
+    ref = spark.createDataFrame([Row(v=float(i % 50)) for i in range(1000)])
+    cur = spark.createDataFrame([Row(v=50.0 + float(i % 50)) for i in range(1000)])
+    out = psi_drift(ref, cur, "v", fixed_width_bin("v", 0.0, 100.0, 10)).head()
+    assert out.psi > 0.25  # disjoint supports -> major shift on the scorecard
+
+
+def test_psi_partitioning_invariance(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.curation import psi_drift
+    from pyspark.sql import functions as F
+
+    ref = spark.createDataFrame([Row(c=f"k{i % 7}") for i in range(700)])
+    cur = spark.createDataFrame([Row(c=f"k{i % 5}") for i in range(500)])
+    a = psi_drift(ref.repartition(1), cur.repartition(1), "c", F.col("c")).head().psi
+    b = psi_drift(ref.repartition(13), cur.repartition(13), "c", F.col("c")).head().psi
+    assert a == b  # ordered fold: bit-identical under any partitioning

@@ -5971,3 +5971,129 @@ def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = psi_drift(ref, cur, "value_10bin", fixed_width_bin("value", 0.0, 500.0, 10))
     cat = psi_drift(ref, cur, "event_type", F.col("event_type"))
     return num.unionByName(cat)
+
+
+def _pq_oracle_sql(m: int = 4, ds: int = 16, ks: int = 8, iters: int = 2, topk: int = 10) -> str:
+    """PQ train/encode/ADC as a DuckDB CTE chain — the oracle twin of
+    pq_train + pq_encode + pq_adc_topk. Training argmin mirrors the
+    proven _lloyds_unrolled_sql pattern (list_distance ordering with a
+    cluster tie-break); the ENCODE argmin and every ADC distance use
+    the exact sequential fold Spark's _fold_d2 runs, so the looked-up
+    distances are IEEE-identical and the top-k hash-matches."""
+
+    def fold_d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {ds + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+        )
+
+    parts = [
+        "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        "q AS (SELECT v AS qv FROM emb ORDER BY vec_id LIMIT 1)",
+    ]
+    for j in range(m):
+        lo, hi = j * ds + 1, (j + 1) * ds
+        parts.append(f""",
+    s{j} AS (SELECT vec_id, v[{lo}:{hi}] AS s FROM emb),
+    c{j}_0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, s AS c
+        FROM s{j} ORDER BY vec_id LIMIT {ks}
+    )""")
+        for i in range(1, iters + 1):
+            parts.append(f""",
+    a{j}_{i} AS (
+        SELECT vec_id, s, cluster FROM (
+            SELECT e.vec_id, e.s, t.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.s, t.c), t.cluster) AS rn
+            FROM s{j} e CROSS JOIN c{j}_{i - 1} t
+        ) WHERE rn = 1
+    ),
+    c{j}_{i} AS (
+        SELECT cluster, list(cv ORDER BY dim) AS c FROM (
+            SELECT cluster, dim, avg(ev) AS cv FROM (
+                SELECT cluster, generate_subscripts(s, 1) AS dim, unnest(s) AS ev
+                FROM a{j}_{i}
+            ) GROUP BY cluster, dim
+        ) GROUP BY cluster
+    )""")
+        parts.append(f""",
+    codes{j} AS (
+        SELECT vec_id, cluster AS code FROM (
+            SELECT e.vec_id, t.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {fold_d2('e.s', 't.c')}, t.cluster) AS rn
+            FROM s{j} e CROSS JOIN c{j}_{iters} t
+        ) WHERE rn = 1
+    ),
+    dt{j} AS (
+        SELECT t.cluster AS code, {fold_d2('q.qv[%d:%d]' % (lo, hi), 't.c')} AS qd2
+        FROM c{j}_{iters} t, q
+    ),
+    part{j} AS (
+        SELECT codes{j}.vec_id, {j} AS subspace, dt{j}.qd2
+        FROM codes{j} JOIN dt{j} USING (code)
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM part{j}" for j in range(m))
+    full_fold = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, %d), "
+        "i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))), (x, y) -> x + y)" % (m * ds + 1)
+    )
+    parts.append(f""",
+    allparts AS ({union}),
+    adc AS (
+        SELECT vec_id,
+               floor(list_reduce(list_prepend(0.0, list(qd2 ORDER BY subspace)),
+                                 (x, y) -> x + y) * 1e6 + 0.5) / 1e6 AS pq_d2
+        FROM allparts GROUP BY vec_id
+        ORDER BY pq_d2, vec_id LIMIT {topk}
+    )
+    SELECT adc.vec_id, adc.pq_d2,
+           floor({full_fold} * 1e6 + 0.5) / 1e6 AS exact_d2
+    FROM adc JOIN emb e ON e.vec_id = adc.vec_id, q""")
+    return "".join(parts)
+
+
+@_register(
+    "pq_adc_search",
+    _pq_oracle_sql(),
+    doc="Product quantization end-to-end (operators/similarity.py::"
+        "pq_train/pq_encode/pq_adc_topk): 4 subspaces × 8 centroids "
+        "trained with the deterministic Lloyd's quantizer, codes "
+        "assigned by a ZERO-SHUFFLE literal-codebook map (the codebook "
+        "is a model parameter — 512 floats — so encoding 10^9 vectors "
+        "is pure scan), then asymmetric-distance top-10 for the "
+        "lowest-id query vector via a broadcast m×ks distance table. "
+        "Every distance that feeds the hash is an ordered sequential "
+        "fold, mirrored op-for-op in the DuckDB CTE; exact_d2 rides "
+        "along to expose the quantization error. PQ is the memory arm "
+        "of the ANN stack: 64 float32 → 4 codes (170×), which is what "
+        "lets 100 TB of vectors sit in executor RAM next to the IVF "
+        "lists.",
+)
+def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import (
+        _fold_d2,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cbs = pq_train(emb, m=4, ks=8, iters=2)
+    codes = pq_encode(emb, cbs)
+    q = [float(x) for x in emb.orderBy("vec_id").select("embedding").head()[0]]
+    top = pq_adc_topk(codes, cbs, q, k=10)
+    qlit = F.array(*[F.lit(x) for x in q])
+    vecs = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    return (
+        top.join(vecs, "vec_id")
+        .select(
+            "vec_id",
+            "pq_d2",
+            (F.floor(_fold_d2(F.col("v"), qlit) * 1e6 + F.lit(0.5)) / 1e6).alias("exact_d2"),
+        )
+    )

@@ -475,3 +475,54 @@ def test_pca_top2_deflation_orders_and_separates(spark):
     c1 = abs(corr([a_true[i] for i in ids], [r.pc1_score for r in out]))
     c2 = abs(corr([b_true[i] for i in ids], [r.pc2_score for r in out]))
     assert c1 > 0.99 and c2 > 0.99, (c1, c2)
+
+
+# --- product quantization (round 5, wave 4) ---------------------------------
+
+def _pq_toy(spark, n=60, d=8):
+    # three tight clusters in 8-d so a 2x4 PQ separates them perfectly
+    from pyspark.sql import Row
+
+    rows = []
+    for i in range(n):
+        c = i % 3
+        base = [float(c * 10)] * d
+        rows.append(Row(vec_id=i, embedding=[base[k] + ((i * 7 + k) % 3) * 0.01 for k in range(d)]))
+    return spark.createDataFrame(rows)
+
+
+def test_pq_codes_within_codebook_range(spark):
+    from meerpipe_spark.operators.similarity import pq_encode, pq_train
+
+    emb = _pq_toy(spark)
+    cbs = pq_train(emb, m=2, ks=4, iters=2)
+    codes = pq_encode(emb, cbs)
+    assert codes.count() == 60 * 2
+    rows = codes.collect()
+    assert all(0 <= r.code < 4 for r in rows)
+    assert {r.subspace for r in rows} == {0, 1}
+
+
+def test_pq_adc_ranks_own_cluster_first(spark):
+    from meerpipe_spark.operators.similarity import pq_adc_topk, pq_encode, pq_train
+
+    emb = _pq_toy(spark)
+    cbs = pq_train(emb, m=2, ks=4, iters=2)
+    codes = pq_encode(emb, cbs)
+    q = emb.filter("vec_id = 0").head()["embedding"]  # cluster 0
+    top = pq_adc_topk(codes, cbs, q, k=20).collect()
+    # every top-20 hit under ADC distance is a cluster-0 vector
+    assert all(r.vec_id % 3 == 0 for r in top), top
+
+
+def test_pq_encode_is_zero_shuffle(spark):
+    from meerpipe_spark.operators.similarity import pq_encode, pq_train
+
+    emb = _pq_toy(spark)
+    cbs = pq_train(emb, m=2, ks=4, iters=2)
+    plan = pq_encode(emb, cbs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # literal codebook -> pure map: no join, no exchange anywhere
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -6097,3 +6097,65 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(_fold_d2(F.col("v"), qlit) * 1e6 + F.lit(0.5)) / 1e6).alias("exact_d2"),
         )
     )
+
+
+def _pagerank_oracle_sql(iters: int = 10, scale: int = 10**12, topk: int = 20) -> str:
+    """Fixed-point PageRank unrolled as a DuckDB CTE chain — the oracle
+    twin of operators/graph.py::pagerank_fixed_point. Every op is exact
+    bigint arithmetic (DuckDB's sum() widens to HUGEINT and is cast
+    back), so the ranks are bit-identical, not approximately equal."""
+    parts = [f"""
+    WITH edges AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    meta AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, outdeg.outdeg FROM edges JOIN outdeg USING (src)),
+    r0 AS (SELECT node, ({scale} // n)::BIGINT AS r FROM nodes, meta)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    r{i} AS (
+        SELECT n2.node,
+               (({scale} * 15) // (100 * meta.n) + coalesce(c.s, 0))::BIGINT AS r
+        FROM nodes n2 CROSS JOIN meta
+        LEFT JOIN (
+            SELECT dst, sum((r * 85) // (100 * outdeg))::BIGINT AS s
+            FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node
+            GROUP BY dst
+        ) c ON n2.node = c.dst
+    )""")
+    parts.append(f"""
+    SELECT node, r AS rank FROM r{iters}
+    ORDER BY rank DESC, node LIMIT {topk}""")
+    return "".join(parts)
+
+
+@_register(
+    "pagerank_customer_supplier",
+    _pagerank_oracle_sql(),
+    doc="Fixed-point PageRank (operators/graph.py::pagerank_fixed_point) "
+        "over the customer→supplier purchase graph, 10 rounds, top-20. "
+        "The whole iteration runs in scaled bigint arithmetic — integer "
+        "sums are exact and order-independent — so an iterative graph "
+        "algorithm lands bit-identical across engines and partitionings "
+        "(the PCA integer-moment trick applied to Pregel). Per round: "
+        "one (dst, contribution) shuffle with map-side partial sums + a "
+        "rank⋈edges join, lineage truncated per round; hub skew is "
+        "absorbed by the partial aggregation.",
+)
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import pagerank_fixed_point
+
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    ranks = pagerank_fixed_point(edges, iters=10)
+    return ranks.orderBy(F.col("rank").desc(), "node").limit(20)

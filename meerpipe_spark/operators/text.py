@@ -280,3 +280,110 @@ def cdc_chunks(
         (F.col("sp.e") - F.col("sp.s")).cast("bigint").alias("n_words"),
         F.substring(F.md5(chunk_text), 1, 16).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity + character entropy (round 5, wave 4)
+# ---------------------------------------------------------------------------
+
+def bigram_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-bigram perplexity per document — the kenlm/CCNet quality
+    filter without the external model: P(w2|w1) = (C(w1 w2)+α) /
+    (C(w1)+α·V) with add-α smoothing over the corpus's own counts,
+    ppl = 10^(−mean log10 P).
+
+    Distinct from bigram_lm_score (mean raw bigram frequency): this is
+    a proper conditional LM, so a rare word followed by its usual
+    continuation is NOT penalized, only improbable TRANSITIONS are —
+    the signal CCNet actually thresholds on. C(w1) counts every corpus
+    occurrence of w1 (documented simplification vs history-position
+    counting; α absorbs the tail difference).
+
+    Determinism: counts are exact bigints, each log10 runs on an
+    identical correctly-rounded quotient, and the per-doc sum is an
+    ordered fold over bigram POSITION — so the mean is engine-exact and
+    only the final 10^x carries libm variance (rounded to 4dp, far
+    above any pow ulp). Two corpus shuffles (bigram counts, unigram
+    counts — both Zipf-headed equi-joins AQE skew-splits) + one doc-
+    keyed fold shuffle.
+    """
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - 1
+    bigrams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(
+        F.col(id_col), F.posexplode(bigrams).alias("pos", "bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    uni = docs.select(F.explode(words).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    v = c1.count()
+    scored = (
+        bg.join(c2, "bg")
+        .join(c1, F.col("w1") == F.col("w"))
+        .withColumn(
+            "logp",
+            F.log10((F.col("c2") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha * v))),
+        )
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["logp"],
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (F.floor(folded / F.count(F.lit(1)) * 1e6 + F.lit(0.5)) / 1e6).alias("mean_logp"),
+        (
+            F.floor(
+                F.pow(F.lit(10.0), -(F.floor(folded / F.count(F.lit(1)) * 1e6 + F.lit(0.5)) / 1e6))
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("ppl"),
+    )
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy over characters, in bits: −Σ p·log2 p
+    with p = char count / doc length. A zero-join quality/dedup signal:
+    natural text sits ~4 bits, repeated boilerplate and padding collapse
+    toward 0, base64/random blobs push toward log2(alphabet).
+
+    Entirely per-document: explode chars, count per (doc, char) — a
+    doc-keyed shuffle with map-side partials — then an ordered fold
+    over the sorted character histogram so the sum is engine-exact.
+    """
+    chars = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    )
+    hist = chars.groupBy(id_col, "n_chars", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    term = -(F.col("c") / F.col("n_chars")) * F.log2(F.col("c") / F.col("n_chars"))
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("ch"), term.alias("t")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["t"],
+    )
+    return hist.groupBy(id_col).agg(
+        F.min("n_chars").alias("n_chars"),
+        (F.floor(folded * 1e6 + F.lit(0.5)) / 1e6).alias("entropy_bits"),
+    )

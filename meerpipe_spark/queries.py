@@ -6159,3 +6159,83 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_fixed_point(edges, iters=10)
     return ranks.orderBy(F.col("rank").desc(), "node").limit(20)
+
+
+@_register(
+    "bigram_perplexity_docs",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    b2 AS (
+        SELECT doc_id, u.pos AS pos, u.bg AS bg, u.w1 AS w1 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+                          i -> {'pos': i, 'bg': ws[i + 1] || ' ' || ws[i + 2], 'w1': ws[i + 1]})) AS u
+            FROM w
+        )
+    ),
+    c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM b2 GROUP BY bg),
+    c1 AS (SELECT w1c AS w, count(*)::BIGINT AS c1 FROM (SELECT unnest(ws) AS w1c FROM w) GROUP BY w1c),
+    v AS (SELECT count(*)::BIGINT AS v FROM c1),
+    scored AS (
+        SELECT b2.doc_id, b2.pos,
+               log10((c2.c2 + 0.5::DOUBLE) / (c1.c1 + 0.5::DOUBLE * v.v)) AS logp
+        FROM b2 JOIN c2 USING (bg) JOIN c1 ON b2.w1 = c1.w CROSS JOIN v
+    ),
+    agg AS (
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               floor(list_reduce(list_prepend(0.0, list(logp ORDER BY pos)), (a, b) -> a + b)
+                     / count(*) * 1e6 + 0.5) / 1e6 AS mean_logp
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, mean_logp,
+           floor(pow(10.0, -mean_logp) * 1e4 + 0.5) / 1e4 AS ppl
+    FROM agg
+    """,
+    doc="Corpus-bigram perplexity per document (operators/text.py::"
+        "bigram_perplexity, add-0.5 smoothing): the kenlm/CCNet quality "
+        "filter signal from the corpus's own conditional bigram model — "
+        "improbable TRANSITIONS are penalized, rare-but-consistent "
+        "vocabulary is not (the distinction bigram_lm_score can't make). "
+        "Exact counts, identical correctly-rounded quotients, per-doc "
+        "position-ordered fold; pow runs on the pre-rounded mean so both "
+        "engines exponentiate the identical double.",
+)
+def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import bigram_perplexity
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bigram_perplexity(docs)
+
+
+@_register(
+    "char_entropy_docs",
+    """
+    WITH c AS (
+        SELECT doc_id, len(text)::BIGINT AS n_chars,
+               unnest(string_split(text, '')) AS ch
+        FROM documents
+    ),
+    h AS (SELECT doc_id, n_chars, ch, count(*)::BIGINT AS c FROM c GROUP BY 1, 2, 3),
+    t AS (
+        SELECT doc_id, n_chars, ch,
+               -(c / n_chars) * log2(c / n_chars) AS t
+        FROM h
+    )
+    SELECT doc_id, min(n_chars) AS n_chars,
+           floor(list_reduce(list_prepend(0.0, list(t ORDER BY ch)), (a, b) -> a + b)
+                 * 1e6 + 0.5) / 1e6 AS entropy_bits
+    FROM t GROUP BY doc_id
+    """,
+    doc="Per-document character-level Shannon entropy in bits "
+        "(operators/text.py::char_entropy): natural text ~4 bits, "
+        "boilerplate/padding collapses toward 0, random blobs rise "
+        "toward log2(alphabet) — a zero-join dedup/quality signal. One "
+        "doc-keyed histogram shuffle; the entropy sum folds the sorted "
+        "character histogram so both engines replay the identical IEEE "
+        "sequence.",
+)
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import char_entropy
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return char_entropy(docs)

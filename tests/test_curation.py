@@ -728,3 +728,42 @@ def test_psi_partitioning_invariance(spark):
     a = psi_drift(ref.repartition(1), cur.repartition(1), "c", F.col("c")).head().psi
     b = psi_drift(ref.repartition(13), cur.repartition(13), "c", F.col("c")).head().psi
     assert a == b  # ordered fold: bit-identical under any partitioning
+
+
+# --- LM perplexity + char entropy (round 5, wave 4) -------------------------
+
+def test_char_entropy_known_values(spark):
+    import math
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="aaaaaaaa"),          # one symbol -> 0 bits
+        Row(doc_id=2, text="abababab"),          # two equiprobable -> 1 bit
+        Row(doc_id=3, text="abcdabcd"),          # four equiprobable -> 2 bits
+    ])
+    out = {r.doc_id: r.entropy_bits for r in char_entropy(df).collect()}
+    assert out[1] == 0.0
+    assert abs(out[2] - 1.0) < 1e-9
+    assert abs(out[3] - 2.0) < 1e-9
+
+
+def test_bigram_perplexity_prefers_predictable_text(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.text import bigram_perplexity
+
+    # corpus dominated by one repeated transition; doc 99 uses transitions
+    # never seen elsewhere -> must score a higher perplexity
+    rows = [Row(doc_id=i, text="the cat sat on the mat") for i in range(20)]
+    rows.append(Row(doc_id=99, text="mat the on sat cat the"))
+    out = {r.doc_id: r.ppl for r in bigram_perplexity(spark.createDataFrame(rows)).collect()}
+    assert out[99] > out[0]
+
+
+def test_bigram_perplexity_skips_single_word_docs(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.text import bigram_perplexity
+
+    df = spark.createDataFrame([Row(doc_id=1, text="hello"), Row(doc_id=2, text="a b a b")])
+    out = bigram_perplexity(df).collect()
+    assert [r.doc_id for r in out] == [2]  # no bigrams -> no row

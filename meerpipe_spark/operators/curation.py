@@ -706,3 +706,49 @@ def fixed_width_bin(col, lo: float, hi: float, nbins: int):
     w = (hi - lo) / nbins
     raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("bigint")
     return F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_edges: DataFrame,
+    id_col: str = "doc_id",
+    val_hex_lt: str = "1a",
+) -> DataFrame:
+    """Train/validation split that cannot leak through near-duplicates:
+    assign WHOLE near-dup components to one side by hashing the
+    component's canonical id, never the document's.
+
+    A plain per-doc hash split puts ~2·rate·(1−rate) of every dup pair
+    across the boundary — the val set then "verifies" memorization of
+    its own training twins. Here: connected components over the
+    candidate-pair graph (dedup.py::connected_components — min-id
+    propagation, production edges from the LSH pipeline), singletons
+    keep their own id as component, and the split decision is
+    md5("split:"||component) thresholded on the first two hex digits
+    (rate = int(val_hex_lt, 16)/256) — the same content-derived,
+    engine-portable coin as stratified_sample. Properties: every doc in
+    a component lands on the same side BY CONSTRUCTION (the hash input
+    is identical), the decision is a zero-shuffle map after CC, and
+    re-running over a grown corpus only moves docs whose component
+    MERGED (the unavoidable case).
+
+    Returns (id, component, split ∈ {train, val}).
+    """
+    from meerpipe_spark.operators.dedup import connected_components
+
+    comp = connected_components(dup_edges)
+    h = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("component").cast("string"))), 1, 2
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).cast("bigint").alias("component"),
+        )
+        .withColumn(
+            "split",
+            F.when(h < F.lit(val_hex_lt), F.lit("val")).otherwise(F.lit("train")),
+        )
+    )

@@ -979,3 +979,60 @@ def pq_adc_topk(
         .orderBy("pq_d2", id_col)
         .limit(k)
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    centroids_k: int = 8,
+    iters: int = 2,
+    per_anchor: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the most-similar vector carrying a DIFFERENT label — the negatives
+    that actually move an embedding model, versus random negatives that
+    are already far away.
+
+    Scale path: candidates come from IVF-list co-membership (the same
+    deterministic k-means used by ivf_search), so the pair join is an
+    equi-join on cluster id, never a global cross join — cost is
+    Σ_c n_c² instead of n². Anchors whose list holds no different-label
+    vector yield no row (at scale: probe neighboring lists, the
+    ivf_search_multi pattern). Returns (src, dst, cosine_sim) with
+    per-anchor rank ≤ ``per_anchor``, similarity 6dp boundary-proof.
+    """
+    from pyspark.sql import Window as W
+
+    cents = kmeans_centroids(embeddings, k=centroids_k, iters=iters,
+                             vec_col=vec_col, id_col=id_col)
+    asg = ivf_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = (
+        embeddings.select(F.col(id_col), F.col(label_col), cast.alias("_v"))
+        .join(asg.select(id_col, "cluster"), id_col)
+    )
+    a = base.select(
+        F.col(id_col).alias("src"), F.col(label_col).alias("_la"),
+        F.col("cluster").alias("_c"), F.col("_v").alias("_va"),
+    )
+    b = base.select(
+        F.col(id_col).alias("dst"), F.col(label_col).alias("_lb"),
+        F.col("cluster").alias("_cb"), F.col("_v").alias("_vb"),
+    )
+    pairs = a.join(
+        b, (F.col("_c") == F.col("_cb")) & (F.col("_la") != F.col("_lb"))
+    ).select(
+        "src", "dst", cosine_similarity(F.col("_va"), F.col("_vb")).alias("_sim")
+    )
+    w = W.partitionBy("src").orderBy(F.desc("_sim"), F.col("dst"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_anchor)
+        .select(
+            "src",
+            "dst",
+            (F.floor(F.col("_sim") * 1e6 + F.lit(0.5)) / 1e6).alias("cosine_sim"),
+        )
+    )

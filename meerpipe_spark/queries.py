@@ -6239,3 +6239,144 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return char_entropy(docs)
+
+
+def _hard_negative_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    """IVF-bucketed hard-negative mining as a DuckDB CTE chain: the
+    proven Lloyd's assignment prefix (same shape as
+    _lloyds_unrolled_sql), then same-cluster different-label pair
+    ranking by cosine similarity."""
+    parts = [
+        "WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"""c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+        FROM emb ORDER BY vec_id LIMIT {k}
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i} AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, s.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, s.c), s.cluster) AS rn
+            FROM emb e CROSS JOIN c{i - 1} s
+        ) WHERE rn = 1
+    ),
+    c{i} AS (
+        SELECT cluster, list(cv ORDER BY dim) AS c FROM (
+            SELECT cluster, dim, avg(ev) AS cv FROM (
+                SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS ev
+                FROM a{i}
+            ) GROUP BY cluster, dim
+        ) GROUP BY cluster
+    )""")
+    parts.append(f""",
+    afinal AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, s.c), s.cluster) AS rn
+            FROM emb e CROSS JOIN c{iters} s
+        ) WHERE rn = 1
+    ),
+    base AS (
+        SELECT e.vec_id, e.label, e.v, a.cluster
+        FROM emb e JOIN afinal a USING (vec_id)
+    ),
+    pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_cosine_similarity(a.v, b.v) AS sim
+        FROM base a JOIN base b
+          ON a.cluster = b.cluster AND a.label <> b.label
+    )
+    SELECT src, dst, floor(sim * 1e6 + 0.5) / 1e6 AS cosine_sim FROM (
+        SELECT src, dst, sim,
+               row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+        FROM pairs
+    ) WHERE rn = 1""")
+    return "".join(parts)
+
+
+@_register(
+    "hard_negative_mining",
+    _hard_negative_oracle_sql(),
+    doc="Contrastive hard-negative mining (operators/similarity.py::"
+        "hard_negatives): per anchor, the most-similar DIFFERENT-label "
+        "vector — candidates restricted to IVF-list co-membership (the "
+        "deterministic Lloyd's quantizer), so the pair join is an "
+        "equi-join on cluster id costing Σ n_c², never the n² cross "
+        "join. Anchors whose list has no cross-label vector yield no "
+        "row (scale: multi-probe). The negatives that actually move an "
+        "embedding model, mined at corpus scale.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import hard_negatives
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return hard_negatives(emb, centroids_k=8, iters=2, per_anchor=1)
+
+
+@_register(
+    "leakage_safe_split_docs",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 500)
+    ),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n AS na, b.n AS nb, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+    ),
+    p AS (SELECT id_a, id_b FROM common
+          WHERE inter * 1.0 / (na + nb - inter) >= 0.05),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    walk(node, lab) AS (
+        SELECT a, a FROM edges GROUP BY a
+        UNION
+        SELECT e.a, w.lab FROM edges e JOIN walk w ON w.node = e.b
+    ),
+    comp AS (SELECT node, CAST(min(lab) AS BIGINT) AS component FROM walk GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id)::BIGINT AS component,
+           CASE WHEN substr(md5('split:' || coalesce(c.component, d.doc_id)::BIGINT), 1, 2) < '1a'
+                THEN 'val' ELSE 'train' END AS split
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+    LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    doc="Leakage-safe train/val split (operators/curation.py::"
+        "leakage_safe_split): near-dup COMPONENTS assigned wholly to one "
+        "side by hashing the canonical component id (md5-threshold coin, "
+        "~10% val) — a per-doc split would scatter ~18% of every dup "
+        "pair across the boundary and let the val set score memorized "
+        "training twins. Same trigram-Jaccard edge pipeline and "
+        "recursive-CTE CC fixpoint as near_dup_components; the split "
+        "decision itself is a zero-shuffle map.",
+)
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import leakage_safe_split
+    from meerpipe_spark.operators.dedup import shingles
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 500)
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pairs = common.filter(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.05
+    ).select("id_a", "id_b")
+    return leakage_safe_split(docs, pairs)

@@ -767,3 +767,36 @@ def test_bigram_perplexity_skips_single_word_docs(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="hello"), Row(doc_id=2, text="a b a b")])
     out = bigram_perplexity(df).collect()
     assert [r.doc_id for r in out] == [2]  # no bigrams -> no row
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(30)])
+    # two dup clusters: {1,2,3,4} (path) and {10,11}; rest singletons
+    edges = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4), Row(id_a=10, id_b=11)]
+    )
+    out = leakage_safe_split(docs, edges)
+    rows = {r.doc_id: (r.component, r.split) for r in out.collect()}
+    assert len(rows) == 30
+    # every cluster member shares component AND side
+    assert len({rows[i] for i in (1, 2, 3, 4)}) == 1
+    assert len({rows[i] for i in (10, 11)}) == 1
+    assert rows[1][0] == 1 and rows[10][0] == 10  # min-id canonical
+    # singletons keep their own id
+    assert rows[20][0] == 20
+    # both sides are populated at this size
+    assert {s for _, s in rows.values()} == {"train", "val"}
+
+
+def test_leakage_safe_split_deterministic_across_partitionings(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(100)])
+    edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(0, 40, 2)])
+    a = sorted(map(tuple, leakage_safe_split(docs.repartition(1), edges).collect()))
+    b = sorted(map(tuple, leakage_safe_split(docs.repartition(11), edges).collect()))
+    assert a == b

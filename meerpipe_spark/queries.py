@@ -6544,3 +6544,39 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return prefix_filter_jaccard_join(docs, threshold=0.5)
+
+
+def _hilbert_oracle_sql() -> str:
+    from meerpipe_spark.io import hilbert_key_sql_cte
+
+    inner = (
+        "SELECT o_orderkey, (o_custkey % 65536) AS hx0, "
+        "(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) % 65536) AS hy0 "
+        "FROM orders"
+    )
+    return hilbert_key_sql_cte(inner, "o_orderkey", "hx0", "hy0", bits=16)
+
+
+@_register(
+    "hilbert_keys",
+    _hilbert_oracle_sql(),
+    doc="Hilbert-curve clustering key (io.hilbert_key_steps) over "
+        "(customer key, order day) — the locality-superior companion to "
+        "zorder_keys: consecutive key values are ALWAYS grid-adjacent "
+        "cells (property-tested exhaustively on an 8×8 grid), so "
+        "range-partitioned files get strictly tighter 2-D bounding "
+        "boxes than Z-order at the same file count. Each of the 16 "
+        "walk iterations is its own projection (attribute binding keeps "
+        "the expression tree linear where naive nesting grows 3^bits); "
+        "pure integer arithmetic, bit-identical vs the chained-CTE "
+        "oracle, zero shuffle.",
+)
+def hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import hilbert_key_steps
+
+    o = load_tables(spark, sf_dir)["orders"]
+    a = F.col("o_custkey") % 65536
+    b = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")) % 65536
+    return hilbert_key_steps(o.select("o_orderkey", "o_custkey", "o_orderdate"), a, b).select(
+        "o_orderkey", F.col("hkey")
+    )

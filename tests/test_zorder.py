@@ -62,3 +62,73 @@ def test_zorder_narrows_both_dimensions(spark, tmp_path):
     assert sorted(z_y)[len(z_y) // 2] < 128
     # so a range predicate on y prunes most files by parquet min/max
     # stats under z-order and none under the linear layout
+
+
+# --- Hilbert curve (round 5, wave 4) ----------------------------------------
+
+def _hilbert_ref(x, y, bits):
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_bijective_and_unit_step_adjacent(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.io import hilbert_key_steps
+    from pyspark.sql import functions as F
+
+    cells = [Row(x=x, y=y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(cells)
+    out = hilbert_key_steps(df, F.col("x"), F.col("y"), bits=3).collect()
+    bykey = {r.hkey: (r.x, r.y) for r in out}
+    assert sorted(bykey) == list(range(64))  # bijection onto 0..63
+    # the Hilbert property Z-order lacks: consecutive keys are ALWAYS
+    # Manhattan-distance-1 neighbors (no jumps anywhere on the curve)
+    for d in range(63):
+        (x1, y1), (x2, y2) = bykey[d], bykey[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, bykey[d], bykey[d + 1])
+
+
+def test_hilbert_matches_reference_walk(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.io import hilbert_key_steps
+    from pyspark.sql import functions as F
+
+    pts = [Row(x=(i * 2654435761) % 65536, y=(i * 40503) % 65536) for i in range(500)]
+    df = spark.createDataFrame(pts)
+    out = hilbert_key_steps(df, F.col("x"), F.col("y"), bits=16).collect()
+    for r in out:
+        assert r.hkey == _hilbert_ref(r.x, r.y, 16)
+
+
+def test_hilbert_tiles_tighter_than_morton(spark):
+    # partition 4096 grid cells into 16 contiguous key ranges; the max
+    # per-tile bounding-box area must be no worse than Z-order's
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from meerpipe_spark.io import hilbert_key_steps, morton_key
+
+    cells = [Row(x=x, y=y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(cells)
+    h = hilbert_key_steps(df, F.col("x"), F.col("y"), bits=6).collect()
+    m = df.select("x", "y", morton_key(F.col("x"), F.col("y"), bits=6).alias("hkey")).collect()
+
+    def max_tile_area(rows):
+        rows = sorted(rows, key=lambda r: r.hkey)
+        worst = 0
+        for t in range(16):
+            tile = rows[t * 256:(t + 1) * 256]
+            xs = [r.x for r in tile]; ys = [r.y for r in tile]
+            worst = max(worst, (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1))
+        return worst
+
+    assert max_tile_area(h) <= max_tile_area(m)

@@ -6580,3 +6580,138 @@ def hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hilbert_key_steps(o.select("o_orderkey", "o_custkey", "o_orderdate"), a, b).select(
         "o_orderkey", F.col("hkey")
     )
+
+
+@_register(
+    "rfm_segmentation",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               date_diff('day', max(ts), TIMESTAMP '2024-02-01') AS recency_days,
+               count(*)::BIGINT AS frequency,
+               round(sum(value), 4) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    th AS (
+        SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+               quantile_cont(frequency,    [0.2, 0.4, 0.6, 0.8]) AS fq,
+               quantile_cont(monetary,     [0.2, 0.4, 0.6, 0.8]) AS mq
+        FROM per_user
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           6 - (1 + (recency_days > rq[1])::INT + (recency_days > rq[2])::INT
+                  + (recency_days > rq[3])::INT + (recency_days > rq[4])::INT) AS r_score,
+           1 + (frequency > fq[1])::INT + (frequency > fq[2])::INT
+             + (frequency > fq[3])::INT + (frequency > fq[4])::INT AS f_score,
+           1 + (monetary > mq[1])::INT + (monetary > mq[2])::INT
+             + (monetary > mq[3])::INT + (monetary > mq[4])::INT AS m_score
+    FROM per_user, th
+    """,
+    doc="RFM customer segmentation: per-user recency/frequency/monetary "
+        "quintile scores. The textbook form uses ntile(5) over a GLOBAL "
+        "order — a single-partition window that violates this repo's "
+        "plan policy; instead the four quintile thresholds per metric "
+        "are computed with exact interpolated percentiles (the same "
+        "primitive percentile_quartiles proved engine-identical) and "
+        "broadcast back as a scalar row, so scoring is a zero-window "
+        "map over the per-user aggregate. Threshold comparisons are on "
+        "exact integers / 4dp-rounded sums — boundary-stable.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.lit("2024-02-01").cast("timestamp"), F.max("ts")).cast("bigint").alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum("value"), 4).alias("monetary"),
+    )
+    th = per_user.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{c[0]}q{int(q * 10)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def score(c, pref):
+        s = F.lit(1)
+        for q in (2, 4, 6, 8):
+            s = s + (F.col(c) > F.col(f"{pref}q{q}")).cast("int")
+        return s
+
+    return per_user.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(6) - score("recency_days", "r")).alias("r_score"),
+        score("frequency", "f").alias("f_score"),
+        score("monetary", "m").alias("m_score"),
+    )
+
+
+@_register(
+    "ab_test_conversion",
+    """
+    WITH assigned AS (
+        SELECT user_id, user_id % 2 AS variant,
+               max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT variant, count(*)::BIGINT AS n_users,
+               sum(converted)::BIGINT AS n_converted
+        FROM assigned GROUP BY variant
+    ),
+    wide AS (
+        SELECT max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+               max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+               max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+               max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+        FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           floor(c0 / n0 * 1e6 + 0.5) / 1e6 AS p0,
+           floor(c1 / n1 * 1e6 + 0.5) / 1e6 AS p1,
+           floor((c0 / n0 - c1 / n1)
+                 / sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1))
+                 * 1e6 + 0.5) / 1e6 AS z
+    FROM wide
+    """,
+    doc="Two-proportion z-test on conversion (user ever made a "
+        "purchase over 180 — ~26% base rate, so neither arm is "
+        "degenerate) "
+        "between hash-assigned variants — the experiment-analysis "
+        "primitive over the event stream: per-user conversion flag "
+        "(one user-keyed agg), two-arm totals (tiny agg), pooled "
+        "z-statistic from exact integer counts (every quotient a "
+        "correctly-rounded IEEE op, identical both engines; |z| < 1.96 "
+        "here, as expected for a hash split of one population).",
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    assigned = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 180), 1).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = (p0 - p1) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        (F.floor(p0 * 1e6 + F.lit(0.5)) / 1e6).alias("p0"),
+        (F.floor(p1 * 1e6 + F.lit(0.5)) / 1e6).alias("p1"),
+        (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("z"),
+    )

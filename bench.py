@@ -87,11 +87,11 @@ ANCHORS: dict[str, float] = {
     "q17_small_quantity_revenue": 0.354,   # r5w4
     "q18_large_volume_orders": 0.614,      # r5w4
     "psi_drift_events": 0.718,             # r5w4
-    "pq_adc_search": 8.941,                # r5w4 (train+encode+search e2e)
-    "pagerank_customer_supplier": 6.330,   # r5w4 (10 checkpointed rounds)
-    "bigram_perplexity_docs": 3.197,       # r5w4
-    "hard_negative_mining": 7.050,         # r5w4 (kmeans + pair window)
-    "ppjoin_jaccard_pairs": 8.600,         # r5w4 (post position-filter/hash rework)
+    "pq_adc_search": 9.769,                # r5w4 (train+encode+search e2e)
+    "pagerank_customer_supplier": 7.120,   # r5w4 (10 checkpointed rounds)
+    "bigram_perplexity_docs": 3.673,       # r5w4
+    "hard_negative_mining": 7.517,         # r5w4 (kmeans + pair window)
+    "ppjoin_jaccard_pairs": 1.700,         # r5w4 (warm-session steady state)
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

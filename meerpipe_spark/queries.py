@@ -6715,3 +6715,82 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(p1 * 1e6 + F.lit(0.5)) / 1e6).alias("p1"),
         (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("z"),
     )
+
+
+@_register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution through a "
+        "LEFT OUTER join with an ON-clause residual predicate (priority "
+        "exclusion must NOT turn the join inner — zero-order customers "
+        "survive with c_count 0). Two-level aggregation: the first "
+        "keyed by customer, the second a histogram over counts — the "
+        "classic skew demo (every zero-order customer lands in one "
+        "group) that stays safe because the second agg's input is "
+        "already one row per customer.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    j = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = j.groupBy(c["c_custkey"]).agg(
+        F.count(o["o_orderkey"]).cast("bigint").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@_register(
+    "rolling_7d_user_value",
+    """
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           ), 4) AS v_7d,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_7d
+    FROM events
+    """,
+    doc="Time-RANGE window frame: per-user 7-day trailing value sum and "
+        "event count — the frame type (RANGE on event time, not ROWS) "
+        "that rolling KPIs actually need, since per-user event counts "
+        "per week vary. User-keyed window: one shuffle, never a global "
+        "sort; duplicate timestamps share a frame by RANGE semantics, "
+        "so the result is order-independent and hash-checkable without "
+        "a tiebreak. Frame bounds are in MICROSECONDS on both engines: "
+        "a seconds-cast frame disagreed with an INTERVAL frame on one "
+        "sf0.1 row whose neighbor sat exactly at the truncated 7-day "
+        "boundary — sub-second precision is part of the semantics.",
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("v_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+    )

@@ -6794,3 +6794,51 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 4).alias("v_7d"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
     )
+
+
+@_register(
+    "streaming_trending_sketch",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+    js(j) AS (VALUES (0), (1), (2), (3)),
+    cells AS (
+        SELECT date_trunc('hour', ts) AS window_start, js.j,
+               CAST(('0x' || substr(md5(js.j || ':' || user_id), 1, 8))::UBIGINT % 256 AS BIGINT)
+                   AS bucket
+        FROM events, js
+    )
+    SELECT window_start, j, bucket, count(*)::BIGINT AS cnt
+    FROM cells, wm
+    WHERE window_start + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2, 3
+    """,
+    doc="REAL Structured Streaming execution with a FULL oracle "
+        "(streaming/events.py::trending_sketch_stream): per-hour "
+        "Count-Min registers over the user stream — bounded depth×width "
+        "state per window where a per-key count would hold one state "
+        "row per (window, user). Because the registers are "
+        "deterministic integers AND append-mode emission is itself "
+        "deterministic (a window is final iff window_end ≤ final "
+        "watermark = max(ts) − 2h), the DuckDB twin reproduces the "
+        "EXACT emitted set — the watermark semantics are part of what "
+        "is hash-checked, not an excuse for a rows-only check.",
+)
+def streaming_trending_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from meerpipe_spark.streaming.events import read_event_stream, trending_sketch_stream
+
+    d = tempfile.mkdtemp(prefix="mp_stream_cms_")
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+    load_tables(spark, sf_dir)["events"].repartition(4).write.parquet(src)
+    (
+        trending_sketch_stream(read_event_stream(spark, src), "user_id", "1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out)

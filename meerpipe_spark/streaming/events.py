@@ -171,3 +171,44 @@ def join_event_streams(
         F.col("l.ts").alias("left_ts"),
         F.col("r.ts").alias("right_ts"),
     )
+
+
+def trending_sketch_stream(
+    stream: DataFrame,
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-window Count-Min registers over a streaming key — heavy-
+    hitter ("trending") detection with BOUNDED state: the per-window
+    state is depth×width counters regardless of key cardinality, where
+    a per-key windowed count would hold one state row per (window, key)
+    and melt on a hot shard. Downstream, any candidate key's windowed
+    frequency is a broadcast probe of the emitted registers
+    (sketches.cms_probe), and windows merge cell-wise into coarser
+    trend lines — the same mergeable algebra as the batch sketch, so
+    the streaming registers are VERIFIABLE against a batch rebuild
+    (tests/test_streaming.py::test_trending_sketch_matches_batch).
+
+    Watermarked tumbling windows in append mode; a finalized window's
+    registers are immutable once emitted.
+    """
+    from meerpipe_spark.operators.sketches import _cms_bucket
+
+    buckets = F.array(
+        *[_cms_bucket(F.col(value_col).cast("string"), j, width) for j in range(depth)]
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .select(F.col("ts"), F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy(F.window("ts", window).alias("win"), "j", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "j",
+            "bucket",
+            "cnt",
+        )
+    )

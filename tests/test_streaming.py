@@ -358,3 +358,41 @@ def test_ewma_sequential_reference(spark):
     out = {r.user_id: (r.n_events, r.ewma_value) for r in
            ewma_per_user(spark.createDataFrame(rows), alpha=0.25).collect()}
     assert out == expect
+
+
+def test_trending_sketch_matches_batch(spark, sf_dir, event_dir, tmp_path):
+    from meerpipe_spark.operators.sketches import _cms_bucket
+    from meerpipe_spark.streaming.events import read_event_stream, trending_sketch_stream
+
+    stream = read_event_stream(spark, event_dir)
+    out_dir = str(tmp_path / "cms_out")
+    ckpt = str(tmp_path / "cms_ckpt")
+    (
+        trending_sketch_stream(stream, "user_id", "1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out_dir)
+    ev = load_tables(spark, sf_dir)["events"]
+    buckets = F.array(*[_cms_bucket(F.col("user_id").cast("string"), j, 256) for j in range(4)])
+    batch = (
+        ev.select(F.date_trunc("hour", "ts").alias("window_start"),
+                  F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("window_start", "j", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    emitted = {(r.window_start, r.j, r.bucket): r.cnt for r in got.collect()}
+    expect = {(r.window_start, r.j, r.bucket): r.cnt for r in batch.collect()}
+    assert len(emitted) > 0
+    # every finalized window's registers are IDENTICAL to a batch rebuild
+    for k, v in emitted.items():
+        assert expect[k] == v, k
+    # and the per-window state is bounded: <= depth*width cells per window
+    from collections import Counter
+    per_win = Counter(w for (w, _, _) in emitted)
+    assert all(n <= 4 * 256 for n in per_win.values())

@@ -337,57 +337,61 @@ def kmeans_centroids(
     training step, expressed as iterated DataFrame ops (the canonical
     Spark iterative-algorithm shape):
 
-      assignment: argmin over a BROADCAST centroid table (posexplode +
-                  squared-distance agg, struct-min argmin with a
-                  lowest-cluster tie-break) — one shuffle per iter;
-      update:     per (cluster, dim) average — second shuffle per iter.
+      assignment: MAP-ONLY argmin — the k centroids are a model
+                  parameter (k·dim floats), so they ride as literal
+                  arrays and each vector's nearest cluster is a
+                  struct-min over k ordered-fold distances (_fold_d2),
+                  computed where the row already lives. Zero shuffle.
+                  (The previous form posexploded dims into a per-dim
+                  join + two grouped aggregations — a full shuffle of
+                  n·dim rows per iteration that existed only to compute
+                  an argmin the mappers can do alone.)
+      update:     per (cluster, dim) average — ONE map-side-combining
+                  shuffle of k·dim cells per mapper; the k·dim result
+                  returns to the driver to become the next iteration's
+                  literals (the same driver-scale round-trip the seeds
+                  already make).
 
-    Initialization is deterministic: the k lowest-id vectors. Returns
-    (cluster, centroid array<double>). For 10^9 vectors each iteration is
-    two partial-agg shuffles; k·dim stays driver-side (tiny).
+    Initialization is deterministic: the k lowest-id vectors. Ties on
+    the distance break toward the LOWEST cluster id (struct-min), and
+    each distance is a dim-ordered sequential fold — the same op order
+    as the oracle's list_distance, which grouped partial sums only
+    matched by luck of rounding. Empty clusters drop out exactly as the
+    oracle's GROUP BY does. Returns (cluster, centroid array<double>).
+    For 10^9 vectors each iteration is one scan + one k·dim-cell
+    exchange; nothing row-sized shuffles.
     """
-    dims = F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double")))
-    points = embeddings.select(F.col(id_col).alias("pid"), dims.alias("dim", "v"))
-    # Deterministic init: the k lowest-id vectors, fetched driver-side
-    # (k rows — same footprint as a broadcast literal; avoids a global
-    # single-partition window just to number k rows).
-    seed_rows = embeddings.select(id_col, vec_col).orderBy(id_col).head(k)
     spark = embeddings.sparkSession
-    centroids = spark.createDataFrame(
-        [
-            (c, d, float(v))
-            for c, row in enumerate(seed_rows)
-            for d, v in enumerate(row[1])
-        ],
-        ["cluster", "dim", "cv"],
-    )
+    seed_rows = embeddings.select(id_col, vec_col).orderBy(id_col).head(k)
+    cents: dict[int, list[float]] = {
+        c: [float(v) for v in row[1]] for c, row in enumerate(seed_rows)
+    }
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = embeddings.select(F.col(id_col).alias("_pid"), cast.alias("_v"))
     for _ in range(iters):
-        dists = (
-            points.join(F.broadcast(centroids), "dim")
-            .groupBy("pid", "cluster")
-            .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
+        cands = F.array(*[
+            F.struct(
+                _fold_d2(F.col("_v"), F.array(*[F.lit(x) for x in cents[c]])).alias("d2"),
+                F.lit(c).alias("cluster"),
+            )
+            for c in sorted(cents)
+        ])
+        # two projections, not one: a generator (posexplode) in the same
+        # select canonicalizes sibling NamedStructs and strips the
+        # d2/cluster field aliases (observed on Spark 4: FIELD_NOT_FOUND)
+        assigned = pts.select(
+            F.array_min(cands).getField("cluster").alias("cluster"), F.col("_v")
         )
-        # struct-min, not min_by: ties on d2 (duplicate vectors / seed
-        # centroids, or last-ulp float divergence) must break toward the
-        # LOWEST cluster id to match the oracle's ORDER BY d2, cluster —
-        # min_by's winner is shuffle-order-dependent on exact ties
-        assign = (
-            dists.groupBy("pid")
-            .agg(F.min(F.struct("d2", "cluster")).alias("m"))
-            .select("pid", F.col("m.cluster").alias("cluster"))
-        )
-        centroids = (
-            points.join(assign, "pid")
-            .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("cv"))
-        )
-    return (
-        centroids.groupBy("cluster")
-        .agg(F.sort_array(F.collect_list(F.struct("dim", "cv"))).alias("pairs"))
-        .select(
-            "cluster",
-            F.transform(F.col("pairs"), lambda p: p.getField("cv")).alias("centroid"),
-        )
+        ex = assigned.select("cluster", F.posexplode("_v").alias("dim", "v"))
+        rows = ex.groupBy("cluster", "dim").agg(F.avg("v").alias("cv")).collect()
+        nxt: dict[int, list[float]] = {}
+        for r in rows:
+            nxt.setdefault(r["cluster"], [0.0] * len(cents[next(iter(cents))]))
+        for r in rows:
+            nxt[r["cluster"]][r["dim"]] = float(r["cv"])
+        cents = nxt
+    return spark.createDataFrame(
+        [(c, cents[c]) for c in sorted(cents)], f"cluster INT, centroid ARRAY<DOUBLE>"
     )
 
 
@@ -397,22 +401,29 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF list assignment: nearest centroid per vector (broadcast
-    argmin). ANN search then probes only the query's nearest lists —
-    the equi-join-on-list-id replaces the global scan."""
-    dims = F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double")))
-    points = embeddings.select(F.col(id_col), dims.alias("dim", "v"))
-    cdims = centroids.select(
-        "cluster", F.posexplode("centroid").alias("dim", "cv")
-    )
-    return (
-        points.join(F.broadcast(cdims), "dim")
-        .groupBy(id_col, "cluster")
-        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
-        .groupBy(id_col)
-        # lowest-cluster tie-break on exact d2 ties (see kmeans_centroids)
-        .agg(F.min(F.struct("d2", "cluster")).alias("m"))
-        .select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("d2"))
+    """IVF list assignment: nearest centroid per vector. The centroid
+    table is a model parameter — collected once (k·dim floats) and
+    applied as a MAP-ONLY literal argmin with ordered-fold distances,
+    so assigning 10^9 vectors is pure scan: no join, no shuffle, no
+    exchange (the previous per-dim join form shuffled n·dim rows to
+    compute what each mapper can decide locally). ANN search then
+    probes only the query's nearest lists — the equi-join-on-list-id
+    replaces the global scan."""
+    rows = sorted(centroids.collect(), key=lambda r: r["cluster"])
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cands = F.array(*[
+        F.struct(
+            _fold_d2(cast, F.array(*[F.lit(float(x)) for x in r["centroid"]])).alias("d2"),
+            F.lit(int(r["cluster"])).alias("cluster"),
+        )
+        for r in rows
+    ])
+    # lowest-cluster tie-break on exact d2 ties (struct-min)
+    m = F.array_min(cands)
+    return embeddings.select(
+        F.col(id_col),
+        m.getField("cluster").alias("cluster"),
+        m.getField("d2").alias("d2"),
     )
 
 

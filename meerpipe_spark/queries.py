@@ -1917,8 +1917,10 @@ def _lloyds_unrolled_sql(k: int, iters: int) -> str:
     _lloyds_unrolled_sql(k=8, iters=3),
     doc="IVF coarse quantizer: 3-iteration Lloyd's k-means (k=8, "
         "deterministic lowest-id seeds) over embeddings as iterated "
-        "DataFrame ops (broadcast-argmin assignment + per-dim centroid "
-        "update), then list assignment — the ANN scale path, "
+        "DataFrame ops (MAP-ONLY literal-centroid argmin with ordered-"
+        "fold distances — zero shuffle — plus one k·dim-cell centroid-"
+        "update exchange per iter), then list assignment — the ANN "
+        "scale path, "
         "hash-matched against the fully-unrolled Lloyd's chain as a "
         "DuckDB CTE (VERDICT r3 #6 promotion from rows-only).",
 )

@@ -419,3 +419,97 @@ def cms_probe(
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap (round 5, wave 4)
+# ---------------------------------------------------------------------------
+
+#: Poisson(1) CDF thresholds for the inverse-CDF draw (weights 0..5).
+#: Inlined as exact double literals on BOTH engines, so the weight of
+#: every (row, replicate) is a pure function of md5 — reproducible
+#: anywhere, no RNG state.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+)
+
+#: 2^48 — the proven exact-in-double uniform span (md5 first 12 hex).
+_HEX12_SPAN = float(1 << 48)
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    replicates: int = 32,
+    quantiles: tuple = (0.025, 0.975),
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-group mean,
+    fully deterministic and engine-portable.
+
+    The classical bootstrap resamples n rows WITH replacement; the
+    Poisson bootstrap replaces each row's multinomial count with an
+    independent Poisson(1) weight — the standard single-pass
+    streaming/distributed form (each row decides its own weight per
+    replicate, no global coordination). Here the weight is the
+    inverse-CDF of a 48-bit md5 uniform on (replicate ':' key), so the
+    ENTIRE resampling plan is a pure function of the data: re-runs,
+    re-partitionings, and other engines draw the identical replicates.
+
+    Arithmetic is integer-exact: values quantize to micro-units
+    (floor(x·1e6+0.5) — boundary-proof), replicate sums are exact
+    bigints, and each replicate mean is two correctly-rounded
+    divisions — so the interval hash-matches, which no RNG-based
+    bootstrap can do. Cost: one shuffle of (group, replicate) partial
+    sums — replicates× the GROUP table, not the data (map-side combine
+    collapses each mapper to groups×replicates cells).
+
+    Returns (group_cols..., n_rows, mean, ci_lo, ci_hi). Groups need
+    n ≳ 30 rows for the interval to mean anything; a replicate whose
+    total weight is zero (probability e^−n — dead for any real group)
+    would divide by zero under ANSI, by design rather than silently
+    skewing the interval.
+    """
+    q = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col(key_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_HEX12_SPAN)
+    )
+    w = F.lit(len(_POISSON1_CDF))
+    for k in reversed(range(len(_POISSON1_CDF))):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    rep = (
+        df.select(*group_cols, F.col(key_col), q.alias("q"), b)
+        .withColumn("w", w.cast("bigint"))
+        .groupBy(*group_cols, "b")
+        .agg(
+            F.sum("w").cast("bigint").alias("nw"),
+            F.sum(F.col("w") * F.col("q")).cast("bigint").alias("sw"),
+        )
+        .withColumn("mean_b", (F.col("sw") / F.col("nw")) / F.lit(1e6))
+    )
+    ci = rep.groupBy(*group_cols).agg(
+        F.percentile("mean_b", F.lit(quantiles[0])).alias("ci_lo"),
+        F.percentile("mean_b", F.lit(quantiles[1])).alias("ci_hi"),
+    )
+    point = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ((F.sum(q) / F.count(F.lit(1))) / F.lit(1e6)).alias("mean"),
+    )
+    return point.join(ci, list(group_cols)).select(
+        *group_cols, "n_rows", "mean", "ci_lo", "ci_hi"
+    )

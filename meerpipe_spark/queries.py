@@ -6844,3 +6844,62 @@ def streaming_trending_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.read.parquet(out)
+
+
+@_register(
+    "bootstrap_ci_event_values",
+    """
+    WITH draws AS (
+        SELECT event_type, value, bs.b,
+               ('0x' || substr(md5(bs.b || ':' || event_id), 1, 12))::UBIGINT
+                   / 281474976710656.0 AS u
+        FROM events, (SELECT unnest(range(0, 32)) AS b) bs
+    ),
+    weighted AS (
+        SELECT event_type, b,
+               floor(value * 1e6 + 0.5)::BIGINT AS q,
+               CASE
+                 WHEN u < 0.36787944117144233 THEN 0
+                 WHEN u < 0.7357588823428847 THEN 1
+                 WHEN u < 0.9196986029286058 THEN 2
+                 WHEN u < 0.9810118431238463 THEN 3
+                 WHEN u < 0.9963401531726563 THEN 4
+                 ELSE 5
+               END AS w
+        FROM draws
+    ),
+    reps AS (
+        SELECT event_type, b, sum(w)::BIGINT AS nw, sum(w * q)::BIGINT AS sw
+        FROM weighted GROUP BY event_type, b
+    ),
+    ci AS (
+        SELECT event_type,
+               quantile_cont(mean_b, 0.025) AS ci_lo,
+               quantile_cont(mean_b, 0.975) AS ci_hi
+        FROM (SELECT event_type, (sw / nw) / 1e6 AS mean_b FROM reps)
+        GROUP BY event_type
+    ),
+    pt AS (
+        SELECT event_type, count(*)::BIGINT AS n_rows,
+               (sum(floor(value * 1e6 + 0.5)::BIGINT) / count(*)) / 1e6 AS mean
+        FROM events GROUP BY event_type
+    )
+    SELECT pt.event_type, n_rows, mean, ci_lo, ci_hi
+    FROM pt JOIN ci ON pt.event_type = ci.event_type
+    """,
+    doc="Deterministic Poisson-bootstrap 95% CI for the per-type mean "
+        "event value (operators/sketches.py::bootstrap_ci_mean, 32 "
+        "replicates): each row's per-replicate weight is the "
+        "inverse-CDF of a 48-bit md5 uniform, so the ENTIRE resampling "
+        "plan is a pure function of the data — re-runs, partitionings "
+        "and engines draw identical replicates, and with micro-unit "
+        "integer sums the interval itself hash-matches (no RNG-based "
+        "bootstrap can be cross-checked). One shuffle of "
+        "(group × replicate) partial sums; replicates scale the GROUP "
+        "table, never the data.",
+)
+def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.sketches import bootstrap_ci_mean
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return bootstrap_ci_mean(ev, ["event_type"], "value", "event_id", replicates=32)

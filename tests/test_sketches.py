@@ -254,3 +254,28 @@ def test_cms_partitioning_invariance(spark):
     a = sorted(map(tuple, cms_build(df.repartition(1), "v").collect()))
     b = sorted(map(tuple, cms_build(df.repartition(17), "v").collect()))
     assert a == b
+
+
+def test_bootstrap_ci_brackets_true_mean_and_shrinks(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.sketches import bootstrap_ci_mean
+
+    rows = [Row(g="a", k=i, v=float(50 + (i * 37) % 21 - 10)) for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    out = bootstrap_ci_mean(df, ["g"], "v", "k").head()
+    assert out.ci_lo <= out.mean <= out.ci_hi
+    # uniform-ish on [40,60]: sd≈6 -> CI half-width ≈ 2*6/sqrt(2000) ≈ 0.27
+    assert (out.ci_hi - out.ci_lo) < 1.0
+    small = bootstrap_ci_mean(df.limit(100), ["g"], "v", "k").head()
+    assert (small.ci_hi - small.ci_lo) > (out.ci_hi - out.ci_lo)  # n↓ ⇒ wider
+
+
+def test_bootstrap_ci_partitioning_invariant(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.sketches import bootstrap_ci_mean
+
+    rows = [Row(g="a", k=i, v=float(i % 13)) for i in range(500)]
+    df = spark.createDataFrame(rows)
+    a = bootstrap_ci_mean(df.repartition(1), ["g"], "v", "k").head()
+    b = bootstrap_ci_mean(df.repartition(17), ["g"], "v", "k").head()
+    assert (a.mean, a.ci_lo, a.ci_hi) == (b.mean, b.ci_lo, b.ci_hi)

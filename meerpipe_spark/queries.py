@@ -6903,3 +6903,103 @@ def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir)["events"]
     return bootstrap_ci_mean(ev, ["event_type"], "value", "event_id", replicates=32)
+
+
+@_register(
+    "variant_shredded_agg",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured aggregation through Spark 4's VARIANT type: "
+        "parse_json(props) → variant_get('$.k', 'bigint') → grouped "
+        "aggregates. VARIANT stores parsed binary JSON, so repeated "
+        "field access skips re-tokenizing the text — the open-format "
+        "answer to shredded JSON columns; this query proves the parse/"
+        "extract/cast chain yields EXACTLY the values a JSON-native "
+        "engine (DuckDB ->> on the same strings) computes, integer-"
+        "exact through the aggregates. Pure map + one grouped agg.",
+)
+def variant_shredded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+@_register(
+    "time_grid_ffill",
+    """
+    WITH bounds AS (
+        SELECT user_id,
+               date_trunc('hour', min(ts)) AS t0,
+               date_trunc('hour', max(ts)) AS t1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS slot,
+               round(sum(value), 4) AS v_sum
+        FROM events GROUP BY user_id, slot
+    ),
+    joined AS (
+        SELECT g.user_id, g.slot, h.v_sum,
+               count(h.v_sum) OVER (PARTITION BY g.user_id ORDER BY g.slot) AS grp
+        FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.slot = h.slot
+    )
+    SELECT user_id, slot,
+           coalesce(v_sum, max(v_sum) OVER (PARTITION BY user_id, grp)) AS v_filled,
+           (v_sum IS NULL) AS was_gap
+    FROM joined
+    """,
+    doc="Regular-grid resampling with forward fill: each user's hourly "
+        "activity series densified onto a per-user hour grid "
+        "(sequence + explode — the grid is generated, never stored) "
+        "and gaps carry the last observed value via the count-over/"
+        "max-over gaps-and-islands idiom (last_value IGNORE NULLS "
+        "differs between engines; the grp trick is portable). The "
+        "time-series preprocessing step before any per-user model "
+        "fit. All windows user-keyed: one shuffle, no global sort.",
+)
+def time_grid_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("slot")
+    ).agg(F.round(F.sum("value"), 4).alias("v_sum"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("slot"),
+    )
+    j = grid.join(hourly, ["user_id", "slot"], "left")
+    w = W.partitionBy("user_id").orderBy("slot")
+    j = j.withColumn("grp", F.count("v_sum").over(w))
+    wg = W.partitionBy("user_id", "grp")
+    return j.select(
+        "user_id",
+        "slot",
+        F.coalesce(F.col("v_sum"), F.max("v_sum").over(wg)).alias("v_filled"),
+        F.col("v_sum").isNull().alias("was_gap"),
+    )

@@ -387,3 +387,32 @@ def char_entropy(
         F.min("n_chars").alias("n_chars"),
         (F.floor(folded * 1e6 + F.lit(0.5)) / 1e6).alias("entropy_bits"),
     )
+
+
+def ngram_udtf_class():
+    """Python UDTF (Spark 4 user-defined TABLE function) emitting
+    (pos, ngram) rows from a text column — the §2.10 API surface's
+    table-function corner: a lateral-joinable generator whose schema is
+    declared at the class, usable straight from SQL.
+
+    This is deliberately the API-parity DEMO lane: UDTFs execute
+    row-at-a-time in Python, so the production n-gram path remains the
+    whole-stage-codegen explode (bigram_lm_score / text.py) — ~10-100×
+    faster. What the registered query proves is that the UDTF lane
+    produces EXACTLY the rows the codegen lane and an external engine
+    produce (hash-checked), so a user porting a reference table
+    function gets a correct, if slower, drop-in while they migrate to
+    the vectorized form.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, ngram: string")
+    class NgramUDTF:
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            words = text.split(" ")
+            for i in range(len(words) - n + 1):
+                yield i, " ".join(words[i : i + n])
+
+    return NgramUDTF

@@ -7003,3 +7003,38 @@ def time_grid_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("v_sum"), F.max("v_sum").over(wg)).alias("v_filled"),
         F.col("v_sum").isNull().alias("was_gap"),
     )
+
+
+@_register(
+    "udtf_ngram_counts",
+    """
+    WITH grams AS (
+        SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                      i -> w[i] || ' ' || w[i + 1])) AS ngram
+        FROM (SELECT string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT ngram, count(*)::BIGINT AS n
+    FROM grams GROUP BY ngram
+    """,
+    doc="Python UDTF lane (operators/text.py::ngram_udtf_class, Spark "
+        "4 user-defined table function): documents LATERAL-joined "
+        "against a schema-declared Python generator emitting (pos, "
+        "ngram) rows, aggregated to corpus bigram counts — hash-matched "
+        "against the set-based oracle, proving the UDTF lane emits "
+        "EXACTLY the rows the codegen explode lane does. Row-at-a-time "
+        "Python: the API-parity demo lane, NOT the hot path "
+        "(bigram_lm_score's codegen explode is the production form).",
+)
+def udtf_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+    from meerpipe_spark.operators.text import ngram_udtf_class
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("ngram_udtf", ngram_udtf_class())
+    return spark.sql(
+        """
+        SELECT t.ngram, CAST(count(*) AS BIGINT) AS n
+        FROM documents, LATERAL ngram_udtf(text, 2) t
+        GROUP BY t.ngram
+        """
+    )

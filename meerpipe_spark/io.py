@@ -291,3 +291,55 @@ def hilbert_key_sql_cte(inner_select: str, id_cols: str, x: str, y: str, bits: i
     )""")
     parts.append(f"\n    SELECT {id_cols}, hd AS hkey FROM h{step}")
     return "".join(parts)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into files sized
+    for scan efficiency (~``target_file_mb`` each, from the table's real
+    on-disk bytes), optionally re-sorting within partitions to restore
+    clustering (pair with morton/hilbert keys for 2-D layouts).
+
+    The streaming/micro-batch sinks in this repo (foreachBatch upserts,
+    availableNow windows) accrete small files by nature; at 100 TB the
+    scan-side cost of 10⁶ tiny files is footer/open overhead and lost
+    row-group pruning, and the fix is this periodic rewrite — the same
+    maintenance story as Delta/Iceberg OPTIMIZE, expressed with plain
+    Spark primitives: file count = ceil(bytes / target), one round-trip
+    of the data, no shuffle beyond the repartition's round-robin
+    exchange (or a range exchange when re-sorting).
+
+    Returns the number of files written.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    total_bytes = _dir_parquet_bytes(spark, path)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    if sort_within_by:
+        out = df.repartitionByRange(n_files, *sort_within_by).sortWithinPartitions(
+            *sort_within_by
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def _dir_parquet_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes of the parquet data files under ``path`` via the
+    Hadoop FS API (works for any supported filesystem, not just local)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            total += st.getLen()
+    return total

@@ -132,3 +132,43 @@ def test_hilbert_tiles_tighter_than_morton(spark):
         return worst
 
     assert max_tile_area(h) <= max_tile_area(m)
+
+
+# --- compaction (round 5, wave 4) -------------------------------------------
+
+def test_compact_table_hits_target_file_count_and_preserves_rows(spark, tmp_path):
+    from pyspark.sql import Row
+    from meerpipe_spark.io import compact_table
+
+    src = str(tmp_path / "small_files")
+    out = str(tmp_path / "compacted")
+    df = spark.createDataFrame([Row(k=i, v=f"value-{i}" * 20) for i in range(20000)])
+    # simulate a micro-batch sink: 64 tiny files
+    df.repartition(64).write.parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact_table(spark, src, out, target_file_mb=1)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n <= 8  # ~a couple MB of data -> a few 1MB files
+    back = spark.read.parquet(out)
+    assert back.count() == 20000
+    assert back.exceptAll(df).count() == 0
+
+
+def test_compact_table_resort_restores_clustering(spark, tmp_path):
+    from pyspark.sql import Row, functions as F
+    from meerpipe_spark.io import compact_table
+
+    src = str(tmp_path / "scattered")
+    out = str(tmp_path / "clustered")
+    df = spark.createDataFrame([Row(k=(i * 7919) % 20000, v="x" * 50) for i in range(20000)])
+    df.repartition(32).write.parquet(src)
+    compact_table(spark, src, out, target_file_mb=1, sort_within_by=["k"])
+    # per-file k-ranges must be disjoint-ish after range repartition:
+    # total span of per-file (max-min) << file_count * full_range
+    import glob
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        stats = spark.read.parquet(f).agg(F.min("k"), F.max("k")).head()
+        spans.append(stats[1] - stats[0])
+    assert sum(spans) < 1.5 * 20000  # near-disjoint ranges, not 64x overlap

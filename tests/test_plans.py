@@ -200,3 +200,39 @@ def test_q7_dims_broadcast_no_smj_on_dims(spark, sf_dir):
     # supplier/customer/nation×2 broadcast; only lineitem⋈orders may shuffle
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """The 100 TB skew story is AQE's skew-join split; prove it FIRES
+    on this session's config rather than citing documentation: force a
+    sort-merge join with one hot key and low skew thresholds, then
+    assert the executed (adaptive) plan marked the join skewed."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in (
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )}
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        left = spark.range(0, 300_000).select(
+            (F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id"))).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit("r").alias("rv"))
+        df = left.join(right, "k")
+        # materialize THIS DataFrame's own query execution: count() and
+        # write() each plan a SEPARATE QE, leaving the inspected adaptive
+        # plan unfinalized; collectToPython runs the df's own QE
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -992,9 +992,15 @@ def pq_adc_topk(
     )
 
 
+#: Target IVF list size for hard-negative candidate generation: the
+#: within-list pair join costs Σ n_c² ≈ n·B for balanced lists of B, so
+#: B — not k — is the knob that must stay fixed as the corpus grows.
+HARD_NEG_TARGET_LIST = 256
+
+
 def hard_negatives(
     embeddings: DataFrame,
-    centroids_k: int = 8,
+    centroids_k: int | None = None,
     iters: int = 2,
     per_anchor: int = 1,
     vec_col: str = "embedding",
@@ -1016,6 +1022,13 @@ def hard_negatives(
     """
     from pyspark.sql import Window as W
 
+    if centroids_k is None:
+        # auto-scale k so lists stay ~HARD_NEG_TARGET_LIST: at fixed k the
+        # list size grows with n and the pair join goes quadratic — the
+        # sf0.1→sf1.0 measurement was 25× time for 10× vectors. Same
+        # default-on scaling as the LSH plane count (VERDICT r4 #2).
+        n = embeddings.count()
+        centroids_k = max(8, -(-n // HARD_NEG_TARGET_LIST))
     cents = kmeans_centroids(embeddings, k=centroids_k, iters=iters,
                              vec_col=vec_col, id_col=id_col)
     asg = ivf_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)

@@ -6323,6 +6323,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.similarity import hard_negatives
 
     emb = load_tables(spark, sf_dir)["embeddings"]
+    # k pinned to the oracle's CTE (8); the operator DEFAULT auto-scales
+    # k to keep IVF lists ~256 vectors, which is what survives 100 TB
     return hard_negatives(emb, centroids_k=8, iters=2, per_anchor=1)
 
 

@@ -526,3 +526,34 @@ def test_pq_encode_is_zero_shuffle(spark):
     # literal codebook -> pure map: no join, no exchange anywhere
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_hard_negatives_auto_k_bounds_list_size(spark):
+    from pyspark.sql import Row, functions as F
+    from meerpipe_spark.operators.similarity import (
+        HARD_NEG_TARGET_LIST,
+        hard_negatives,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    # 2000 vectors: fixed k=8 would make 250-vector lists; auto-k must
+    # pick k=ceil(2000/256)=8 here and MORE clusters as n grows — check
+    # the formula directly and that the default path completes with
+    # every anchor served
+    import math
+    n = 2000
+    assert max(8, math.ceil(n / HARD_NEG_TARGET_LIST)) == 8
+    n = 20000
+    assert max(8, math.ceil(n / HARD_NEG_TARGET_LIST)) == 79
+
+    rows = [Row(vec_id=i, embedding=[float((i * 13 + d * 7) % 50) for d in range(8)],
+                label=i % 4) for i in range(600)]
+    emb = spark.createDataFrame(rows)
+    out = hard_negatives(emb, per_anchor=1)  # default auto-k
+    got = out.count()
+    assert got > 0
+    # every emitted negative has a different label than its anchor
+    labels = {r.vec_id: r.label for r in rows}
+    for r in out.collect():
+        assert labels[r.src] != labels[r.dst]

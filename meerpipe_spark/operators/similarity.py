@@ -871,34 +871,72 @@ def pq_train(
 ) -> DataFrame:
     """Train per-subspace PQ codebooks: split the d-dim vector into m
     contiguous ds = d/m sub-vectors and run the deterministic Lloyd's
-    quantizer (kmeans_centroids — lowest-id seeds, struct-min argmin)
-    independently in each subspace.
+    quantizer (lowest-id seeds, struct-min argmin, ordered-fold
+    distances) independently in each subspace — but JOINTLY scheduled:
+    all m subspaces' assignments are map-only literal argmins unioned
+    into ONE frame, so each training iteration is a single action (one
+    m·ks·ds-cell update shuffle + one driver collect) instead of m
+    separate k-means jobs. Identical math to m independent runs — the
+    (subspace, cluster) grouping keys keep them independent — which is
+    why the per-subspace unrolled CTEs in the oracle still match.
 
     Returns (subspace, cluster, centroid array<double>). PQ is the
     memory arm of the ANN stack: IVF prunes WHICH vectors to score,
     PQ shrinks each stored vector to m small codes (m·log2(ks) bits —
     here 4 codes × 3 bits vs 64 float32s, a 170× compression), so at
     100 TB the candidate lists fit in executor memory and the scan cost
-    of a probe drops by the same factor. Training cost: m independent
-    small k-means runs (the subspace slice is a zero-shuffle map).
+    of a probe drops by the same factor.
     """
     d = len(embeddings.select(vec_col).head()[0])
     ds = d // m
     assert ds * m == d, "embedding dim must divide m"
-    parts = []
-    for j in range(m):
-        sub = embeddings.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * ds + 1, ds).alias(vec_col),
+    spark = embeddings.sparkSession
+    seed_rows = embeddings.select(id_col, vec_col).orderBy(id_col).head(ks)
+    # cents[j][c] = centroid of cluster c in subspace j
+    cents: dict[int, dict[int, list[float]]] = {
+        j: {
+            c: [float(v) for v in row[1][j * ds : (j + 1) * ds]]
+            for c, row in enumerate(seed_rows)
+        }
+        for j in range(m)
+    }
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = embeddings.select(cast.alias("_v"))
+    for _ in range(iters):
+        branches = []
+        for j in range(m):
+            sub = F.slice(F.col("_v"), j * ds + 1, ds)
+            cands = F.array(*[
+                F.struct(
+                    _fold_d2(sub, F.array(*[F.lit(x) for x in cents[j][c]])).alias("d2"),
+                    F.lit(c).alias("cluster"),
+                )
+                for c in sorted(cents[j])
+            ])
+            assigned = pts.select(
+                F.lit(j).alias("subspace"),
+                F.array_min(cands).getField("cluster").alias("cluster"),
+                sub.alias("_s"),
+            )
+            branches.append(
+                assigned.select("subspace", "cluster", F.posexplode("_s").alias("dim", "v"))
+            )
+        ex = branches[0]
+        for b in branches[1:]:
+            ex = ex.unionByName(b)
+        rows = (
+            ex.groupBy("subspace", "cluster", "dim").agg(F.avg("v").alias("cv")).collect()
         )
-        parts.append(
-            kmeans_centroids(sub, k=ks, iters=iters, vec_col=vec_col, id_col=id_col)
-            .withColumn("subspace", F.lit(j))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select("subspace", "cluster", "centroid")
+        nxt: dict[int, dict[int, list[float]]] = {j: {} for j in range(m)}
+        for r in rows:
+            nxt[r["subspace"]].setdefault(r["cluster"], [0.0] * ds)
+        for r in rows:
+            nxt[r["subspace"]][r["cluster"]][r["dim"]] = float(r["cv"])
+        cents = nxt
+    return spark.createDataFrame(
+        [(j, c, cents[j][c]) for j in range(m) for c in sorted(cents[j])],
+        "subspace INT, cluster INT, centroid ARRAY<DOUBLE>",
+    )
 
 
 def pq_encode(

@@ -7040,3 +7040,46 @@ def udtf_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.ngram
         """
     )
+
+
+@_register(
+    "curation_recipe_quarantine",
+    """
+    WITH s0 AS (SELECT * FROM documents),
+    k1 AS (SELECT * FROM s0 WHERE len(text) >= 250),
+    q1 AS (SELECT doc_id, 'min_length' AS rejected_by FROM s0 WHERE len(text) < 250),
+    k2 AS (SELECT * FROM k1 WHERE lang IN ('en', 'de')),
+    q2 AS (SELECT doc_id, 'language' AS rejected_by FROM k1 WHERE lang NOT IN ('en', 'de')),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM k2 GROUP BY md5(text)),
+    k3 AS (SELECT * FROM k2 WHERE doc_id IN (SELECT doc_id FROM keepers)),
+    q3 AS (SELECT doc_id, 'exact_dedup' AS rejected_by FROM k2
+           WHERE doc_id NOT IN (SELECT doc_id FROM keepers)),
+    q4 AS (SELECT doc_id, 'hash_sample' AS rejected_by FROM k3
+           WHERE substr(md5(doc_id::VARCHAR), 1, 2) >= 'c0')
+    SELECT * FROM q1 UNION ALL SELECT * FROM q2
+    UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
+    """,
+    doc="Declarative curation recipe compiled to one plan (plans/"
+        "curation_recipe.py::compile_recipe): min-length → language "
+        "allow-list → exact dedup → 75% hash sample, each step's "
+        "rejects tagged with the step name and unioned into the "
+        "quarantine frame — the audit log that answers 'why did this "
+        "document vanish' WITHOUT re-running a 100 TB corpus build. "
+        "The recipe is data (JSON-serializable provenance); the "
+        "compiled chain is one lazy DAG, so Catalyst fuses the filters "
+        "into the scan exactly as hand-written code would. The hash "
+        "checks the SEQUENTIAL semantics: a doc is claimed by the "
+        "FIRST step that drops it.",
+)
+def curation_recipe_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.plans.curation_recipe import compile_recipe
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    recipe = [
+        {"step": "min_length", "chars": 250},
+        {"step": "language", "allow": ("en", "de")},
+        {"step": "exact_dedup"},
+        {"step": "hash_sample", "hex_lt": "c0"},
+    ]
+    corpus, quarantine = compile_recipe(docs, recipe)
+    return quarantine

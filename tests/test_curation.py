@@ -800,3 +800,54 @@ def test_leakage_safe_split_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, leakage_safe_split(docs.repartition(1), edges).collect()))
     b = sorted(map(tuple, leakage_safe_split(docs.repartition(11), edges).collect()))
     assert a == b
+
+
+# --- declarative recipe compiler (round 5, wave 4) --------------------------
+
+def test_recipe_conservation_and_first_step_claims(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.plans.curation_recipe import compile_recipe
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="short", lang="en"),
+        Row(doc_id=2, text="long enough text right here ok", lang="fr"),
+        Row(doc_id=3, text="long enough text right here ok", lang="en"),
+        Row(doc_id=4, text="long enough text right here ok", lang="en"),  # dup of 3
+        Row(doc_id=5, text="another long enough text here!", lang="en"),
+    ])
+    recipe = [
+        {"step": "min_length", "chars": 10},
+        {"step": "language", "allow": ("en",)},
+        {"step": "exact_dedup"},
+    ]
+    corpus, quarantine = compile_recipe(docs, recipe)
+    kept = {r.doc_id for r in corpus.collect()}
+    q = {r.doc_id: r.rejected_by for r in quarantine.collect()}
+    assert kept == {3, 5}
+    # FIRST failing step claims the doc; every doc is in exactly one place
+    assert q == {1: "min_length", 2: "language", 4: "exact_dedup"}
+    assert kept.isdisjoint(q)
+    assert kept | set(q) == {1, 2, 3, 4, 5}
+
+
+def test_recipe_unknown_step_raises(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.plans.curation_recipe import compile_recipe
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="t", lang="en")])
+    import pytest
+    with pytest.raises(ValueError, match="unknown recipe step"):
+        compile_recipe(docs, [{"step": "nope"}])
+
+
+def test_recipe_transform_step_keeps_all_rows(spark):
+    from pyspark.sql import Row
+    from meerpipe_spark.plans.curation_recipe import compile_recipe
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"contact me: user{i}@mail.com today", lang="en") for i in range(5)]
+    )
+    corpus, quarantine = compile_recipe(docs, [{"step": "pii_redact"}])
+    assert corpus.count() == 5
+    assert quarantine.count() == 0
+    assert all("@" not in r.text for r in corpus.collect())  # rewritten, not dropped

@@ -68,7 +68,7 @@ def pagerank_fixed_point(
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
     e = edges.join(outdeg, "src").localCheckpoint()
     ranks = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .select(
@@ -78,12 +78,14 @@ def pagerank_fixed_point(
             .groupBy("dst")
             .agg(F.sum("c").cast("bigint").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("bigint").alias("r"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("bigint").alias("r"),
         )
+        # truncate lineage every few rounds, not every round: each eager
+        # localCheckpoint is its own job, and a 3-round lineage (three
+        # join+agg layers) is still cheap to analyze — 10 rounds go from
+        # 10 materializations to 4 with identical integer results
+        if i % 3 == 2 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank"))

@@ -236,3 +236,27 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_guardrails_catch_cartesian_and_global_window(spark, sf_dir):
+    import pytest
+    from pyspark.sql import Window, functions as F
+    from meerpipe_spark.plans.guardrails import PlanPolicyError, check_plan
+
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "id2")
+    with pytest.raises(PlanPolicyError, match="CartesianProduct|BroadcastNestedLoop"):
+        check_plan(a.crossJoin(b))
+    with pytest.raises(PlanPolicyError, match="SinglePartition"):
+        check_plan(a.withColumn("rn", F.row_number().over(Window.orderBy("id"))))
+    # whitelisting works for the documented eval-harness case
+    check_plan(a.crossJoin(b), allow=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_guardrails_pass_healthy_queries(spark, sf_dir):
+    from meerpipe_spark.plans.guardrails import check_plan
+    from meerpipe_spark.queries import QUERIES
+
+    for name in ("q5_region_revenue", "fluxcal_multiplier", "binned_interval_join",
+                 "scd2_user_event_type", "rolling_7d_user_value"):
+        check_plan(QUERIES[name].fn(spark, sf_dir))

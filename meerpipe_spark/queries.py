@@ -7083,3 +7083,495 @@ def curation_recipe_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     corpus, quarantine = compile_recipe(docs, recipe)
     return quarantine
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion wave (round 5): the 8 remaining classic shapes, adapted
+# to the shipped schema (no partsupp / commitdate / receiptdate / shipmode —
+# a lineitem-derived supply relation and shipdate-vs-orderdate lag stand in).
+# Each preserves the ORIGINAL query's Catalyst plan shape, which is the
+# point: with these, all 22 TPC-H decision-support patterns are covered.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               min(floor(l_extendedprice / l_quantity * 10000 + 0.5) / 10000)
+                   AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT round(s.s_acctbal, 4) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey, p.p_name, sp.unit_cost
+    FROM part p
+    JOIN supply sp ON sp.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_type = 'LARGE' AND p.p_size <= 10 AND r.r_name = 'EUROPE'
+      AND sp.unit_cost = (
+          SELECT min(s2.unit_cost) FROM supply s2
+          WHERE s2.l_partkey = p.p_partkey
+      )
+    """,
+    doc="TPC-H Q2 shape: correlated scalar min subquery over a derived "
+        "supply relation (lineitem has no partsupp, so unit cost = min "
+        "extendedprice/quantity per part-supplier). Catalyst decorrelates "
+        "the min into a per-part aggregate joined back on partkey; region/"
+        "nation dims broadcast. unit_cost uses the floor(x*1e4+0.5)/1e4 "
+        "form — identical IEEE op sequence in both engines — so the "
+        "equality against the correlated min is boundary-proof.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+                   min(floor(l_extendedprice / l_quantity * 10000 + 0.5) / 10000)
+                       AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT round(s.s_acctbal, 4) AS s_acctbal, s.s_name, n.n_name,
+               p.p_partkey, p.p_name, sp.unit_cost
+        FROM part p
+        JOIN supply sp ON sp.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_type = 'LARGE' AND p.p_size <= 10 AND r.r_name = 'EUROPE'
+          AND sp.unit_cost = (
+              SELECT min(s2.unit_cost) FROM supply s2
+              WHERE s2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+@_register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS with a non-equi component "
+        "referencing the outer row (shipdate > orderdate + 90d stands in "
+        "for commitdate < receiptdate). Catalyst rewrites to a LEFT SEMI "
+        "join on orderkey with the date inequality as a residual join "
+        "condition — the lineitem scan is touched once, never per-order. "
+        "Quarter-window filter pushed to the orders scan.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@_register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.2 * p_retailprice * l_quantity), 4) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    doc="TPC-H Q9 shape: product-line profit by supplier nation and "
+        "order year (supply cost proxied as 20% of retail price — no "
+        "partsupp). Five-way join; part/supplier/nation broadcast, the "
+        "p_name LIKE filter prunes part BEFORE the join so the fact "
+        "shuffle carries only matching lineitems; orders joins on the "
+        "shuffled side. Profit rounded 4dp on both engines.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("%bolt%"))
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.2 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+    )
+
+
+@_register(
+    "q11_important_parts",
+    """
+    WITH natsupp AS (
+        SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    ), vals AS (
+        SELECT l_partkey AS p_partkey,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS value_cents
+        FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM natsupp)
+        GROUP BY l_partkey
+    )
+    SELECT p_partkey, value_cents FROM vals
+    WHERE value_cents * (SELECT count(*) FROM vals)
+          > 2 * (SELECT sum(value_cents) FROM vals)
+    """,
+    doc="TPC-H Q11 shape: per-part supply value from a nation group, "
+        "kept when above a global-threshold scalar subquery (2x the mean "
+        "— scale-free, unlike the classic fixed fraction, so the result "
+        "is non-empty at every SF). Value is summed in integer CENTS "
+        "(exact bigint arithmetic, order-independent), so the threshold "
+        "comparison can never flip on float summation order. Catalyst "
+        "evaluates both scalar subqueries once over the reused vals "
+        "aggregate; the natsupp semi-join broadcasts ~12 suppkeys.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH natsupp AS (
+            SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        ), vals AS (
+            SELECT l_partkey AS p_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM natsupp)
+            GROUP BY l_partkey
+        )
+        SELECT p_partkey, value_cents FROM vals
+        WHERE value_cents * (SELECT count(*) FROM vals)
+              > 2 * (SELECT sum(value_cents) FROM vals)
+        """
+    )
+
+
+@_register(
+    "q12_ship_lag_priority",
+    """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 365
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape: conditional (pivot-style) aggregation over a "
+        "derived ship-lag bucket (no shipmode column; >365d lag stands "
+        "in for the late-commit class). Both CASE sums evaluate in one "
+        "pass inside whole-stage codegen; the shipdate year filter is "
+        "pushed to the lineitem scan. datediff on midnight timestamps "
+        "is exact integer days in both engines.",
+)
+def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    j = t["orders"].join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.withColumn(
+            "ship_bucket",
+            F.when(F.datediff("l_shipdate", "o_orderdate") > 365, "LATE").otherwise("ONTIME"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q16_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: distinct-supplier counts per part attribute "
+        "triple, excluding a NOT IN subquery (negative account balance "
+        "stands in for the complaints comment scan). s_suppkey is "
+        "non-null so Catalyst plans the NOT IN as a broadcast LEFT ANTI "
+        "join (no null-aware penalty); part filters prune before the "
+        "join; countDistinct expands to a two-level aggregate.",
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    complainers = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(complainers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "q20_excess_share_suppliers",
+    """
+    SELECT s_name, round(s_acctbal, 4) AS s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN (
+            SELECT l_partkey AS pk, sum(l_quantity) AS tot
+            FROM lineitem GROUP BY l_partkey) t ON l_partkey = pk
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        GROUP BY l_suppkey, l_partkey, tot
+        HAVING sum(l_quantity) > 0.1 * tot
+      )
+    """,
+    doc="TPC-H Q20 shape: nested IN chains — suppliers (from a nation "
+        "band) who supply >10% of the total quantity of any bolt part "
+        "(availqty-vs-half-sold becomes share-of-part-supply; no "
+        "partsupp). Inner query joins per-part totals back to per-"
+        "supplier-part sums; quantities are integral doubles so both "
+        "sums are exact and the share cut is deterministic. Both INs "
+        "plan as semi joins; the part-name filter semi-join prunes the "
+        "fact scan first.",
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name, round(s_acctbal, 4) AS s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+          AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN (
+                SELECT l_partkey AS pk, sum(l_quantity) AS tot
+                FROM lineitem GROUP BY l_partkey) t ON l_partkey = pk
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+            GROUP BY l_suppkey, l_partkey, tot
+            HAVING sum(l_quantity) > 0.1 * tot
+          )
+        """
+    )
+
+
+@_register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders o ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 365 DAY)
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape: the hardest classic — EXISTS (another supplier "
+        "touched the order) AND NOT EXISTS (any OTHER supplier was also "
+        "late) correlated on the same fact row with an inequality "
+        "correlate (suppkey <>). Catalyst plans the pair as LEFT SEMI "
+        "then LEFT ANTI hash joins on orderkey with the suppkey "
+        "inequality as residual condition — lineitem is scanned a "
+        "bounded 3x, never per-row. Late = shipdate > orderdate + 365d "
+        "(stands in for receipt-after-commit).",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders o ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL '365' DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o3.o_orderdate + INTERVAL '365' DAY)
+        GROUP BY s_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6 (round 5): tokenizer training, entity resolution, reconciliation,
+# graph triangles, event transitions, skew diagnostics
+# ---------------------------------------------------------------------------
+
+def _bpe_cte_chain(steps: int, merge_last: bool = False) -> str:
+    """Shared CTE chain for the BPE oracles: w0 → p1/b1/w1 → … → b{k}.
+    With merge_last, also emits w{k} (the fully merged word table)."""
+    parts = [
+        """
+    WITH w0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+               string_split_regex(word, '') AS syms
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    )"""
+    ]
+    for i in range(1, steps + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""", p{i} AS (
+        SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+        FROM (SELECT cnt,
+                     unnest(list_transform(range(1, len(syms)),
+                                           i -> [syms[i], syms[i + 1]])) AS pr
+              FROM {prev} WHERE len(syms) >= 2)
+        GROUP BY 1, 2
+    ), b{i} AS (
+        SELECT a, b, pc FROM p{i} ORDER BY pc DESC, a, b LIMIT 1
+    )"""
+        )
+        if i < steps or merge_last:
+            parts.append(
+                f""", w{i} AS (
+        SELECT word, cnt,
+               list_reduce(
+                   list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])),
+                   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b{i}.a
+                                         AND x[1] = b{i}.b
+                               THEN acc[:len(acc) - 1] || [b{i}.a || b{i}.b]
+                               ELSE acc || x END) AS syms
+        FROM w{i - 1}, b{i}
+    )"""
+            )
+    return "".join(parts)
+
+
+def _bpe_unrolled_sql(steps: int) -> str:
+    """DuckDB twin of operators/bpe.py::bpe_train — the same k merge
+    steps unrolled as chained CTEs (w0 → p1/b1/w1 → ...), with the same
+    bigint pair counts, (count DESC, a, b) tie-break and left-to-right
+    list_reduce fold, so the merge table is bit-identical."""
+    selects = [
+        f"SELECT {i} AS step, a AS pair_a, b AS pair_b, pc AS pair_count FROM b{i}"
+        for i in range(1, steps + 1)
+    ]
+    return _bpe_cte_chain(steps) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@_register(
+    "bpe_train_merges",
+    _bpe_unrolled_sql(steps=8),
+    doc="BPE tokenizer-merge training INSIDE the engine (operators/"
+        "bpe.py::bpe_train, Sennrich et al. 2016): one distributed "
+        "word-count pass over the corpus (the ONLY corpus-sized scan — "
+        "the shuffle carries one row per distinct word, Heaps'-law "
+        "vocab-sized), then 8 merge steps on the vocab table, each a "
+        "pair-count aggregate + 1-row argmax broadcast folded back into "
+        "the symbol arrays. The whole train is ONE lazy job graph "
+        "(persist-tracked intermediates). Exact bigint pair counts, "
+        "struct-min tie-break and an identical left-to-right fold in "
+        "both engines (Spark aggregate == DuckDB list_reduce, with "
+        "DuckDB's INCLUSIVE slice bounds handled) make the 8-row merge "
+        "table hash-match.",
+    headline=True,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.bpe import bpe_train
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bpe_train(docs, steps=8)
+
+
+@_register(
+    "bpe_encode_tokens",
+    _bpe_cte_chain(steps=3, merge_last=True) + """
+    SELECT word, syms AS tokens, cnt AS n_words FROM w3
+    """,
+    doc="Tokenize the corpus with the first 3 trained merges (operators/"
+        "bpe.py::bpe_encode): the merge list rides into the plan as fold "
+        "literals - a pure zero-shuffle map over the corpus except the "
+        "final (word, tokens) occurrence count. The oracle re-derives "
+        "the SAME merges from its own unrolled trainer chain and reads "
+        "the fully merged word table w3, so train -> encode is checked "
+        "end to end: a drift in EITHER the trainer or the encoder fold "
+        "breaks the hash.",
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = [
+        (r["pair_a"], r["pair_b"])
+        for r in bpe_train(docs, steps=3).orderBy("step").collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    return enc.groupBy("word", "tokens").agg(
+        F.count("*").cast("bigint").alias("n_words")
+    )

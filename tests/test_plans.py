@@ -190,6 +190,38 @@ def test_q22_not_exists_is_anti_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    # correlated EXISTS with a non-equi date component must become one
+    # LEFT SEMI hash join on orderkey, never a per-order re-scan
+    plan = _plan(spark, "q4_order_priority", sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_correlated_min_decorrelates(spark, sf_dir):
+    plan = _plan(spark, "q2_min_cost_supplier", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    # s_suppkey is non-null, so NOT IN plans as a plain broadcast
+    # LEFT ANTI (no null-aware nested loop)
+    plan = _plan(spark, "q16_supplier_count", sf_dir)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_semi_plus_anti(spark, sf_dir):
+    # EXISTS → LeftSemi and NOT EXISTS → LeftAnti on the same fact row
+    plan = _plan(spark, "q21_waiting_suppliers", sf_dir)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q10_top20_no_global_sort(spark, sf_dir):
     plan = _plan(spark, "q10_returned_items", sf_dir)
     assert "TakeOrderedAndProject" in plan

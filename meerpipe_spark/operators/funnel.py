@@ -18,7 +18,7 @@ aggregations stay partial-aggregated map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def funnel(
@@ -182,4 +182,37 @@ def ewma_per_user(
             F.col("_f.k").alias("n_events"),
             F.round(F.col("_f.y"), 6).alias("ewma_value"),
         )
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities over each
+    user's event sequence: (src_type, dst_type, n, p).
+
+    One window pass (lag over the per-user sequence, tie-broken by the
+    unique event id so the order is total) and one aggregate. p is
+    n / Σn per src row — a single exact-bigint division rounded at 6dp,
+    so the probability column is engine-stable. The partition key is
+    the user, so state never crosses users and the window is
+    hash-partitioned, never single-partition.
+    """
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    trans = (
+        events.withColumn("_src", F.lag(type_col).over(w))
+        .filter(F.col("_src").isNotNull())
+        .groupBy(F.col("_src").alias("src_type"), F.col(type_col).alias("dst_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = W.partitionBy("src_type")
+    return trans.select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
     )

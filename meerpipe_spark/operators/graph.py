@@ -89,3 +89,66 @@ def pagerank_fixed_point(
         if i % 3 == 2 or i == iters - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count over an undirected edge list (src, dst)
+    via degree orientation (the MapReduce-era "node-iterator++" /
+    Cohen 2009 scheme).
+
+    Orient every undirected edge from the (degree, node)-smaller
+    endpoint to the larger; a triangle {u,v,w} is counted exactly once
+    as the wedge (u→v, u→w) closed by the oriented edge (v→w). The
+    payoff at scale: every oriented out-degree is O(√m) regardless of
+    how skewed the raw degree distribution is, so the wedge self-join
+    — the only super-linear step — is bounded by Σ outdeg² = O(m^1.5)
+    instead of Σ deg² (which a celebrity hub makes quadratic).
+
+    Plan: one degree aggregate, one map to orient, a self-join on the
+    wedge apex, and a semi-ish inner join against the oriented edges
+    for closure. Returns a single row (n_nodes, n_edges, n_triangles),
+    all bigint — exact counts, trivially engine-portable.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = und.localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    e1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
+    wedges = e1.join(e2, "apex").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    ).unionAll(oriented.select(F.col("v").alias("x"), F.col("u").alias("y")))
+    tris = wedges.join(closing, ["x", "y"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    counts = und.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+    ).crossJoin(deg.agg(F.count("*").cast("bigint").alias("n_nodes")))
+    return counts.crossJoin(tris).select("n_nodes", "n_edges", "n_triangles")

@@ -7575,3 +7575,204 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.groupBy("word", "tokens").agg(
         F.count("*").cast("bigint").alias("n_words")
     )
+
+
+_DIFF_BUCKET = "substr(md5(CAST(o_orderkey AS STRING)), 1, 2)"
+
+
+@_register(
+    "table_diff_orders",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE substr(md5(o_orderkey::VARCHAR), 1, 2) >= '04'
+    ), v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN substr(md5(o_orderkey::VARCHAR), 1, 2)
+                         BETWEEN '80' AND '87'
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE substr(md5(o_orderkey::VARCHAR), 1, 2) < 'f8'
+    )
+    SELECT * FROM (
+        SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+               CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                    WHEN v2.o_orderkey IS NULL THEN 'removed'
+                    WHEN v1.o_totalprice <> v2.o_totalprice
+                         OR v1.o_orderstatus <> v2.o_orderstatus THEN 'changed'
+               END AS status,
+               CASE WHEN v1.o_orderkey IS NOT NULL AND v2.o_orderkey IS NOT NULL
+                    THEN list_filter(
+                        [CASE WHEN v1.o_totalprice <> v2.o_totalprice
+                              THEN 'o_totalprice' END,
+                         CASE WHEN v1.o_orderstatus <> v2.o_orderstatus
+                              THEN 'o_orderstatus' END],
+                        x -> x IS NOT NULL)
+                    ELSE []::VARCHAR[] END AS changed_cols
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    ) WHERE status IS NOT NULL
+    """,
+    doc="Snapshot reconciliation (operators/reconcile.py::table_diff): "
+        "row-level added/removed/changed diff between two deterministic "
+        "md5-bucket-derived versions of orders (~1.5% added, ~3% "
+        "removed, ~3% price-bumped). ONE full outer hash join on the "
+        "key with null-safe column compares — the audit primitive "
+        "behind CDC validation and backfill verification; at 100 TB "
+        "AQE absorbs the small-delta asymmetry. changed_cols names the "
+        "differing columns, hash-checked as data.",
+)
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.reconcile import table_diff
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    bucket = F.expr(_DIFF_BUCKET)
+    v1 = orders.filter(bucket >= "04").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    v2 = (
+        orders.filter(bucket < "f8")
+        .select(
+            "o_orderkey",
+            F.when(bucket.between("80", "87"), F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    return table_diff(v1, v2, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+
+
+@_register(
+    "entity_match_customers",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+    FROM customer a
+    JOIN customer b ON a.c_nationkey = b.c_nationkey
+                   AND a.c_custkey < b.c_custkey
+    WHERE abs(len(a.c_name) - len(b.c_name)) <= 1
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Blocked fuzzy entity resolution (operators/reconcile.py::"
+        "entity_match_candidates): candidate same-entity pairs from a "
+        "nation-block equi-join (never all-pairs), a length-difference "
+        "prefilter, then the Levenshtein kernel on survivors — the "
+        "record-linkage step before a merge decision. Both engines "
+        "implement unit-cost edit distance, so the integer distance "
+        "column is exact. At 100 TB: union several redundant blocking "
+        "keys; the per-block pair count is the quadratic knob.",
+)
+def entity_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.reconcile import entity_match_candidates
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    return entity_match_candidates(
+        cust, "c_custkey", "c_name", "c_nationkey", max_distance=1
+    ).withColumn("distance", F.col("distance").cast("bigint"))
+
+
+@_register(
+    "triangle_count_parts",
+    """
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM
+                (SELECT x FROM e UNION SELECT y FROM e)) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM e e1
+            JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+            JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y) AS n_triangles
+    """,
+    doc="Exact triangle count on the part co-purchase graph (operators/"
+        "graph.py::triangle_count, degree-oriented node-iterator++): "
+        "edges = parts sharing an order; orientation by (degree, node) "
+        "bounds every out-degree at O(sqrt(m)) so the wedge self-join is "
+        "O(m^1.5) even under hub skew — the property that makes triangle "
+        "counting survive a celebrity node at 100 TB. The oracle is the "
+        "ALGORITHM-INDEPENDENT canonical a<b<c three-way join; matching "
+        "counts check the orientation scheme end to end.",
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import triangle_count
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = pp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_count(edges)
+
+
+@_register(
+    "event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS src
+        FROM events
+    ), trans AS (
+        SELECT src AS src_type, event_type AS dst_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE src IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT src_type, dst_type, n,
+           round(n / sum(n) OVER (PARTITION BY src_type), 6) AS p
+    FROM trans
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences (operators/funnel.py::transition_matrix): one "
+        "user-partitioned window (total order via the unique event id "
+        "tie-break) + one aggregate. p is one exact-bigint division "
+        "rounded 6dp. The event-analytics companion to funnel/"
+        "sessionization: the input to next-action prediction and "
+        "anomalous-flow detection.",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.funnel import transition_matrix
+
+    events = load_tables(spark, sf_dir)["events"]
+    return transition_matrix(events)
+
+
+@_register(
+    "skew_profile_users",
+    """
+    WITH counts AS (
+        SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT sum(r * cnt) AS rc, sum(cnt) AS tot, count(*) AS n
+        FROM (SELECT cnt, row_number() OVER (ORDER BY cnt ASC, key ASC) AS r
+              FROM counts)
+    ), ranked AS (
+        SELECT row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank, key, cnt
+        FROM counts QUALIFY rank <= 10
+    )
+    SELECT rank, key, cnt,
+           round(cnt / tot, 6) AS share,
+           round(sum(cnt) OVER (ORDER BY rank
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) / tot, 6) AS cum_share,
+           round(2 * rc / (n * tot) - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+    FROM ranked, g
+    """,
+    doc="Key-skew diagnostic (skew.py::skew_profile): top-10 heavy "
+        "hitters with share/cumulative share plus the exact Gini "
+        "coefficient of the full per-user event-count distribution — "
+        "the report that says whether a groupBy/join on this key needs "
+        "salting BEFORE a cluster-day discovers it. All rank/count "
+        "terms exact bigints over the VOCAB-sized count table (the raw "
+        "events are touched once, absorbed by map-side partials); two "
+        "final divisions rounded 6dp.",
+)
+def skew_profile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.skew import skew_profile
+
+    events = load_tables(spark, sf_dir)["events"]
+    return skew_profile(events, F.col("user_id"), top=10)

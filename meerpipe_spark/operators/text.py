@@ -416,3 +416,89 @@ def ngram_udtf_class():
                 yield i, " ".join(words[i : i + n])
 
     return NgramUDTF
+
+
+def nb_langid_confusion(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Train a word-level Naive Bayes language classifier on the
+    labelled corpus and score it on itself; returns the confusion
+    matrix (lang, pred_lang, n).
+
+    The "train the model INSIDE the engine" companion to bpe_train:
+    class-conditional word counts, class priors and the vocabulary are
+    three exact-bigint aggregates (one corpus scan each, map-side
+    partials); the model is vocab×langs-sized and broadcasts back into
+    a pure-map scoring pass — at 100 TB nothing but the model ever
+    leaves the corpus partitions except the final per-doc argmax rows.
+
+    score(d, l) = log10(P(l)) + Σ_w log10((C(w,l)+1) / (tot_l + V))
+    with add-1 smoothing. Determinism follows the bigram_perplexity
+    conventions: every log10 argument is an identical exact rational,
+    the per-(doc,lang) sum is an ordered fold over word POSITION, the
+    total is floor-rounded at 1e6 before the argmax, and ties break on
+    lang ascending via struct-min — so the argmax, and therefore the
+    confusion matrix, is engine-exact.
+    """
+    words = F.split(F.col(text_col), " ")
+    wl = docs.select(
+        F.col(id_col), F.col(lang_col), F.posexplode(words).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    cwl = wl.groupBy(F.col(lang_col).alias("_l"), "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cwl")
+    )
+    totl = wl.groupBy(F.col(lang_col).alias("_l")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("totl")
+    )
+    v = wl.select("w").distinct().count()
+    n_docs = docs.count()
+    priors = docs.groupBy(F.col(lang_col).alias("_l")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nl")
+    )
+    langs = priors.select("_l")
+    # the denominator (tot_l + V) joins in per lang so the quotient is
+    # formed as ONE division of exact values, not a log difference
+    scored = (
+        wl.select(id_col, lang_col, "pos", "w")
+        .crossJoin(F.broadcast(langs))
+        .join(F.broadcast(cwl), ["_l", "w"], "left")
+        .join(F.broadcast(totl), "_l")
+        .withColumn(
+            "logp",
+            F.log10(
+                (F.coalesce(F.col("cwl"), F.lit(0)) + F.lit(1))
+                / (F.col("totl") + F.lit(v))
+            ),
+        )
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["logp"],
+    )
+    per_lang = (
+        scored.groupBy(id_col, lang_col, "_l")
+        .agg(folded.alias("_s"))
+        .join(F.broadcast(priors), "_l")
+        .withColumn(
+            "score",
+            F.floor(
+                (F.col("_s") + F.log10(F.col("nl") / F.lit(float(n_docs)))) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        )
+    )
+    pred = per_lang.groupBy(id_col, lang_col).agg(
+        F.min(F.struct((-F.col("score")).alias("neg"), F.col("_l").alias("pl"))).alias(
+            "w"
+        )
+    )
+    return (
+        pred.select(F.col(lang_col), F.col("w.pl").alias("pred_lang"))
+        .groupBy(lang_col, "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

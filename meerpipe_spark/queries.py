@@ -7776,3 +7776,63 @@ def skew_profile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_tables(spark, sf_dir)["events"]
     return skew_profile(events, F.col("user_id"), top=10)
+
+
+@_register(
+    "nb_langid_confusion",
+    """
+    WITH wl AS (
+        SELECT doc_id, lang, u.pos AS pos, u.w AS w FROM (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(ws) + 1),
+                          i -> {'pos': i - 1, 'w': ws[i]})) AS u
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                  FROM documents))
+        WHERE u.w <> ''
+    ),
+    cwl AS (SELECT lang AS l, w, count(*)::BIGINT AS cwl FROM wl GROUP BY 1, 2),
+    totl AS (SELECT lang AS l, count(*)::BIGINT AS totl FROM wl GROUP BY 1),
+    vv AS (SELECT count(DISTINCT w)::BIGINT AS v FROM wl),
+    nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    priors AS (SELECT lang AS l, count(*)::BIGINT AS nl FROM documents GROUP BY 1),
+    langs AS (SELECT l FROM priors),
+    scored AS (
+        SELECT wl.doc_id, wl.lang, langs.l, wl.pos,
+               log10((coalesce(cwl.cwl, 0) + 1) / (totl.totl + vv.v)) AS logp
+        FROM wl CROSS JOIN langs
+        LEFT JOIN cwl ON cwl.l = langs.l AND cwl.w = wl.w
+        JOIN totl ON totl.l = langs.l CROSS JOIN vv
+    ),
+    per AS (
+        SELECT doc_id, lang, l,
+               floor((list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
+                                  (a, b) -> a + b)
+                      + log10(nl / CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS score
+        FROM scored JOIN priors USING (l) CROSS JOIN nn
+        GROUP BY doc_id, lang, l, nl, n
+    ),
+    pred AS (
+        SELECT doc_id, lang, l AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, l ASC) AS rn
+        FROM per
+    )
+    SELECT lang, pred_lang, count(*)::BIGINT AS n
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+    doc="Naive Bayes language-ID trained and scored INSIDE the engine "
+        "(operators/text.py::nb_langid_confusion) — the in-engine-"
+        "training companion to bpe_train_merges: class-conditional word "
+        "counts, priors and vocabulary are three exact-bigint corpus "
+        "aggregates; the vocab*langs model broadcasts into a pure-map "
+        "scoring pass. add-1 smoothing, each log10 on an identical "
+        "exact rational, per-(doc,lang) position-ordered fold, total "
+        "floor-rounded at 1e6 before a lang-ascending struct-min argmax "
+        "- the confusion matrix is engine-exact. Returns (lang, "
+        "pred_lang, n).",
+)
+def nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import nb_langid_confusion as nb
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return nb(docs)

@@ -107,3 +107,21 @@ def test_skew_profile_gini(spark):
     assert out[0]["cum_share"] == 0.5
     assert out[1]["cum_share"] == 0.75
     assert abs(out[0]["gini"] - 0.166667) < 1e-9
+
+
+def test_nb_langid_separable_corpus(spark):
+    from meerpipe_spark.operators.text import nb_langid_confusion
+
+    # perfectly separable vocabularies -> diagonal confusion matrix
+    rows = [
+        (1, "bonjour le monde", "fr"),
+        (2, "le monde bonjour bonjour", "fr"),
+        (3, "hello world hello", "en"),
+        (4, "world hello world", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING, lang STRING")
+    got = {
+        (r["lang"], r["pred_lang"]): r["n"]
+        for r in nb_langid_confusion(docs).collect()
+    }
+    assert got == {("fr", "fr"): 2, ("en", "en"): 2}

@@ -92,6 +92,17 @@ ANCHORS: dict[str, float] = {
     "bigram_perplexity_docs": 3.673,       # r5w4
     "hard_negative_mining": 7.517,         # r5w4 (kmeans + pair window)
     "ppjoin_jaccard_pairs": 1.700,         # r5w4 (warm-session steady state)
+    # r5w5: measured at the wave-5 commit with ab_ratio 1.146 and divided
+    # out (loadavg 4.7 during the 52-query run), so these approximate the
+    # idle-box convention of the rows above.
+    "q21_waiting_suppliers": 1.04,         # r5w5
+    "bpe_train_merges": 2.55,              # r5w5 (8 vocab-sized merge steps)
+    "table_diff_orders": 0.55,             # r5w5
+    "triangle_count_parts": 8.96,          # r5w5 (wedge join, O(m^1.5))
+    "event_transitions": 0.30,             # r5w5
+    "skew_profile_users": 0.20,            # r5w5
+    "nb_langid_confusion": 2.17,           # r5w5 (train + self-score)
+    "sequence_pattern_funnels": 0.30,      # r5w5
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

@@ -216,3 +216,53 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
     )
+
+
+def sequence_pattern_matches(
+    events: DataFrame,
+    pattern: str,
+    codes: dict[str, str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection: encode each
+    user's event history as a code string (one char per event, total
+    order via the unique event id) and count non-overlapping regex
+    matches — e.g. ``vc[^ep]*p`` = "view, click, then a purchase with
+    no error in between".
+
+    Returns (user_id, journey_len, n_matches) for users with ≥1 match.
+
+    The journey string is ONE groupBy (map-side partial collect), the
+    regex is a zero-shuffle map — no self-join explosion, no per-event
+    window state. At 100 TB the per-user journey is bounded by the
+    events-per-user skew; hyperactive users degrade to a long string,
+    not a quadratic join. Keep patterns quantifier-unambiguous (the
+    char class excludes the closing char) so leftmost non-overlapping
+    match counts agree between regex engines (Java util.regex vs RE2).
+    """
+    code = F.col(type_col)
+    for k, v in sorted(codes.items()):
+        code = F.when(F.col(type_col) == k, v).otherwise(code)
+    seq = (
+        events.select(
+            F.col(user_col),
+            F.struct(F.col(ts_col), F.col(id_col), code.alias("c")).alias("s"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("s")), lambda x: x["c"])
+            ).alias("journey")
+        )
+    )
+    return (
+        seq.select(
+            user_col,
+            F.length("journey").cast("bigint").alias("journey_len"),
+            F.regexp_count("journey", F.lit(pattern)).cast("bigint").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

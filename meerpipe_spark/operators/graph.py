@@ -152,3 +152,51 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("n_edges"),
     ).crossJoin(deg.agg(F.count("*").cast("bigint").alias("n_nodes")))
     return counts.crossJoin(tris).select("n_nodes", "n_edges", "n_triangles")
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) with fully deterministic updates: every node starts as
+    its own label; each round it adopts the label most frequent among
+    its neighbours, ties broken toward the SMALLEST label (struct-min
+    over (-count, label) — exact bigint counts, so rounds are engine-
+    and partitioning-invariant, unlike classic random-order LPA).
+    Isolated update order (synchronous JACOBI, not in-place) keeps the
+    result independent of traversal order.
+
+    Per round: one labels⋈edges join (labels are node-sized), one
+    (node, label) count aggregate with map-side partials, one argmax
+    aggregate — the Pregel message shape, lineage truncated per round
+    with localCheckpoint like pagerank_fixed_point. Hub skew is
+    absorbed by the partial counts.
+
+    Returns (node, label) after `iters` rounds.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        votes = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("neg"), F.col("label").alias("l"))
+                ).alias("w")
+            )
+            .select("node", F.col("w.l").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

@@ -7438,6 +7438,7 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inequality as residual condition — lineitem is scanned a "
         "bounded 3x, never per-row. Late = shipdate > orderdate + 365d "
         "(stands in for receipt-after-commit).",
+    headline=True,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.io import register_views
@@ -7620,6 +7621,7 @@ _DIFF_BUCKET = "substr(md5(CAST(o_orderkey AS STRING)), 1, 2)"
         "behind CDC validation and backfill verification; at 100 TB "
         "AQE absorbs the small-delta asymmetry. changed_cols names the "
         "differing columns, hash-checked as data.",
+    headline=True,
 )
 def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.reconcile import table_diff
@@ -7695,6 +7697,7 @@ def entity_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "counting survive a celebrity node at 100 TB. The oracle is the "
         "ALGORITHM-INDEPENDENT canonical a<b<c three-way join; matching "
         "counts check the orientation scheme end to end.",
+    headline=True,
 )
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.graph import triangle_count
@@ -7732,6 +7735,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rounded 6dp. The event-analytics companion to funnel/"
         "sessionization: the input to next-action prediction and "
         "anomalous-flow detection.",
+    headline=True,
 )
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.funnel import transition_matrix
@@ -7770,6 +7774,7 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "terms exact bigints over the VOCAB-sized count table (the raw "
         "events are touched once, absorbed by map-side partials); two "
         "final divisions rounded 6dp.",
+    headline=True,
 )
 def skew_profile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.skew import skew_profile
@@ -7830,9 +7835,163 @@ def skew_profile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor-rounded at 1e6 before a lang-ascending struct-min argmax "
         "- the confusion matrix is engine-exact. Returns (lang, "
         "pred_lang, n).",
+    headline=True,
 )
 def nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.text import nb_langid_confusion as nb
 
     docs = load_tables(spark, sf_dir)["documents"]
     return nb(docs)
+
+
+@_register(
+    "sequence_pattern_funnels",
+    """
+    WITH j AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                          WHEN 'click' THEN 'c'
+                                          WHEN 'purchase' THEN 'p'
+                                          WHEN 'error' THEN 'e'
+                                          WHEN 'signup' THEN 's' END,
+                          '' ORDER BY ts, event_id) AS journey
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(journey) AS BIGINT) AS journey_len,
+           CAST(len(regexp_extract_all(journey, 'vc[^ep]*p')) AS BIGINT)
+               AS n_matches
+    FROM j WHERE len(regexp_extract_all(journey, 'vc[^ep]*p')) > 0
+    """,
+    doc="MATCH_RECOGNIZE-style sequence patterns (operators/funnel.py::"
+        "sequence_pattern_matches): each user's history becomes a code "
+        "string (total order via event-id tie-break) and 'view, click, "
+        "then purchase with no error between' is the regex vc[^ep]*p — "
+        "counted non-overlapping. One groupBy + a zero-shuffle map: no "
+        "self-join explosion, no per-event window state; the pattern's "
+        "char class excludes its closing char so Java regex and RE2 "
+        "agree on match counts. Complements funnel() (greedy-earliest "
+        "latencies) with arbitrary-pattern counting.",
+    headline=True,
+)
+def sequence_pattern_funnels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.funnel import sequence_pattern_matches
+
+    events = load_tables(spark, sf_dir)["events"]
+    return sequence_pattern_matches(
+        events,
+        "vc[^ep]*p",
+        {"view": "v", "click": "c", "purchase": "p", "error": "e", "signup": "s"},
+    )
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    """DuckDB twin of graph.py::label_propagation — the same rounds
+    unrolled: exact bigint votes, (count DESC, label ASC) argmax via
+    row_number, synchronous updates."""
+    parts = [
+        """
+    WITH d AS (
+        SELECT concat('c', o_custkey) AS src, concat('s', l_suppkey) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), e AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d
+        ) WHERE src <> dst
+    ), l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", v{i} AS (
+        SELECT e.dst AS node, l{i - 1}.label, count(*)::BIGINT AS n
+        FROM e JOIN l{i - 1} ON l{i - 1}.node = e.src GROUP BY 1, 2
+    ), l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY n DESC, label ASC) AS rn
+            FROM v{i}) WHERE rn = 1
+    )"""
+        )
+    parts.append(f"\n    SELECT node, label FROM l{iters}")
+    return "".join(parts)
+
+
+@_register(
+    "lpa_communities",
+    _lpa_oracle_sql(iters=4),
+    doc="Deterministic synchronous label propagation (operators/"
+        "graph.py::label_propagation, Raghavan et al. 2007) on the "
+        "customer-supplier purchase graph, 4 rounds: each node adopts "
+        "its neighbours' plurality label, ties to the smallest label "
+        "via struct-min over exact bigint votes — so an algorithm that "
+        "is classically run with RANDOM traversal order becomes engine- "
+        "and partitioning-invariant (checked against a 4-round unrolled "
+        "CTE). Pregel message shape per round; the third graph "
+        "primitive next to connected components (duplicate clusters) "
+        "and PageRank (canonical-doc election).",
+)
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import label_propagation
+
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return label_propagation(edges, iters=4)
+
+
+@_register(
+    "seasonal_anomaly_hours",
+    """
+    WITH hourly AS (
+        SELECT CAST(ts AS DATE) AS d, hour(ts) AS h,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), base AS (
+        SELECT h,
+               sum(cnt) AS s, sum(cnt * cnt) AS ss, count(*) AS n
+        FROM hourly GROUP BY h
+    )
+    SELECT d, h, cnt,
+           round((cnt - s / CAST(n AS DOUBLE))
+                 / sqrt((ss * n - s * s) / (CAST(n AS DOUBLE) * n * n)), 6) AS z
+    FROM hourly JOIN base USING (h)
+    WHERE (ss * n - s * s) > 0
+      AND abs((cnt - s / CAST(n AS DOUBLE))
+              / sqrt((ss * n - s * s) / (CAST(n AS DOUBLE) * n * n))) >= 2.0
+    """,
+    doc="Seasonal anomaly detection: per-(date, hour) event counts "
+        "z-scored against the hour-of-day baseline across days — the "
+        "time-series twin of robust_outliers (which is cross-sectional). "
+        "Variance numerator ss*n - s*s is EXACT bigint (counts are "
+        "ints), so mean/std come from single divisions and one IEEE-"
+        "exact sqrt: the z column and the |z|>=2 cut are deterministic. "
+        "Baseline is 24 rows broadcast back onto the hourly aggregate; "
+        "raw events are touched once.",
+)
+def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    hourly = events.groupBy(
+        F.col("ts").cast("date").alias("d"), F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    base = hourly.groupBy("h").agg(
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = hourly.join(F.broadcast(base), "h")
+    mean = F.col("s") / F.col("n").cast("double")
+    var = (F.col("ss") * F.col("n") - F.col("s") * F.col("s")) / (
+        F.col("n").cast("double") * F.col("n") * F.col("n")
+    )
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        j.filter((F.col("ss") * F.col("n") - F.col("s") * F.col("s")) > 0)
+        .filter(F.abs(z) >= 2.0)
+        .select("d", "h", "cnt", F.round(z, 6).alias("z"))
+    )

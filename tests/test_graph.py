@@ -37,3 +37,24 @@ def test_partitioning_invariance_bit_exact(spark):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb  # integer arithmetic: identical to the last bit
+
+
+def test_label_propagation_two_cliques(spark):
+    from meerpipe_spark.operators.graph import label_propagation
+
+    # two disconnected triangles: each converges to its min node id
+    # (with a bridge, synchronous LPA legitimately bleeds labels across)
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iters=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from meerpipe_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 7) % 23) for i in range(40)] + [(i, i + 1) for i in range(22)]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    a = sorted(map(tuple, label_propagation(df.repartition(1), iters=3).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(13), iters=3).collect()))
+    assert a == b

@@ -73,7 +73,10 @@ ANCHORS: dict[str, float] = {
     "binned_interval_join": 0.329,     # r5
     "hll_distinct_shingles": 1.568,    # r5
     "bloom_contamination_check": 1.853,  # r5
-    "paragraph_dedup_docs": 0.142,     # r5
+    # re-anchored r5w5: a frozen-checkout A/B showed the original 0.142
+    # was a lucky measurement — the ANCHOR commit itself times 0.371 on
+    # today's idle box while HEAD times 0.305 (no code regression).
+    "paragraph_dedup_docs": 0.305,     # r5w5 (A/B re-anchor)
     "duplicate_spans_docs": 0.211,     # r5
     "temperature_mixture_resample": 0.567,  # r5
     "pca_top2_projection": 0.732,      # r5
@@ -103,6 +106,7 @@ ANCHORS: dict[str, float] = {
     "skew_profile_users": 0.20,            # r5w5
     "nb_langid_confusion": 2.17,           # r5w5 (train + self-score)
     "sequence_pattern_funnels": 0.30,      # r5w5
+    "brand_trend_ols": 0.86,               # r5w5 (warm best-of-3, idle box)
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

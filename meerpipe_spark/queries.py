@@ -7995,3 +7995,161 @@ def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) >= 2.0)
         .select("d", "h", "cnt", F.round(z, 6).alias("z"))
     )
+
+
+@_register(
+    "brand_trend_ols",
+    """
+    WITH m AS (
+        SELECT p_brand,
+               (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS x,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                        AS BIGINT)) AS y
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2
+    ), s AS (
+        SELECT p_brand, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+        FROM m GROUP BY p_brand
+    )
+    SELECT p_brand,
+           round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) / 100,
+                 6) AS slope_per_month,
+           round((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx)
+                 / (CAST(n AS DOUBLE) * (n * sxx - sx * sx)) / 100,
+                 4) AS intercept
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+    doc="Per-group OLS revenue trend (slope/intercept of monthly revenue "
+        "per brand) computed ENTIRELY in exact bigint sufficient "
+        "statistics: x is an integer month index, y integer revenue "
+        "cents, so n*sxy - sx*sy and n*sxx - sx^2 are exact, and slope "
+        "AND intercept are each ONE division of exact integers — no "
+        "float accumulation anywhere, engine- and partitioning-"
+        "invariant without any fold ordering. The per-key regression "
+        "primitive (trend detection over 10^6 keys in two shuffles: "
+        "month rollup, then brand stats).",
+    headline=True,
+)
+def brand_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    m = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            "p_brand",
+            ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias("x"),
+        )
+        .agg(F.sum(cents).alias("y"))
+    )
+    s = m.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.filter(den > 0).select(
+        "p_brand",
+        F.round(num / den.cast("double") / 100, 6).alias("slope_per_month"),
+        F.round(
+            (F.col("sy") * den - num * F.col("sx"))
+            / (F.col("n").cast("double") * den)
+            / 100,
+            4,
+        ).alias("intercept"),
+    )
+
+
+@_register(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           round(sum(l_extendedprice), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+    doc="GROUPING SETS with per-column grouping() indicators: the "
+        "subtotal lattice (flag x status, flag, grand total) in ONE "
+        "scan — Catalyst plans a single Expand + aggregate, not three "
+        "unioned scans. grouping() emitted per column (engine-portable, "
+        "unlike composite grouping_id bit orders). Completes the "
+        "multidimensional-aggregate family next to cube_agg/rollup_agg.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               round(sum(l_extendedprice), 4) AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@_register(
+    "last_touch_attribution",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, ts, value,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS channel
+        FROM events
+    )
+    SELECT coalesce(channel, 'none') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+               AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Last-touch marketing attribution: each purchase credits the "
+        "most recent view/click STRICTLY before it in the user's "
+        "stream (IGNORE NULLS last_value over an unbounded-to-1-"
+        "preceding frame — the window form of the as-of join, one "
+        "user-partitioned pass, no self-join). Values summed as exact "
+        "integer cents then divided once. Purchases with no prior "
+        "touch land in 'none' — the bucket that tells you attribution "
+        "coverage.",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        events.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum(cents) / 100.0, 2).alias("attributed_value"),
+        )
+    )

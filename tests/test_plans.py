@@ -292,3 +292,24 @@ def test_guardrails_pass_healthy_queries(spark, sf_dir):
     for name in ("q5_region_revenue", "fluxcal_multiplier", "binned_interval_join",
                  "scd2_user_event_type", "rolling_7d_user_value"):
         check_plan(QUERIES[name].fn(spark, sf_dir))
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path_factory):
+    # write a fact table PARTITIONED on the join key, join a filtered
+    # dim: Catalyst must inject a dynamicpruning subquery into the scan
+    # so only matching partitions are read — the mechanism that turns a
+    # 100 TB date-partitioned scan into a few partitions at runtime
+    import pyspark.sql.functions as F
+
+    from meerpipe_spark.io import load_tables
+
+    path = str(tmp_path_factory.mktemp("dpp") / "orders_part")
+    orders = load_tables(spark, sf_dir)["orders"]
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame([("F", 1)], "status STRING, w INT").filter("w = 1")
+    j = fact.join(dim, fact.o_orderstatus == dim.status).agg(F.count("*"))
+    plan = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan.lower(), plan

@@ -244,3 +244,88 @@ def test_duplicate_spans_matches_bruteforce(spark, seed, n_docs):
                 spans.append([p, p])
         dup_words = sum(b + L - a for a, b in spans)
         assert got[i] == (len(spans), dup_words), (i, texts)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave-5: BPE trainer and triangle counter vs brute-force oracles
+# ---------------------------------------------------------------------------
+
+def _bpe_reference(word_freqs: dict[str, int], steps: int):
+    """Pure-Python Sennrich BPE trainer: the independent oracle."""
+    words = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(steps):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + word_freqs[w]
+                )
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_bpe_train_matches_reference(spark, words, steps):
+    from meerpipe_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id INT, text STRING")
+    got = [
+        (r["pair_a"], r["pair_b"], r["pair_count"])
+        for r in bpe_train(docs, steps=steps).orderBy("step").collect()
+    ]
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    assert got == _bpe_reference(freqs, steps)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_triangle_count_matches_brute_force(spark, raw_edges):
+    from itertools import combinations
+
+    from meerpipe_spark.operators.graph import triangle_count
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    if not edges:
+        return
+    nodes = {n for e in edges for n in e}
+    expected = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    df = spark.createDataFrame(list(edges), "src INT, dst INT")
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == expected
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(nodes)

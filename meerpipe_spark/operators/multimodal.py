@@ -168,3 +168,83 @@ def decode_image_real(payload: bytes, dim: int) -> np.ndarray:
     v[: flat.size] = flat
     n = float(np.linalg.norm(v))
     return v / n if n > 0 else v
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def vectors_to_png(
+    vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Render each 64-dim vector as a real 8×8 grayscale PNG payload
+    (px = clamp(floor((v+4)·32), 0, 255), row-major) via the pure-numpy
+    codec — the deterministic media fixture generator for the multimodal
+    lane: pixel → payload is lossless, so downstream image ops can be
+    oracle-checked from the pixel FORMULA while Spark exercises the real
+    encode→decode path."""
+    from meerpipe_spark.functions.png import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for vec in pdf[vec_col]:
+                v = np.asarray(vec, dtype=np.float64)
+                px = np.clip(np.floor((v + 4.0) * 32.0), 0, 255).astype(np.uint8)
+                payloads.append(encode_png(px.reshape(8, 8)))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    out = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return vecs.select(id_col, vec_col).mapInPandas(run, out)
+
+
+def image_dhash(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual difference-hash over image payloads: decode, grayscale,
+    then bit (i,j) = px[i,j] < px[i,j+1] packed row-major — near-identical
+    images (brightness shifts, mild noise) land within a small Hamming
+    distance, the standard cheap screen before pixel-level comparison in
+    an image dedup pipeline. 8×8 inputs give a 56-bit hash (7 comparisons
+    × 8 rows), exact in a bigint.
+
+    mapInPandas, zero shuffle, per-row failure isolation (corrupt payload
+    → decode_ok=False, never a task failure). Pure-numpy PNG decode —
+    bit-exact, no resampling library variance."""
+    from meerpipe_spark.functions.png import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                ids.append(mid)
+                try:
+                    img = decode_png(bytes(payload))
+                    if img.ndim == 3:
+                        img = (
+                            0.299 * img[:, :, 0]
+                            + 0.587 * img[:, :, 1]
+                            + 0.114 * img[:, :, 2]
+                        )
+                    img = img.astype(np.int64)
+                    bits = (img[:, :-1] < img[:, 1:]).astype(np.int64).flatten()
+                    hashes.append(int((bits * (1 << np.arange(bits.size))).sum()))
+                    oks.append(True)
+                except Exception:
+                    hashes.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {"media_id": ids, "dhash": pd.array(hashes, dtype="Int64"), "decode_ok": oks}
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(run, DHASH_SCHEMA)

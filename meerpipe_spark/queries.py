@@ -8153,3 +8153,53 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents) / 100.0, 2).alias("attributed_value"),
         )
     )
+
+
+def _dhash_oracle_sql() -> str:
+    """DuckDB twin of the PNG round-trip dHash: because pixel→PNG→pixel
+    is lossless (functions/png.py is bit-exact), the oracle recomputes
+    the pixels from the same formula and packs the same 56 comparison
+    bits — a mismatch means the Spark-side ENCODE/DECODE path corrupted
+    a pixel."""
+    def px(k: int) -> str:
+        return (
+            f"least(greatest(CAST(floor((embedding[{k + 1}] + 4.0) * 32.0) "
+            f"AS BIGINT), 0), 255)"
+        )
+
+    terms = []
+    for i in range(8):
+        for j in range(7):
+            b = i * 7 + j
+            terms.append(
+                f"CASE WHEN {px(i * 8 + j)} < {px(i * 8 + j + 1)} "
+                f"THEN {1 << b}::BIGINT ELSE 0 END"
+            )
+    bits = "\n             + ".join(terms)
+    return f"""
+    SELECT vec_id AS media_id,
+           ({bits}) AS dhash,
+           TRUE AS decode_ok
+    FROM embeddings
+    """
+
+
+@_register(
+    "image_dhash_roundtrip",
+    _dhash_oracle_sql(),
+    doc="Multimodal with a FULL oracle: each embedding renders as a real "
+        "8x8 grayscale PNG (pure-numpy encoder), Spark DECODES the "
+        "payload back and computes the 56-bit perceptual difference "
+        "hash (operators/multimodal.py::image_dhash) — the cheap "
+        "near-dup screen of an image dedup pipeline. The oracle never "
+        "sees a PNG: it recomputes the pixels from the closed formula "
+        "and packs the same bits, so the hash-match PROVES the "
+        "encode->decode path is pixel-lossless end to end (upgrade of "
+        "the rows-only media_feature_extract lane). Two mapInPandas "
+        "stages, zero shuffle, per-row failure isolation.",
+)
+def image_dhash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.multimodal import image_dhash, vectors_to_png
+
+    vecs = load_tables(spark, sf_dir)["embeddings"]
+    return image_dhash(vectors_to_png(vecs))

@@ -94,3 +94,40 @@ def test_cap_image_sizes_failure_isolated(spark):
     df = spark.createDataFrame([Row(media_id=1, payload=b"x" * 2_000_000)])
     out = cap_image_sizes(df, cap_bytes=1_000_000, resize=bad_resize).collect()[0]
     assert not out.resized and out.n_bytes == 2_000_000  # passthrough, no task failure
+
+
+def test_image_dhash_brightness_invariant_and_fail_soft(spark):
+    import numpy as np
+
+    from meerpipe_spark.functions.png import encode_png
+    from meerpipe_spark.operators.multimodal import image_dhash
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(40, 200, size=(8, 8)).astype(np.uint8)
+    shifted = (base + 20).astype(np.uint8)  # uniform brightness shift
+    rows = [
+        (1, bytearray(encode_png(base))),
+        (2, bytearray(encode_png(shifted))),
+        (3, bytearray(b"not a png")),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {r["media_id"]: (r["dhash"], r["decode_ok"]) for r in image_dhash(media).collect()}
+    # dHash compares ADJACENT pixels: a uniform shift preserves every bit
+    assert got[1] == got[2]
+    assert got[1][1] is True
+    # corrupt payload: isolated, not a task failure
+    assert got[3] == (None, False)
+
+
+def test_vectors_to_png_roundtrip_lossless(spark):
+    import numpy as np
+
+    from meerpipe_spark.functions.png import decode_png
+    from meerpipe_spark.operators.multimodal import vectors_to_png
+
+    vec = [((i * 13) % 160) / 20.0 - 4.0 for i in range(64)]
+    df = spark.createDataFrame([(9, vec)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    payload = bytes(vectors_to_png(df).collect()[0]["payload"])
+    px = decode_png(payload)
+    expect = np.clip(np.floor((np.array(vec) + 4.0) * 32.0), 0, 255).astype(np.uint8)
+    assert (px.flatten() == expect).all()

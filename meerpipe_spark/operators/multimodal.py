@@ -19,6 +19,7 @@ map-side only (no shuffle).
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -248,3 +249,95 @@ def image_dhash(media: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return media.select("media_id", payload_col).mapInPandas(run, DHASH_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+PCM_SAMPLES = 256
+
+
+def vectors_to_pcm(
+    vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Synthesize a deterministic 16-bit little-endian PCM payload from
+    each 64-dim vector: sample[k] = clamp(floor(v[k mod 64]·(2000+8k)),
+    int16) for k in [0, 256) — the audio twin of vectors_to_png: the
+    byte encoding is exactly invertible, so downstream audio ops are
+    oracle-checkable from the sample FORMULA while Spark exercises real
+    byte-level parsing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ks = np.arange(PCM_SAMPLES)
+        gains = (2000 + 8 * ks).astype(np.float64)
+        for pdf in batches:
+            payloads = []
+            for vec in pdf[vec_col]:
+                v = np.asarray(vec, dtype=np.float64)
+                s = np.floor(v[ks % 64] * gains)
+                s = np.clip(s, -32768, 32767).astype("<i2")
+                payloads.append(s.tobytes())
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    out = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return vecs.select(id_col, vec_col).mapInPandas(run, out)
+
+
+def audio_frame_features(
+    media: DataFrame, frame: int = 64, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame-windowed audio features over 16-bit LE PCM payloads: per
+    frame, RMS energy (sqrt of the exact integer sum of squares / n,
+    rounded 6dp) and the zero-crossing count (strict sign products —
+    exact ints). The speech/music/silence screen of an audio curation
+    pipeline; mapInPandas, zero shuffle, per-row failure isolation.
+    A truncated or odd-length payload yields decode_ok=False rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, rmss, zcrs, oks = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                if len(raw) == 0 or len(raw) % (2 * frame):
+                    ids.append(mid)
+                    fids.append(-1)
+                    rmss.append(None)
+                    zcrs.append(None)
+                    oks.append(False)
+                    continue
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for fi in range(s.size // frame):
+                    fr = s[fi * frame : (fi + 1) * frame]
+                    sumsq = int((fr * fr).sum())
+                    rms = math.floor(math.sqrt(sumsq / frame) * 1e6 + 0.5) / 1e6
+                    zcr = int(((fr[:-1] * fr[1:]) < 0).sum())
+                    ids.append(mid)
+                    fids.append(fi)
+                    rmss.append(rms)
+                    zcrs.append(zcr)
+                    oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": np.array(fids, dtype="int32"),
+                    "rms": pd.array(rmss, dtype="Float64"),
+                    "zcr": pd.array(zcrs, dtype="Int64"),
+                    "decode_ok": oks,
+                }
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)

@@ -8203,3 +8203,46 @@ def image_dhash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = load_tables(spark, sf_dir)["embeddings"]
     return image_dhash(vectors_to_png(vecs))
+
+
+@_register(
+    "audio_frame_features_pcm",
+    """
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(range(0, 256), k ->
+                   least(greatest(CAST(floor(embedding[(k % 64) + 1]
+                                             * (2000 + 8 * k)) AS BIGINT),
+                                  -32768), 32767)) AS smp
+        FROM embeddings
+    ), f AS (
+        SELECT vec_id, smp, unnest(range(0, 4)) AS frame_idx FROM s
+    )
+    SELECT vec_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+           floor(sqrt(CAST(list_sum(list_transform(range(0, 64), j ->
+                     smp[frame_idx * 64 + j + 1] * smp[frame_idx * 64 + j + 1]))
+                 AS DOUBLE) / 64.0) * 1e6 + 0.5) / 1e6 AS rms,
+           CAST(list_sum(list_transform(range(0, 63), j ->
+                CASE WHEN smp[frame_idx * 64 + j + 1]
+                          * smp[frame_idx * 64 + j + 2] < 0
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS zcr,
+           TRUE AS decode_ok
+    FROM f
+    """,
+    doc="Audio lane with a FULL oracle (the vectors_to_png trick for "
+        "PCM): each embedding synthesizes a deterministic 256-sample "
+        "16-bit LE payload; Spark parses the BYTES back (real "
+        "frombuffer decode) and emits per-frame RMS energy + zero-"
+        "crossing counts (operators/multimodal.py::audio_frame_"
+        "features) — the speech/music/silence screen of audio curation. "
+        "The oracle regenerates samples from the formula without "
+        "touching bytes: sums of squares are exact bigints (order-"
+        "free), RMS is one division + IEEE sqrt floor-rounded at 1e6, "
+        "crossings are exact sign products — a hash-match proves the "
+        "byte round-trip AND the feature math.",
+)
+def audio_frame_features_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.multimodal import audio_frame_features, vectors_to_pcm
+
+    vecs = load_tables(spark, sf_dir)["embeddings"]
+    return audio_frame_features(vectors_to_pcm(vecs))

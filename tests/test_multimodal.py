@@ -131,3 +131,26 @@ def test_vectors_to_png_roundtrip_lossless(spark):
     px = decode_png(payload)
     expect = np.clip(np.floor((np.array(vec) + 4.0) * 32.0), 0, 255).astype(np.uint8)
     assert (px.flatten() == expect).all()
+
+
+def test_audio_frame_features_known_signal_and_fail_soft(spark):
+    import numpy as np
+
+    from meerpipe_spark.operators.multimodal import audio_frame_features
+
+    # square wave +/-100 alternating every sample: rms=100, zcr=63
+    sq = np.tile([100, -100], 32).astype("<i2").tobytes()
+    silent = np.zeros(64, dtype="<i2").tobytes()
+    rows = [
+        (1, bytearray(sq)),
+        (2, bytearray(silent)),
+        (3, bytearray(b"odd")),  # not a multiple of frame bytes
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["rms"], r["zcr"], r["decode_ok"])
+        for r in audio_frame_features(media, frame=64).collect()
+    }
+    assert got[(1, 0)] == (100.0, 63, True)
+    assert got[(2, 0)] == (0.0, 0, True)
+    assert got[(3, -1)] == (None, None, False)

@@ -107,3 +107,60 @@ def entity_match_candidates(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
+
+
+def entity_match_deletion_join(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+) -> DataFrame:
+    """EXACT Levenshtein-1 candidate pairs via the deletion-neighborhood
+    join (FastSS, Bocek et al. 2007 / SymSpell — public algorithms):
+    every record emits its name plus all L single-character-deletion
+    variants; two strings within edit distance 1 MUST share a variant
+    key (substitution at p → both minus p agree; indel → the shorter
+    string is itself a variant of the longer), so one equi-join on the
+    variant finds every pair, then a Levenshtein verify keeps exactness.
+
+    Same output contract as entity_match_candidates(max_distance=1) —
+    but LINEAR: the shuffle carries L+1 short keys per record and
+    bucket sizes are bounded by true near-dup group sizes, not by any
+    blocking key's population. This is the scale path: a nation-blocked
+    quadratic join measured 25 s at sf0.1 and would be ~450 M
+    Levenshtein calls at sf1.0; the deletion join's candidate count is
+    proportional to the OUTPUT. Segment/prefix schemes (PassJoin)
+    degenerate on sequential-ID keys (constant prefixes make the hot
+    signature quadratic); deletion keys cannot, because a hot variant
+    bucket IS a true near-dup cluster.
+    """
+    base = records.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    variants = base.select(
+        "id",
+        "name",
+        F.explode(
+            F.array_union(
+                F.array(F.col("name")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("name")),
+                    lambda i: F.concat(
+                        F.substring(F.col("name"), 1, i - 1),
+                        F.col("name").substr(i + 1, F.length("name")),
+                    ),
+                ),
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "variant"
+    )
+    b = variants.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "variant"
+    )
+    return (
+        a.join(b, "variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= 1)
+    )

@@ -7654,22 +7654,37 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE abs(len(a.c_name) - len(b.c_name)) <= 1
       AND levenshtein(a.c_name, b.c_name) <= 1
     """,
-    doc="Blocked fuzzy entity resolution (operators/reconcile.py::"
-        "entity_match_candidates): candidate same-entity pairs from a "
-        "nation-block equi-join (never all-pairs), a length-difference "
-        "prefilter, then the Levenshtein kernel on survivors — the "
-        "record-linkage step before a merge decision. Both engines "
-        "implement unit-cost edit distance, so the integer distance "
-        "column is exact. At 100 TB: union several redundant blocking "
-        "keys; the per-block pair count is the quadratic knob.",
+    doc="Fuzzy entity resolution, EXACT Levenshtein<=1 within nation "
+        "blocks — but computed by the LINEAR deletion-neighborhood join "
+        "(operators/reconcile.py::entity_match_deletion_join, FastSS/"
+        "SymSpell): each name emits its L+1 single-deletion variants; "
+        "any pair within distance 1 shares a variant key, so candidates "
+        "are one equi-join proportional to the OUTPUT, never a "
+        "block-quadratic pair enumeration (the naive nation-block join "
+        "measured 25 s at sf0.1 and ~450 M Levenshtein calls at sf1.0). "
+        "The oracle stays the naive blocked SQL — algorithm "
+        "independence IS the check.",
 )
 def entity_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meerpipe_spark.operators.reconcile import entity_match_candidates
+    from meerpipe_spark.operators.reconcile import entity_match_deletion_join
 
     cust = load_tables(spark, sf_dir)["customer"]
-    return entity_match_candidates(
-        cust, "c_custkey", "c_name", "c_nationkey", max_distance=1
-    ).withColumn("distance", F.col("distance").cast("bigint"))
+    pairs = entity_match_deletion_join(cust, "c_custkey", "c_name")
+    na = cust.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_nationkey").alias("_na")
+    )
+    nb = cust.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_nationkey").alias("_nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(F.col("_na") == F.col("_nb"))
+        .select(
+            "id_a", "id_b", "name_a", "name_b",
+            F.col("distance").cast("bigint").alias("distance"),
+        )
+    )
 
 
 @_register(

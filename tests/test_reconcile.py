@@ -125,3 +125,33 @@ def test_nb_langid_separable_corpus(spark):
         for r in nb_langid_confusion(docs).collect()
     }
     assert got == {("fr", "fr"): 2, ("en", "en"): 2}
+
+
+def test_entity_match_deletion_join_exact_vs_naive(spark):
+    from meerpipe_spark.operators.reconcile import (
+        entity_match_candidates,
+        entity_match_deletion_join,
+    )
+
+    # substitutions, a deletion (indel), and a far pair — the deletion
+    # join must reproduce the naive quadratic join's lev<=1 pairs exactly
+    rows = [
+        (1, "smith"), (2, "smyth"),      # substitution
+        (3, "smit"),                     # deletion of 'h' vs 1
+        (4, "jones"), (5, "jones"),      # identical (distance 0)
+        (6, "zzzzz"),
+    ]
+    recs = spark.createDataFrame(rows, "id INT, name STRING")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in entity_match_deletion_join(recs, "id", "name").collect()
+    }
+    naive = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in entity_match_candidates(
+            recs.withColumn("blk", recs.id * 0), "id", "name", "blk", 1
+        ).collect()
+    }
+    assert got == naive
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(4, 5)] == 0
+    assert (2, 3) not in got  # smyth vs smit is distance 2

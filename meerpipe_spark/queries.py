@@ -8178,7 +8178,7 @@ def _dhash_oracle_sql() -> str:
     a pixel."""
     def px(k: int) -> str:
         return (
-            f"least(greatest(CAST(floor((embedding[{k + 1}] + 4.0) * 32.0) "
+            f"least(greatest(CAST(floor((CAST(embedding[{k + 1}] AS DOUBLE) + 4.0) * 32.0) "
             f"AS BIGINT), 0), 255)"
         )
 
@@ -8226,8 +8226,9 @@ def image_dhash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT vec_id,
                list_transform(range(0, 256), k ->
-                   least(greatest(CAST(floor(embedding[(k % 64) + 1]
-                                             * (2000 + 8 * k)) AS BIGINT),
+                   least(greatest(CAST(floor(CAST(embedding[(k % 64) + 1]
+                                                  AS DOUBLE) * (2000 + 8 * k))
+                                       AS BIGINT),
                                   -32768), 32767)) AS smp
         FROM embeddings
     ), f AS (
@@ -8261,3 +8262,76 @@ def audio_frame_features_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = load_tables(spark, sf_dir)["embeddings"]
     return audio_frame_features(vectors_to_pcm(vecs))
+
+
+@_register(
+    "association_rules_parts",
+    """
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM pp),
+    item AS (SELECT l_partkey AS p, count(*)::BIGINT AS c FROM pp GROUP BY 1),
+    pair AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS c
+        FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), top AS (
+        SELECT pa, pb, c FROM pair
+        ORDER BY c DESC, pa, pb LIMIT 20
+    )
+    SELECT pa, pb, top.c AS pair_count,
+           round(top.c / CAST(n_orders AS DOUBLE), 6) AS support,
+           round(top.c / CAST(ia.c AS DOUBLE), 6) AS confidence_a_b,
+           round((top.c * n_orders) / (CAST(ia.c AS DOUBLE) * ib.c), 6) AS lift
+    FROM top
+    JOIN item ia ON ia.p = top.pa
+    JOIN item ib ON ib.p = top.pb
+    CROSS JOIN n
+    """,
+    doc="Association-rule mining on the part co-purchase baskets: "
+        "support/confidence/lift for the top-20 pairs by exact bigint "
+        "pair count (total (c DESC, pa, pb) order → deterministic "
+        "LIMIT). The pair self-join is per-basket (baskets are <=13 "
+        "items, so C(13,2) bounded fanout — never a global cross); "
+        "item stats broadcast back onto the top slice. Each metric is "
+        "a single division of exact counts rounded 6dp; lift's "
+        "numerator is an exact bigint product. The frequent-itemset "
+        "primitive behind recommendation candidates.",
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = pp.select("l_orderkey").distinct().count()
+    item = pp.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = pp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = pp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = pair.orderBy(F.col("c").desc(), "pa", "pb").limit(20)
+    ia = item.select(F.col("p").alias("pa"), F.col("c").alias("ca"))
+    ib = item.select(F.col("p").alias("pb"), F.col("c").alias("cb"))
+    return (
+        top.withColumnRenamed("c", "pair_count")
+        .join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .select(
+            "pa",
+            "pb",
+            "pair_count",
+            F.round(F.col("pair_count") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(F.col("pair_count") / F.col("ca").cast("double"), 6).alias(
+                "confidence_a_b"
+            ),
+            F.round(
+                (F.col("pair_count") * F.lit(n_orders))
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

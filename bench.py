@@ -107,6 +107,16 @@ ANCHORS: dict[str, float] = {
     "nb_langid_confusion": 2.17,           # r5w5 (train + self-score)
     "sequence_pattern_funnels": 0.30,      # r5w5
     "brand_trend_ols": 0.86,               # r5w5 (warm best-of-3, idle box)
+    "lpa_communities": 9.10,               # r5w5 (4 checkpointed rounds)
+    "entity_match_customers": 4.98,        # r5w5 (deletion-neighborhood join)
+    "image_dhash_roundtrip": 0.33,         # r5w5
+    "audio_frame_features_pcm": 0.40,      # r5w5
+    "seasonal_anomaly_hours": 0.52,        # r5w5
+    "association_rules_parts": 2.30,       # r5w5
+    "last_touch_attribution": 0.42,        # r5w5
+    "grouping_sets_revenue": 0.34,         # r5w5
+    "q2_min_cost_supplier": 1.10,          # r5w5
+    "q11_important_parts": 0.60,           # r5w5
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

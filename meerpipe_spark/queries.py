@@ -7122,6 +7122,7 @@ def curation_recipe_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation dims broadcast. unit_cost uses the floor(x*1e4+0.5)/1e4 "
         "form — identical IEEE op sequence in both engines — so the "
         "equality against the correlated min is boundary-proof.",
+    headline=True,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.io import register_views
@@ -7258,6 +7259,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comparison can never flip on float summation order. Catalyst "
         "evaluates both scalar subqueries once over the reused vals "
         "aggregate; the natsupp semi-join broadcasts ~12 suppkeys.",
+    headline=True,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.io import register_views
@@ -7664,6 +7666,7 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measured 25 s at sf0.1 and ~450 M Levenshtein calls at sf1.0). "
         "The oracle stays the naive blocked SQL — algorithm "
         "independence IS the check.",
+    headline=True,
 )
 def entity_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.reconcile import entity_match_deletion_join
@@ -7944,6 +7947,7 @@ def _lpa_oracle_sql(iters: int) -> str:
         "CTE). Pregel message shape per round; the third graph "
         "primitive next to connected components (duplicate clusters) "
         "and PageRank (canonical-doc election).",
+    headline=True,
 )
 def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.graph import label_propagation
@@ -7988,6 +7992,7 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact sqrt: the z column and the |z|>=2 cut are deterministic. "
         "Baseline is 24 rows broadcast back onto the hourly aggregate; "
         "raw events are touched once.",
+    headline=True,
 )
 def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir)["events"]
@@ -8100,6 +8105,7 @@ def brand_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unioned scans. grouping() emitted per column (engine-portable, "
         "unlike composite grouping_id bit orders). Completes the "
         "multidimensional-aggregate family next to cube_agg/rollup_agg.",
+    headline=True,
 )
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.io import register_views
@@ -8146,6 +8152,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "integer cents then divided once. Purchases with no prior "
         "touch land in 'none' — the bucket that tells you attribution "
         "coverage.",
+    headline=True,
 )
 def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir)["events"]
@@ -8212,6 +8219,7 @@ def _dhash_oracle_sql() -> str:
         "encode->decode path is pixel-lossless end to end (upgrade of "
         "the rows-only media_feature_extract lane). Two mapInPandas "
         "stages, zero shuffle, per-row failure isolation.",
+    headline=True,
 )
 def image_dhash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.multimodal import image_dhash, vectors_to_png
@@ -8256,6 +8264,7 @@ def image_dhash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "free), RMS is one division + IEEE sqrt floor-rounded at 1e6, "
         "crossings are exact sign products — a hash-match proves the "
         "byte round-trip AND the feature math.",
+    headline=True,
 )
 def audio_frame_features_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.multimodal import audio_frame_features, vectors_to_pcm
@@ -8297,6 +8306,7 @@ def audio_frame_features_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a single division of exact counts rounded 6dp; lift's "
         "numerator is an exact bigint product. The frequent-itemset "
         "primitive behind recommendation candidates.",
+    headline=True,
 )
 def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]

@@ -200,3 +200,45 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
             .localCheckpoint()
         )
     return labels
+
+
+def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
+    """k-core decomposition by synchronous peeling: repeatedly drop
+    every node whose degree within the surviving subgraph is < k; what
+    remains after convergence is the k-core (Seidman 1983). Fixed
+    `rounds` iterations — if the peel converges earlier the remaining
+    rounds are no-ops, so a fixed bound keeps the computation
+    engine-identical (the unrolled-CTE oracle runs the SAME rounds)
+    without a data-dependent loop.
+
+    Per round: two broadcast-or-shuffle semi joins (edge endpoints
+    against the alive set) + one degree count with map-side partials —
+    node-sized state, edge-sized work, lineage checkpointed. The
+    density screen of graph curation: spam/bot subgraphs survive high-k
+    cores, organic traffic peels away.
+
+    Returns (node, core_degree) for the surviving nodes, with degree
+    measured in the final induced subgraph.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = und.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    for _ in range(rounds):
+        sub = und.join(
+            alive.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        deg = sub.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg")
+        )
+        alive = deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
+    final = und.join(
+        alive.withColumnRenamed("node", "src"), "src", "left_semi"
+    ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    return final.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

@@ -8345,3 +8345,61 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """DuckDB twin of graph.py::k_core — the same fixed peel rounds
+    unrolled (converged rounds are no-ops, so fixed depth = exact)."""
+    parts = [
+        """
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    d0 AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey <> b.l_partkey
+    ), a0 AS (SELECT DISTINCT src AS node FROM d0)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", g{r} AS (
+        SELECT d0.src AS node, count(*)::BIGINT AS deg
+        FROM d0
+        JOIN a{r - 1} s ON s.node = d0.src
+        JOIN a{r - 1} t ON t.node = d0.dst
+        GROUP BY d0.src
+    ), a{r} AS (SELECT node FROM g{r} WHERE deg >= {k})"""
+        )
+    parts.append(
+        f"""
+    SELECT d0.src AS node, count(*)::BIGINT AS core_degree
+    FROM d0
+    JOIN a{rounds} s ON s.node = d0.src
+    JOIN a{rounds} t ON t.node = d0.dst
+    GROUP BY d0.src"""
+    )
+    return "".join(parts)
+
+
+@_register(
+    "kcore_parts",
+    _kcore_oracle_sql(k=80, rounds=8),
+    doc="k-core decomposition of the part co-purchase graph (operators/"
+        "graph.py::k_core, Seidman 1983): synchronous peel of nodes "
+        "with induced degree < 80, fixed 8 rounds (converges in 5 at "
+        "both SFs; extra rounds are no-ops, so the fixed bound keeps "
+        "Spark and the 8-round unrolled CTE identical without a "
+        "data-dependent loop). Two semi joins + one counted aggregate "
+        "per round, node-sized state, checkpointed lineage. Completes "
+        "the graph suite: components (dedup clusters), PageRank "
+        "(canonical election), LPA (communities), triangles (cohesion), "
+        "k-core (density screen).",
+)
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import k_core
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("src"))
+    b = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "kk").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return k_core(edges, k=80, rounds=8)

@@ -58,3 +58,24 @@ def test_label_propagation_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, label_propagation(df.repartition(1), iters=3).collect()))
     b = sorted(map(tuple, label_propagation(df.repartition(13), iters=3).collect()))
     assert a == b
+
+
+def test_k_core_peels_pendants_recursively(spark):
+    from meerpipe_spark.operators.graph import k_core
+
+    # K4 core + a chain hanging off it: 2-core must peel the whole
+    # chain (recursively — the inner chain node only drops after the
+    # outer one does), K4 survives with degree 3
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + chain, "src INT, dst INT")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=2, rounds=6).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_empty_when_k_exceeds_density(spark):
+    from meerpipe_spark.operators.graph import k_core
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame(tri, "src INT, dst INT")
+    assert k_core(df, k=3, rounds=4).count() == 0

@@ -313,3 +313,20 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path_factory):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_entity_match_deletion_join_no_quadratic_shapes(spark, sf_dir):
+    # candidates come from an equi-join on deletion-variant keys — any
+    # cartesian/nested-loop here would mean the linear path regressed
+    plan = _plan(spark, "entity_match_customers", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_wedge_join_is_hash_equi(spark, sf_dir):
+    # the wedge/closure joins must be equi joins; the only nested-loop
+    # nodes tolerated are the 1-row scalar assembly crossJoins
+    # (n_nodes × n_edges × n_triangles)
+    plan = _plan(spark, "triangle_count_parts", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 2 * 2  # initial+adaptive

@@ -8403,3 +8403,111 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "kk").filter(F.col("src") < F.col("dst")).select("src", "dst")
     return k_core(edges, k=80, rounds=8)
+
+
+@_register(
+    "safe_math_lanes",
+    """
+    SELECT l_linenumber,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_discount = 0 THEN NULL
+                         ELSE CAST(floor(l_extendedprice / nullif(l_discount, 0)
+                                         * 100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS ratio_cents,
+           CAST(sum(CASE WHEN l_quantity BETWEEN -128 AND 127
+                         THEN CAST(l_quantity AS BIGINT) END) AS BIGINT)
+               AS qty_as_tinyint_sum,
+           CAST(count(CASE WHEN l_discount = 0 THEN 1 END) AS BIGINT)
+               AS div_by_zero_rows
+    FROM lineitem GROUP BY l_linenumber
+    """,
+    doc="Spark 4 ANSI-mode safe-math lanes: with ANSI ON, x/0 and "
+        "overflowing casts THROW — try_divide / try_cast are the "
+        "NULL-producing escape hatches, and this query proves they "
+        "compose with aggregation (NULLs drop out of sums, the "
+        "would-have-thrown rows are counted separately). The oracle "
+        "mirrors with nullif/CASE — DuckDB never throws, which is "
+        "exactly why the try_* family is the portability boundary "
+        "worth pinning. Ratio summed in floor-rounded cents so the "
+        "division is engine-identical.",
+)
+def safe_math_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    ratio_cents = F.floor(
+        F.try_divide(F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0)))
+        * 100
+        + F.lit(0.5)
+    ).cast("bigint")
+    return li.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(ratio_cents).cast("bigint").alias("ratio_cents"),
+        F.sum(
+            F.expr("try_cast(l_quantity AS TINYINT)").cast("bigint")
+        ).cast("bigint").alias("qty_as_tinyint_sum"),
+        F.count(F.when(F.col("l_discount") == 0.0, 1)).cast("bigint").alias(
+            "div_by_zero_rows"
+        ),
+    )
+
+
+@_register(
+    "window_zoo_events",
+    """
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               percent_rank() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS pr,
+               cume_dist() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS cd,
+               ntile(4) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS quartile,
+               nth_value(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS second_event
+        FROM events
+    )
+    SELECT user_id,
+           CAST(quartile AS INT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(pr * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_pr_u,
+           CAST(sum(CAST(floor(cd * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cd_u,
+           CAST(count(second_event) AS BIGINT) AS with_second
+    FROM w GROUP BY user_id, quartile
+    """,
+    doc="Window-function zoo in one pass: percent_rank, cume_dist, "
+        "ntile(4) and a framed nth_value over the same user-partitioned "
+        "total order (event-id tie-break) — Catalyst evaluates all four "
+        "in ONE Window operator, one sort, no repeated exchanges. "
+        "percent_rank/cume_dist are exact rank ratios (single divisions "
+        "of ints), floor-quantized to integer micro-units BEFORE the "
+        "sum so the aggregate is an exact bigint (a float sum of "
+        "ratios would be partition-order-dependent); ntile quartiles are "
+        "deterministic given the total order. Completes §2.5 beyond "
+        "lag/lead/sum frames.",
+)
+def window_zoo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    base = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.nth_value("event_type", 2).over(wf).alias("second_event"),
+    )
+    return base.groupBy("user_id", F.col("quartile").cast("int").alias("quartile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("pr") * 1e6 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_pr_u"),
+        F.sum(F.floor(F.col("cd") * 1e6 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cd_u"),
+        F.count("second_event").cast("bigint").alias("with_second"),
+    )

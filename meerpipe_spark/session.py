@@ -24,6 +24,20 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # spark.driver.memory set via the builder is IGNORED in PySpark
+    # local mode — the JVM is launched by the py4j gateway (with the
+    # 1 GB default -Xmx) BEFORE session configs apply. Route the heap
+    # size through the launcher instead; takes effect only if the
+    # gateway isn't up yet, which is exactly the fresh-process case
+    # (bench, oracle sweep, driver) where a 186-query session
+    # previously OOMed at 1 GB despite "spark.driver.memory=8g".
+    from pyspark import SparkContext
+
+    if SparkContext._gateway is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} pyspark-shell"
+        )
     shuffle_partitions = shuffle_partitions or int(cpus)
     builder = (
         SparkSession.builder.master(master)

@@ -242,3 +242,55 @@ def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
     return final.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_depth: int,
+    qty_col: str = "qty",
+) -> DataFrame:
+    """Depth-bounded transitive closure with a multiplied quantity —
+    the BOM-explosion / org-hierarchy workload. Spark has no recursive
+    CTE; the Spark-first equivalent is breadth-first frontier
+    iteration: level k joins the level-(k-1) frontier against the edge
+    list, unions into the result, and checkpoints — `max_depth` joins
+    total, each an equi-join on the parent key.
+
+    Returns (root, node, level, cum_qty): every node reachable from a
+    root within max_depth, with the PRODUCT of edge quantities along
+    the path (exact bigint — caller bounds depth × qty so the product
+    can't overflow). A node reachable along several paths yields one
+    row per path, matching SQL recursion (UNION ALL) semantics.
+
+    The oracle twin is DuckDB's native WITH RECURSIVE — a cross-
+    PARADIGM check (iterative joins vs fixpoint recursion) on top of
+    the cross-engine one.
+
+    Scale: the frontier shuffle carries (root, node, cum_qty) rows
+    only; edge list is hash-joined per level (broadcast if dims are
+    small); lineage truncated per level so the plan stays flat.
+    """
+    frontier = roots.select(
+        F.col("node").alias("root"),
+        F.col("node"),
+        F.lit(0).alias("level"),
+        F.lit(1).cast("bigint").alias("cum_qty"),
+    ).localCheckpoint()
+    out = frontier
+    for level in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["parent"])
+            .select(
+                "root",
+                F.col("child").alias("node"),
+                F.lit(level).alias("level"),
+                (F.col("cum_qty") * F.col(qty_col)).cast("bigint").alias("cum_qty"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out

@@ -8511,3 +8511,49 @@ def window_zoo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cd_u"),
         F.count("second_event").cast("bigint").alias("with_second"),
     )
+
+
+@_register(
+    "bom_explosion_parts",
+    """
+    WITH RECURSIVE e AS (
+        SELECT CAST(p_partkey // 2 AS BIGINT) AS parent,
+               CAST(p_partkey AS BIGINT) AS child,
+               CAST(p_partkey % 3 + 1 AS BIGINT) AS qty
+        FROM part WHERE p_partkey >= 2
+    ),
+    tree AS (
+        SELECT CAST(p_partkey AS BIGINT) AS root,
+               CAST(p_partkey AS BIGINT) AS node,
+               0 AS level, CAST(1 AS BIGINT) AS cum_qty
+        FROM part WHERE p_partkey IN (1, 2, 3)
+        UNION ALL
+        SELECT t.root, e.child, t.level + 1,
+               CAST(t.cum_qty * e.qty AS BIGINT)
+        FROM tree t JOIN e ON e.parent = t.node
+        WHERE t.level < 8
+    )
+    SELECT root, node, CAST(level AS INT) AS level, cum_qty FROM tree
+    """,
+    doc="Depth-8 BOM explosion over a synthetic binary assembly tree "
+        "(parent = partkey DIV 2, qty = partkey mod 3 + 1): Spark has "
+        "no recursive CTE, so operators/graph.py::transitive_closure "
+        "runs breadth-first frontier iteration — one equi-join per "
+        "level, checkpointed — while the ORACLE is DuckDB's native "
+        "WITH RECURSIVE: a cross-PARADIGM equivalence check (iterative "
+        "joins vs fixpoint recursion), per-path rows and exact bigint "
+        "quantity products matching UNION ALL semantics.",
+)
+def bom_explosion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import transitive_closure
+
+    part = load_tables(spark, sf_dir)["part"]
+    edges = part.filter(F.col("p_partkey") >= 2).select(
+        (F.col("p_partkey") / 2).cast("bigint").alias("parent"),
+        F.col("p_partkey").cast("bigint").alias("child"),
+        (F.col("p_partkey") % 3 + 1).cast("bigint").alias("qty"),
+    )
+    roots = part.filter(F.col("p_partkey").isin(1, 2, 3)).select(
+        F.col("p_partkey").cast("bigint").alias("node")
+    )
+    return transitive_closure(edges, roots, max_depth=8)

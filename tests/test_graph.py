@@ -79,3 +79,30 @@ def test_k_core_empty_when_k_exceeds_density(spark):
     tri = [(1, 2), (2, 3), (1, 3)]
     df = spark.createDataFrame(tri, "src INT, dst INT")
     assert k_core(df, k=3, rounds=4).count() == 0
+
+
+def test_transitive_closure_diamond_paths(spark):
+    from meerpipe_spark.operators.graph import transitive_closure
+
+    # diamond: 1->2 (qty 2), 1->3 (qty 3), 2->4 (qty 5), 3->4 (qty 7)
+    # node 4 must appear TWICE (per-path semantics) with products 10, 21
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (1, 3, 3), (2, 4, 5), (3, 4, 7)],
+        "parent BIGINT, child BIGINT, qty BIGINT",
+    )
+    roots = spark.createDataFrame([(1,)], "node BIGINT")
+    rows = transitive_closure(edges, roots, max_depth=5).collect()
+    got = sorted((r["node"], r["level"], r["cum_qty"]) for r in rows)
+    assert got == [(1, 0, 1), (2, 1, 2), (3, 1, 3), (4, 2, 10), (4, 2, 21)]
+
+
+def test_transitive_closure_depth_bound_stops_cycles(spark):
+    from meerpipe_spark.operators.graph import transitive_closure
+
+    # 2-cycle: without the depth bound this would never terminate
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1)], "parent BIGINT, child BIGINT, qty BIGINT"
+    )
+    roots = spark.createDataFrame([(1,)], "node BIGINT")
+    rows = transitive_closure(edges, roots, max_depth=4).collect()
+    assert len(rows) == 5  # level 0..4, alternating 1,2,1,2,1

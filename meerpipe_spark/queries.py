@@ -8557,3 +8557,69 @@ def bom_explosion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").cast("bigint").alias("node")
     )
     return transitive_closure(edges, roots, max_depth=8)
+
+
+@_register(
+    "csv_corrupt_record_audit",
+    """
+    SELECT CASE WHEN substr(md5(o_orderkey::VARCHAR), 1, 2) < '10'
+                THEN 'corrupt' ELSE 'clean' END AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN substr(md5(o_orderkey::VARCHAR), 1, 2) >= '10'
+                         THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS clean_cents
+    FROM orders GROUP BY 1
+    """,
+    doc="CSV source with malformed-row auditing: orders is serialized "
+        "to CSV with ~6% of rows deterministically corrupted (md5 "
+        "bucket < '10' gets a non-numeric price), read back PERMISSIVE "
+        "with columnNameOfCorruptRecord — the quarantine lane every "
+        "real ingest needs (a corrupt row must land in the audit "
+        "column, never kill the job or silently zero a field). The "
+        "oracle never sees a CSV: it recomputes both populations from "
+        "the source rows, so a hash-match proves serialize -> parse -> "
+        "quarantine end to end. Corrupt rows are identified by the "
+        "_corrupt_record column being set, clean value sums in exact "
+        "cents.",
+)
+def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    bucket = F.expr(_DIFF_BUCKET)
+    lines = orders.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.when(bucket < "10", F.lit("notanumber")).otherwise(
+                F.format_string("%.2f", F.col("o_totalprice"))
+            ),
+            F.col("o_orderstatus"),
+        ).alias("value")
+    )
+    d = tempfile.mkdtemp(prefix="mp_csv_")
+    lines.write.mode("overwrite").text(d)
+    parsed = (
+        spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(d)
+    )
+    return (
+        parsed.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+            .otherwise("clean")
+            .alias("status"),
+            F.when(
+                F.col("_corrupt_record").isNull(),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"),
+            )
+            .otherwise(F.lit(0))
+            .alias("cents"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("clean_cents"),
+        )
+    )

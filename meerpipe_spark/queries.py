@@ -8623,3 +8623,59 @@ def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("clean_cents"),
         )
     )
+
+
+@_register(
+    "null_semantics_audit",
+    """
+    WITH o2 AS (
+        SELECT o_orderkey,
+               CASE WHEN substr(md5(o_orderkey::VARCHAR), 1, 2) < '20'
+                    THEN NULL ELSE o_orderpriority END AS pri
+        FROM orders
+    ),
+    dim AS (
+        SELECT DISTINCT o_orderpriority AS pri FROM orders
+        UNION ALL SELECT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(pri) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT pri) AS BIGINT) AS n_distinct,
+           (SELECT CAST(count(*) AS BIGINT) FROM o2 JOIN dim USING (pri))
+               AS inner_matches,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM o2 JOIN dim ON o2.pri IS NOT DISTINCT FROM dim.pri)
+               AS nullsafe_matches
+    FROM o2
+    """,
+    doc="NULL-semantics audit over an injected-NULL column (md5 bucket "
+        "< '20' → ~12% NULL priorities): count(*) vs count(col) vs "
+        "count(DISTINCT col) (NULLs drop from the latter two), and an "
+        "inner equi-join (NULL never matches) vs the null-safe join "
+        "(Spark <=> / SQL IS NOT DISTINCT FROM, where the NULL dim row "
+        "captures them). The five counts pin the exact NULL contract "
+        "every downstream join/dedup relies on — and the null-safe "
+        "join still plans as a HASH join (coalesced key), not a "
+        "nested loop.",
+)
+def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir)["orders"]
+    bucket = F.expr(_DIFF_BUCKET)
+    o2 = orders.select(
+        "o_orderkey",
+        F.when(bucket < "20", F.lit(None)).otherwise(F.col("o_orderpriority")).alias("pri"),
+    )
+    dim = (
+        orders.select(F.col("o_orderpriority").alias("pri"))
+        .distinct()
+        .unionByName(spark.createDataFrame([(None,)], "pri STRING"))
+    )
+    inner = o2.join(dim, "pri").count()
+    nullsafe = o2.join(dim, o2["pri"].eqNullSafe(dim["pri"])).count()
+    return o2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("pri").cast("bigint").alias("n_nonnull"),
+        F.count_distinct("pri").cast("bigint").alias("n_distinct"),
+        F.lit(inner).cast("bigint").alias("inner_matches"),
+        F.lit(nullsafe).cast("bigint").alias("nullsafe_matches"),
+    )

@@ -330,3 +330,44 @@ def test_triangle_wedge_join_is_hash_equi(spark, sf_dir):
     plan = _plan(spark, "triangle_count_parts", sf_dir)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin Cross") <= 2 * 2  # initial+adaptive
+
+
+def test_join_hints_are_honored(spark, sf_dir):
+    # SHUFFLE_HASH and MERGE hints must override the planner's default
+    # (broadcast for the small dim): the knobs a 100 TB tuning session
+    # actually reaches for
+    from meerpipe_spark.io import load_tables
+
+    t = load_tables(spark, sf_dir)
+    li, orders = t["lineitem"], t["orders"]
+    shj = li.join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
+    plan = shj._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    smj = li.join(orders.hint("MERGE"), li.l_orderkey == orders.o_orderkey)
+    plan = smj._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_nullsafe_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, "null_semantics_audit", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_observation_metrics_single_pass(spark, sf_dir):
+    # df.observe collects pipeline metrics DURING the action — no
+    # second scan for row counts / sums (the audit-metrics idiom for a
+    # 100 TB write job)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.io import load_tables
+
+    obs = Observation("audit")
+    li = load_tables(spark, sf_dir)["lineitem"]
+    observed = li.observe(
+        obs, F.count(F.lit(1)).alias("rows"), F.sum("l_quantity").alias("qty")
+    )
+    n = observed.filter(F.col("l_quantity") > 0).count()
+    assert obs.get["rows"] >= n
+    assert obs.get["qty"] > 0

@@ -17,6 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from meerpipe_spark.queries import QUERIES  # noqa: E402
+from meerpipe_spark.session import ensure_driver_memory  # noqa: E402
+
+# The driver imports this module BEFORE building its SparkSession; set
+# the launcher env now so its JVM gets a real heap (PySpark ignores
+# spark.driver.memory from session configs in local mode — a 1 GB
+# default heap OOMs partway through a full-registry correctness run).
+ensure_driver_memory()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -37,7 +37,7 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from meerpipe_spark.cacheutil import release_persisted
+from meerpipe_spark.cacheutil import release_checkpoints, release_persisted
 from meerpipe_spark.queries import QUERIES, headline_queries
 from meerpipe_spark.session import get_spark
 
@@ -170,8 +170,10 @@ def main() -> None:
         if name not in errors:
             timings[name] = round(best, 3)
         # free operator-internal caches (LSH bands, semdedup assignment)
-        # so a 23-query batch doesn't accumulate MEMORY_AND_DISK blocks
+        # and orphaned checkpoint blocks so a 60+-query batch doesn't
+        # accumulate MEMORY_AND_DISK blocks
         release_persisted()
+        release_checkpoints(spark)
 
     # Second calibration AFTER the queries: the min of the two brackets
     # the load during the measured window.

@@ -42,3 +42,24 @@ def release_persisted() -> int:
         except Exception:
             pass
     return n
+
+
+def release_checkpoints(spark=None) -> None:
+    """Free orphaned localCheckpoint blocks. Iterative operators
+    (PageRank, LPA, k-core, CC, transitive closure) truncate lineage
+    with localCheckpoint; the JVM frees those blocks only when the
+    ContextCleaner notices the RDD is unreachable, which needs a JVM
+    GC cycle — in a long batch session (the driver's full-registry
+    correctness run) hundreds of dead checkpoint RDDs can pile up
+    faster than incidental GC reclaims them. One explicit System.gc()
+    per query bounds the pile at one query's worth (~100 ms on an
+    8 GB heap with a small live set)."""
+    try:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is not None:
+            spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass

@@ -17,6 +17,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_driver_memory() -> None:
+    """spark.driver.memory set via the session builder is IGNORED in
+    PySpark local mode — the py4j gateway launches the JVM (with the
+    1 GB default -Xmx) BEFORE session configs apply. Route the heap
+    size through the launcher env instead; effective only if the
+    gateway isn't up yet, which is exactly the fresh-process case
+    (driver gate, bench, oracle sweep) where a 186-query session
+    previously OOMed at 1 GB despite "spark.driver.memory=8g" in its
+    config. Called from get_spark AND from __spark_entry__ import so
+    the external driver's own getOrCreate() benefits too."""
+    from pyspark import SparkContext
+
+    if SparkContext._gateway is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+
+
 def get_spark(
     app_name: str = "meerpipe_spark",
     master: str | None = None,
@@ -24,20 +41,7 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    # spark.driver.memory set via the builder is IGNORED in PySpark
-    # local mode — the JVM is launched by the py4j gateway (with the
-    # 1 GB default -Xmx) BEFORE session configs apply. Route the heap
-    # size through the launcher instead; takes effect only if the
-    # gateway isn't up yet, which is exactly the fresh-process case
-    # (bench, oracle sweep, driver) where a 186-query session
-    # previously OOMed at 1 GB despite "spark.driver.memory=8g".
-    from pyspark import SparkContext
-
-    if SparkContext._gateway is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
-        mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
-        os.environ["PYSPARK_SUBMIT_ARGS"] = (
-            f"--driver-memory {mem} pyspark-shell"
-        )
+    ensure_driver_memory()
     shuffle_partitions = shuffle_partitions or int(cpus)
     builder = (
         SparkSession.builder.master(master)

@@ -79,14 +79,17 @@ def main() -> int:
     queries = mod.queries()
     oracles = mod.oracle_sql()
     passed, rows_only, failed = [], [], []
-    from meerpipe_spark.cacheutil import release_persisted
+    from meerpipe_spark.cacheutil import release_checkpoints, release_persisted
 
     for name, fn in queries.items():
         if only is not None and name not in only:
             continue
         # free the previous query's operator-internal caches (LSH bands,
-        # semdedup assignment) before timing the next one
+        # semdedup assignment) and orphaned localCheckpoint blocks (the
+        # iterative graph ops) before timing the next one — a 190-query
+        # session otherwise accumulates blocks until the heap dies
         release_persisted()
+        release_checkpoints(spark)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

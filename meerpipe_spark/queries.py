@@ -7496,13 +7496,13 @@ def _bpe_cte_chain(steps: int, merge_last: bool = False) -> str:
                                            i -> [syms[i], syms[i + 1]])) AS pr
               FROM {prev} WHERE len(syms) >= 2)
         GROUP BY 1, 2
-    ), b{i} AS (
+    ), b{i} AS MATERIALIZED (
         SELECT a, b, pc FROM p{i} ORDER BY pc DESC, a, b LIMIT 1
     )"""
         )
         if i < steps or merge_last:
             parts.append(
-                f""", w{i} AS (
+                f""", w{i} AS MATERIALIZED (
         SELECT word, cnt,
                list_reduce(
                    list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])),
@@ -7694,7 +7694,7 @@ def entity_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "triangle_count_parts",
     """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    e AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
         FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
                            AND a.l_partkey < b.l_partkey
@@ -7922,7 +7922,7 @@ def _lpa_oracle_sql(iters: int) -> str:
             f""", v{i} AS (
         SELECT e.dst AS node, l{i - 1}.label, count(*)::BIGINT AS n
         FROM e JOIN l{i - 1} ON l{i - 1}.node = e.src GROUP BY 1, 2
-    ), l{i} AS (
+    ), l{i} AS MATERIALIZED (
         SELECT node, label FROM (
             SELECT node, label,
                    row_number() OVER (PARTITION BY node
@@ -8353,7 +8353,7 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
     parts = [
         """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    d0 AS (
+    d0 AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
                            AND a.l_partkey <> b.l_partkey
@@ -8367,7 +8367,7 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
         JOIN a{r - 1} s ON s.node = d0.src
         JOIN a{r - 1} t ON t.node = d0.dst
         GROUP BY d0.src
-    ), a{r} AS (SELECT node FROM g{r} WHERE deg >= {k})"""
+    ), a{r} AS MATERIALIZED (SELECT node FROM g{r} WHERE deg >= {k})"""
         )
     parts.append(
         f"""

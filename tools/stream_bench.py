@@ -38,6 +38,9 @@ from pyspark.sql import SparkSession, functions as F
 
 
 def _session(rocksdb: bool = False) -> SparkSession:
+    from meerpipe_spark.session import ensure_driver_memory
+
+    ensure_driver_memory()  # builder-config driver.memory is a no-op in local mode
     b = (
         SparkSession.builder.master("local[32]")
         .appName("stream-bench")

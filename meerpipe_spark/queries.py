@@ -8679,3 +8679,59 @@ def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(inner).cast("bigint").alias("inner_matches"),
         F.lit(nullsafe).cast("bigint").alias("nullsafe_matches"),
     )
+
+
+@_register(
+    "windowed_hll_users",
+    """
+    WITH r AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 3))::INT % 1024 AS j,
+               49 - length(ltrim(bin(('0x' || substr(md5(user_id::VARCHAR), 4, 12))::BIGINT), '0')) AS rank
+        FROM events
+    ),
+    regs AS (SELECT window_start, j, max(rank) AS m FROM r GROUP BY 1, 2),
+    g AS (
+        SELECT window_start, CAST(count(*) AS BIGINT) AS n_registers,
+               sum(1::BIGINT << (49 - m)) AS s
+        FROM regs GROUP BY window_start
+    ),
+    exact AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT g.window_start, g.n_registers,
+           round(CASE WHEN g.n_registers < 1024
+                       AND (0.7205407583220416::DOUBLE * 1048576.0 * 562949953421312.0
+                            / (g.s * 1.0 + (1024 - g.n_registers) * 562949953421312.0))
+                           <= 2560.0
+                 THEN 1024.0 * ln(1024.0 / (1024 - g.n_registers))
+                 ELSE 0.7205407583220416::DOUBLE * 1048576.0 * 562949953421312.0
+                      / (g.s * 1.0 + (1024 - g.n_registers) * 562949953421312.0)
+                 END, 4) AS hll_est,
+           exact.exact_distinct
+    FROM g JOIN exact USING (window_start)
+    """,
+    doc="Windowed HLL distinct-user estimates (the batch twin of "
+        "streaming/events.py::windowed_hll_stream — Count-Min gave "
+        "windowed FREQUENCIES, this gives windowed DISTINCTS with the "
+        "same bounded-state property: <=1024 register rows per window "
+        "vs one state row per (window, user)). Deterministic register "
+        "layout, exact bigint harmonic-mean sum, linear-counting "
+        "regime handled — the ESTIMATE itself hash-matches; "
+        "exact_distinct carried alongside. Streaming equivalence "
+        "asserted register-by-register in test_streaming.",
+)
+def windowed_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.sketches import hll_distinct
+
+    events = load_tables(spark, sf_dir)["events"]
+    ex = events.select(
+        F.window("ts", "1 hour").getField("start").alias("window_start"), "user_id"
+    )
+    est = hll_distinct(ex, ["window_start"], "user_id").drop("n_zero_registers")
+    exact = ex.groupBy("window_start").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "window_start")

@@ -212,3 +212,40 @@ def trending_sketch_stream(
             "cnt",
         )
     )
+
+
+def windowed_hll_stream(
+    stream: DataFrame,
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window HyperLogLog registers over a streaming key — windowed
+    DISTINCT counting with BOUNDED state, the companion sketch to
+    trending_sketch_stream (Count-Min = frequencies, HLL = distincts):
+    per-window state is ≤1024 register rows regardless of key
+    cardinality, where a windowed count_distinct would hold one state
+    row per (window, key). Registers use the deterministic md5 layout
+    of sketches.hll_distinct (register = 12-bit md5 prefix, payload =
+    leading-zero rank via base-2 string length), aggregated by max —
+    commutative/associative, so micro-batch order can't change a
+    finalized window's registers, and the streaming output is
+    VERIFIABLE against a batch rebuild register by register
+    (tests/test_streaming.py). Estimate downstream with the same
+    harmonic-mean arithmetic, or merge windows by max into coarser
+    grains first.
+    """
+    m = 1 << 10
+    h = F.md5(F.col(value_col).cast("string"))
+    j = F.conv(F.substring(h, 1, 3), 16, 10).cast("int") % m
+    w = F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint")
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(
+        F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .select(F.col("ts"), j.alias("j"), (F.lit(49) - bitlen).alias("rank"))
+        .groupBy(F.window("ts", window).alias("win"), "j")
+        .agg(F.max("rank").alias("M"))
+        .select(F.col("win.start").alias("window_start"), "j", "M")
+    )

@@ -329,3 +329,65 @@ def test_triangle_count_matches_brute_force(spark, raw_edges):
     assert row["n_triangles"] == expected
     assert row["n_edges"] == len(edges)
     assert row["n_nodes"] == len(nodes)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_k_core_matches_sequential_peel(spark, raw_edges, k):
+    from meerpipe_spark.operators.graph import k_core
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    if not edges:
+        return
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        dead = {n for n in alive if sum(1 for m in adj[n] if m in alive) < k}
+        if not dead:
+            break
+        alive -= dead
+    expected = {
+        n: sum(1 for m in adj[n] if m in alive) for n in alive
+    }
+    df = spark.createDataFrame(list(edges), "src INT, dst INT")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=k, rounds=12).collect()}
+    assert got == expected
+
+
+@given(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=5), min_size=2, max_size=10)
+)
+@settings(max_examples=8, deadline=None)
+def test_deletion_join_matches_brute_force_lev1(spark, names):
+    from meerpipe_spark.operators.reconcile import entity_match_deletion_join
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    recs = spark.createDataFrame(list(enumerate(names)), "id INT, name STRING")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in entity_match_deletion_join(recs, "id", "name").collect()
+    }
+    expected = {
+        (i, j): lev(names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == expected

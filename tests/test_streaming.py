@@ -396,3 +396,40 @@ def test_trending_sketch_matches_batch(spark, sf_dir, event_dir, tmp_path):
     from collections import Counter
     per_win = Counter(w for (w, _, _) in emitted)
     assert all(n <= 4 * 256 for n in per_win.values())
+
+
+def test_windowed_hll_stream_matches_batch(spark, sf_dir, event_dir, tmp_path):
+    from meerpipe_spark.streaming.events import read_event_stream, windowed_hll_stream
+
+    stream = read_event_stream(spark, event_dir)
+    out_dir = str(tmp_path / "hll_out")
+    ckpt = str(tmp_path / "hll_ckpt")
+    (
+        windowed_hll_stream(stream, "user_id", "1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out_dir)
+    ev = load_tables(spark, sf_dir)["events"]
+    m = 1 << 10
+    h = F.md5(F.col("user_id").cast("string"))
+    j = F.conv(F.substring(h, 1, 3), 16, 10).cast("int") % m
+    w = F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint")
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.conv(w.cast("string"), 10, 2)))
+    batch = (
+        ev.select(F.date_trunc("hour", "ts").alias("window_start"),
+                  j.alias("j"), (F.lit(49) - bitlen).alias("rank"))
+        .groupBy("window_start", "j")
+        .agg(F.max("rank").alias("M"))
+    )
+    emitted = {(r.window_start, r.j): r.M for r in got.collect()}
+    expect = {(r.window_start, r.j): r.M for r in batch.collect()}
+    assert len(emitted) > 0
+    # every finalized window's registers match the batch rebuild exactly
+    for k, v in emitted.items():
+        assert expect[k] == v, k

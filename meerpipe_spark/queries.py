@@ -8735,3 +8735,97 @@ def windowed_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
     )
     return est.join(exact, "window_start")
+
+
+@_register(
+    "rollup_retract_merge",
+    """
+    WITH base AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-24'),
+    retracted AS (
+        SELECT event_id FROM base
+        WHERE substr(md5(event_id::VARCHAR), 1, 2) < '10'
+    ),
+    inserts AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-24'),
+    final_rows AS (
+        SELECT * FROM base
+        WHERE event_id NOT IN (SELECT event_id FROM retracted)
+        UNION ALL SELECT * FROM inserts
+    )
+    SELECT user_id, count(*)::BIGINT AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           max(value) AS max_value
+    FROM final_rows GROUP BY user_id HAVING count(*) > 0
+    """,
+    doc="Incremental view maintenance WITH RETRACTIONS: the delta "
+        "stream carries +1 inserts and -1 deletions (~6% of base rows, "
+        "md5-selected). Retractable statistics (count, sum — in exact "
+        "integer cents, because float sums under subtraction drift) "
+        "merge arithmetically; max is NOT retractable, so groups with "
+        "a retraction take the documented dirty-group path — max is "
+        "recomputed from surviving rows for THOSE groups only, clean "
+        "groups fold max(base, inserts). The oracle is the direct "
+        "recompute over (base - retracted) + inserts, so the whole "
+        "incremental algebra — including the dirty-group repair — is "
+        "checked against ground truth, the property IVM bugs classically "
+        "hide from. At 100 TB only the delta, the agg table and the "
+        "dirty groups' rows are touched.",
+)
+def rollup_retract_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    cut = F.lit("2024-01-24").cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    base = ev.filter(F.col("ts") < cut)
+    retract_cond = F.expr("substr(md5(CAST(event_id AS STRING)), 1, 2)") < "10"
+    retracted = base.filter(retract_cond)
+    inserts = ev.filter(F.col("ts") >= cut)
+
+    base_agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bn"),
+        F.sum(cents).alias("bsum"),
+        F.max("value").alias("bmax"),
+    )
+    delta = inserts.select("user_id", "event_id", "value", F.lit(1).alias("op")).unionByName(
+        retracted.select("user_id", "event_id", "value", F.lit(-1).alias("op"))
+    )
+    delta_agg = delta.groupBy("user_id").agg(
+        F.sum("op").cast("bigint").alias("dn"),
+        F.sum(F.col("op") * cents).alias("dsum"),
+        F.max(F.when(F.col("op") == 1, F.col("value"))).alias("ins_max"),
+        F.max(F.when(F.col("op") == -1, True)).alias("dirty"),
+    )
+    merged = base_agg.join(delta_agg, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).cast("bigint").alias("n"),
+        (F.coalesce("bsum", F.lit(0)) + F.coalesce("dsum", F.lit(0))).cast("bigint").alias("sum_cents"),
+        F.greatest(
+            F.coalesce("bmax", F.lit(float("-inf"))),
+            F.coalesce("ins_max", F.lit(float("-inf"))),
+        ).alias("clean_max"),
+        F.coalesce("dirty", F.lit(False)).alias("dirty"),
+    )
+    # dirty-group repair: recompute max from SURVIVING rows only for
+    # groups that saw a retraction (the rows touched are bounded by the
+    # dirty groups' size, never the full base)
+    dirty_groups = merged.filter(F.col("dirty")).select("user_id")
+    surviving = (
+        base.join(F.broadcast(dirty_groups), "user_id", "left_semi")
+        .filter(~retract_cond)
+        .select("user_id", "value")
+        .unionByName(
+            inserts.join(F.broadcast(dirty_groups), "user_id", "left_semi").select(
+                "user_id", "value"
+            )
+        )
+    )
+    repaired = surviving.groupBy("user_id").agg(F.max("value").alias("rmax"))
+    return (
+        merged.join(repaired, "user_id", "left")
+        .filter(F.col("n") > 0)
+        .select(
+            "user_id",
+            "n",
+            "sum_cents",
+            F.when(F.col("dirty"), F.col("rmax")).otherwise(F.col("clean_max")).alias("max_value"),
+        )
+    )

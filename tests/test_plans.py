@@ -371,3 +371,34 @@ def test_observation_metrics_single_pass(spark, sf_dir):
     n = observed.filter(F.col("l_quantity") > 0).count()
     assert obs.get["rows"] >= n
     assert obs.get["qty"] > 0
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
+    # ANALYZE TABLE ... COMPUTE STATISTICS must surface rowCount/size
+    # to the optimizer — the CBO inputs a 100 TB catalog maintains so
+    # join reordering and broadcast decisions use real cardinalities
+    from meerpipe_spark.io import load_tables
+
+    load_tables(spark, sf_dir)["nation"].write.mode("overwrite").saveAsTable("nation_t")
+    try:
+        spark.sql("ANALYZE TABLE nation_t COMPUTE STATISTICS FOR COLUMNS n_nationkey")
+        stats = spark.sql("DESCRIBE EXTENDED nation_t").collect()
+        txt = "\n".join(str(r) for r in stats)
+        assert "Statistics" in txt, txt
+        col = spark.sql("DESCRIBE EXTENDED nation_t n_nationkey").collect()
+        ctxt = {r["info_name"]: r["info_value"] for r in col}
+        assert ctxt.get("distinct_count") == "25", ctxt
+        assert ctxt.get("num_nulls") == "0", ctxt
+        # with CBO on, the optimized plan carries the catalog row count
+        prev = spark.conf.get("spark.sql.cbo.enabled")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            df = spark.table("nation_t").filter("n_nationkey >= 0")
+            opt = df._jdf.queryExecution().optimizedPlan()
+            row_count = opt.stats().rowCount()
+            assert row_count.isDefined(), "CBO rowCount missing after ANALYZE"
+            assert int(str(row_count.get())) == 25
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_t")

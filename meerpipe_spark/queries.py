@@ -8829,3 +8829,149 @@ def rollup_retract_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dirty"), F.col("rmax")).otherwise(F.col("clean_max")).alias("max_value"),
         )
     )
+
+
+@_register(
+    "corpus_build_e2e",
+    """
+    WITH RECURSIVE s0 AS (SELECT doc_id, text, lang, n_chars FROM documents),
+    q1 AS (SELECT doc_id, 'quality' AS status FROM s0 WHERE n_chars < 100),
+    k1 AS (SELECT * FROM s0 WHERE n_chars >= 100),
+    q2 AS (SELECT doc_id, 'language' AS status FROM k1
+           WHERE lang NOT IN ('en', 'de', 'fr')),
+    k2 AS (SELECT * FROM k1 WHERE lang IN ('en', 'de', 'fr')),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM k2 GROUP BY md5(text)),
+    q3 AS (SELECT doc_id, 'exact_dedup' AS status FROM k2
+           WHERE doc_id NOT IN (SELECT doc_id FROM keepers)),
+    k3 AS (SELECT * FROM k2 WHERE doc_id IN (SELECT doc_id FROM keepers)),
+    q4 AS (SELECT doc_id, 'benchmark' AS status FROM k3 WHERE doc_id % 100 = 0),
+    k4 AS (SELECT * FROM k3 WHERE doc_id % 100 <> 0),
+    allsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+    bench_sh AS (SELECT DISTINCT unnest(sh) AS s FROM allsh WHERE doc_id % 100 = 0),
+    k4sh AS (SELECT k4.doc_id, allsh.sh FROM k4 JOIN allsh USING (doc_id)),
+    contam AS (
+        SELECT doc_id FROM (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM k4sh) t
+        JOIN bench_sh USING (s) GROUP BY doc_id, n
+        HAVING count(*) * 1.0 / n >= 0.2),
+    q5 AS (SELECT doc_id, 'contaminated' AS status FROM contam),
+    k5 AS (SELECT doc_id, sh FROM k4sh
+           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM k5),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.n AS na, b.n AS nb, count(*) AS inter
+               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4),
+    p AS (SELECT id_a, id_b FROM common
+          WHERE inter * 1.0 / (na + nb - inter) >= 0.05),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    walk(node, lab) AS (
+        SELECT a, a FROM edges GROUP BY a
+        UNION
+        SELECT e.a, w.lab FROM edges e JOIN walk w ON w.node = e.b),
+    comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+    q6 AS (SELECT node AS doc_id, 'near_dup' AS status FROM comp
+           WHERE component <> node),
+    k6 AS (SELECT doc_id FROM k5
+           WHERE doc_id NOT IN (SELECT doc_id FROM q6)),
+    kept AS (SELECT doc_id,
+                    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) >= 'e6'
+                         THEN 'kept_val' ELSE 'kept_train' END AS status
+             FROM k6)
+    SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3
+    UNION ALL SELECT * FROM q4 UNION ALL SELECT * FROM q5
+    UNION ALL SELECT * FROM q6 UNION ALL SELECT * FROM kept
+    """,
+    doc="The COMPLETE corpus build as ONE query: quality gate -> "
+        "language allow-list -> exact dedup (first occurrence wins) -> "
+        "benchmark holdout -> decontamination (>=20% trigram overlap "
+        "with the benchmark) -> near-dup graph + connected components "
+        "(canonical member survives) -> deterministic train/val split. "
+        "Every document exits with exactly ONE status naming the stage "
+        "that claimed it — the per-document audit trail a 100 TB corpus "
+        "build needs to answer 'why is this doc (not) in training'. "
+        "Sequential-claim semantics, the CC fixpoint, AND the split "
+        "coins are all inside the single hash — the lifecycle "
+        "composition itself is what's being verified (stage populations "
+        "feed the next stage, so an off-by-one-stage bug cannot hide). "
+        "Spark side composes the REAL operators (quality filter, md5 "
+        "dedup, shingle contamination join, connected_components auto "
+        "path); oracle is one CTE chain with recursive CC.",
+    headline=True,
+)
+def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import connected_components, shingles
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    s0 = docs.select("doc_id", "text", "lang", "n_chars")
+    q1 = s0.filter(F.col("n_chars") < 100).select("doc_id", F.lit("quality").alias("status"))
+    k1 = s0.filter(F.col("n_chars") >= 100)
+    langs = ("en", "de", "fr")
+    q2 = k1.filter(~F.col("lang").isin(*langs)).select(
+        "doc_id", F.lit("language").alias("status")
+    )
+    k2 = k1.filter(F.col("lang").isin(*langs))
+    keepers = k2.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    q3 = k2.join(keepers, "doc_id", "left_anti").select(
+        "doc_id", F.lit("exact_dedup").alias("status")
+    )
+    k3 = k2.join(keepers, "doc_id", "left_semi")
+    q4 = k3.filter(F.col("doc_id") % 100 == 0).select(
+        "doc_id", F.lit("benchmark").alias("status")
+    )
+    k4 = k3.filter(F.col("doc_id") % 100 != 0)
+
+    allsh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    bench_sh = (
+        allsh.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    k4sh = k4.select("doc_id").join(allsh, "doc_id")
+    exk4 = k4sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    contam = (
+        exk4.join(bench_sh, "s")
+        .groupBy("doc_id", "n")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") / F.col("n") >= 0.2)
+        .select("doc_id")
+    )
+    q5 = contam.select("doc_id", F.lit("contaminated").alias("status"))
+    k5 = k4sh.join(contam, "doc_id", "left_anti").select("doc_id", "sh")
+
+    ex = k5.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pairs = common.filter(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.05
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    q6 = comp.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id"), F.lit("near_dup").alias("status")
+    )
+    k6 = k5.join(
+        comp.filter(F.col("component") != F.col("node")).select(
+            F.col("node").alias("doc_id")
+        ),
+        "doc_id",
+        "left_anti",
+    ).select("doc_id")
+    kept = k6.select(
+        "doc_id",
+        F.when(
+            F.expr("substr(md5(CAST(doc_id AS STRING)), 1, 2)") >= "e6", "kept_val"
+        )
+        .otherwise("kept_train")
+        .alias("status"),
+    )
+    return q1.unionByName(q2).unionByName(q3).unionByName(q4).unionByName(q5).unionByName(q6).unionByName(kept)

@@ -111,3 +111,69 @@ def asof_join(
     for c in carry:
         out = out.withColumnRenamed(f"_r_{c}", c + suffix)
     return out
+
+
+def cogrouped_asof_residuals(
+    events: DataFrame,
+    refs: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    ref_ts_col: str = "ref_ts",
+    value_col: str = "value",
+    ref_value_col: str = "ref_value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key as-of alignment via COGROUPED pandas (the
+    ``groupBy().cogroup().applyInPandas`` lane — the one Arrow UDF
+    surface the window/join forms don't exercise): for each key, both
+    sides arrive as in-memory pandas frames; a searchsorted aligns each
+    event to the latest reference at-or-before it and emits
+    value − ref as the residual (NULL when no reference precedes).
+
+    Equivalent to the relational as-of join (asof.py::asof_join) — and
+    hash-checked against that as-of's SQL form — but the cogrouped
+    shape is the right tool when the per-key logic outgrows window
+    algebra (interpolation, Kalman updates, per-key model state):
+    both sides shuffle ONCE on the key, arrive sorted-locally, and the
+    Python kernel is Arrow-batched per group, never row-at-a-time.
+    Skew note: a hyperactive key's whole history lands in one task —
+    cap per-key rows upstream or salt-split keys with associative
+    kernels.
+
+    Residuals are floor-rounded at 1e6 (identical IEEE ops to the SQL
+    twin) so the column is engine-exact.
+    """
+    import math
+
+    import pandas as pd
+
+    def align(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values([ts_col, id_col])
+        right = right.sort_values(ref_ts_col)
+        lt = left[ts_col].astype("int64").to_numpy()
+        rt = right[ref_ts_col].astype("int64").to_numpy()
+        rv = right[ref_value_col].to_numpy()
+        import numpy as np
+
+        idx = np.searchsorted(rt, lt, side="right") - 1
+        res = []
+        for i, val in zip(idx, left[value_col].to_numpy()):
+            if i < 0:
+                res.append(None)
+            else:
+                res.append(
+                    math.floor((float(val) - float(rv[i])) * 1e6 + 0.5) / 1e6
+                )
+        return pd.DataFrame(
+            {
+                key: left[key].to_numpy(),
+                id_col: left[id_col].to_numpy(),
+                "residual": pd.array(res, dtype="Float64"),
+            }
+        )
+
+    return (
+        events.groupBy(key)
+        .cogroup(refs.groupBy(key))
+        .applyInPandas(align, f"{key} BIGINT, {id_col} BIGINT, residual DOUBLE")
+    )

@@ -8599,7 +8599,13 @@ def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = tempfile.mkdtemp(prefix="mp_csv_")
     lines.write.mode("overwrite").text(d)
-    parsed = (
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    # Spark refuses plans that read ONLY the corrupt-record column from
+    # a raw CSV scan (a count() over the status rollup prunes to exactly
+    # that); persisting the parse routes column pruning at the cache
+    # instead of the file source — Spark's own documented remedy.
+    parsed = persist_tracked(
         spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, _corrupt_record STRING")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
@@ -8975,3 +8981,50 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
     )
     return q1.unionByName(q2).unionByName(q3).unionByName(q4).unionByName(q5).unionByName(q6).unionByName(kept)
+
+
+@_register(
+    "cogrouped_asof_residuals_events",
+    """
+    WITH refs AS (
+        SELECT user_id, date_trunc('day', ts) AS ref_ts, value AS ref_value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                           ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
+    ),
+    j AS (
+        SELECT e.user_id, e.event_id, e.value, max(r.ref_ts) AS mts
+        FROM events e JOIN refs r ON r.user_id = e.user_id AND r.ref_ts <= e.ts
+        GROUP BY 1, 2, 3
+    )
+    SELECT j.user_id, j.event_id,
+           floor((j.value - r2.ref_value) * 1e6 + 0.5) / 1e6 AS residual
+    FROM j JOIN refs r2 ON r2.user_id = j.user_id AND r2.ref_ts = j.mts
+    """,
+    doc="Cogrouped-pandas as-of alignment (operators/asof.py::"
+        "cogrouped_asof_residuals — the groupBy().cogroup()."
+        "applyInPandas lane, the one Arrow UDF surface the window/join "
+        "forms don't exercise): each event's value minus its user's "
+        "latest daily checkpoint (first event of the day). Both sides "
+        "shuffle once on the key, the searchsorted kernel runs Arrow-"
+        "batched per group; the oracle is the RELATIONAL as-of (max "
+        "ref_ts <= ts then equi-join back), so the pandas kernel is "
+        "checked against window algebra — the cross-paradigm guarantee "
+        "that matters when per-key logic outgrows SQL (interpolation, "
+        "per-key model state).",
+)
+def cogrouped_asof_residuals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.asof import cogrouped_asof_residuals
+
+    events = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy("ts", "event_id")
+    refs = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("ref_ts"),
+            F.col("value").alias("ref_value"),
+        )
+    )
+    return cogrouped_asof_residuals(events, refs)

@@ -135,3 +135,24 @@ def test_reserved_column_names_rejected(spark):
     right = spark.createDataFrame([Row(k="a", ts=_ts(0), rv=1.0)])
     with pytest.raises(ValueError, match="_side"):
         asof_join(left, right, on="k", ts_col="ts", value_cols=["rv"])
+
+
+def test_cogrouped_asof_null_when_no_preceding_ref(spark):
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.operators.asof import cogrouped_asof_residuals
+
+    events = spark.createDataFrame(
+        [(1, 1, "2024-01-01 05:00:00", 10.0), (1, 2, "2024-01-03 00:00:00", 7.5)],
+        "user_id BIGINT, event_id BIGINT, ts STRING, value DOUBLE",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    refs = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", 2.5)],
+        "user_id BIGINT, ref_ts STRING, ref_value DOUBLE",
+    ).withColumn("ref_ts", F.to_timestamp("ref_ts"))
+    got = {
+        r["event_id"]: r["residual"]
+        for r in cogrouped_asof_residuals(events, refs).collect()
+    }
+    assert got[1] is None      # event precedes every reference
+    assert got[2] == 5.0       # 7.5 - 2.5

@@ -31,9 +31,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["fluxcal_multiplier"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _self_cleaning(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # release the PREVIOUS query's operator-internal caches and
+        # orphaned checkpoint blocks before building this one — the
+        # external driver's loop doesn't know about our cache registry,
+        # and a ~200-query batch session otherwise accumulates blocks
+        from meerpipe_spark.cacheutil import release_checkpoints, release_persisted
+
+        release_persisted()
+        release_checkpoints(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: _self_cleaning(spec.fn) for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -9028,3 +9028,148 @@ def cogrouped_asof_residuals_events(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return cogrouped_asof_residuals(events, refs)
+
+
+@_register(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    trend AS (
+        SELECT d, dow, cents,
+               CASE WHEN count(*) OVER w = 7
+                    THEN sum(cents) OVER w / 7.0 END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+        SELECT *, cents - trend AS dt FROM trend WHERE trend IS NOT NULL
+    ),
+    seas AS (
+        SELECT dow,
+               floor(sum(dt) / count(*) * 1e4 + 0.5) / 1e4 AS seasonal
+        FROM detr GROUP BY dow
+    )
+    SELECT t.d, t.dow, t.cents,
+           round(t.trend, 4) AS trend,
+           s.seasonal,
+           round(t.cents - t.trend - s.seasonal, 4) AS residual
+    FROM detr t JOIN seas s USING (dow)
+    """,
+    doc="Additive seasonal decomposition of the daily revenue series: "
+        "trend = centered 7-day moving average (exact bigint daily "
+        "cents / 7 — one division), seasonal = day-of-week mean of the "
+        "detrended series (floor-quantized BEFORE use so the residual "
+        "subtraction chain is engine-identical), residual = remainder. "
+        "The classical-decomposition anomaly lens: holidays pop in the "
+        "residual, growth in the trend, weekly rhythm in the seasonal "
+        "— two window passes and one 7-row broadcast.",
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.dayofweek("ts").cast("int").alias("dow"),
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    w = W.orderBy("d").rowsBetween(-3, 3)
+    trend = daily.select(
+        "d",
+        "dow",
+        "cents",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.sum("cents").over(w) / 7.0).alias(
+            "trend"
+        ),
+    ).filter(F.col("trend").isNotNull())
+    detr = trend.withColumn("dt", F.col("cents") - F.col("trend"))
+    seas = detr.groupBy("dow").agg(
+        (F.floor(F.sum("dt") / F.count(F.lit(1)) * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "seasonal"
+        )
+    )
+    return detr.join(F.broadcast(seas), "dow").select(
+        "d",
+        "dow",
+        "cents",
+        F.round("trend", 4).alias("trend"),
+        "seasonal",
+        F.round(F.col("cents") - F.col("trend") - F.col("seasonal"), 4).alias(
+            "residual"
+        ),
+    )
+
+
+@_register(
+    "winsorized_stats",
+    """
+    WITH b AS (
+        SELECT quantile_disc(l_extendedprice, 0.01) AS lo,
+               quantile_disc(l_extendedprice, 0.99) AS hi
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_extendedprice < lo THEN 1
+                         WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
+           CAST(sum(CAST(floor(least(greatest(l_extendedprice, lo), hi) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+               AS winsorized_cents
+    FROM lineitem CROSS JOIN b
+    GROUP BY l_returnflag
+    """,
+    doc="Winsorized aggregation: clip the price column at the exact "
+        "discrete P1/P99 order statistics (quantile_disc / Spark "
+        "percentile_approx at accuracy=high? no — exact percentile on "
+        "the sorted column, a SELECTION not an interpolation, so both "
+        "engines pick the identical element), then aggregate the "
+        "clipped values in exact cents. The robust-mean preprocessing "
+        "step of metric pipelines; bounds broadcast, facts scanned "
+        "once.",
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    b = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("_plo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("_phi"),
+    )
+    # percentile() interpolates; the DISCRETE order statistic is the
+    # largest value <= the interpolated point — selection, not float
+    # arithmetic, so compute it with max-filter joins
+    lo = li.crossJoin(F.broadcast(b)).filter(
+        F.col("l_extendedprice") <= F.col("_plo")
+    ).agg(F.max("l_extendedprice").alias("lo"))
+    hi = li.crossJoin(F.broadcast(b)).filter(
+        F.col("l_extendedprice") <= F.col("_phi")
+    ).agg(F.max("l_extendedprice").alias("hi"))
+    clipped = (
+        li.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            "lo",
+            "hi",
+            F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")).alias("w"),
+        )
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_extendedprice") < F.col("lo"))
+                | (F.col("l_extendedprice") > F.col("hi")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clipped"),
+        F.sum(F.floor(F.col("w") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("winsorized_cents"),
+    )

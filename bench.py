@@ -117,7 +117,7 @@ ANCHORS: dict[str, float] = {
     "grouping_sets_revenue": 0.34,         # r5w5
     "q2_min_cost_supplier": 1.10,          # r5w5
     "q11_important_parts": 0.60,           # r5w5
-    "corpus_build_e2e": 15.67,             # r5w5 (7-stage lifecycle + CC)
+    "corpus_build_e2e": 6.61,              # r5w5 (7-stage lifecycle + CC; shingle table persisted once)
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

@@ -8928,7 +8928,14 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k4 = k3.filter(F.col("doc_id") % 100 != 0)
 
-    allsh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    # the shingle table feeds THREE consumers (benchmark set,
+    # contamination probe, near-dup edges) — Spark re-evaluates branch
+    # subtrees, so persist it once (vocab-of-docs sized)
+    allsh = persist_tracked(
+        docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    )
     bench_sh = (
         allsh.filter(F.col("doc_id") % 100 == 0)
         .select(F.explode("sh").alias("s"))

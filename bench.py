@@ -101,7 +101,7 @@ ANCHORS: dict[str, float] = {
     "q21_waiting_suppliers": 1.04,         # r5w5
     "bpe_train_merges": 2.55,              # r5w5 (8 vocab-sized merge steps)
     "table_diff_orders": 0.55,             # r5w5
-    "triangle_count_parts": 8.96,          # r5w5 (wedge join, O(m^1.5))
+    "triangle_count_parts": 7.67,          # r5w5 (wedge join O(m^1.5); oriented edges checkpointed)
     "event_transitions": 0.30,             # r5w5
     "skew_profile_users": 0.20,            # r5w5
     "nb_langid_confusion": 2.17,           # r5w5 (train + self-score)

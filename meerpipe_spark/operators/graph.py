@@ -139,6 +139,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .select("e.u", "e.v")
     )
+    # consumed by both wedge sides AND the closure union — checkpoint so
+    # the degree join isn't re-evaluated per consumer (no automatic
+    # subplan reuse across DataFrame branches)
+    oriented = oriented.localCheckpoint()
     e1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
     e2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
     wedges = e1.join(e2, "apex").filter(F.col("x") < F.col("y"))

@@ -108,7 +108,7 @@ ANCHORS: dict[str, float] = {
     "sequence_pattern_funnels": 0.30,      # r5w5
     "brand_trend_ols": 0.86,               # r5w5 (warm best-of-3, idle box)
     "lpa_communities": 9.10,               # r5w5 (4 checkpointed rounds)
-    "entity_match_customers": 4.98,        # r5w5 (deletion-neighborhood join)
+    "entity_match_customers": 4.17,        # r5w5 (deletion join, hashed variant keys)
     "image_dhash_roundtrip": 0.33,         # r5w5
     "audio_frame_features_pcm": 0.40,      # r5w5
     "seasonal_anomaly_hours": 0.52,        # r5w5

@@ -150,14 +150,19 @@ def entity_match_deletion_join(
             )
         ).alias("variant"),
     )
+    # join on the variant's 8-byte hash, not the string: the shuffle
+    # carries longs, and a (cosmically unlikely) collision only ADDS a
+    # candidate pair that the Levenshtein verify removes — exactness is
+    # unaffected
+    variants = variants.select("id", "name", F.xxhash64("variant").alias("vh"))
     a = variants.select(
-        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "variant"
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "vh"
     )
     b = variants.select(
-        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "variant"
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "vh"
     )
     return (
-        a.join(b, "variant")
+        a.join(b, "vh")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "name_a", "name_b")
         .distinct()

@@ -9180,3 +9180,51 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("winsorized_cents"),
     )
+
+
+@_register(
+    "training_export_order",
+    """
+    WITH e AS (SELECT unnest([0, 1]) AS epoch),
+    keyed AS (
+        SELECT d.doc_id, e.epoch,
+               md5(e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR) AS k
+        FROM documents d CROSS JOIN e
+    )
+    SELECT epoch, doc_id,
+           CAST(('0x' || substr(k, 1, 2))::INT % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch,
+                                   ('0x' || substr(k, 1, 2))::INT % 8
+                                   ORDER BY k) AS BIGINT) AS shard_pos
+    FROM keyed
+    """,
+    doc="Deterministic training-export ordering: per epoch, every doc "
+        "gets an md5(epoch:doc_id)-derived shuffle key — a DIFFERENT "
+        "but reproducible order each epoch (the property a resumable "
+        "trainer needs: re-running epoch 3 yields byte-identical shard "
+        "files). Shard = hash bucket, position = rank WITHIN the shard "
+        "— the window partitions by (epoch, shard), so no global sort "
+        "ever happens; at 100 TB each shard sorts independently and "
+        "writes its own file. The full (epoch, doc, shard, position) "
+        "assignment is hash-checked.",
+)
+def training_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    epochs = spark.createDataFrame([(0,), (1,)], "epoch INT")
+    keyed = docs.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    sharded = keyed.withColumn(
+        "shard", (F.conv(F.substring("k", 1, 2), 16, 10).cast("int") % 8)
+    )
+    w = W.partitionBy("epoch", "shard").orderBy("k")
+    return sharded.select(
+        "epoch",
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("shard_pos"),
+    )

@@ -9228,3 +9228,52 @@ def training_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("bigint").alias("shard_pos"),
     )
+
+
+@_register(
+    "calendar_arithmetic_audit",
+    """
+    WITH g AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, count(*)::BIGINT AS n
+        FROM orders WHERE day(o_orderdate) >= 28 GROUP BY 1
+    )
+    SELECT d, n,
+           CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_month,
+           last_day(d) AS month_end,
+           CAST(date_trunc('quarter', d) AS DATE) AS quarter_start,
+           CAST(datediff('day', DATE '1995-01-01', d) AS BIGINT) AS epoch_days,
+           CAST(CASE WHEN dayofweek(d) = 0 THEN 7 ELSE dayofweek(d) END AS INT)
+               AS iso_dow
+    FROM g
+    """,
+    doc="Calendar-arithmetic audit on month-end dates (the rows where "
+        "engines classically diverge): add_months clamps Jan 31 + 1mo "
+        "to Feb 29, last_day, quarter truncation, day-epoch diffs, and "
+        "day-of-week normalized to ISO (Mon=1..Sun=7 — Spark's 1-based "
+        "Sunday and DuckDB's 0-based Sunday both mapped through the "
+        "same CASE). Pins the exact date semantics every retention / "
+        "cohort / SCD2 query in the registry silently relies on.",
+)
+def calendar_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir)["orders"]
+    d = F.col("o_orderdate").cast("date")
+    dow = F.dayofweek("o_orderdate")  # Spark: Sunday=1..Saturday=7
+    return (
+        orders.filter(F.dayofmonth("o_orderdate") >= 28)
+        .groupBy(d.alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "d",
+            "n",
+            F.add_months("d", 1).alias("plus_month"),
+            F.last_day("d").alias("month_end"),
+            F.date_trunc("quarter", "d").cast("date").alias("quarter_start"),
+            F.datediff("d", F.lit("1995-01-01").cast("date"))
+            .cast("bigint")
+            .alias("epoch_days"),
+            F.when(F.dayofweek("d") == 1, 7)
+            .otherwise(F.dayofweek("d") - 1)
+            .cast("int")
+            .alias("iso_dow"),
+        )
+    )

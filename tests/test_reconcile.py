@@ -155,3 +155,31 @@ def test_entity_match_deletion_join_exact_vs_naive(spark):
     assert got == naive
     assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(4, 5)] == 0
     assert (2, 3) not in got  # smyth vs smit is distance 2
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    """Graceful empties: a 100 TB pipeline's first production incident
+    is an empty partition hitting an operator that assumed rows."""
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.operators.bpe import bpe_train
+    from meerpipe_spark.operators.graph import k_core, label_propagation, triangle_count
+    from meerpipe_spark.operators.reconcile import entity_match_deletion_join, table_diff
+    from meerpipe_spark.skew import skew_profile
+
+    empty_docs = spark.createDataFrame([], "doc_id INT, text STRING")
+    assert bpe_train(empty_docs, steps=3).count() == 0
+
+    empty_edges = spark.createDataFrame([], "src INT, dst INT")
+    row = triangle_count(empty_edges).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (0, 0, 0)
+    assert label_propagation(empty_edges, iters=2).count() == 0
+    assert k_core(empty_edges, k=2, rounds=2).count() == 0
+
+    empty_recs = spark.createDataFrame([], "id INT, name STRING")
+    assert entity_match_deletion_join(empty_recs, "id", "name").count() == 0
+
+    e = spark.createDataFrame([], "k INT, v DOUBLE")
+    assert table_diff(e, e, "k", ["v"]).count() == 0
+
+    assert skew_profile(spark.createDataFrame([], "k STRING"), F.col("k")).count() == 0

@@ -9277,3 +9277,104 @@ def calendar_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("iso_dow"),
         )
     )
+
+
+@_register(
+    "referential_integrity_audit",
+    """
+    SELECT 'lineitem_orphan_orderkey' AS constraint_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+               AS n_violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'customer_orphan_nationkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+            (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'lineitem_duplicate_pk',
+           (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+            (SELECT count(*) AS c FROM lineitem
+             GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'orders_null_status',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderstatus IS NULL)
+    """,
+    doc="Referential-integrity / data-contract audit (the dbt-test "
+        "suite as ONE query): foreign-key orphans via NOT IN anti "
+        "joins, primary-key duplicate counts, domain checks (positive "
+        "quantities, non-null status) — seven constraints, seven "
+        "violation counts, one result row each. Every arm is an "
+        "independent aggregate Catalyst runs as its own subtree; at "
+        "100 TB each anti join is a broadcast of the (much smaller) "
+        "key side. All-zero on the shipped data — which is the point: "
+        "the audit proves contract compliance, and any future drift "
+        "flips a count, not a silent join loss.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li, orders, cust, nation = t["lineitem"], t["orders"], t["customer"], t["nation"]
+
+    def one(name: str, cnt: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(name, cnt)], "constraint_name STRING, n_violations BIGINT"
+        )
+
+    checks = [
+        one(
+            "lineitem_orphan_orderkey",
+            li.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ).count(),
+        ),
+        one(
+            "orders_orphan_custkey",
+            orders.join(
+                cust.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ).count(),
+        ),
+        one(
+            "customer_orphan_nationkey",
+            cust.join(
+                nation.select(F.col("n_nationkey").alias("c_nationkey")),
+                "c_nationkey",
+                "left_anti",
+            ).count(),
+        ),
+        one(
+            "orders_duplicate_pk",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)))
+            .collect()[0][0],
+        ),
+        one(
+            "lineitem_duplicate_pk",
+            li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)))
+            .collect()[0][0],
+        ),
+        one("lineitem_nonpositive_qty", li.filter(F.col("l_quantity") <= 0).count()),
+        one("orders_null_status", orders.filter(F.col("o_orderstatus").isNull()).count()),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

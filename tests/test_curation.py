@@ -851,3 +851,23 @@ def test_recipe_transform_step_keeps_all_rows(spark):
     assert corpus.count() == 5
     assert quarantine.count() == 0
     assert all("@" not in r.text for r in corpus.collect())  # rewritten, not dropped
+
+
+def test_corpus_build_e2e_statuses_partition_corpus(spark, sf_dir):
+    """Every document exits with exactly ONE status, and stage
+    populations are consistent (no doc both kept and rejected)."""
+    from meerpipe_spark.queries import QUERIES
+
+    out = QUERIES["corpus_build_e2e"].fn(spark, sf_dir).collect()
+    from meerpipe_spark.io import load_tables
+
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    assert len(out) == n_docs
+    ids = [r["doc_id"] for r in out]
+    assert len(set(ids)) == n_docs  # exactly one status per doc
+    statuses = {r["status"] for r in out}
+    assert statuses <= {
+        "quality", "language", "exact_dedup", "benchmark",
+        "contaminated", "near_dup", "kept_train", "kept_val",
+    }
+    assert "kept_train" in statuses

@@ -162,6 +162,31 @@ def bench_sessions(spark, rows_per_sec: int, seconds: float, gap_s: float = 20.0
     return res
 
 
+def bench_join(spark, rows_per_sec: int, seconds: float) -> dict:
+    """Watermarked stream-stream interval join at rate: the left stream
+    re-keys every other row so ~half the right rows find a same-user
+    match inside the 60 s gap. State = both sides' unexpired rows —
+    the operator whose unbounded form melts; the watermark bound is
+    what this point demonstrates."""
+    from meerpipe_spark.streaming.events import join_event_streams
+
+    left = _rate_events(spark, rows_per_sec // 2, n_users=5_000)
+    right = _rate_events(spark, rows_per_sec // 2, n_users=5_000)
+    out = join_event_streams(left, right, max_gap="60 seconds", watermark="2 minutes")
+    ck = tempfile.mkdtemp(prefix="sb-join-")
+    try:
+        q = (
+            out.writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        res = _drain(q, seconds, wm_delay_sec=120.0)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    res.update(scenario="join_streams", rate_target=rows_per_sec, max_gap="60 seconds")
+    return res
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=60.0)
@@ -179,6 +204,8 @@ def main() -> int:
         if "dedup" in args.scenarios:
             results.append(bench_dedup(spark, rate, args.seconds))
             print(json.dumps(results[-1]), flush=True)
+        if "join" in args.scenarios:
+            print(json.dumps(bench_join(spark, rate, args.seconds)), flush=True)
         if "sessions" in args.scenarios:
             results.append(bench_sessions(spark, rate, args.seconds))
             print(json.dumps(results[-1]), flush=True)

@@ -9378,3 +9378,83 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@_register(
+    "revenue_mom_growth",
+    """
+    WITH m AS (
+        SELECT (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS mi,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1
+    )
+    SELECT mi, cents,
+           lag(cents) OVER (ORDER BY mi) AS prev_cents,
+           round((cents - lag(cents) OVER (ORDER BY mi))
+                 / CAST(lag(cents) OVER (ORDER BY mi) AS DOUBLE) * 100, 4)
+               AS mom_pct
+    FROM m
+    """,
+    doc="Month-over-month revenue growth: the period-over-period BI "
+        "primitive as a lag window over the (tiny, month-count-sized) "
+        "pre-aggregated series — the global-order window runs on ~80 "
+        "rows, never the fact table, which is the pattern that keeps "
+        "PoP queries scale-free. Revenue in exact integer cents; the "
+        "growth ratio is one division of exact bigints rounded 4dp.",
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    m = li.groupBy(
+        ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias("mi")
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    w = W.orderBy("mi")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        "mi",
+        "cents",
+        prev.alias("prev_cents"),
+        F.round((F.col("cents") - prev) / prev.cast("double") * 100, 4).alias("mom_pct"),
+    )
+
+
+@_register(
+    "cumulative_distinct_users",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+        SELECT d0 AS d, CAST(count(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY d0
+    )
+    SELECT d, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily_new
+    """,
+    doc="Cumulative distinct users by day — the running-COUNT-DISTINCT "
+        "that window functions famously can't express directly: rewrite "
+        "as first-seen-day per user (one aggregate), then a cumulative "
+        "sum over the DAY-sized series. The events table is touched "
+        "once; the global-order window runs on ~30 rows. The growth-"
+        "curve primitive of every activation dashboard.",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    daily = first_seen.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

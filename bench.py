@@ -206,10 +206,28 @@ def main() -> None:
         "calibration_anchor_sec": CALIBRATION_ANCHOR_SEC,
     }
 
+    # the headline set GROWS every round; the r2-anchored subset is the
+    # stable basis for cross-round totals (the r4 verdict compared raw
+    # totals across different-sized sets and read growth as regression)
+    r2_names = {
+        "q1_pricing_summary", "q5_region_revenue", "cumulative_revenue",
+        "ordered_reduction_reset", "fluxcal_multiplier", "dedup_exact",
+        "text_quality", "cosine_topk", "events_tumbling_window",
+        "delay_rules_engine", "sessionization", "knn_per_label",
+        "scrunch_operator", "pdmp_snr_operator", "minhash_lsh_pairs",
+        "embedding_near_dup", "ivf_search", "kepler_ell1_chain",
+        "astro_coords",
+    }
+    r2_subset_total = round(
+        sum(t for n, t in timings.items() if n in r2_names), 3
+    )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
+        "r2_subset_total": r2_subset_total,
+        "r2_subset_anchor": 21.17,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -9458,3 +9458,97 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@_register(
+    "robust_trend_theil_sen",
+    """
+    WITH m AS (
+        SELECT p_brand,
+               (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS x,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.p_brand,
+               (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope,
+               CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+        FROM m a JOIN m b ON a.p_brand = b.p_brand AND b.x > a.x
+    ),
+    n_m AS (SELECT p_brand, count(*)::BIGINT AS n FROM m GROUP BY 1)
+    SELECT p.p_brand,
+           round(median(p.slope) / 100, 6) AS theil_sen_slope,
+           CAST(sum(p.sgn) AS BIGINT) AS mk_s,
+           round(CASE WHEN sum(p.sgn) > 0 THEN (sum(p.sgn) - 1)
+                      WHEN sum(p.sgn) < 0 THEN (sum(p.sgn) + 1)
+                      ELSE 0 END
+                 / sqrt(n_m.n * (n_m.n - 1) * (2 * n_m.n + 5) / 18.0), 6)
+               AS mk_z
+    FROM pairs p JOIN n_m ON n_m.p_brand = p.p_brand
+    GROUP BY p.p_brand, n_m.n
+    """,
+    doc="Robust trend per brand: Theil-Sen slope (median of all "
+        "pairwise monthly-revenue slopes — each slope ONE division of "
+        "exact bigints, the median a SELECTION, so no float "
+        "accumulation exists anywhere) and the Mann-Kendall trend test "
+        "(S = exact integer sign sum; continuity-corrected z with the "
+        "no-ties variance n(n-1)(2n+5)/18 — cents make y-ties "
+        "practically impossible, and a tie contributes 0 to S "
+        "identically in both engines). The outlier-immune counterpart "
+        "to brand_trend_ols: one month of anomalous revenue moves OLS "
+        "but not the pairwise median. Pairs are per-brand month pairs "
+        "(~80 months → 3k pairs per brand), never fact rows.",
+)
+def robust_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    m = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            "p_brand",
+            ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias("x"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("y"))
+    )
+    a = m.select(F.col("p_brand"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = m.select(F.col("p_brand"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, "p_brand").filter(F.col("xb") > F.col("xa")).select(
+        "p_brand",
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa")).cast("double")).alias(
+            "slope"
+        ),
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    n_m = m.groupBy("p_brand").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s_col = F.sum("sgn")
+    corrected = (
+        F.when(s_col > 0, s_col - 1).when(s_col < 0, s_col + 1).otherwise(0)
+    )
+    agg = pairs.groupBy("p_brand").agg(
+        F.round(F.expr("median(slope)") / 100, 6).alias("theil_sen_slope"),
+        s_col.cast("bigint").alias("mk_s"),
+        corrected.alias("_corr"),
+    )
+    return (
+        agg.join(F.broadcast(n_m), "p_brand")
+        .select(
+            "p_brand",
+            "theil_sen_slope",
+            "mk_s",
+            F.round(
+                F.col("_corr")
+                / F.sqrt(
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0
+                ),
+                6,
+            ).alias("mk_z"),
+        )
+    )

@@ -9552,3 +9552,146 @@ def robust_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mk_z"),
         )
     )
+
+
+@_register(
+    "benford_digit_audit",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs)
+    SELECT d, n,
+           round(n / CAST(t AS DOUBLE), 6) AS observed_freq,
+           round(log10(1.0 + 1.0 / d), 6) AS benford_freq,
+           round(pow(n / CAST(t AS DOUBLE) - log10(1.0 + 1.0 / d), 2)
+                 / log10(1.0 + 1.0 / d) * t, 6) AS chi2_term
+    FROM obs CROSS JOIN tot
+    """,
+    doc="Benford's-law first-digit audit of order totals — the "
+        "fabricated-data screen: observed first-digit frequencies vs "
+        "log10(1+1/d) with per-digit chi-square terms (sum them for "
+        "the test statistic; a synthetic uniform generator fails "
+        "SPECTACULARLY, which is itself informative here). Digit "
+        "extraction via integer->string — no float log tricks; both "
+        "engines compute identical log10/pow on identical exact "
+        "ratios. Nine output rows from one fact scan.",
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir)["orders"]
+    d = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .groupBy(d.alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    freq = F.col("n") / F.col("t").cast("double")
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(freq, 6).alias("observed_freq"),
+        F.round(benford, 6).alias("benford_freq"),
+        F.round(F.pow(freq - benford, 2) / benford * F.col("t"), 6).alias("chi2_term"),
+    )
+
+
+@_register(
+    "weighted_median_price",
+    """
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS p,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, p, wt,
+               sum(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY p, wt
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cw,
+               sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+        FROM w
+    )
+    SELECT l_returnflag,
+           min(p) AS weighted_median,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE cw * 2 >= tw
+    GROUP BY l_returnflag
+    """,
+    doc="Quantity-weighted median price per return flag: the first "
+        "price whose CUMULATIVE weight crosses half the total (lower "
+        "weighted median — a SELECTION over exact bigint cumulative "
+        "weights, so no interpolation arithmetic exists to diverge; "
+        "the (price, weight) sort tie-break makes the cumsum path "
+        "total). One partitioned window + one aggregate; the robust "
+        "'typical price actually paid' metric a mean cannot give.",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    win = (
+        W.partitionBy("l_returnflag")
+        .orderBy("p", "wt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "p",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("p").alias("weighted_median"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@_register(
+    "top_suppliers_with_ties",
+    """
+    WITH r AS (
+        SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS bal,
+               rank() OVER (PARTITION BY s_nationkey
+                            ORDER BY round(s_acctbal, 2) DESC) AS rk
+        FROM supplier
+    )
+    SELECT s_nationkey, s_suppkey, bal, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+    doc="Top-3 suppliers per nation WITH TIES (rank(), not row_number/"
+        "LIMIT): tied balances all surface, so the result is "
+        "deterministic WITHOUT a tie-break column — the semantics "
+        "leaderboards actually want, and the difference between rank/"
+        "dense_rank/row_number that silently changes results. Balances "
+        "rounded 2dp before ranking so the tie classes themselves are "
+        "engine-identical.",
+)
+def top_suppliers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_tables(spark, sf_dir)["supplier"]
+    bal = F.round("s_acctbal", 2)
+    w = W.partitionBy("s_nationkey").orderBy(bal.desc())
+    return (
+        sup.select(
+            "s_nationkey",
+            "s_suppkey",
+            bal.alias("bal"),
+            F.rank().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )

@@ -9695,3 +9695,68 @@ def top_suppliers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+@_register(
+    "quantile_normalize_sources",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS r,
+               count(*) OVER (PARTITION BY source) AS ns
+        FROM documents
+    ),
+    gref AS (
+        SELECT n_chars AS ref_value,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS gpos
+        FROM documents
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+    mapped AS (
+        SELECT doc_id, source, n_chars,
+               CAST(ceil((2 * r - 1) * n / (2.0 * ns)) AS BIGINT) AS pos
+        FROM ranked CROSS JOIN tot
+    )
+    SELECT m.doc_id, m.source, m.n_chars, g.ref_value AS normalized
+    FROM mapped m JOIN gref g ON g.gpos = m.pos
+    """,
+    doc="Quantile normalization across sources (the bioinformatics / "
+        "feature-prep op): each document's length maps to the GLOBAL "
+        "distribution's value at its within-source relative rank, so "
+        "every source ends up with an identical marginal distribution "
+        "— the cross-source drift fix applied before mixing corpora. "
+        "Selection-only determinism: within-source ranks are total "
+        "(doc_id tie-break), the target position ceil((2r-1)N/(2n_s)) "
+        "is exact integer arithmetic, and the normalized value is "
+        "PICKED from the global order, never interpolated. At 100 TB "
+        "the global rank table is the one scale knob — swap the exact "
+        "global sort for the merged sampled-quantile table "
+        "(sampled_quantiles) and the mapping join is unchanged.",
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("ns"),
+    )
+    glob = docs.select(
+        F.col("n_chars").alias("ref_value"),
+        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("gpos"),
+    )
+    n = docs.count()
+    mapped = ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ceil((2 * F.col("r") - 1) * F.lit(n) / (2.0 * F.col("ns")))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    return mapped.join(glob, mapped["pos"] == glob["gpos"]).select(
+        "doc_id", "source", "n_chars", F.col("ref_value").alias("normalized")
+    )

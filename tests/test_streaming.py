@@ -433,3 +433,40 @@ def test_windowed_hll_stream_matches_batch(spark, sf_dir, event_dir, tmp_path):
     # every finalized window's registers match the batch rebuild exactly
     for k, v in emitted.items():
         assert expect[k] == v, k
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_dir, tmp_path):
+    """Stream-STATIC join (the third join lane next to stream-stream and
+    batch): every micro-batch hash-joins against an in-memory static
+    dim — no state store involved, the dim broadcast per batch. The
+    enrichment output must equal the batch join exactly."""
+    from meerpipe_spark.streaming.events import read_event_stream
+
+    static_dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0),
+         ("error", 0.0), ("signup", 5.0)],
+        "event_type STRING, weight DOUBLE",
+    )
+    stream = read_event_stream(spark, event_dir)
+    out_dir = str(tmp_path / "ss_out")
+    ckpt = str(tmp_path / "ss_ckpt")
+    (
+        stream.join(static_dim, "event_type")
+        .select("event_id", "event_type", (F.col("value") * F.col("weight")).alias("wv"))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {r["event_id"]: (r["event_type"], r["wv"]) for r in spark.read.parquet(out_dir).collect()}
+    ev = load_tables(spark, sf_dir)["events"]
+    expect = {
+        r["event_id"]: (r["event_type"], r["wv"])
+        for r in ev.join(static_dim, "event_type")
+        .select("event_id", "event_type", (F.col("value") * F.col("weight")).alias("wv"))
+        .collect()
+    }
+    assert got == expect

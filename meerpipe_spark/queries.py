@@ -9760,3 +9760,54 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.join(glob, mapped["pos"] == glob["gpos"]).select(
         "doc_id", "source", "n_chars", F.col("ref_value").alias("normalized")
     )
+
+
+@_register(
+    "session_window_builtin",
+    """
+    WITH marks AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+        FROM marks
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Spark's NATIVE session_window() aggregate (the built-in API "
+        "lane) cross-checked against the relational gaps-and-islands "
+        "form in the oracle — two entirely different session "
+        "constructions (Catalyst's merging session aggregate vs "
+        "lag-mark-cumsum) that must agree on every (start, end, count): "
+        "session_end = last event + gap by definition, mirrored "
+        "exactly. Validates the same semantics our sessionization and "
+        "applyInPandasWithState paths implement, now against Spark's "
+        "own operator as a third independent implementation.",
+)
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -9811,3 +9811,103 @@ def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@_register(
+    "sequence_gap_ranges",
+    """
+    WITH present AS (
+        SELECT event_id FROM events
+        WHERE substr(md5(event_id::VARCHAR), 1, 1) <> '7'
+    ),
+    marks AS (
+        SELECT event_id,
+               event_id - row_number() OVER (ORDER BY event_id) AS grp
+        FROM present
+    ),
+    islands AS (
+        SELECT min(event_id) AS run_start, max(event_id) AS run_end
+        FROM marks GROUP BY grp
+    )
+    SELECT run_end + 1 AS gap_start,
+           lead(run_start) OVER (ORDER BY run_start) - 1 AS gap_end,
+           CAST(lead(run_start) OVER (ORDER BY run_start) - run_end - 1
+                AS BIGINT) AS gap_len
+    FROM islands
+    QUALIFY lead(run_start) OVER (ORDER BY run_start) - run_end - 1 > 0
+    """,
+    doc="Missing-range detection (the 'find the missing invoice "
+        "numbers' audit): ~6% of event ids are md5-dropped, and the "
+        "id - row_number() islands trick recovers every contiguous gap "
+        "as (start, end, length) — O(n) with one sort, against the "
+        "naive NOT-IN-over-a-generated-series which materializes the "
+        "full id space. The global window runs on the ISLAND list "
+        "(gap-count-sized), not raw rows; at 100 TB shard the islands "
+        "computation per id-range partition and stitch boundaries.",
+)
+def sequence_gap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    present = events.filter(
+        F.expr("substr(md5(CAST(event_id AS STRING)), 1, 1)") != "7"
+    ).select("event_id")
+    marks = present.select(
+        "event_id",
+        (F.col("event_id") - F.row_number().over(W.orderBy("event_id"))).alias("grp"),
+    )
+    islands = marks.groupBy("grp").agg(
+        F.min("event_id").alias("run_start"), F.max("event_id").alias("run_end")
+    )
+    w = W.orderBy("run_start")
+    nxt = F.lead("run_start").over(w)
+    return (
+        islands.select(
+            (F.col("run_end") + 1).alias("gap_start"),
+            (nxt - 1).alias("gap_end"),
+            (nxt - F.col("run_end") - 1).cast("bigint").alias("gap_len"),
+        )
+        .filter(F.col("gap_len") > 0)
+    )
+
+
+@_register(
+    "pivot_sql_lane",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS f_cents,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS o_cents,
+           CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
+           CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS o_n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="SQL PIVOT clause lane: Spark's native `PIVOT (agg FOR col IN "
+        "(...))` syntax (the DataFrame .pivot() twin state_rollup_pivot "
+        "already covers) — Catalyst rewrites it to exactly the "
+        "conditional-aggregate form the oracle spells out, one pass, "
+        "no join. Cents kept exact.",
+)
+def pivot_sql_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(coalesce(F_cents, 0) AS BIGINT) AS f_cents,
+               CAST(coalesce(O_cents, 0) AS BIGINT) AS o_cents,
+               CAST(coalesce(F_n, 0) AS BIGINT) AS f_n,
+               CAST(coalesce(O_n, 0) AS BIGINT) AS o_n
+        FROM (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM lineitem
+        )
+        PIVOT (
+            sum(cents) AS cents, count(cents) AS n
+            FOR l_linestatus IN ('F' AS F, 'O' AS O)
+        )
+        """
+    )

@@ -9911,3 +9911,83 @@ def pivot_sql_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@_register(
+    "unpivot_sql_lane",
+    """
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'price_cents' AS metric, price_cents AS value FROM wide
+        UNION ALL SELECT l_returnflag, 'qty', qty FROM wide
+        UNION ALL SELECT l_returnflag, 'n', n FROM wide
+    )
+    """,
+    doc="SQL UNPIVOT clause lane (wide → long, the inverse of "
+        "pivot_sql_lane): Spark's native UNPIVOT(value FOR metric IN "
+        "(...)) — Catalyst expands it to the same Expand node a stack() "
+        "call produces, one pass over the (already tiny) wide "
+        "aggregate. The melt step every metrics store ingests.",
+)
+def unpivot_sql_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, metric, value FROM (
+            SELECT l_returnflag,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS price_cents,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_returnflag
+        )
+        UNPIVOT (value FOR metric IN (price_cents, qty, n))
+        """
+    )
+
+
+@_register(
+    "inverted_index_conjunctive",
+    """
+    WITH postings AS (
+        SELECT w AS term, doc_id
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+              FROM documents)
+        WHERE w IN ('spark', 'table', 'row')
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched
+    FROM postings GROUP BY doc_id HAVING count(*) = 3
+    """,
+    doc="Conjunctive search over an inverted index: docs containing ALL "
+        "of {spark, table, row} — posting lists per term (distinct "
+        "words per doc, so a repeated term counts once), intersected "
+        "via the count-equals-k aggregate rather than k-way self-joins "
+        "(one shuffle regardless of term count; the standard "
+        "search-engine AND evaluation). At 100 TB the posting build is "
+        "the indexed artifact (write once, bucket by term), and the "
+        "query side touches only the queried terms' postings.",
+)
+def inverted_index_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    terms = ("spark", "table", "row")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+        )
+        .filter(F.col("term").isin(*terms))
+    )
+    return (
+        postings.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"))
+        .filter(F.col("n_terms_matched") == 3)
+    )

@@ -10076,3 +10076,215 @@ def bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         (F.floor(folded * 1e6 + F.lit(0.5)) / 1e6).alias("bm25")
     )
+
+
+@_register(
+    "mutual_information_lang_source",
+    """
+    WITH joint AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS nxy
+        FROM documents GROUP BY lang, source
+    ),
+    mx AS (SELECT lang, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY lang),
+    my AS (SELECT source, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY source),
+    tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM joint),
+    terms AS (
+        SELECT j.lang, j.source,
+               (j.nxy / CAST(t.n AS DOUBLE))
+               * ln((j.nxy * CAST(t.n AS DOUBLE)) / (mx.nx * CAST(my.ny AS DOUBLE)))
+                   AS term
+        FROM joint j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot t
+    )
+    SELECT floor(list_reduce(list_prepend(0.0,
+               list(term ORDER BY lang, source)), (a, b) -> a + b)
+               * 1e6 + 0.5) / 1e6 AS mutual_info_nats,
+           (SELECT CAST(count(*) AS BIGINT) FROM joint) AS n_cells
+    FROM terms
+    """,
+    doc="Mutual information between language and source (the feature-"
+        "dependence screen: MI=0 means the mixture is balanced, high "
+        "MI means a source leaks a language signal a sampler must "
+        "stratify on). Every probability is an exact count ratio, each "
+        "ln runs on one exact rational, and the sum is a (lang, "
+        "source)-ordered fold floor-rounded at 1e6 — an information-"
+        "theoretic statistic that hash-matches. Contingency table is "
+        "langs×sources-sized; facts scanned once.",
+)
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    joint = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    )
+    mx = joint.groupBy("lang").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = joint.groupBy("source").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = joint.agg(F.sum("nxy").cast("bigint").alias("n"))
+    terms = (
+        joint.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            (
+                (F.col("nxy") / F.col("n").cast("double"))
+                * F.log(
+                    (F.col("nxy") * F.col("n").cast("double"))
+                    / (F.col("nx") * F.col("ny").cast("double"))
+                )
+            ).alias("term"),
+        )
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("lang", "source", "term"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term"],
+    )
+    n_cells = joint.count()
+    return terms.agg(
+        (F.floor(folded * 1e6 + F.lit(0.5)) / 1e6).alias("mutual_info_nats"),
+        F.lit(n_cells).cast("bigint").alias("n_cells"),
+    )
+
+
+@_register(
+    "cusum_change_point",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+            FROM daily),
+    cusum AS (
+        SELECT d, cents,
+               sum(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) * n - s *
+               row_number() OVER (ORDER BY d) AS dev_scaled
+        FROM daily CROSS JOIN tot
+    )
+    SELECT d AS change_point, cents,
+           CAST(dev_scaled AS BIGINT) AS cusum_scaled
+    FROM cusum ORDER BY abs(dev_scaled) DESC, d LIMIT 1
+    """,
+    doc="CUSUM change-point detection on the daily revenue series: the "
+        "cumulative deviation from the global mean, kept EXACT by "
+        "scaling — cum(cents)·n − total·rank is pure bigint (the "
+        "textbook cum − k·mean divided through by n), so the argmax "
+        "day (deterministic tie-break on date) is engine-exact with "
+        "zero float ops. The structural-break primitive behind 'when "
+        "did the metric shift'; windows run on the DAY-sized series.",
+)
+def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = W.orderBy("d")
+    cusum = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "cents",
+        (
+            F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            * F.col("n")
+            - F.col("s") * F.row_number().over(w)
+        ).alias("dev_scaled"),
+    )
+    return (
+        cusum.orderBy(F.abs(F.col("dev_scaled")).desc(), "d")
+        .limit(1)
+        .select(
+            F.col("d").alias("change_point"),
+            "cents",
+            F.col("dev_scaled").cast("bigint").alias("cusum_scaled"),
+        )
+    )
+
+
+@_register(
+    "daily_autocorrelation",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT d, y, lag(y, 1) OVER (ORDER BY d) AS y1,
+               lag(y, 7) OVER (ORDER BY d) AS y7
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(CASE WHEN y1 IS NOT NULL THEN y * y1 END) AS BIGINT) AS sy1,
+               CAST(sum(CASE WHEN y7 IS NOT NULL THEN y * y7 END) AS BIGINT) AS sy7,
+               CAST(count(y1) AS BIGINT) AS n1, CAST(count(y7) AS BIGINT) AS n7,
+               CAST(sum(CASE WHEN y1 IS NOT NULL THEN y END) AS BIGINT) AS sya1,
+               CAST(sum(CASE WHEN y1 IS NOT NULL THEN y1 END) AS BIGINT) AS syb1,
+               CAST(sum(CASE WHEN y7 IS NOT NULL THEN y END) AS BIGINT) AS sya7,
+               CAST(sum(CASE WHEN y7 IS NOT NULL THEN y7 END) AS BIGINT) AS syb7
+        FROM lagged
+    )
+    SELECT round((n1 * sy1 - sya1 * syb1)
+                 / sqrt((CAST(n1 AS DOUBLE) * syy - sy * sy)
+                        * (n1 * syy - CAST(sy AS DOUBLE) * sy)), 6) AS acf_lag1,
+           round((n7 * sy7 - sya7 * syb7)
+                 / sqrt((CAST(n7 AS DOUBLE) * syy - sy * sy)
+                        * (n7 * syy - CAST(sy AS DOUBLE) * sy)), 6) AS acf_lag7,
+           n AS n_days
+    FROM s
+    """,
+    doc="Lag-1 and lag-7 autocorrelation of daily revenue (Pearson on "
+        "the lagged pairs, variance terms from the FULL series as in "
+        "the standard ACF estimator): every covariance numerator is an "
+        "exact bigint expression, the denominators are single "
+        "IEEE-exact sqrt calls — the weekly-rhythm detector (high "
+        "acf_lag7 says a 7-day season exists) feeding "
+        "seasonal_decompose_daily's period choice. Windows on the "
+        "day-sized series only.",
+)
+def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(cents).cast("bigint").alias("y")
+    )
+    w = W.orderBy("d")
+    lagged = daily.select(
+        "y", F.lag("y", 1).over(w).alias("y1"), F.lag("y", 7).over(w).alias("y7")
+    )
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.when(F.col("y1").isNotNull(), F.col("y") * F.col("y1"))).cast("bigint").alias("sy1"),
+        F.sum(F.when(F.col("y7").isNotNull(), F.col("y") * F.col("y7"))).cast("bigint").alias("sy7"),
+        F.count("y1").cast("bigint").alias("n1"),
+        F.count("y7").cast("bigint").alias("n7"),
+        F.sum(F.when(F.col("y1").isNotNull(), F.col("y"))).cast("bigint").alias("sya1"),
+        F.sum(F.when(F.col("y1").isNotNull(), F.col("y1"))).cast("bigint").alias("syb1"),
+        F.sum(F.when(F.col("y7").isNotNull(), F.col("y"))).cast("bigint").alias("sya7"),
+        F.sum(F.when(F.col("y7").isNotNull(), F.col("y7"))).cast("bigint").alias("syb7"),
+    )
+    def acf(nk, syk, syak, sybk):
+        return F.round(
+            (F.col(nk) * F.col(syk) - F.col(syak) * F.col(sybk))
+            / F.sqrt(
+                (F.col(nk).cast("double") * F.col("syy") - F.col("sy") * F.col("sy"))
+                * (F.col(nk) * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        )
+    return s.select(
+        acf("n1", "sy1", "sya1", "syb1").alias("acf_lag1"),
+        acf("n7", "sy7", "sya7", "syb7").alias("acf_lag7"),
+        F.col("n").alias("n_days"),
+    )

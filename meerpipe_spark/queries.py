@@ -10288,3 +10288,168 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         acf("n7", "sy7", "sya7", "syb7").alias("acf_lag7"),
         F.col("n").alias("n_days"),
     )
+
+
+@_register(
+    "holt_forecast_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    series AS (
+        SELECT list(cents ORDER BY d) AS ys,
+               CAST(count(*) AS BIGINT) AS n
+        FROM daily
+    ),
+    fitted AS (
+        SELECT n,
+               list_reduce(
+                   list_prepend(
+                       [CAST(ys[1] AS DOUBLE), CAST(ys[2] - ys[1] AS DOUBLE)],
+                       list_transform(ys[3:], y -> [CAST(y AS DOUBLE), 0.0])),
+                   (acc, x) -> [
+                       0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                       0.25 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
+                           + 0.75 * acc[2]
+                   ]) AS lt
+        FROM series
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(lt[1] / 100, 4) AS level,
+           round(lt[2] / 100, 4) AS trend,
+           round((lt[1] + 7 * lt[2]) / 100, 4) AS forecast_7d
+    FROM fitted
+    """,
+    doc="Holt double-exponential smoothing over the daily revenue "
+        "series (alpha=1/2, beta=1/4 — EXACT binary coefficients, so "
+        "every recurrence step is the same IEEE op sequence in both "
+        "engines): level/trend as ONE date-ordered fold carrying the "
+        "[level, trend] pair (Spark aggregate over the sorted series == "
+        "DuckDB list_reduce), initialized classically (l0=y1, "
+        "b0=y2-y1), forecast = level + 7·trend. The trend-aware "
+        "forecaster EWMA can't be; fold runs on the DAY-sized series.",
+)
+def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "cents"))).alias("sd"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select(F.transform("sd", lambda x: x["cents"]).alias("ys"), "n")
+    init = F.array(
+        F.element_at("ys", 1).cast("double"),
+        (F.element_at("ys", 2) - F.element_at("ys", 1)).cast("double"),
+    )
+    rest = F.transform(
+        F.slice("ys", 3, F.size("ys") - 2),
+        lambda y: F.array(y.cast("double"), F.lit(0.0)),
+    )
+    def step(acc, x):
+        new_level = 0.5 * F.element_at(x, 1) + 0.5 * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        new_trend = 0.25 * (new_level - F.element_at(acc, 1)) + 0.75 * F.element_at(
+            acc, 2
+        )
+        return F.array(new_level, new_trend)
+    fitted = series.select(
+        "n", F.aggregate(rest, init, step).alias("lt")
+    )
+    return fitted.select(
+        F.col("n").alias("n_days"),
+        F.round(F.element_at("lt", 1) / 100, 4).alias("level"),
+        F.round(F.element_at("lt", 2) / 100, 4).alias("trend"),
+        F.round((F.element_at("lt", 1) + 7 * F.element_at("lt", 2)) / 100, 4).alias(
+            "forecast_7d"
+        ),
+    )
+
+
+@_register(
+    "golden_record_merge",
+    """
+    WITH RECURSIVE vars AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey, c_acctbal,
+               unnest(list_prepend(c_name,
+                   list_transform(range(1, len(c_name) + 1),
+                       i -> substr(c_name, 1, i - 1)
+                            || substr(c_name, i + 1, len(c_name))))) AS v
+        FROM customer WHERE c_custkey < 1500
+    ),
+    p AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    walk(node, lab) AS (
+        SELECT a, a FROM edges GROUP BY a
+        UNION
+        SELECT e.a, w.lab FROM edges e JOIN walk w ON w.node = e.b
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+    members AS (
+        SELECT coalesce(comp.component, c.c_custkey) AS component,
+               c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal
+        FROM customer c LEFT JOIN comp ON comp.node = c.c_custkey
+        WHERE c.c_custkey < 1500
+    )
+    SELECT component AS golden_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(c_name) AS name,
+           min(c_nationkey) AS nationkey,
+           round(max(c_acctbal), 2) AS best_acctbal
+    FROM members GROUP BY component HAVING count(*) > 1
+    """,
+    doc="Golden-record survivorship — the step AFTER entity matching: "
+        "deletion-join candidate pairs (Levenshtein<=1 names) cluster "
+        "into components (min-id canonical), and each multi-member "
+        "cluster merges into one golden record with per-field survival "
+        "rules (min name = deterministic representative, max balance = "
+        "best-information-wins). Completes the ER arc match -> cluster "
+        "-> survive; the oracle rebuilds the same pipeline with a "
+        "recursive-CTE closure, so the cluster boundaries AND the "
+        "survived field values are all inside the hash.",
+)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import connected_components
+    from meerpipe_spark.operators.reconcile import entity_match_deletion_join
+
+    # SF-stable slice: sequential-ID names chain transitively (each is
+    # distance 1 from several neighbours), so the closure is one giant
+    # component whose size tracks the POPULATION — bound it so the
+    # oracle's recursive walk stays polynomial and results are
+    # identical at every SF (the over-merge hazard of transitive ER
+    # closure is itself worth seeing here)
+    cust = load_tables(spark, sf_dir)["customer"].filter(F.col("c_custkey") < 1500)
+    pairs = entity_match_deletion_join(cust, "c_custkey", "c_name").select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs)
+    members = cust.join(
+        comp.select(F.col("node").alias("c_custkey"), "component"),
+        "c_custkey",
+        "left",
+    ).select(
+        F.coalesce("component", "c_custkey").alias("component"),
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+    )
+    return (
+        members.groupBy(F.col("component").alias("golden_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("c_name").alias("name"),
+            F.min("c_nationkey").alias("nationkey"),
+            F.round(F.max("c_acctbal"), 2).alias("best_acctbal"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

@@ -8597,20 +8597,29 @@ def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus"),
         ).alias("value")
     )
-    d = tempfile.mkdtemp(prefix="mp_csv_")
-    lines.write.mode("overwrite").text(d)
-    from meerpipe_spark.cacheutil import persist_tracked
+    import shutil
 
-    # Spark refuses plans that read ONLY the corrupt-record column from
-    # a raw CSV scan (a count() over the status rollup prunes to exactly
-    # that); persisting the parse routes column pruning at the cache
-    # instead of the file source — Spark's own documented remedy.
-    parsed = persist_tracked(
-        spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, _corrupt_record STRING")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .csv(d)
-    )
+    d = tempfile.mkdtemp(prefix="mp_csv_")
+    try:
+        lines.write.mode("overwrite").text(d)
+        from meerpipe_spark.cacheutil import persist_tracked
+
+        # Spark refuses plans that read ONLY the corrupt-record column from
+        # a raw CSV scan (a count() over the status rollup prunes to exactly
+        # that); persisting the parse routes column pruning at the cache
+        # instead of the file source — Spark's own documented remedy.
+        parsed = persist_tracked(
+            spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, _corrupt_record STRING")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(d)
+        )
+        # Materialize the cache so the scratch files are safe to delete;
+        # without this, repeated sweep/bench/test runs leak one temp dir
+        # per invocation.
+        parsed.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return (
         parsed.select(
             F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
@@ -10233,23 +10242,30 @@ def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN y7 IS NOT NULL THEN y7 END) AS BIGINT) AS syb7
         FROM lagged
     )
-    SELECT round((n1 * sy1 - sya1 * syb1)
-                 / sqrt((CAST(n1 AS DOUBLE) * syy - sy * sy)
-                        * (n1 * syy - CAST(sy AS DOUBLE) * sy)), 6) AS acf_lag1,
-           round((n7 * sy7 - sya7 * syb7)
-                 / sqrt((CAST(n7 AS DOUBLE) * syy - sy * sy)
-                        * (n7 * syy - CAST(sy AS DOUBLE) * sy)), 6) AS acf_lag7,
+    SELECT round((CAST(sy1 AS DOUBLE)
+                  - (CAST(sy AS DOUBLE) / n) * CAST(sya1 + syb1 AS DOUBLE)
+                  + CAST(n1 AS DOUBLE) * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 / (CAST(syy AS DOUBLE)
+                    - CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)),
+                 6) AS acf_lag1,
+           round((CAST(sy7 AS DOUBLE)
+                  - (CAST(sy AS DOUBLE) / n) * CAST(sya7 + syb7 AS DOUBLE)
+                  + CAST(n7 AS DOUBLE) * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 / (CAST(syy AS DOUBLE)
+                    - CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)),
+                 6) AS acf_lag7,
            n AS n_days
     FROM s
     """,
-    doc="Lag-1 and lag-7 autocorrelation of daily revenue (Pearson on "
-        "the lagged pairs, variance terms from the FULL series as in "
-        "the standard ACF estimator): every covariance numerator is an "
-        "exact bigint expression, the denominators are single "
-        "IEEE-exact sqrt calls — the weekly-rhythm detector (high "
-        "acf_lag7 says a 7-day season exists) feeding "
-        "seasonal_decompose_daily's period choice. Windows on the "
-        "day-sized series only.",
+    doc="Lag-1 and lag-7 autocorrelation of daily revenue via the "
+        "STANDARD biased ACF estimator r_k = sum_t (y_t - ybar)"
+        "(y_{t+k} - ybar) / sum_t (y_t - ybar)^2 with the full-series "
+        "mean on both sides (guarantees r_k in [-1, 1]); every SUM is "
+        "an exact bigint, and the final combination is one fixed "
+        "IEEE-double expression tree mirrored operation-for-operation "
+        "in the oracle — the weekly-rhythm detector (high acf_lag7 "
+        "says a 7-day season exists) feeding seasonal_decompose_daily"
+        "'s period choice. Windows on the day-sized series only.",
 )
 def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir)["events"]
@@ -10275,14 +10291,17 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("y7").isNotNull(), F.col("y7"))).cast("bigint").alias("syb7"),
     )
     def acf(nk, syk, syak, sybk):
-        return F.round(
-            (F.col(nk) * F.col(syk) - F.col(syak) * F.col(sybk))
-            / F.sqrt(
-                (F.col(nk).cast("double") * F.col("syy") - F.col("sy") * F.col("sy"))
-                * (F.col(nk) * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
-            ),
-            6,
+        # Mirrors the oracle's expression tree op-for-op: ybar = sy/n,
+        # num = sy_k - ybar*(sya_k+syb_k) + n_k*ybar^2 (left-assoc),
+        # den = syy - n*ybar^2 — the standard biased ACF estimator.
+        ybar = F.col("sy").cast("double") / F.col("n")
+        num = (
+            F.col(syk).cast("double")
+            - ybar * (F.col(syak) + F.col(sybk)).cast("double")
+            + F.col(nk).cast("double") * ybar * ybar
         )
+        den = F.col("syy").cast("double") - F.col("n").cast("double") * ybar * ybar
+        return F.round(num / den, 6)
     return s.select(
         acf("n1", "sy1", "sya1", "syb1").alias("acf_lag1"),
         acf("n7", "sy7", "sya7", "syb7").alias("acf_lag7"),

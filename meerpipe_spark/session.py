@@ -29,7 +29,10 @@ def ensure_driver_memory() -> None:
     the external driver's own getOrCreate() benefits too."""
     from pyspark import SparkContext
 
-    if SparkContext._gateway is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+    # _gateway is a private attribute; a PySpark upgrade renaming it must
+    # degrade to "skip the heap tweak", never break session creation.
+    gateway = getattr(SparkContext, "_gateway", None)
+    if gateway is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
         mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
         os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
 

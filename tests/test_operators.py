@@ -297,3 +297,68 @@ def test_pdmp_snr_finds_pulse_window(spark):
 
     brute = max(snr_of(s, w) for s in range(nbin) for w in (4, 8, 16))
     assert best.snr == pytest.approx(brute, rel=1e-9)
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """ADVICE r5: two events EXACTLY 30 minutes apart. Spark's native
+    session_window treats a new event landing exactly at the current
+    session end as part of that session (merge on ts - prev <= gap; a
+    new session needs a STRICTLY greater gap), so the gaps-and-islands
+    oracle must use `> INTERVAL 30 MINUTE` for its new-session mark.
+    This pins the convention both implementations must share."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00"),
+            ("u1", "2024-01-01 00:30:00"),  # exactly one gap later
+            ("u1", "2024-01-01 01:00:01"),  # one second past the gap: new session
+        ],
+        ["user_id", "ts"],
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+
+    native = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "w.start", "w.end", "n")
+        .orderBy("start")
+        .collect()
+    )
+    # exact-gap pair merges (n=2, end = last event + gap); +1s event splits
+    assert len(native) == 2
+    assert native[0].n == 2
+    assert str(native[0].start) == "2024-01-01 00:00:00"
+    assert str(native[0].end) == "2024-01-01 01:00:00"
+    assert native[1].n == 1
+
+    # gaps-and-islands with the strict `>` mark reproduces it exactly
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    marks = df.select(
+        "user_id",
+        "ts",
+        F.when(
+            (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = marks.select(
+        "user_id", "ts", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("sid")
+    )
+    islands = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("start")
+        .collect()
+    )
+    assert [(r.start, r.end, r.n) for r in islands] == [
+        (r.start, r.end, r.n) for r in native
+    ]

@@ -10472,3 +10472,233 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+@_register(
+    "dm_fit_operator",
+    """
+    WITH toas AS (
+        SELECT l_returnflag AS obs,
+               l_orderkey * 8 + l_linenumber AS k,
+               CAST(900 + (l_partkey % 64) * 12 AS DOUBLE) AS f,
+               CASE l_returnflag WHEN 'A' THEN CAST(0.003 AS DOUBLE)
+                                 WHEN 'N' THEN CAST(-0.002 AS DOUBLE)
+                                 ELSE CAST(0.0005 AS DOUBLE) END AS ddm_t,
+               CASE l_returnflag WHEN 'A' THEN CAST(2e-6 AS DOUBLE)
+                                 WHEN 'N' THEN CAST(-1e-6 AS DOUBLE)
+                                 ELSE CAST(5e-7 AS DOUBLE) END AS off_t,
+               CASE l_returnflag WHEN 'A' THEN CAST(20.5 AS DOUBLE)
+                                 WHEN 'N' THEN CAST(15.25 AS DOUBLE)
+                                 ELSE CAST(30.125 AS DOUBLE) END AS dm0
+        FROM lineitem
+    ),
+    rows_ AS (
+        SELECT obs, dm0,
+               CAST(4.148808e3 AS DOUBLE) / (f * f) AS x,
+               off_t + ddm_t * (CAST(4.148808e3 AS DOUBLE) / (f * f))
+                     + CAST(((k * 48271) % 100003) % 2001 - 1000 AS DOUBLE)
+                       * CAST(1e-9 AS DOUBLE) AS y,
+               CAST(1 AS DOUBLE)
+               / ((CAST(1 + k % 3 AS DOUBLE) * CAST(5e-7 AS DOUBLE))
+                  * (CAST(1 + k % 3 AS DOUBLE) * CAST(5e-7 AS DOUBLE))) AS w,
+               CAST(59000 AS DOUBLE)
+                   + CAST(k % 1000 AS DOUBLE) * CAST(0.01 AS DOUBLE) AS mjd
+        FROM toas
+    ),
+    stats AS (
+        SELECT obs, any_value(dm0) AS dm0,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(w) AS s, sum(w * x) AS sx, sum(w * y) AS sy,
+               sum(w * x * x) AS sxx, sum(w * x * y) AS sxy,
+               sum(w * y * y) AS syy, sum(w * mjd) AS swt
+        FROM rows_ GROUP BY obs
+    ),
+    solved AS (
+        SELECT obs, dm0, n, s, sxx, syy, sxy, sy, swt,
+               s * sxx - sx * sx AS d,
+               (s * sxy - sx * sy) / (s * sxx - sx * sx) AS b,
+               (sxx * sy - sx * sxy) / (s * sxx - sx * sx) AS a
+        FROM stats
+    )
+    SELECT obs, n,
+           round(dm0 + b, 6) AS dm,
+           round(sqrt(s / d) * CAST(1e6 AS DOUBLE), 6) AS dm_err_e6,
+           round(swt / s, 6) AS dm_epoch,
+           round((syy - a * sy - b * sxy) / CAST(n - 2 AS DOUBLE), 6) AS dm_chi2r,
+           round(sqrt((syy - a * sy - b * sxy) / s) * CAST(1e6 AS DOUBLE), 6)
+               AS dm_tres_us
+    FROM solved
+    """,
+    doc="VERDICT r5 #1: the NATIVE DM fit (operators/wlsfit.py::fit_dm) "
+        "— the dm_file producer behind the reference's results.json "
+        "(generate_images_results.py:281-291, fields DM/ERR/EPOCH/CHI2R/"
+        "TRES) without tempo2. Per-channel TOA residuals are synthesized "
+        "in-plan from lineitem with a TRUE (offset, ΔDM) per obs plus "
+        "deterministic integer-modular noise; the cold-plasma delay "
+        "t = K·DM/f² makes the fit a 2-parameter WLS, computed as ONE "
+        "hash aggregation of sufficient statistics (map-side partials, "
+        "single shuffle) and a closed-form solve mirrored op-for-op by "
+        "the DuckDB oracle. dm recovers dm0+ΔDM, dm_err the standard "
+        "WLS slope error, dm_epoch the weighted mean MJD, dm_chi2r/"
+        "dm_tres the fit-quality fields.",
+    headline=True,
+)
+def dm_fit_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.wlsfit import fit_dm
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    k = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    f = (F.lit(900) + (F.col("l_partkey") % 64) * 12).cast("double")
+    ddm_t = (
+        F.when(F.col("l_returnflag") == "A", 0.003)
+        .when(F.col("l_returnflag") == "N", -0.002)
+        .otherwise(0.0005)
+    )
+    off_t = (
+        F.when(F.col("l_returnflag") == "A", 2e-6)
+        .when(F.col("l_returnflag") == "N", -1e-6)
+        .otherwise(5e-7)
+    )
+    dm0 = (
+        F.when(F.col("l_returnflag") == "A", 20.5)
+        .when(F.col("l_returnflag") == "N", 15.25)
+        .otherwise(30.125)
+    )
+    x = F.lit(4.148808e3) / (f * f)
+    noise = (((k * 48271) % 100003) % 2001 - 1000).cast("double") * F.lit(1e-9)
+    resid = off_t + ddm_t * x + noise
+    err_s = (1 + k % 3).cast("double") * F.lit(5e-7)
+    mjd = F.lit(59000.0) + (k % 1000).cast("double") * F.lit(0.01)
+    toas = li.select(
+        F.col("l_returnflag").alias("obs"),
+        f.alias("f"),
+        resid.alias("resid_s"),
+        err_s.alias("err_s"),
+        dm0.alias("dm0"),
+        mjd.alias("mjd"),
+    )
+    fit = fit_dm(
+        toas,
+        ["obs"],
+        F.col("f"),
+        F.col("resid_s"),
+        F.col("err_s"),
+        F.col("dm0"),
+        F.col("mjd"),
+    )
+    return fit.select(
+        "obs",
+        "n",
+        F.round("dm", 6).alias("dm"),
+        F.round(F.col("dm_err") * 1e6, 6).alias("dm_err_e6"),
+        F.round("dm_epoch", 6).alias("dm_epoch"),
+        F.round("dm_chi2r", 6).alias("dm_chi2r"),
+        F.round("dm_tres", 6).alias("dm_tres_us"),
+    )
+
+
+@_register(
+    "rm_fit_operator",
+    """
+    WITH chans AS (
+        SELECT o_orderpriority AS obs,
+               o_orderkey AS k,
+               CAST(900 AS DOUBLE) + CAST(o_orderkey % 128 AS DOUBLE)
+                   * CAST(6 AS DOUBLE) AS f,
+               CASE o_orderpriority
+                    WHEN '1-URGENT' THEN CAST(5.5 AS DOUBLE)
+                    WHEN '2-HIGH' THEN CAST(-3.25 AS DOUBLE)
+                    WHEN '3-MEDIUM' THEN CAST(1.125 AS DOUBLE)
+                    WHEN '4-NOT SPECIFIED' THEN CAST(-7.5 AS DOUBLE)
+                    ELSE CAST(0.25 AS DOUBLE) END AS rm_t
+        FROM orders
+    ),
+    rows_ AS (
+        SELECT obs,
+               (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)))
+               * (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE))) AS x,
+               CAST(0.1 AS DOUBLE)
+                 + rm_t * ((CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)))
+                           * (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE))))
+                 + CAST(((k * 16807) % 100003) % 2001 - 1000 AS DOUBLE)
+                   * CAST(1e-5 AS DOUBLE) AS theta,
+               CAST(1 + k % 4 AS DOUBLE) * CAST(0.01 AS DOUBLE) AS pa_err
+        FROM chans
+    ),
+    meas AS (
+        SELECT obs, x,
+               CAST(0.5 AS DOUBLE)
+                   * atan2(sin(CAST(2 AS DOUBLE) * theta),
+                           cos(CAST(2 AS DOUBLE) * theta)) AS y,
+               CAST(1 AS DOUBLE) / (pa_err * pa_err) AS w
+        FROM rows_
+    ),
+    stats AS (
+        SELECT obs, CAST(count(*) AS BIGINT) AS n,
+               sum(w) AS s, sum(w * x) AS sx, sum(w * y) AS sy,
+               sum(w * x * x) AS sxx, sum(w * x * y) AS sxy,
+               sum(w * y * y) AS syy
+        FROM meas GROUP BY obs
+    ),
+    solved AS (
+        SELECT obs, n, s, sxx, syy, sxy, sy,
+               s * sxx - sx * sx AS d,
+               (s * sxy - sx * sy) / (s * sxx - sx * sx) AS slope,
+               (sxx * sy - sx * sxy) / (s * sxx - sx * sx) AS intercept
+        FROM stats
+    )
+    SELECT obs, n,
+           round(slope, 6) AS rm,
+           round(sqrt(s / d), 8) AS rm_err,
+           round(intercept, 6) AS pa0,
+           round((syy - intercept * sy - slope * sxy)
+                 / CAST(n - 2 AS DOUBLE), 6) AS rm_chi2r
+    FROM solved
+    """,
+    doc="VERDICT r5 #2: the NATIVE RM fit (operators/wlsfit.py::fit_rm) "
+        "— PA-vs-λ² weighted linear regression across channels on the "
+        "Stokes Q/U pair, producing the rm/rm_err fields of the results "
+        "document (generate_images_results.py:289-290) without rmfit. "
+        "Per-channel Q/U are synthesized on a TRUE Faraday law θ = PA₀ "
+        "+ RM·λ² (plus deterministic noise) as (cos 2θ, sin 2θ); the "
+        "operator recovers PA = ½·atan2(U, Q) per channel and solves "
+        "the WLS in ONE sufficient-statistic aggregation; band chosen "
+        "so the PA swing stays inside ±π/2 (no wrap ambiguity), the "
+        "regime of the reference's refinement fit. Oracle mirrors "
+        "generation, atan2 recovery, and the closed-form solve.",
+    headline=True,
+)
+def rm_fit_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.wlsfit import fit_rm, lambda_sq_m2
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    f = F.lit(900.0) + (k % 128).cast("double") * F.lit(6.0)
+    rm_t = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 5.5)
+        .when(F.col("o_orderpriority") == "2-HIGH", -3.25)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1.125)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", -7.5)
+        .otherwise(0.25)
+    )
+    theta = (
+        F.lit(0.1)
+        + rm_t * lambda_sq_m2(f)
+        + (((k * 16807) % 100003) % 2001 - 1000).cast("double") * F.lit(1e-5)
+    )
+    chans = orders.select(
+        F.col("o_orderpriority").alias("obs"),
+        f.alias("f"),
+        F.cos(F.lit(2.0) * theta).alias("q"),
+        F.sin(F.lit(2.0) * theta).alias("u"),
+        ((1 + k % 4).cast("double") * F.lit(0.01)).alias("pa_err"),
+    )
+    fit = fit_rm(chans, ["obs"], F.col("f"), F.col("q"), F.col("u"), F.col("pa_err"))
+    return fit.select(
+        "obs",
+        "n",
+        F.round("rm", 6).alias("rm"),
+        F.round("rm_err", 8).alias("rm_err"),
+        F.round("pa0", 6).alias("pa0"),
+        F.round("rm_chi2r", 6).alias("rm_chi2r"),
+    )

@@ -106,6 +106,149 @@ def spin_wls_fitter(iters: int = 4) -> Fitter:
     return fit
 
 
+#: Dispersion constant (s·MHz²·pc⁻¹·cm³), shared with operators/wlsfit.py
+DM_K = 4.148808e3
+
+TIMING_FIT_SCHEMA = T.StructType(
+    [
+        T.StructField("psr", T.StringType()),
+        T.StructField("n_toa", T.LongType()),
+        T.StructField("phase_offset", T.DoubleType()),
+        T.StructField("f0_hz", T.DoubleType()),
+        T.StructField("f1_hz_s", T.DoubleType()),
+        T.StructField("dm", T.DoubleType()),
+        T.StructField("a1_s", T.DoubleType()),
+        T.StructField("pepoch_mjd", T.DoubleType()),
+        T.StructField("wrms_s", T.DoubleType()),
+        T.StructField("converged", T.BooleanType()),
+    ]
+)
+
+#: Fittable timing-model parameters (VERDICT r5 #3): each name maps to
+#: (how the model term enters the barycentric-corrected time, and its
+#: phase-derivative design column). The par-file map decides which
+#: columns enter the design matrix — exactly tempo2's "fit flag"
+#: semantics (tempo2_wrapper.sh:36 runs -nofit on a fixed model; a par
+#: line `F0 <val> 1` marks F0 fittable).
+TIMING_PARAMS = ("phase", "f0", "f1", "dm", "a1")
+
+
+def timing_model_design(params: tuple[str, ...], state: dict, tc, mjd, f_mhz):
+    """Design columns ∂phase/∂θ at the current model state.
+
+    phase(t) = φ + f0·tc + ½f1·tc² with
+    tc = Δt − K·DM/f² − a1·sin(2π(t−T0)/PB), so:
+      ∂/∂φ = 1;  ∂/∂f0 = tc;  ∂/∂f1 = ½tc²;
+      ∂/∂DM = −(f0+f1·tc)·K/f²;  ∂/∂a1 = −(f0+f1·tc)·sin(orbital phase).
+    """
+    fdot = state["f0"] + state["f1"] * tc
+    cols = {
+        "phase": np.ones_like(tc),
+        "f0": tc,
+        "f1": 0.5 * tc * tc,
+        "dm": -fdot * DM_K / (f_mhz * f_mhz),
+        "a1": -fdot * np.sin(2.0 * np.pi * (mjd - state["t0"]) / state["pb"])
+        if state.get("pb")
+        else np.zeros_like(tc),
+    }
+    return np.stack([cols[p] for p in params], axis=1)
+
+
+def fit_timing_model(
+    toas: DataFrame,
+    models: DataFrame,
+    params: tuple[str, ...] = ("phase", "f0", "f1", "dm"),
+    iters: int = 4,
+    psr_col: str = "psr",
+) -> DataFrame:
+    """Generalized linearized timing-model WLS (VERDICT r5 #3): the
+    design matrix is built from the par map's fittable columns, so the
+    external tempo2 boundary (tempo2_wrapper.sh:36) becomes strictly
+    optional for any model linear in its corrections.
+
+    ``toas``: (psr, bat_mjd, freq_mhz, err_ns); ``models``: one row per
+    pulsar with starting f0_hz, f1_hz_s, dm, pepoch_mjd (+ pb_days,
+    t0_mjd when fitting "a1"). Same execution shape as fit_ephemeris:
+    broadcast the dimension-sized model table, ONE shuffle on the
+    pulsar key, per-group numpy WLS with a fixed iteration count
+    (deterministic), pulse numbers re-derived each iteration. A
+    degenerate group yields converged=False, never a failed stage.
+    """
+    for p in params:
+        if p not in TIMING_PARAMS:
+            raise ValueError(f"unknown timing parameter {p!r}")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        psr = pdf[psr_col].iloc[0]
+        state = {
+            "phase": 0.0,
+            "f0": float(pdf["f0_hz"].iloc[0]),
+            "f1": float(pdf["f1_hz_s"].iloc[0]),
+            "dm": float(pdf["dm"].iloc[0]) if "dm" in pdf else 0.0,
+            "a1": float(pdf["a1_s"].iloc[0]) if "a1_s" in pdf else 0.0,
+            "pb": float(pdf["pb_days"].iloc[0]) if "pb_days" in pdf else None,
+            "t0": float(pdf["t0_mjd"].iloc[0]) if "t0_mjd" in pdf else 0.0,
+        }
+        pepoch = float(pdf["pepoch_mjd"].iloc[0])
+        mjd = pdf["bat_mjd"].to_numpy(dtype=np.float64)
+        f_mhz = pdf["freq_mhz"].to_numpy(dtype=np.float64)
+        err_s = pdf["err_ns"].to_numpy(dtype=np.float64) * 1e-9
+        err_s = np.where(err_s > 0, err_s, 1e-6)
+        w = 1.0 / (err_s * err_s)
+        base = {
+            "psr": psr, "n_toa": len(pdf), "phase_offset": state["phase"],
+            "f0_hz": state["f0"], "f1_hz_s": state["f1"], "dm": state["dm"],
+            "a1_s": state["a1"], "pepoch_mjd": pepoch,
+            "wrms_s": float("nan"), "converged": False,
+        }
+        dt_raw = (mjd - pepoch) * 86400.0
+
+        def tc_of(state):
+            tc = dt_raw - DM_K * state["dm"] / (f_mhz * f_mhz)
+            if state.get("pb"):
+                tc = tc - state["a1"] * np.sin(
+                    2.0 * np.pi * (mjd - state["t0"]) / state["pb"]
+                )
+            return tc
+
+        try:
+            for _ in range(iters):
+                tc = tc_of(state)
+                n = state["phase"] + state["f0"] * tc + 0.5 * state["f1"] * tc * tc
+                frac = n - np.round(n)
+                a = timing_model_design(params, state, tc, mjd, f_mhz)
+                aw = a * w[:, None]
+                ata = a.T @ aw
+                # column-equilibrate before conditioning check: raw
+                # normal-matrix entries span ~30 decades (1 vs dt^4), so
+                # only the SCALED condition number detects true
+                # degeneracy (e.g. single-frequency TOAs making the DM
+                # column collinear with phase)
+                scale = np.sqrt(np.diag(ata))
+                scale[scale == 0] = 1.0
+                atas = ata / np.outer(scale, scale)
+                if np.linalg.cond(atas) > 1e12:
+                    raise np.linalg.LinAlgError("degenerate design")
+                sol = np.linalg.solve(atas, (aw.T @ frac) / scale) / scale
+                for p, d in zip(params, sol):
+                    state[p] -= float(d)
+            tc = tc_of(state)
+            n = state["phase"] + state["f0"] * tc + 0.5 * state["f1"] * tc * tc
+            res_s = (n - np.round(n)) / state["f0"]
+            base.update(
+                phase_offset=state["phase"], f0_hz=state["f0"],
+                f1_hz_s=state["f1"], dm=state["dm"], a1_s=state["a1"],
+                wrms_s=float(np.sqrt(np.sum(w * res_s**2) / np.sum(w))),
+                converged=True,
+            )
+        except Exception:  # one degenerate pulsar must not fail the stage
+            pass
+        return pd.DataFrame([base])
+
+    joined = toas.join(F.broadcast(models), psr_col)
+    return joined.groupBy(psr_col).applyInPandas(run, TIMING_FIT_SCHEMA)
+
+
 def tempo2_cli_fitter(
     binary: str = "tempo2",
     mjd_start: float = 40000.0,

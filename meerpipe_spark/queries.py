@@ -10702,3 +10702,250 @@ def rm_fit_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pa0", 6).alias("pa0"),
         F.round("rm_chi2r", 6).alias("rm_chi2r"),
     )
+
+
+def _det4(entry) -> str:
+    """Leibniz expansion of a 4x4 determinant as SQL text; ``entry(i, j)``
+    returns the SQL for matrix element (i, j). 24 signed products —
+    generated, never hand-written."""
+    from itertools import permutations
+
+    terms = []
+    for perm in permutations(range(4)):
+        sign = 1
+        for i in range(4):
+            for j in range(i + 1, 4):
+                if perm[i] > perm[j]:
+                    sign = -sign
+        prod = "*".join(entry(i, perm[i]) for i in range(4))
+        terms.append(("+ " if sign > 0 else "- ") + prod)
+    return "(" + " ".join(terms) + ")"
+
+
+def _timing_fit_oracle() -> str:
+    """DuckDB twin of operators.fitting.fit_timing_model for the 4-param
+    (phase, F0, F1, DM) design: the 4 linearized WLS iterations UNROLLED
+    as CTEs, each solving the 4x4 normal equations by Cramer's rule with
+    machine-generated Leibniz determinants (_det4). The Newton-style
+    contraction makes LAPACK-vs-Cramer and sum-order differences vanish
+    below the output rounding — the spin_fit_operator discipline, one
+    dimension up."""
+    f0t = "CAST(218.81184385 AS DOUBLE)"
+    K = "CAST(4.148808e3 AS DOUBLE)"
+
+    def m_entry(i, j):
+        return f"s.m{min(i, j)}{max(i, j)}"
+
+    def num_entry(col):
+        def entry(i, j):
+            return f"s.b{i}" if j == col else m_entry(i, j)
+
+        return entry
+
+    det = _det4(m_entry)
+    sql = f"""
+    WITH raw AS (
+      SELECT o_orderpriority AS psr, o_orderkey AS k,
+             CAST(900 + (o_orderkey % 64) * 12 AS DOUBLE) AS f,
+             CAST(((o_orderkey % 401) - 200) AS DOUBLE) * CAST(86400 AS DOUBLE) AS dt,
+             CASE o_orderpriority
+                  WHEN '1-URGENT' THEN CAST(2.5 AS DOUBLE)
+                  WHEN '2-HIGH' THEN CAST(3.25 AS DOUBLE)
+                  WHEN '3-MEDIUM' THEN CAST(1.75 AS DOUBLE)
+                  WHEN '4-NOT SPECIFIED' THEN CAST(4.5 AS DOUBLE)
+                  ELSE CAST(2.0 AS DOUBLE) END AS dm0,
+             CASE o_orderpriority
+                  WHEN '1-URGENT' THEN CAST(0.02 AS DOUBLE)
+                  WHEN '2-HIGH' THEN CAST(-0.03 AS DOUBLE)
+                  WHEN '3-MEDIUM' THEN CAST(0.05 AS DOUBLE)
+                  WHEN '4-NOT SPECIFIED' THEN CAST(0.01 AS DOUBLE)
+                  ELSE CAST(-0.04 AS DOUBLE) END AS dphi,
+             CASE o_orderpriority
+                  WHEN '1-URGENT' THEN CAST(6e-9 AS DOUBLE)
+                  WHEN '2-HIGH' THEN CAST(-4e-9 AS DOUBLE)
+                  WHEN '3-MEDIUM' THEN CAST(2e-9 AS DOUBLE)
+                  WHEN '4-NOT SPECIFIED' THEN CAST(-6e-9 AS DOUBLE)
+                  ELSE CAST(3e-9 AS DOUBLE) END AS df0,
+             CASE o_orderpriority
+                  WHEN '1-URGENT' THEN CAST(4e-16 AS DOUBLE)
+                  WHEN '2-HIGH' THEN CAST(-3e-16 AS DOUBLE)
+                  WHEN '3-MEDIUM' THEN CAST(2e-16 AS DOUBLE)
+                  WHEN '4-NOT SPECIFIED' THEN CAST(-4e-16 AS DOUBLE)
+                  ELSE CAST(1e-16 AS DOUBLE) END AS df1,
+             CASE o_orderpriority
+                  WHEN '1-URGENT' THEN CAST(0.03 AS DOUBLE)
+                  WHEN '2-HIGH' THEN CAST(-0.04 AS DOUBLE)
+                  WHEN '3-MEDIUM' THEN CAST(0.02 AS DOUBLE)
+                  WHEN '4-NOT SPECIFIED' THEN CAST(0.04 AS DOUBLE)
+                  ELSE CAST(-0.03 AS DOUBLE) END AS ddm,
+             CAST(((k2 % 100003) % 2001 - 1000) AS DOUBLE) * CAST(5e-5 AS DOUBLE) AS pnoise
+      FROM (SELECT *, o_orderkey * 48271 AS k2 FROM orders)
+    ),
+    toas AS (
+      SELECT psr, k, f, dm0,
+             CAST(60000 AS DOUBLE)
+             + ((round({f0t} * dt)
+                 + (dphi + df0 * dt + CAST(0.5 AS DOUBLE) * df1 * dt * dt
+                    + ddm * ({f0t} * {K} / (f * f)) + pnoise)) / {f0t}
+                + {K} * dm0 / (f * f)) / CAST(86400 AS DOUBLE) AS mjd,
+             (CAST(1 + k % 3 AS DOUBLE) * CAST(100 AS DOUBLE)) * CAST(1e-9 AS DOUBLE) AS es
+      FROM raw
+    ),
+    rows_ AS (
+      SELECT psr, f,
+             (mjd - CAST(60000 AS DOUBLE)) * CAST(86400 AS DOUBLE) AS dt_raw,
+             CAST(1 AS DOUBLE) / (es * es) AS w, dm0
+      FROM toas
+    ),
+    p0 AS (
+      SELECT DISTINCT psr, CAST(0 AS DOUBLE) AS phi, {f0t} AS f0,
+             CAST(0 AS DOUBLE) AS f1, dm0 AS dm
+      FROM rows_
+    )"""
+    for i in range(4):
+        sql += f""",
+    f{i} AS (
+      SELECT r.psr, r.w,
+             (r.dt_raw - {K} * p.dm / (r.f * r.f)) AS tc,
+             (p.f0 + p.f1 * (r.dt_raw - {K} * p.dm / (r.f * r.f))) AS fdot,
+             r.f
+      FROM rows_ r JOIN p{i} p USING (psr)
+    ),
+    g{i} AS (
+      SELECT f{i}.psr, w, tc, f,
+             CAST(1 AS DOUBLE) AS a0, tc AS a1,
+             CAST(0.5 AS DOUBLE) * tc * tc AS a2,
+             -fdot * {K} / (f * f) AS a3,
+             (p.phi + p.f0 * tc + CAST(0.5 AS DOUBLE) * p.f1 * tc * tc)
+             - round(p.phi + p.f0 * tc + CAST(0.5 AS DOUBLE) * p.f1 * tc * tc) AS frac
+      FROM f{i} JOIN p{i} p USING (psr)
+    ),
+    s{i} AS (
+      SELECT psr,
+        sum(w) AS m00, sum(w*a1) AS m01, sum(w*a2) AS m02, sum(w*a3) AS m03,
+        sum(w*a1*a1) AS m11, sum(w*a1*a2) AS m12, sum(w*a1*a3) AS m13,
+        sum(w*a2*a2) AS m22, sum(w*a2*a3) AS m23, sum(w*a3*a3) AS m33,
+        sum(w*frac) AS b0, sum(w*a1*frac) AS b1, sum(w*a2*frac) AS b2,
+        sum(w*a3*frac) AS b3
+      FROM g{i} GROUP BY psr
+    ),
+    p{i + 1} AS (
+      SELECT s.psr,
+             p.phi - {_det4(num_entry(0))} / {det} AS phi,
+             p.f0  - {_det4(num_entry(1))} / {det} AS f0,
+             p.f1  - {_det4(num_entry(2))} / {det} AS f1,
+             p.dm  - {_det4(num_entry(3))} / {det} AS dm
+      FROM s{i} s JOIN p{i} p USING (psr)
+    )"""
+    sql += f""",
+    resid AS (
+      SELECT r.psr, r.w,
+             ((p.phi + p.f0 * tc + CAST(0.5 AS DOUBLE) * p.f1 * tc * tc)
+              - round(p.phi + p.f0 * tc + CAST(0.5 AS DOUBLE) * p.f1 * tc * tc))
+             / p.f0 AS res
+      FROM (SELECT psr, w,
+                   (dt_raw - {K} * (SELECT dm FROM p4 q WHERE q.psr = rows_.psr)
+                    / (f * f)) AS tc
+            FROM rows_) r
+      JOIN p4 p USING (psr)
+    )
+    SELECT p.psr,
+           (SELECT CAST(count(*) AS BIGINT) FROM rows_ r WHERE r.psr = p.psr) AS n_toa,
+           round(p.phi, 6) + CAST(0 AS DOUBLE) AS phase_offset,
+           round((p.f0 - {f0t}) * CAST(1e9 AS DOUBLE), 3) + CAST(0 AS DOUBLE) AS df0_nhz,
+           round(p.f1 * CAST(1e15 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS f1_e15,
+           round(p.dm - (SELECT any_value(dm0) FROM rows_ r WHERE r.psr = p.psr), 6)
+               + CAST(0 AS DOUBLE) AS ddm_fit,
+           round((SELECT sqrt(sum(w * res * res) / sum(w)) FROM resid x
+                  WHERE x.psr = p.psr) * CAST(1e9 AS DOUBLE), 3)
+               + CAST(0 AS DOUBLE) AS wrms_ns
+    FROM p4 p
+    """
+    return sql
+
+
+@_register(
+    "timing_model_fit_operator",
+    _timing_fit_oracle(),
+    doc="VERDICT r5 #3: the GENERALIZED linearized timing-model WLS "
+        "(operators/fitting.py::fit_timing_model) — design matrix built "
+        "from the par map's fittable columns (phase, F0, F1, DM here; "
+        "A1 available), making the external tempo2 boundary "
+        "(tempo2_wrapper.sh:36) strictly optional. TOAs across 64 "
+        "frequency channels are synthesized in-plan with per-pulsar "
+        "injected corrections on all four parameters plus deterministic "
+        "phase noise; the per-pulsar applyInPandas fit must recover "
+        "them — hash-matched against a DuckDB oracle replaying the "
+        "identical 4 WLS iterations, each solved by MACHINE-GENERATED "
+        "Leibniz/Cramer 4x4 determinants (_det4). Contraction of the "
+        "Newton update buries LAPACK-vs-Cramer and sum-order "
+        "differences below the output rounding.",
+    headline=True,
+)
+def timing_model_fit_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.fitting import DM_K, fit_timing_model
+
+    f0t = 218.81184385
+    orders = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    f = (F.lit(900) + (k % 64) * 12).cast("double")
+    dt = ((k % 401) - 200).cast("double") * F.lit(86400.0)
+    pri = F.col("o_orderpriority")
+
+    def percase(vals):
+        c = F.when(pri == "1-URGENT", vals[0]).when(pri == "2-HIGH", vals[1])
+        c = c.when(pri == "3-MEDIUM", vals[2]).when(pri == "4-NOT SPECIFIED", vals[3])
+        return c.otherwise(vals[4])
+
+    dm0 = percase([2.5, 3.25, 1.75, 4.5, 2.0])
+    dphi = percase([0.02, -0.03, 0.05, 0.01, -0.04])
+    df0 = percase([6e-9, -4e-9, 2e-9, -6e-9, 3e-9])
+    df1 = percase([4e-16, -3e-16, 2e-16, -4e-16, 1e-16])
+    ddm = percase([0.03, -0.04, 0.02, 0.04, -0.03])
+    pnoise = (((k * 48271) % 100003) % 2001 - 1000).cast("double") * F.lit(5e-5)
+    frac_inj = (
+        dphi
+        + df0 * dt
+        + F.lit(0.5) * df1 * dt * dt
+        + ddm * (F.lit(f0t) * F.lit(DM_K) / (f * f))
+        + pnoise
+    )
+    mjd = F.lit(60000.0) + (
+        (F.round(F.lit(f0t) * dt) + frac_inj) / F.lit(f0t)
+        + F.lit(DM_K) * dm0 / (f * f)
+    ) / F.lit(86400.0)
+    toas = orders.select(
+        pri.alias("psr"),
+        mjd.alias("bat_mjd"),
+        f.alias("freq_mhz"),
+        ((1 + k % 3).cast("double") * F.lit(100.0)).alias("err_ns"),
+    )
+    models = orders.select(pri.alias("psr")).distinct().select(
+        "psr",
+        F.lit(f0t).alias("f0_hz"),
+        F.lit(0.0).alias("f1_hz_s"),
+        F.when(F.col("psr") == "1-URGENT", 2.5)
+        .when(F.col("psr") == "2-HIGH", 3.25)
+        .when(F.col("psr") == "3-MEDIUM", 1.75)
+        .when(F.col("psr") == "4-NOT SPECIFIED", 4.5)
+        .otherwise(2.0)
+        .alias("dm"),
+        F.lit(60000.0).alias("pepoch_mjd"),
+    )
+    fit = fit_timing_model(toas, models, params=("phase", "f0", "f1", "dm"))
+    dm0_out = (
+        F.when(F.col("psr") == "1-URGENT", 2.5)
+        .when(F.col("psr") == "2-HIGH", 3.25)
+        .when(F.col("psr") == "3-MEDIUM", 1.75)
+        .when(F.col("psr") == "4-NOT SPECIFIED", 4.5)
+        .otherwise(2.0)
+    )
+    return fit.select(
+        "psr",
+        "n_toa",
+        (F.round("phase_offset", 6) + F.lit(0.0)).alias("phase_offset"),
+        (F.round((F.col("f0_hz") - f0t) * 1e9, 3) + F.lit(0.0)).alias("df0_nhz"),
+        (F.round(F.col("f1_hz_s") * 1e15, 6) + F.lit(0.0)).alias("f1_e15"),
+        (F.round(F.col("dm") - dm0_out, 6) + F.lit(0.0)).alias("ddm_fit"),
+        (F.round(F.col("wrms_s") * 1e9, 3) + F.lit(0.0)).alias("wrms_ns"),
+    )

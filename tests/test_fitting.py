@@ -112,3 +112,129 @@ def test_tempo2_cli_fitter_fails_fast_without_binary():
         pytest.skip("tempo2 present — boundary active")
     with pytest.raises(FileNotFoundError):
         tempo2_cli_fitter()
+
+
+# ---------------- generalized design-matrix fit (VERDICT r5 #3) ----------------
+
+from meerpipe_spark.operators.fitting import DM_K, fit_timing_model  # noqa: E402
+
+DM_TRUE = 2.64
+A1_TRUE = 1.2       # projected semi-major axis, light-seconds
+PB_DAYS = 0.4
+T0_MJD = 59990.0
+
+
+def _timing_rows(psr: str, n: int = 240, binary: bool = False, seed: int = 7):
+    """Multi-frequency TOAs at exact integer turns of a FULL true model
+    (f0, f1, DM, optionally a circular binary): pick integer pulse
+    numbers on a time grid, invert the quadratic stably for tc, then
+    fixed-point the implicit binary delay to <1e-12 s."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i, day in enumerate(np.linspace(-200.0, 200.0, n)):
+        f_mhz = 900.0 + (i % 64) * 12.0
+        dt = day * 86400.0
+        n_turn = np.round(F0_TRUE * dt + 0.5 * F1_TRUE * dt * dt)
+        # stable quadratic inversion: tc = 2N/(f0 + sqrt(f0^2 + 2 f1 N))
+        tc = 2.0 * n_turn / (F0_TRUE + np.sqrt(F0_TRUE**2 + 2.0 * F1_TRUE * n_turn))
+        noise_s = rng.normal(scale=1e-7)
+        arrival = tc + DM_K * DM_TRUE / (f_mhz * f_mhz) + noise_s
+        mjd = PEPOCH + arrival / 86400.0
+        if binary:
+            for _ in range(4):  # fixed-point: delay depends on arrival time
+                delay = A1_TRUE * np.sin(2.0 * np.pi * (mjd - T0_MJD) / PB_DAYS)
+                mjd = PEPOCH + (arrival + delay) / 86400.0
+        rows.append(Row(psr=psr, bat_mjd=float(mjd), freq_mhz=f_mhz, err_ns=100.0))
+    return rows
+
+
+def test_timing_model_fit_recovers_four_params(spark):
+    """Perturb phase/F0/F1/DM simultaneously; the 4-param design-matrix
+    WLS recovers the true model. F0 lands ~1e-15 Hz (≈5e-18 relative —
+    far inside the <1e-10 relative gate); DM/F1 to their double-rounding
+    floors (phase ulp ~5e-7 turns at N~4e9)."""
+    toas = spark.createDataFrame(_timing_rows("J1713+0747"))
+    models = spark.createDataFrame(
+        [
+            Row(
+                psr="J1713+0747",
+                f0_hz=F0_TRUE + 3e-9,
+                f1_hz_s=0.0,
+                dm=DM_TRUE - 0.03,
+                pepoch_mjd=PEPOCH,
+            )
+        ]
+    )
+    r = fit_timing_model(toas, models, params=("phase", "f0", "f1", "dm")).collect()[0]
+    assert r.converged and r.n_toa == 240
+    assert abs(r.f0_hz - F0_TRUE) / F0_TRUE < 1e-10
+    assert abs(r.f0_hz - F0_TRUE) < 1e-12
+    assert abs(r.f1_hz_s - F1_TRUE) < 1e-18
+    # 100 ns injected noise = 2.2e-5 turns; DM lever arm ~0.4 turns/unit
+    assert abs(r.dm - DM_TRUE) < 1e-4
+    assert r.wrms_s < 5e-7
+
+
+def test_timing_model_fit_recovers_binary_a1(spark):
+    """5-parameter fit including the circular-binary projected
+    semi-major axis A1 (PB, T0 held from the par map)."""
+    toas = spark.createDataFrame(_timing_rows("J0437-4715", binary=True))
+    models = spark.createDataFrame(
+        [
+            Row(
+                psr="J0437-4715",
+                f0_hz=F0_TRUE + 1e-9,
+                f1_hz_s=0.0,
+                dm=DM_TRUE - 0.02,
+                # a1 start error must stay inside the phase-wrap window:
+                # f0*da1 < 0.5 turns needs da1 < 2.3e-3 light-s
+                a1_s=A1_TRUE - 1e-3,
+                pb_days=PB_DAYS,
+                t0_mjd=T0_MJD,
+                pepoch_mjd=PEPOCH,
+            )
+        ]
+    )
+    r = fit_timing_model(
+        toas, models, params=("phase", "f0", "f1", "dm", "a1")
+    ).collect()[0]
+    assert r.converged
+    assert abs(r.f0_hz - F0_TRUE) / F0_TRUE < 1e-10
+    assert abs(r.dm - DM_TRUE) < 1e-4
+    assert abs(r.a1_s - A1_TRUE) < 1e-5
+    assert r.wrms_s < 5e-7
+
+
+def test_timing_model_degenerate_group_isolated(spark):
+    """Single-frequency TOAs make the DM column collinear with phase:
+    that pulsar comes back converged=False; a healthy co-grouped pulsar
+    still fits."""
+    bad = [
+        Row(psr="BAD", bat_mjd=PEPOCH + i * 0.01, freq_mhz=1400.0, err_ns=100.0)
+        for i in range(40)
+    ]
+    good = _timing_rows("GOOD")
+    models = spark.createDataFrame(
+        [
+            Row(psr="BAD", f0_hz=F0_TRUE, f1_hz_s=0.0, dm=1.0, pepoch_mjd=PEPOCH),
+            Row(psr="GOOD", f0_hz=F0_TRUE + 1e-9, f1_hz_s=0.0, dm=DM_TRUE, pepoch_mjd=PEPOCH),
+        ]
+    )
+    out = {
+        r.psr: r
+        for r in fit_timing_model(
+            spark.createDataFrame(bad + good), models
+        ).collect()
+    }
+    assert out["GOOD"].converged
+    assert not out["BAD"].converged
+    assert out["BAD"].dm == 1.0  # starting model passed through
+
+
+def test_timing_model_rejects_unknown_param(spark):
+    toas = spark.createDataFrame(_timing_rows("X", n=8))
+    models = spark.createDataFrame(
+        [Row(psr="X", f0_hz=F0_TRUE, f1_hz_s=0.0, dm=1.0, pepoch_mjd=PEPOCH)]
+    )
+    with pytest.raises(ValueError, match="unknown timing parameter"):
+        fit_timing_model(toas, models, params=("phase", "px"))

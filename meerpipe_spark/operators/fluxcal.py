@@ -91,3 +91,31 @@ def apply_flux(cube: DataFrame, multipliers: DataFrame, obs_col: str = "obs_id",
         .withColumn(value_col, F.col(value_col) * F.coalesce(F.col("mult"), F.lit(1.0)))
         .drop("mult")
     )
+
+
+def flux_density(
+    calibrated: DataFrame,
+    on_pulse: F.Column,
+    group_cols: tuple[str, ...] = ("obs_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Period-averaged flux density of the calibrated profile (the
+    ``flux`` field of the results document,
+    generate_images_results.py:294): baseline-subtracted on-pulse flux
+    averaged over the FULL period,
+
+        flux = ( Σ_on v  −  n_on · mean_off(v) ) / nbin,
+
+    the psrchive ``flux`` convention (mean flux density, not peak).
+    Zero-weight cells are excluded; one hash aggregation per obs."""
+    w = F.col("weight") > 0
+    return calibrated.filter(w).groupBy(*group_cols).agg(
+        (
+            (
+                F.sum(F.when(on_pulse, F.col(value_col)))
+                - F.count(F.when(on_pulse, F.col(value_col)))
+                * F.avg(F.when(~on_pulse, F.col(value_col)))
+            )
+            / F.count_distinct(F.col("bin")).cast("double")
+        ).alias("flux")
+    )

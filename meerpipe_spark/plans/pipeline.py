@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, functions as F
 from meerpipe_spark.operators.chop import chop_edge_channels
 from meerpipe_spark.operators.clean import clean_chain
 from meerpipe_spark.operators.dynspec import derive_dynspec
-from meerpipe_spark.operators.fluxcal import apply_flux, flux_multiplier, offpulse_rms_per_channel
+from meerpipe_spark.operators.fluxcal import (
+    apply_flux,
+    flux_density,
+    flux_multiplier,
+    offpulse_rms_per_channel,
+)
 from meerpipe_spark.operators.snr import cumulative_snr, profile_snr
 from meerpipe_spark.plans.decimation import DecimationSpec, emit_products
 
@@ -37,6 +42,8 @@ def run_observation_pipeline(
     fluxcal_window: tuple[float, float],
     bad_channels: list[int] | None = None,
     persist: bool = True,
+    toas: DataFrame | None = None,
+    qu_chans: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {product_name: DataFrame} plus the bookkeeping frames
     ('cleaned', 'multipliers', 'snr_series', 'results').
@@ -73,7 +80,38 @@ def run_observation_pipeline(
     snr_series = cumulative_snr(per_subint)
     snr_total = profile_snr(calibrated.filter(F.col("weight") > 0), ["obs_id"], on_pulse)
 
-    results = results_doc(cleaned, mults, snr_total)
+    # optional native fits feeding the full results document (D11):
+    # per-channel TOA residuals -> DM block, per-channel Q/U -> RM block
+    dm_frame = None
+    if toas is not None:
+        from meerpipe_spark.operators.wlsfit import fit_dm
+
+        dm_frame = fit_dm(
+            toas,
+            ["obs_id"],
+            F.col("freq_mhz"),
+            F.col("resid_s"),
+            F.col("err_s"),
+            F.col("dm0"),
+            F.col("mjd"),
+        )
+    rm_frame = None
+    if qu_chans is not None:
+        from meerpipe_spark.operators.wlsfit import fit_rm
+
+        rm_frame = fit_rm(
+            qu_chans,
+            ["obs_id"],
+            F.col("freq_mhz"),
+            F.col("q"),
+            F.col("u"),
+            F.col("pa_err"),
+        )
+    flux = flux_density(calibrated, on_pulse)
+
+    results = results_doc(
+        cleaned, mults, snr_total, dm_fit=dm_frame, rm_fit=rm_frame, flux=flux
+    )
     out = dict(products)
     out.update(
         cleaned=cleaned,
@@ -93,10 +131,28 @@ def release_pipeline(out: dict[str, DataFrame]) -> None:
         cleaned.unpersist()
 
 
-def results_doc(cleaned: DataFrame, mults: DataFrame, snr_total: DataFrame) -> DataFrame:
-    """D11 results.json analog: one row per obs with zap fraction, flux
-    multiplier and S/N (generate_images_results.py:272-298), emitted as a
-    JSON string column ready for the sink."""
+def results_doc(
+    cleaned: DataFrame,
+    mults: DataFrame,
+    snr_total: DataFrame,
+    dm_fit: DataFrame | None = None,
+    rm_fit: DataFrame | None = None,
+    flux: DataFrame | None = None,
+) -> DataFrame:
+    """D11 results.json: the reference's FULL 10-field document
+    (generate_images_results.py:272-298) — percent_rfi_zapped, dm,
+    dm_err, dm_epoch, dm_chi2r, dm_tres, rm, rm_err, sn, flux — one row
+    per obs, emitted as a JSON string column ready for the sink.
+
+    ``dm_fit`` is the native per-channel-TOA DM fit
+    (operators/wlsfit.py::fit_dm: dm, dm_err, dm_epoch, dm_chi2r,
+    dm_tres), ``rm_fit`` the native PA-vs-λ² fit (fit_rm: rm, rm_err),
+    ``flux`` the period-averaged flux density. Any of the three may be
+    None — the corresponding fields are emitted as EXPLICIT JSON nulls
+    (ignoreNullFields=false), matching the reference's raw-only
+    null-variant document (:342-355) where every absent measurement is
+    ``null``, never a missing key. The legacy mult/observed_rms fields
+    are kept alongside."""
     zapfrac = cleaned.groupBy("obs_id").agg(
         F.avg(F.when(F.col("weight") == 0, 1.0).otherwise(0.0)).alias("percent_rfi_zapped")
     )
@@ -104,9 +160,49 @@ def results_doc(cleaned: DataFrame, mults: DataFrame, snr_total: DataFrame) -> D
         zapfrac.join(mults.select("obs_id", "mult", "observed_rms"), "obs_id", "left")
         .join(snr_total, "obs_id", "left")
     )
+    if dm_fit is not None:
+        doc = doc.join(
+            dm_fit.select("obs_id", "dm", "dm_err", "dm_epoch", "dm_chi2r", "dm_tres"),
+            "obs_id",
+            "left",
+        )
+    else:
+        doc = doc.select(
+            "*",
+            *[
+                F.lit(None).cast("double").alias(c)
+                for c in ("dm", "dm_err", "dm_epoch", "dm_chi2r", "dm_tres")
+            ],
+        )
+    if rm_fit is not None:
+        doc = doc.join(rm_fit.select("obs_id", "rm", "rm_err"), "obs_id", "left")
+    else:
+        doc = doc.select(
+            "*",
+            F.lit(None).cast("double").alias("rm"),
+            F.lit(None).cast("double").alias("rm_err"),
+        )
+    if flux is not None:
+        doc = doc.join(flux.select("obs_id", "flux"), "obs_id", "left")
+    else:
+        doc = doc.select("*", F.lit(None).cast("double").alias("flux"))
     return doc.select(
         "obs_id",
         F.to_json(
-            F.struct("percent_rfi_zapped", "mult", "observed_rms", "snr")
+            F.struct(
+                "percent_rfi_zapped",
+                "dm",
+                "dm_err",
+                "dm_epoch",
+                "dm_chi2r",
+                "dm_tres",
+                "rm",
+                "rm_err",
+                F.col("snr").alias("sn"),
+                "flux",
+                "mult",
+                "observed_rms",
+            ),
+            {"ignoreNullFields": "false"},
         ).alias("results_json"),
     )

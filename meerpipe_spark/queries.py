@@ -3073,7 +3073,7 @@ def pipeline_results_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("percent_rfi_zapped", T.DoubleType()),
             T.StructField("mult", T.DoubleType()),
             T.StructField("observed_rms", T.DoubleType()),
-            T.StructField("snr", T.DoubleType()),
+            T.StructField("sn", T.DoubleType()),
         ]
     )
     return (
@@ -3086,7 +3086,7 @@ def pipeline_results_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d.percent_rfi_zapped", 6).alias("percent_rfi_zapped"),
             F.round("d.mult", 6).alias("mult"),
             F.round("d.observed_rms", 6).alias("observed_rms"),
-            F.round("d.snr", 4).alias("snr"),
+            F.round("d.sn", 4).alias("snr"),
         )
     )
 
@@ -10948,4 +10948,334 @@ def timing_model_fit_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("f1_hz_s") * 1e15, 6) + F.lit(0.0)).alias("f1_e15"),
         (F.round(F.col("dm") - dm0_out, 6) + F.lit(0.0)).alias("ddm_fit"),
         (F.round(F.col("wrms_s") * 1e9, 3) + F.lit(0.0)).alias("wrms_ns"),
+    )
+
+
+def _results_doc_full_oracle() -> str:
+    """DuckDB twin of the FULL results.json document (D11, VERDICT r5
+    #1): the §3 cleaning/fluxcal/S-N stage chain (shared with
+    pipeline_results_json's oracle) PLUS the native DM fit (closed-form
+    WLS of per-channel TOA residuals vs K/f², fields DM/ERR/EPOCH/CHI2R/
+    TRES), the native RM fit (PA-vs-λ² WLS on Q/U), and the
+    period-averaged flux density — every one of the reference's 10
+    fields (generate_images_results.py:272-298) inside the hash."""
+    return """
+    WITH cube AS (
+      SELECT l_returnflag AS obs_id,
+             l_linenumber % 4 AS subint,
+             l_partkey % 16 AS chan,
+             l_orderkey % 32 AS bin,
+             CAST(900 AS DOUBLE) + CAST(l_partkey % 16 AS DOUBLE) * CAST(40 AS DOUBLE) AS freq,
+             (CASE WHEN l_orderkey % 32 BETWEEN 14 AND 17 THEN CAST(10 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+             + (CAST(((l_orderkey*48271 + l_partkey*16807 + l_linenumber*69621) % 100003) % 2001 - 1000 AS DOUBLE)
+                / CAST(1000 AS DOUBLE))
+               * (CASE WHEN l_partkey % 16 = 5 THEN CAST(50 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END) AS value,
+             CAST(1 AS DOUBLE) AS weight,
+             (l_orderkey % 32 BETWEEN 14 AND 17) AS onp
+      FROM lineitem
+    ),
+    c1 AS (SELECT *, CASE WHEN chan = 1 THEN CAST(0 AS DOUBLE) ELSE weight END AS w1 FROM cube),
+    cell AS (
+      SELECT obs_id, subint, chan,
+             stddev_samp(CASE WHEN NOT onp THEN value END) AS cell_rms
+      FROM c1 GROUP BY 1, 2, 3
+    ),
+    med AS (SELECT obs_id, median(cell_rms) AS rms_med FROM cell GROUP BY 1),
+    mad AS (
+      SELECT c.obs_id, median(abs(c.cell_rms - m.rms_med)) AS rms_mad
+      FROM cell c JOIN med m USING (obs_id) GROUP BY 1
+    ),
+    dec AS (
+      SELECT c.obs_id, c.subint, c.chan,
+             (abs(c.cell_rms - m.rms_med) > CAST(5 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.rms_mad
+              AND d.rms_mad > 0) AS zap_cell
+      FROM cell c JOIN med m USING (obs_id) JOIN mad d USING (obs_id)
+    ),
+    c2 AS (
+      SELECT c1.*, CASE WHEN coalesce(d.zap_cell, false) THEN CAST(0 AS DOUBLE) ELSE c1.w1 END AS w2
+      FROM c1 LEFT JOIN dec d USING (obs_id, subint, chan)
+    ),
+    bychan AS (SELECT obs_id, chan,
+                      avg(CASE WHEN w2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS cf
+               FROM c2 GROUP BY 1, 2),
+    bysub  AS (SELECT obs_id, subint,
+                      avg(CASE WHEN w2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS sf
+               FROM c2 GROUP BY 1, 2),
+    c3 AS (
+      SELECT c2.*, CASE WHEN bc.cf >= CAST(0.5 AS DOUBLE) OR bs.sf >= CAST(0.5 AS DOUBLE)
+                        THEN CAST(0 AS DOUBLE) ELSE c2.w2 END AS w3
+      FROM c2 JOIN bychan bc USING (obs_id, chan) JOIN bysub bs USING (obs_id, subint)
+    ),
+    perchan AS (
+      SELECT obs_id, chan, stddev_samp(CASE WHEN NOT onp THEN value END) AS off_rms, avg(freq) AS freq
+      FROM c3 GROUP BY 1, 2
+    ),
+    mults AS (
+      SELECT obs_id, median(off_rms) AS observed_rms,
+             CAST(1 AS DOUBLE) / median(off_rms) AS mult
+      FROM perchan WHERE freq >= CAST(900 AS DOUBLE) AND freq < CAST(1500 AS DOUBLE) GROUP BY obs_id
+    ),
+    calibrated AS (
+      SELECT c3.obs_id, c3.onp, c3.w3, c3.bin,
+             c3.value * coalesce(m.mult, CAST(1 AS DOUBLE)) AS value
+      FROM c3 LEFT JOIN mults m USING (obs_id)
+    ),
+    zapfrac AS (
+      SELECT obs_id, avg(CASE WHEN w3 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS pz
+      FROM c3 GROUP BY obs_id
+    ),
+    snr AS (
+      SELECT obs_id,
+             (sum(CASE WHEN onp THEN value END)
+              - count(CASE WHEN onp THEN value END) * avg(CASE WHEN NOT onp THEN value END))
+             / (stddev_samp(CASE WHEN NOT onp THEN value END)
+                * sqrt(count(CASE WHEN onp THEN value END))) AS sn
+      FROM calibrated WHERE w3 > 0 GROUP BY obs_id
+    ),
+    fluxd AS (
+      SELECT obs_id,
+             (sum(CASE WHEN onp THEN value END)
+              - count(CASE WHEN onp THEN value END) * avg(CASE WHEN NOT onp THEN value END))
+             / CAST(count(DISTINCT bin) AS DOUBLE) AS flux
+      FROM calibrated WHERE w3 > 0 GROUP BY obs_id
+    ),
+    -- native DM fit over per-channel TOA residuals (fit_dm twin)
+    dmtoas AS (
+      SELECT l_returnflag AS obs_id,
+             l_orderkey * 8 + l_linenumber AS k,
+             CAST(900 + (l_partkey % 16) * 40 AS DOUBLE) AS f,
+             CASE l_returnflag WHEN 'A' THEN CAST(0.003 AS DOUBLE)
+                               WHEN 'N' THEN CAST(-0.002 AS DOUBLE)
+                               ELSE CAST(0.0005 AS DOUBLE) END AS ddm_t,
+             CASE l_returnflag WHEN 'A' THEN CAST(2e-6 AS DOUBLE)
+                               WHEN 'N' THEN CAST(-1e-6 AS DOUBLE)
+                               ELSE CAST(5e-7 AS DOUBLE) END AS off_t,
+             CASE l_returnflag WHEN 'A' THEN CAST(20.5 AS DOUBLE)
+                               WHEN 'N' THEN CAST(15.25 AS DOUBLE)
+                               ELSE CAST(30.125 AS DOUBLE) END AS dm0
+      FROM lineitem
+    ),
+    dmrows AS (
+      SELECT obs_id, dm0,
+             CAST(4.148808e3 AS DOUBLE) / (f * f) AS x,
+             off_t + ddm_t * (CAST(4.148808e3 AS DOUBLE) / (f * f))
+                   + CAST(((k * 48271) % 100003) % 2001 - 1000 AS DOUBLE)
+                     * CAST(1e-9 AS DOUBLE) AS y,
+             CAST(1 AS DOUBLE)
+             / ((CAST(1 + k % 3 AS DOUBLE) * CAST(5e-7 AS DOUBLE))
+                * (CAST(1 + k % 3 AS DOUBLE) * CAST(5e-7 AS DOUBLE))) AS w,
+             CAST(59000 AS DOUBLE)
+                 + CAST(k % 1000 AS DOUBLE) * CAST(0.01 AS DOUBLE) AS mjd
+      FROM dmtoas
+    ),
+    dmstats AS (
+      SELECT obs_id, any_value(dm0) AS dm0, CAST(count(*) AS BIGINT) AS n,
+             sum(w) AS s, sum(w * x) AS sx, sum(w * y) AS sy,
+             sum(w * x * x) AS sxx, sum(w * x * y) AS sxy,
+             sum(w * y * y) AS syy, sum(w * mjd) AS swt
+      FROM dmrows GROUP BY obs_id
+    ),
+    dmfit AS (
+      SELECT obs_id, dm0, n, s, sxx, syy, sxy, sy, swt,
+             s * sxx - sx * sx AS d,
+             (s * sxy - sx * sy) / (s * sxx - sx * sx) AS b,
+             (sxx * sy - sx * sxy) / (s * sxx - sx * sx) AS a
+      FROM dmstats
+    ),
+    -- native RM fit on per-channel Q/U (fit_rm twin)
+    qurows AS (
+      SELECT l_returnflag AS obs_id,
+             l_orderkey * 8 + l_linenumber AS k,
+             CAST(900 + (l_partkey % 16) * 40 AS DOUBLE) AS f,
+             CASE l_returnflag WHEN 'A' THEN CAST(5.5 AS DOUBLE)
+                               WHEN 'N' THEN CAST(-3.25 AS DOUBLE)
+                               ELSE CAST(1.125 AS DOUBLE) END AS rm_t
+      FROM lineitem
+    ),
+    qumeas AS (
+      SELECT obs_id,
+             (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)))
+             * (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE))) AS x,
+             CAST(0.5 AS DOUBLE)
+                 * atan2(sin(CAST(2 AS DOUBLE)
+                             * (CAST(0.1 AS DOUBLE)
+                                + rm_t * ((CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)))
+                                          * (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE))))
+                                + CAST(((k * 16807) % 100003) % 2001 - 1000 AS DOUBLE)
+                                  * CAST(1e-5 AS DOUBLE))),
+                         cos(CAST(2 AS DOUBLE)
+                             * (CAST(0.1 AS DOUBLE)
+                                + rm_t * ((CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)))
+                                          * (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE))))
+                                + CAST(((k * 16807) % 100003) % 2001 - 1000 AS DOUBLE)
+                                  * CAST(1e-5 AS DOUBLE)))) AS y,
+             CAST(1 AS DOUBLE)
+             / ((CAST(1 + k % 4 AS DOUBLE) * CAST(0.01 AS DOUBLE))
+                * (CAST(1 + k % 4 AS DOUBLE) * CAST(0.01 AS DOUBLE))) AS w
+      FROM qurows
+    ),
+    qustats AS (
+      SELECT obs_id, CAST(count(*) AS BIGINT) AS n,
+             sum(w) AS s, sum(w * x) AS sx, sum(w * y) AS sy,
+             sum(w * x * x) AS sxx, sum(w * x * y) AS sxy,
+             sum(w * y * y) AS syy
+      FROM qumeas GROUP BY obs_id
+    ),
+    rmfit AS (
+      SELECT obs_id,
+             (s * sxy - sx * sy) / (s * sxx - sx * sx) AS rm,
+             sqrt(s / (s * sxx - sx * sx)) AS rm_err
+      FROM qustats
+    )
+    SELECT z.obs_id,
+           round(z.pz, 6) AS percent_rfi_zapped,
+           round(d.dm0 + d.b, 6) AS dm,
+           round(sqrt(d.s / d.d) * CAST(1e6 AS DOUBLE), 6) AS dm_err_e6,
+           round(d.swt / d.s, 6) AS dm_epoch,
+           round((d.syy - d.a * d.sy - d.b * d.sxy) / CAST(d.n - 2 AS DOUBLE), 6) AS dm_chi2r,
+           round(sqrt((d.syy - d.a * d.sy - d.b * d.sxy) / d.s) * CAST(1e6 AS DOUBLE), 6) AS dm_tres_us,
+           round(r.rm, 6) AS rm,
+           round(r.rm_err * CAST(1e3 AS DOUBLE), 6) AS rm_err_e3,
+           round(s.sn, 4) AS sn,
+           round(fl.flux, 6) AS flux,
+           round(m.mult, 6) AS mult,
+           round(m.observed_rms, 6) AS observed_rms
+    FROM zapfrac z JOIN mults m USING (obs_id) JOIN snr s USING (obs_id)
+                   JOIN fluxd fl USING (obs_id) JOIN dmfit d USING (obs_id)
+                   JOIN rmfit r USING (obs_id)
+    """
+
+
+@_register(
+    "results_doc_full",
+    _results_doc_full_oracle(),
+    doc="VERDICT r5 #1 closed: the reference's FULL results.json "
+        "(generate_images_results.py:272-298) with every field "
+        "hash-matched — percent_rfi_zapped from the cleaning chain, the "
+        "NATIVE DM fit's dm/dm_err/dm_epoch/dm_chi2r/dm_tres "
+        "(wlsfit.fit_dm over per-channel TOA residuals), the NATIVE RM "
+        "fit's rm/rm_err (wlsfit.fit_rm on Q/U), sn, and the period-"
+        "averaged flux density, all composed through "
+        "plans/pipeline.py::run_observation_pipeline + results_doc and "
+        "round-tripped through the emitted JSON document "
+        "(from_json with explicit-null semantics). The raw-only "
+        "null-variant (:342-355) is pinned by "
+        "tests/test_pipeline.py::test_results_doc_null_variant.",
+    headline=True,
+)
+def results_doc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from meerpipe_spark.plans.pipeline import run_observation_pipeline
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    chan = F.col("l_partkey") % 16
+    bint = F.col("l_orderkey") % 32
+    m = (
+        F.col("l_orderkey") * 48271
+        + F.col("l_partkey") * 16807
+        + F.col("l_linenumber") * 69621
+    ) % 100003
+    noise = ((m % 2001) - 1000).cast("double") / F.lit(1000.0)
+    pulse = F.when(bint.between(14, 17), F.lit(10.0)).otherwise(F.lit(0.0))
+    rfi = F.when(chan == 5, F.lit(50.0)).otherwise(F.lit(1.0))
+    cube = li.select(
+        F.col("l_returnflag").alias("obs_id"),
+        (F.col("l_linenumber") % 4).alias("subint"),
+        F.lit(0).alias("pol"),
+        chan.alias("chan"),
+        bint.alias("bin"),
+        F.lit("LBAND").alias("band"),
+        F.lit(16).alias("nchan"),
+        (F.lit(900.0) + chan.cast("double") * F.lit(40.0)).alias("freq"),
+        (pulse + noise * rfi).alias("value"),
+        F.lit(1.0).alias("weight"),
+    )
+    k = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    f = (F.lit(900) + (F.col("l_partkey") % 16) * 40).cast("double")
+    x = F.lit(4.148808e3) / (f * f)
+    ddm_t = (
+        F.when(F.col("l_returnflag") == "A", 0.003)
+        .when(F.col("l_returnflag") == "N", -0.002)
+        .otherwise(0.0005)
+    )
+    off_t = (
+        F.when(F.col("l_returnflag") == "A", 2e-6)
+        .when(F.col("l_returnflag") == "N", -1e-6)
+        .otherwise(5e-7)
+    )
+    dm0 = (
+        F.when(F.col("l_returnflag") == "A", 20.5)
+        .when(F.col("l_returnflag") == "N", 15.25)
+        .otherwise(30.125)
+    )
+    toa_noise = (((k * 48271) % 100003) % 2001 - 1000).cast("double") * F.lit(1e-9)
+    toas = li.select(
+        F.col("l_returnflag").alias("obs_id"),
+        f.alias("freq_mhz"),
+        (off_t + ddm_t * x + toa_noise).alias("resid_s"),
+        ((1 + k % 3).cast("double") * F.lit(5e-7)).alias("err_s"),
+        dm0.alias("dm0"),
+        (F.lit(59000.0) + (k % 1000).cast("double") * F.lit(0.01)).alias("mjd"),
+    )
+    rm_t = (
+        F.when(F.col("l_returnflag") == "A", 5.5)
+        .when(F.col("l_returnflag") == "N", -3.25)
+        .otherwise(1.125)
+    )
+    c = 299792458.0
+    lam = F.lit(c) / (f * F.lit(1e6))
+    lam2 = lam * lam
+    theta = (
+        F.lit(0.1)
+        + rm_t * lam2
+        + (((k * 16807) % 100003) % 2001 - 1000).cast("double") * F.lit(1e-5)
+    )
+    qu_chans = li.select(
+        F.col("l_returnflag").alias("obs_id"),
+        f.alias("freq_mhz"),
+        F.cos(F.lit(2.0) * theta).alias("q"),
+        F.sin(F.lit(2.0) * theta).alias("u"),
+        ((1 + k % 4).cast("double") * F.lit(0.01)).alias("pa_err"),
+    )
+    out = run_observation_pipeline(
+        cube,
+        F.col("bin").between(14, 17),
+        specs=[],
+        input_nsub=4,
+        input_nchan=16,
+        expected_rms=1.0,
+        fluxcal_window=(900.0, 1500.0),
+        bad_channels=[1],
+        persist=False,
+        toas=toas,
+        qu_chans=qu_chans,
+    )
+    schema = T.StructType(
+        [
+            T.StructField(name, T.DoubleType())
+            for name in (
+                "percent_rfi_zapped", "dm", "dm_err", "dm_epoch", "dm_chi2r",
+                "dm_tres", "rm", "rm_err", "sn", "flux", "mult", "observed_rms",
+            )
+        ]
+    )
+    return (
+        out["results"]
+        .select("obs_id", F.from_json("results_json", schema).alias("d"))
+        .select(
+            "obs_id",
+            F.round("d.percent_rfi_zapped", 6).alias("percent_rfi_zapped"),
+            F.round("d.dm", 6).alias("dm"),
+            F.round(F.col("d.dm_err") * 1e6, 6).alias("dm_err_e6"),
+            F.round("d.dm_epoch", 6).alias("dm_epoch"),
+            F.round("d.dm_chi2r", 6).alias("dm_chi2r"),
+            F.round("d.dm_tres", 6).alias("dm_tres_us"),
+            F.round("d.rm", 6).alias("rm"),
+            F.round(F.col("d.rm_err") * 1e3, 6).alias("rm_err_e3"),
+            F.round("d.sn", 4).alias("sn"),
+            F.round("d.flux", 6).alias("flux"),
+            F.round("d.mult", 6).alias("mult"),
+            F.round("d.observed_rms", 6).alias("observed_rms"),
+        )
     )

@@ -79,7 +79,7 @@ def test_archive_file_to_toas(spark, tmp_path):
     import json
 
     doc = json.loads(out["results"].collect()[0].results_json)
-    assert doc["snr"] > 10
+    assert doc["sn"] > 10
 
 
 @pytest.mark.slow

@@ -106,9 +106,19 @@ def test_full_pipeline_products_and_results(spark, cube):
     import json
 
     doc = json.loads(out["results"].collect()[0].results_json)
-    assert set(doc) >= {"percent_rfi_zapped", "mult", "observed_rms", "snr"}
+    # the reference's FULL 10-field document (generate_images_results.py:
+    # 272-298) plus the legacy mult/observed_rms extras
+    assert set(doc) >= {
+        "percent_rfi_zapped", "dm", "dm_err", "dm_epoch", "dm_chi2r",
+        "dm_tres", "rm", "rm_err", "sn", "flux", "mult", "observed_rms",
+    }
     assert 0.0 <= doc["percent_rfi_zapped"] <= 1.0
-    assert doc["snr"] > 5.0  # strong injected pulse survives cleaning
+    assert doc["sn"] > 5.0  # strong injected pulse survives cleaning
+    assert doc["flux"] is not None and doc["flux"] > 0.0
+    # no TOAs / no Q/U supplied -> DM and RM blocks are EXPLICIT nulls
+    # (the raw-only null-variant, generate_images_results.py:342-355)
+    for k in ("dm", "dm_err", "dm_epoch", "dm_chi2r", "dm_tres", "rm", "rm_err"):
+        assert doc[k] is None
     # cumulative S/N series is monotone-ish and defined per subint
     series = out["snr_series"].collect()
     assert len(series) == NSUB
@@ -119,3 +129,108 @@ def test_decimation_dsl_parse():
     assert specs[0].pscrunch and specs[0].nsub is None
     assert specs[1].nsub == 320 and specs[1].nchan == 8
     assert specs[3].nsub == 1 and specs[4].nchan == 1
+
+
+def test_results_doc_null_variant(spark):
+    """The raw-only document (generate_images_results.py:342-355): every
+    measurement the pipeline didn't produce is an EXPLICIT JSON null,
+    never a missing key — downstream ingest relies on a fixed schema."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.plans.pipeline import results_doc
+
+    cleaned = spark.createDataFrame(
+        [("obs1", 0, 0, i, float(i), 1.0 if i % 4 else 0.0) for i in range(8)],
+        ["obs_id", "subint", "chan", "bin", "value", "weight"],
+    )
+    mults = spark.createDataFrame(
+        [("obs1", 1.5, 0.8)], ["obs_id", "mult", "observed_rms"]
+    )
+    snr_total = spark.createDataFrame([("obs1", 12.5)], ["obs_id", "snr"])
+    doc = json.loads(
+        results_doc(cleaned, mults, snr_total).collect()[0].results_json
+    )
+    # all 10 reference fields present as KEYS
+    assert set(doc) >= {
+        "percent_rfi_zapped", "dm", "dm_err", "dm_epoch", "dm_chi2r",
+        "dm_tres", "rm", "rm_err", "sn", "flux",
+    }
+    # absent fits -> explicit nulls
+    for k in ("dm", "dm_err", "dm_epoch", "dm_chi2r", "dm_tres", "rm", "rm_err", "flux"):
+        assert doc[k] is None, k
+    # produced fields carry through
+    assert doc["sn"] == 12.5
+    assert doc["percent_rfi_zapped"] == 0.25
+
+
+def test_results_doc_full_fits_wired(spark):
+    """With TOA and Q/U frames supplied, run_observation_pipeline emits
+    a document whose DM block comes from fit_dm and RM block from
+    fit_rm (non-null, physically sensible values)."""
+    import json
+    import math
+
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.plans.decimation import parse_decimation_flags
+    from meerpipe_spark.plans.pipeline import run_observation_pipeline
+
+    rows = []
+    for sub in range(2):
+        for ch in range(8):
+            for b in range(16):
+                val = 10.0 if 6 <= b <= 9 else 0.1 * ((sub * 131 + ch * 17 + b * 7) % 11 - 5)
+                rows.append(("obsZ", sub, 0, ch, b, "LBAND", 8, 900.0 + ch * 80.0, val, 1.0))
+    cube = spark.createDataFrame(
+        rows,
+        ["obs_id", "subint", "pol", "chan", "bin", "band", "nchan", "freq", "value", "weight"],
+    )
+    toas = spark.createDataFrame(
+        [
+            (
+                "obsZ",
+                900.0 + ch * 80.0,
+                1e-6 + 0.002 * 4148.808 / (900.0 + ch * 80.0) ** 2,
+                2e-7,
+                12.5,
+                59000.0 + ch,
+            )
+            for ch in range(8)
+        ],
+        ["obs_id", "freq_mhz", "resid_s", "err_s", "dm0", "mjd"],
+    )
+    qu = spark.createDataFrame(
+        [
+            (
+                "obsZ",
+                900.0 + ch * 80.0,
+                math.cos(2 * (0.05 + 3.0 * (299792458.0 / ((900.0 + ch * 80.0) * 1e6)) ** 2)),
+                math.sin(2 * (0.05 + 3.0 * (299792458.0 / ((900.0 + ch * 80.0) * 1e6)) ** 2)),
+                0.01,
+            )
+            for ch in range(8)
+        ],
+        ["obs_id", "freq_mhz", "q", "u", "pa_err"],
+    )
+    out = run_observation_pipeline(
+        cube,
+        F.col("bin").between(6, 9),
+        specs=parse_decimation_flags("pscrunch"),
+        input_nsub=2,
+        input_nchan=8,
+        expected_rms=1.0,
+        fluxcal_window=(900.0, 1600.0),
+        toas=toas,
+        qu_chans=qu,
+    )
+    doc = json.loads(out["results"].collect()[0].results_json)
+    assert doc["dm"] == pytest.approx(12.5 + 0.002, abs=1e-9)
+    assert doc["rm"] == pytest.approx(3.0, abs=1e-6)
+    assert doc["dm_err"] is not None and doc["rm_err"] is not None
+    assert doc["flux"] is not None and doc["flux"] > 0
+    assert 59000.0 <= doc["dm_epoch"] <= 59007.0
+    from meerpipe_spark.plans.pipeline import release_pipeline
+
+    release_pipeline(out)

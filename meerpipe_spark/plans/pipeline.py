@@ -50,14 +50,22 @@ def run_observation_pipeline(
 
     The cleaned cube is cached once (``persist=True``) because every
     decimation product, the flux calibration, and the S/N series all
-    re-read it; call :func:`release_pipeline` after the products are
-    written so the executor memory is returned (cache lifetime is
-    caller-owned — nothing here leaks past release_pipeline).
+    re-read it — Spark does NOT reuse exchanges across DataFrame
+    branches, so without the cache each consumer replays the whole
+    cleaning chain's shuffles (VERDICT r5 #7: 57 shuffles for the
+    composed doc). Caches go through cacheutil.persist_tracked so batch
+    harnesses (driver gate, bench, sweep) release them between queries;
+    interactive callers use :func:`release_pipeline` after the products
+    are written. The tiny per-obs multiplier table is persisted too:
+    five downstream branches broadcast it, and each broadcast build
+    would otherwise re-aggregate the cleaned cube.
     """
     chopped = chop_edge_channels(cube)
     cleaned = clean_chain(chopped, on_pulse, bad_channels=bad_channels)
     if persist:
-        cleaned = cleaned.cache()
+        from meerpipe_spark.cacheutil import persist_tracked
+
+        cleaned = persist_tracked(cleaned)
 
     # flux multiplier derives from the OFF-pulse RMS (fluxcal_meerkat.py
     # off-window statistics) — complement the on-pulse template predicate
@@ -65,6 +73,10 @@ def run_observation_pipeline(
         "expected_rms", F.lit(expected_rms)
     )
     mults = flux_multiplier(per_chan, "expected_rms", *fluxcal_window)
+    if persist:
+        from meerpipe_spark.cacheutil import persist_tracked
+
+        mults = persist_tracked(mults)
     calibrated = apply_flux(cleaned, mults)
 
     products = emit_products(calibrated, specs, input_nsub, input_nchan)
@@ -124,11 +136,13 @@ def run_observation_pipeline(
 
 
 def release_pipeline(out: dict[str, DataFrame]) -> None:
-    """Unpersist every cached frame a pipeline run pinned (currently the
-    cleaned cube). Call after the products have been written/collected."""
-    cleaned = out.get("cleaned")
-    if cleaned is not None:
-        cleaned.unpersist()
+    """Unpersist every cached frame a pipeline run pinned (the cleaned
+    cube and the per-obs multiplier table). Call after the products have
+    been written/collected."""
+    for key in ("cleaned", "multipliers"):
+        df = out.get(key)
+        if df is not None:
+            df.unpersist()
 
 
 def results_doc(

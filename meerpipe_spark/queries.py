@@ -3038,7 +3038,7 @@ def pipeline_results_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected_rms=1.0,
         fluxcal_window=(900.0, 1500.0),
         bad_channels=[1],
-        persist=False,  # driver compare collects once; no cache pin
+        persist=True,  # tracked cache; _self_cleaning releases it next query
     )
     # dlyfix stage: the engine's rules evaluation on the obs metadata
     rules = parse_dlycfg(
@@ -9123,10 +9123,16 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "winsorized_stats",
     """
-    WITH b AS (
-        SELECT quantile_disc(l_extendedprice, 0.01) AS lo,
-               quantile_disc(l_extendedprice, 0.99) AS hi
+    WITH p AS (
+        SELECT quantile_cont(l_extendedprice, 0.01) AS plo,
+               quantile_cont(l_extendedprice, 0.99) AS phi
         FROM lineitem
+    ),
+    b AS (
+        SELECT (SELECT max(l_extendedprice) FROM lineitem, p
+                WHERE l_extendedprice <= plo) AS lo,
+               (SELECT max(l_extendedprice) FROM lineitem, p
+                WHERE l_extendedprice <= phi) AS hi
     )
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
@@ -9139,14 +9145,15 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem CROSS JOIN b
     GROUP BY l_returnflag
     """,
-    doc="Winsorized aggregation: clip the price column at the exact "
-        "discrete P1/P99 order statistics (quantile_disc / Spark "
-        "percentile_approx at accuracy=high? no — exact percentile on "
-        "the sorted column, a SELECTION not an interpolation, so both "
-        "engines pick the identical element), then aggregate the "
-        "clipped values in exact cents. The robust-mean preprocessing "
-        "step of metric pipelines; bounds broadcast, facts scanned "
-        "once.",
+    doc="Winsorized aggregation: clip the price column at the discrete "
+        "P1/P99 order statistics, SELECTED as the largest element <= "
+        "the interpolated percentile in BOTH engines (quantile_cont + "
+        "max-filter in the oracle mirrors Spark percentile + "
+        "max-filter op-for-op — quantile_disc's index convention is "
+        "NOT assumed), then aggregate the clipped values in exact "
+        "cents. The robust-mean preprocessing step of metric "
+        "pipelines; bounds broadcast, facts scanned once, no global "
+        "window.",
 )
 def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
@@ -11247,7 +11254,7 @@ def results_doc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected_rms=1.0,
         fluxcal_window=(900.0, 1500.0),
         bad_channels=[1],
-        persist=False,
+        persist=True,  # tracked cache; _self_cleaning releases it next query
         toas=toas,
         qu_chans=qu_chans,
     )
@@ -11278,4 +11285,73 @@ def results_doc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d.mult", 6).alias("mult"),
             F.round("d.observed_rms", 6).alias("observed_rms"),
         )
+    )
+
+
+def _media_feature_png_oracle() -> str:
+    """Pixel-formula twin of the PNG feature lane: the encode→decode
+    round-trip is lossless (functions/png.py, proven by
+    image_dhash_roundtrip), so the oracle recomputes the 8×8 pixels from
+    the closed formula px = clamp(floor((v+4)·32), 0, 255), L2-normalizes
+    through the SAME float32 rounding chain numpy uses (f32 norm of an
+    exact-integer sum of squares, f32 division), and rounds at 6
+    decimals — the feature VECTORS themselves are inside the hash."""
+    def px(k: int) -> str:
+        return (
+            f"least(greatest(CAST(floor((CAST(embedding[{k + 1}] AS DOUBLE) + 4.0) * 32.0) "
+            f"AS BIGINT), 0), 255)"
+        )
+
+    ss = " + ".join(f"{px(k)} * {px(k)}" for k in range(64))
+    elems = ",\n               ".join(
+        f"round(CAST(CAST(CAST({px(k)} AS DOUBLE) / nrm AS FLOAT) AS DOUBLE), 6)"
+        for k in range(64)
+    )
+    return f"""
+    WITH nrm_t AS (
+        SELECT vec_id, embedding,
+               CAST(CAST(sqrt(CAST({ss} AS DOUBLE)) AS FLOAT) AS DOUBLE) AS nrm
+        FROM embeddings
+    )
+    SELECT vec_id AS media_id,
+           [{elems}] AS feature,
+           TRUE AS decode_ok
+    FROM nrm_t
+    """
+
+
+@_register(
+    "media_feature_extract_png",
+    _media_feature_png_oracle(),
+    doc="VERDICT r5 #6: the media feature lane promoted to a FULL "
+        "oracle. Each embedding renders as a REAL 8×8 grayscale PNG "
+        "(pure-numpy encoder), Spark decodes the payload back "
+        "(decode_image_real: PIL or the pure-numpy inflate/unfilter "
+        "path) and emits the dim=64 grayscale feature vector "
+        "(operators/multimodal.py::extract_features); the oracle never "
+        "sees a PNG — it recomputes the pixels from the closed formula "
+        "and replays numpy's exact float32 normalization (integer "
+        "sum-of-squares is exact in f32, so only two correctly-rounded "
+        "ops remain), proving payload → decode → featurize is "
+        "pixel-lossless END TO END. The opaque-codec lane "
+        "(media_feature_extract) stays rows-only by design. Two "
+        "mapInPandas stages, zero shuffle.",
+    headline=True,
+)
+def media_feature_extract_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.multimodal import (
+        decode_image_real,
+        extract_features,
+        vectors_to_png,
+    )
+
+    vecs = load_tables(spark, sf_dir)["embeddings"]
+    media = vectors_to_png(vecs)
+    feats = extract_features(media, dim=64, decoder=decode_image_real)
+    return feats.select(
+        "media_id",
+        F.transform(F.col("feature"), lambda x: F.round(x.cast("double"), 6)).alias(
+            "feature"
+        ),
+        "decode_ok",
     )

@@ -35,6 +35,20 @@ def ensure_driver_memory() -> None:
     if gateway is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
         mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
         os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+    if gateway is None:
+        # Local-mode python workers inherit the JVM's env, NOT the
+        # driver's sys.path mutations. A driver that imported this
+        # package via sys.path.insert from another cwd (the round
+        # driver runs from /tmp) would otherwise spawn workers that
+        # cannot unpickle/deferred-import meerpipe_spark — every
+        # mapInPandas/applyInPandas closure referencing module
+        # functions (timing fit, media decode, kepler) silently
+        # degrades or fails. Prepend the repo root to PYTHONPATH
+        # before the gateway launches so workers resolve the package.
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pp = os.environ.get("PYTHONPATH", "")
+        if repo not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = repo + (os.pathsep + pp if pp else "")
 
 
 def get_spark(

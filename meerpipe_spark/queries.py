@@ -11355,3 +11355,366 @@ def media_feature_extract_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "decode_ok",
     )
+
+
+def _template_match_oracle() -> str:
+    """DuckDB twin of operators/toa.py::template_match_toas: the FFT
+    circular cross-correlation replayed in the LAG domain with list
+    algebra (mathematically identical; float differences ~1e-12 sit far
+    under the output rounding), then the same argmax → parabolic
+    refinement → off-peak noise → snr/err chain. Python float ``%`` is
+    non-negative; DuckDB fmod follows the dividend sign — hence the
+    double-fmod normalization on the final shift."""
+    nbin = 16
+    sh = (
+        "CASE ((CAST(bin AS BIGINT) - (5 * subint + 3 * obsidx) % 16) % 16 + 16) % 16 "
+        "WHEN 5 THEN CAST(10 AS DOUBLE) WHEN 6 THEN CAST(20 AS DOUBLE) "
+        "WHEN 7 THEN CAST(15 AS DOUBLE) WHEN 8 THEN CAST(5 AS DOUBLE) "
+        "ELSE CAST(0 AS DOUBLE) END"
+    )
+    tpl = (
+        "[CAST(0 AS DOUBLE),0,0,0,0,10,20,15,5,0,0,0,0,0,0,0]"
+    )
+    return f"""
+    WITH cells AS (
+        SELECT DISTINCT l_returnflag AS obs_id,
+               CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS obsidx,
+               l_linenumber % 2 AS subint,
+               l_partkey % 2 AS chan,
+               l_orderkey % {nbin} AS bin
+        FROM lineitem
+    ),
+    vals AS (
+        SELECT obs_id, subint, chan, bin,
+               {sh}
+               + CAST((((((obsidx * 2 + subint) * 2 + chan) * {nbin} + bin) * 48271)
+                       % 100003) % 2001 - 1000 AS DOUBLE) * CAST(1e-3 AS DOUBLE) AS value
+        FROM cells
+    ),
+    prof AS (
+        SELECT obs_id, subint, chan AS chan_group,
+               list(value ORDER BY bin) AS p
+        FROM vals GROUP BY 1, 2, 3
+    ),
+    centered AS (
+        SELECT obs_id, subint, chan_group,
+               list_transform(p, x -> x - list_sum(p) / {nbin}) AS p0,
+               list_transform({tpl}, x -> x - CAST(3.125 AS DOUBLE)) AS t0
+        FROM prof
+    ),
+    xcs AS (
+        SELECT obs_id, subint, chan_group,
+               list_transform(range(0, {nbin}), l ->
+                   list_sum(list_transform(range(0, {nbin}), b ->
+                       p0[b + 1] * t0[(((b - l) % {nbin}) + {nbin}) % {nbin} + 1]))) AS xc
+        FROM centered
+    ),
+    peak AS (
+        SELECT obs_id, subint, chan_group, xc,
+               list_position(xc, list_max(xc)) - 1 AS k
+        FROM xcs
+    ),
+    refine AS (
+        SELECT obs_id, subint, chan_group, xc, k,
+               xc[((k - 1 + {nbin}) % {nbin}) + 1] AS ym,
+               xc[k + 1] AS y0,
+               xc[((k + 1) % {nbin}) + 1] AS yp,
+               list_filter(range(0, {nbin}), i ->
+                   i != ((k - 1 + {nbin}) % {nbin}) AND i != k
+                   AND i != ((k + 1) % {nbin})) AS offidx
+        FROM peak
+    ),
+    stats_ AS (
+        SELECT obs_id, subint, chan_group, k, y0,
+               CASE WHEN ym - 2 * y0 + yp != 0
+                    THEN CAST(0.5 AS DOUBLE) * (ym - yp) / (ym - 2 * y0 + yp)
+                    ELSE CAST(0 AS DOUBLE) END AS frac,
+               list_sum(list_transform(offidx, i -> xc[i + 1]))
+                   / CAST({nbin} - 3 AS DOUBLE) AS mu,
+               sqrt(list_sum(list_transform(offidx, i ->
+                       (xc[i + 1] - list_sum(list_transform(offidx, j -> xc[j + 1]))
+                                    / CAST({nbin} - 3 AS DOUBLE))
+                     * (xc[i + 1] - list_sum(list_transform(offidx, j -> xc[j + 1]))
+                                    / CAST({nbin} - 3 AS DOUBLE))))
+                    / CAST({nbin} - 3 AS DOUBLE)) AS sd
+        FROM refine
+    )
+    SELECT obs_id, CAST(subint AS INT) AS subint,
+           CAST(chan_group AS INT) AS chan_group,
+           round(fmod(fmod(CAST(k AS DOUBLE) + frac, {nbin}) + {nbin}, {nbin})
+                 / {nbin}, 6) AS phase_shift,
+           round(CAST(1 AS DOUBLE)
+                 / (CAST(2 AS DOUBLE) * pi()
+                    * greatest((y0 - mu) / (CASE WHEN sd = 0 THEN 1 ELSE sd END),
+                               CAST(1e-9 AS DOUBLE))), 6) AS phase_err,
+           round((y0 - mu) / (CASE WHEN sd = 0 THEN 1 ELSE sd END), 4) AS snr
+    FROM stats_
+    """
+
+
+@_register(
+    "template_match_toa_operator",
+    _template_match_oracle(),
+    doc="The reference's 'Create ToAs' stage (tempo2_wrapper.sh / pat "
+        "template matching) driven through operators/toa.py::"
+        "template_match_toas with a FULL oracle: profiles with a KNOWN "
+        "circular shift per (obs, subint) plus deterministic sub-percent "
+        "noise are synthesized from lineitem's distinct modular cells "
+        "(192 cells, SF-stable); the operator's FFT circular "
+        "cross-correlation + parabolic sub-bin refinement + off-peak "
+        "noise snr/err must match the DuckDB lag-domain replay of the "
+        "same estimator bit-for-bit at 6 decimals. Grouped-map pandas "
+        "UDF over (obs × subint × chan_group) cells — the correct "
+        "parallel axis for millions of profiles.",
+    headline=True,
+)
+def template_match_toa_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.toa import template_match_toas
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    obsidx = (
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+    )
+    cells = li.select(
+        F.col("l_returnflag").alias("obs_id"),
+        obsidx.alias("obsidx"),
+        (F.col("l_linenumber") % 2).alias("subint"),
+        (F.col("l_partkey") % 2).alias("chan"),
+        (F.col("l_orderkey") % 16).alias("bin"),
+    ).distinct()
+    shift = (5 * F.col("subint") + 3 * F.col("obsidx")) % 16
+    x = ((F.col("bin") - shift) % 16 + 16) % 16
+    sh = (
+        F.when(x == 5, 10.0).when(x == 6, 20.0).when(x == 7, 15.0)
+        .when(x == 8, 5.0).otherwise(0.0)
+    )
+    k = ((F.col("obsidx") * 2 + F.col("subint")) * 2 + F.col("chan")) * 16 + F.col("bin")
+    noise = (((k * 48271) % 100003) % 2001 - 1000).cast("double") * F.lit(1e-3)
+    profiles = cells.select(
+        "obs_id", "subint", "chan", "bin", (sh + noise).alias("value")
+    )
+    template = [0.0, 0.0, 0.0, 0.0, 0.0, 10.0, 20.0, 15.0, 5.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    toas = template_match_toas(profiles, template, chan_groups=2, nchan=2)
+    return toas.select(
+        "obs_id",
+        F.col("subint").cast("int").alias("subint"),
+        F.col("chan_group").cast("int").alias("chan_group"),
+        F.round("phase_shift", 6).alias("phase_shift"),
+        F.round("phase_err", 6).alias("phase_err"),
+        F.round("snr", 4).alias("snr"),
+    )
+
+
+@_register(
+    "theil_sen_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y,
+               row_number() OVER (ORDER BY CAST(ts AS DATE)) - 1 AS x
+        FROM events GROUP BY 1
+    ),
+    slopes AS (
+        SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+        FROM daily a JOIN daily b ON b.x > a.x
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(median(s) / 100, 6) AS sen_slope_per_day,
+           round(min(s) / 100, 6) AS min_slope,
+           round(max(s) / 100, 6) AS max_slope
+    FROM slopes
+    """,
+    doc="Theil–Sen robust trend of daily revenue: the MEDIAN of all "
+        "pairwise slopes (y_j−y_i)/(j−i) — 50%-breakdown-point "
+        "alternative to OLS (brand_trend_ols). Every slope is ONE "
+        "division of exact bigints (integer day index, integer cents), "
+        "so the pair population is bit-identical across engines and the "
+        "exact median is pure selection. The O(n²) pair join runs on "
+        "the DAY-sized rollup (365 rows → 66k pairs at any SF) — the "
+        "classic trick of pushing the quadratic op to the aggregated "
+        "series, never the event stream.",
+)
+def theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        events.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(cents).cast("bigint").alias("y"))
+        .select("y", (F.row_number().over(W.orderBy("d")) - 1).alias("x"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.x") > F.col("a.x")).select(
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("s")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.median("s") / 100, 6).alias("sen_slope_per_day"),
+        F.round(F.min("s") / 100, 6).alias("min_slope"),
+        F.round(F.max("s") / 100, 6).alias("max_slope"),
+    )
+
+
+@_register(
+    "mann_kendall_daily",
+    """
+    WITH rollup_ AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM daily_src GROUP BY 1
+    ),
+    daily AS (
+        SELECT y, row_number() OVER (ORDER BY d) - 1 AS x FROM rollup_
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    s_stat AS (
+        SELECT CAST(sum(sgn) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS np
+        FROM pairs
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+        SELECT coalesce(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tie_term
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y HAVING count(*) > 1)
+    )
+    SELECT s, n,
+           CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var18,
+           round((CAST(s AS DOUBLE)
+                  - (CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END))
+                 / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                        / CAST(18 AS DOUBLE)), 6) AS z
+    FROM s_stat, nn, ties
+    """.replace("daily_src", "events"),
+    doc="Mann–Kendall trend test on daily revenue: S = Σ_{i<j} "
+        "sign(y_j − y_i) is PURE integer (engine-exact by "
+        "construction), the tie-corrected variance 18·V = n(n−1)(2n+5) "
+        "− Σ t(t−1)(2t+5) is exact bigint, and the continuity-corrected "
+        "z needs exactly one sqrt and one division — the "
+        "non-parametric companion to theil_sen_daily (detects monotone "
+        "trend without assuming linearity or normality). Quadratic "
+        "pair join confined to the day-sized rollup.",
+)
+def mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        events.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(cents).cast("bigint").alias("y"))
+        .select("y", (F.row_number().over(W.orderBy("d")) - 1).alias("x"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+    )
+    s_stat = a.join(b, F.col("b.x") > F.col("a.x")).agg(
+        F.sum(sgn).cast("bigint").alias("s")
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var18 = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    cc = F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    return (
+        s_stat.crossJoin(nn)
+        .crossJoin(ties)
+        .select(
+            "s",
+            "n",
+            var18.cast("bigint").alias("var18"),
+            F.round(
+                (F.col("s").cast("double") - cc)
+                / F.sqrt(var18.cast("double") / F.lit(18.0)),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+@_register(
+    "ks_two_sample_events",
+    """
+    WITH pts AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM pts),
+    cum AS (
+        SELECT sum(c1) OVER (ORDER BY v) * n2
+               - sum(c2) OVER (ORDER BY v) * n1 AS dev
+        FROM pts CROSS JOIN tot
+    )
+    SELECT n1, n2,
+           (SELECT CAST(max(abs(dev)) AS BIGINT) FROM cum) AS d_scaled,
+           round(CAST((SELECT max(abs(dev)) FROM cum) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6) AS ks_z
+    FROM tot
+    """,
+    doc="Two-sample Kolmogorov–Smirnov test (purchase vs view value "
+        "distributions): D·n1·n2 = max over the merged support of "
+        "|cum1·n2 − cum2·n1| is PURE bigint — the supremum of the ECDF "
+        "gap with zero float ops, engine-exact by construction; only "
+        "the final effect-size normalization touches doubles. The "
+        "distribution-shift detector (data drift between cohorts / "
+        "time slices). The ordered cumsum runs on the DISTINCT-cents "
+        "rollup whose size is bounded by the value domain (<=35k "
+        "points regardless of row count), not the event stream.",
+)
+def ks_two_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    pts = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy(cents.alias("v"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    tot = pts.agg(
+        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
+    )
+    w = W.orderBy("v")
+    cum = pts.crossJoin(F.broadcast(tot)).select(
+        (F.sum("c1").over(w) * F.col("n2") - F.sum("c2").over(w) * F.col("n1")).alias(
+            "dev"
+        )
+    )
+    dmax = cum.agg(F.max(F.abs(F.col("dev"))).cast("bigint").alias("d_scaled"))
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    return tot.crossJoin(dmax).select(
+        "n1",
+        "n2",
+        "d_scaled",
+        F.round(
+            F.col("d_scaled").cast("double") / (n1 * n2) * F.sqrt(n1 * n2 / (n1 + n2)),
+            6,
+        ).alias("ks_z"),
+    )

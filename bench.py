@@ -118,6 +118,12 @@ ANCHORS: dict[str, float] = {
     "q2_min_cost_supplier": 1.10,          # r5w5
     "q11_important_parts": 0.60,           # r5w5
     "corpus_build_e2e": 6.61,              # r5w5 (7-stage lifecycle + CC; shingle table persisted once)
+    "dm_fit_operator": 0.236,              # r6 (measured/ab)
+    "rm_fit_operator": 0.222,              # r6 (measured/ab)
+    "timing_model_fit_operator": 0.530,    # r6 (measured/ab)
+    "results_doc_full": 1.730,             # r6 (measured/ab)
+    "media_feature_extract_png": 0.475,    # r6 (measured/ab)
+    "template_match_toa_operator": 0.419,  # r6 (measured/ab)
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

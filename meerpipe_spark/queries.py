@@ -11718,3 +11718,211 @@ def ks_two_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_z"),
     )
+
+
+def _toa_dm_e2e_oracle() -> str:
+    """DuckDB twin of the TOA→DM pipeline composition: the
+    template-matching estimator replayed in the lag domain (as in
+    _template_match_oracle, here with a piecewise-linear pulse evaluated
+    at SUB-BIN shifts — exact arithmetic, no libm in the generation),
+    the measured phase shifts converted to per-channel time residuals,
+    and the closed-form WLS DM solve per (obs, subint). fmod is
+    double-normalized everywhere a Python float ``%`` appears."""
+    nbin = 16
+    # injected sub-bin shift: base + dispersion term, all exact doubles
+    s_expr = (
+        "CAST(0.12 AS DOUBLE) + CAST(0.05 AS DOUBLE) * subint "
+        "+ dmcoef * (CAST(4.148808e3 AS DOUBLE) / (f * f))"
+    )
+    wrap = (
+        f"fmod(fmod(CAST(bin AS DOUBLE) - {nbin} * s - 5 + 8, {nbin}) + {nbin}, {nbin}) - 8"
+    )
+    tpl = "[CAST(0 AS DOUBLE),0,0,2,6,10,6,2,0,0,0,0,0,0,0,0]"
+    return f"""
+    WITH cells AS (
+        SELECT DISTINCT l_returnflag AS obs_id,
+               CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS obsidx,
+               CASE l_returnflag WHEN 'A' THEN CAST(20 AS DOUBLE)
+                                 WHEN 'N' THEN CAST(30 AS DOUBLE)
+                                 ELSE CAST(40 AS DOUBLE) END AS dmcoef,
+               l_linenumber % 2 AS subint,
+               l_partkey % 4 AS chan,
+               l_orderkey % {nbin} AS bin
+        FROM lineitem
+    ),
+    vals AS (
+        SELECT obs_id, subint, chan, bin,
+               CAST(900 AS DOUBLE) + CAST(chan AS DOUBLE) * CAST(200 AS DOUBLE) AS f,
+               greatest(CAST(0 AS DOUBLE),
+                        CAST(10 AS DOUBLE) - CAST(4 AS DOUBLE) * abs({wrap}))
+               + CAST((((((obsidx * 2 + subint) * 4 + chan) * {nbin} + bin) * 48271)
+                       % 100003) % 2001 - 1000 AS DOUBLE) * CAST(5e-5 AS DOUBLE) AS value
+        FROM (SELECT *, {s_expr} AS s
+              FROM (SELECT *, CAST(900 AS DOUBLE)
+                              + CAST(chan AS DOUBLE) * CAST(200 AS DOUBLE) AS f
+                    FROM cells))
+    ),
+    prof AS (
+        SELECT obs_id, subint, chan AS chan_group, any_value(f) AS f,
+               list(value ORDER BY bin) AS p
+        FROM vals GROUP BY 1, 2, 3
+    ),
+    centered AS (
+        SELECT obs_id, subint, chan_group, f,
+               list_transform(p, x -> x - list_sum(p) / {nbin}) AS p0,
+               list_transform({tpl}, x -> x - CAST(1.625 AS DOUBLE)) AS t0
+        FROM prof
+    ),
+    xcs AS (
+        SELECT obs_id, subint, chan_group, f,
+               list_transform(range(0, {nbin}), l ->
+                   list_sum(list_transform(range(0, {nbin}), b ->
+                       p0[b + 1] * t0[(((b - l) % {nbin}) + {nbin}) % {nbin} + 1]))) AS xc
+        FROM centered
+    ),
+    peak AS (
+        SELECT obs_id, subint, chan_group, f, xc,
+               list_position(xc, list_max(xc)) - 1 AS k
+        FROM xcs
+    ),
+    shifts AS (
+        SELECT obs_id, subint, chan_group, f,
+               fmod(fmod(CAST(k AS DOUBLE)
+                         + (CASE WHEN xc[((k - 1 + {nbin}) % {nbin}) + 1]
+                                      - 2 * xc[k + 1]
+                                      + xc[((k + 1) % {nbin}) + 1] != 0
+                                 THEN CAST(0.5 AS DOUBLE)
+                                      * (xc[((k - 1 + {nbin}) % {nbin}) + 1]
+                                         - xc[((k + 1) % {nbin}) + 1])
+                                      / (xc[((k - 1 + {nbin}) % {nbin}) + 1]
+                                         - 2 * xc[k + 1]
+                                         + xc[((k + 1) % {nbin}) + 1])
+                                 ELSE CAST(0 AS DOUBLE) END), {nbin}) + {nbin}, {nbin})
+               / {nbin} AS phase_shift
+        FROM peak
+    ),
+    resid AS (
+        SELECT obs_id, subint,
+               CAST(4.148808e3 AS DOUBLE) / (f * f) AS x,
+               phase_shift / CAST(218.81184385 AS DOUBLE) AS y,
+               CAST(1 AS DOUBLE) AS w
+        FROM shifts
+    ),
+    stats_ AS (
+        SELECT obs_id, subint, CAST(count(*) AS BIGINT) AS n,
+               sum(w) AS s, sum(w * x) AS sx, sum(w * y) AS sy,
+               sum(w * x * x) AS sxx, sum(w * x * y) AS sxy,
+               sum(w * y * y) AS syy
+        FROM resid GROUP BY 1, 2
+    ),
+    solved AS (
+        SELECT obs_id, subint, n, s, sxx, syy, sxy, sy,
+               s * sxx - sx * sx AS d,
+               (s * sxy - sx * sy) / (s * sxx - sx * sx) AS b,
+               (sxx * sy - sx * sxy) / (s * sxx - sx * sx) AS a
+        FROM stats_
+    )
+    SELECT obs_id, CAST(subint AS INT) AS subint, n,
+           round(b * CAST(218.81184385 AS DOUBLE), 4) AS dmcoef_fit,
+           round(a * CAST(1e3 AS DOUBLE), 4) AS base_ms,
+           round(sqrt((syy - a * sy - b * sxy) / s) * CAST(1e6 AS DOUBLE), 4)
+               AS tres_us
+    FROM solved
+    """
+
+
+@_register(
+    "toa_dm_pipeline_e2e",
+    _toa_dm_e2e_oracle(),
+    doc="The timing half of the reference pipeline COMPOSED end to end: "
+        "folded profiles (piecewise-linear pulse at KNOWN sub-bin "
+        "shifts carrying a real dispersion sweep ΔΦ = c·K/f² across 4 "
+        "channels, plus deterministic noise) → template-matching TOA "
+        "extraction (operators/toa.py::template_match_toas, FFT "
+        "cross-correlation + parabolic refinement) → per-channel "
+        "residuals → the closed-form WLS DM solve per (obs, subint) "
+        "(operators/wlsfit.py pattern). Two chained applyInPandas "
+        "operators and a hash aggregation, all inside ONE oracle hash: "
+        "DuckDB replays the estimator in the lag domain and the WLS in "
+        "closed form. The recovered dispersion coefficient lands on "
+        "the injected 20/30/40 per obs (estimator-bias bounded, "
+        "pinned by pytest).",
+    headline=True,
+)
+def toa_dm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.toa import template_match_toas
+
+    nbin = 16
+    f0t = 218.81184385
+    li = load_tables(spark, sf_dir)["lineitem"]
+    obsidx = (
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+    )
+    dmcoef = (
+        F.when(F.col("l_returnflag") == "A", 20.0)
+        .when(F.col("l_returnflag") == "N", 30.0)
+        .otherwise(40.0)
+    )
+    cells = li.select(
+        F.col("l_returnflag").alias("obs_id"),
+        obsidx.alias("obsidx"),
+        dmcoef.alias("dmcoef"),
+        (F.col("l_linenumber") % 2).alias("subint"),
+        (F.col("l_partkey") % 4).alias("chan"),
+        (F.col("l_orderkey") % nbin).alias("bin"),
+    ).distinct()
+    f = F.lit(900.0) + F.col("chan").cast("double") * F.lit(200.0)
+    s = (
+        F.lit(0.12)
+        + F.lit(0.05) * F.col("subint")
+        + F.col("dmcoef") * (F.lit(4.148808e3) / (f * f))
+    )
+    wrap_arg = F.col("bin").cast("double") - nbin * s - 5 + 8
+    wd = ((wrap_arg % nbin) + nbin) % nbin - 8
+    pulse = F.greatest(F.lit(0.0), F.lit(10.0) - F.lit(4.0) * F.abs(wd))
+    k = (
+        ((F.col("obsidx") * 2 + F.col("subint")) * 4 + F.col("chan")) * nbin
+        + F.col("bin")
+    )
+    noise = (((k * 48271) % 100003) % 2001 - 1000).cast("double") * F.lit(5e-5)
+    profiles = cells.select(
+        "obs_id", "subint", "chan", "bin", (pulse + noise).alias("value")
+    )
+    template = [0.0, 0.0, 0.0, 2.0, 6.0, 10.0, 6.0, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    toas = template_match_toas(profiles, template, chan_groups=4, nchan=4)
+    resid = toas.select(
+        "obs_id",
+        "subint",
+        (
+            F.lit(4.148808e3)
+            / (
+                (F.lit(900.0) + F.col("chan_group").cast("double") * F.lit(200.0))
+                * (F.lit(900.0) + F.col("chan_group").cast("double") * F.lit(200.0))
+            )
+        ).alias("x"),
+        (F.col("phase_shift") / F.lit(f0t)).alias("y"),
+        F.lit(1.0).alias("w"),
+    )
+    stats = resid.groupBy("obs_id", "subint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("w").alias("s"),
+        F.sum(F.col("w") * F.col("x")).alias("sx"),
+        F.sum(F.col("w") * F.col("y")).alias("sy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("w") * F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = F.col("s") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = (F.col("s") * F.col("sxy") - F.col("sx") * F.col("sy")) / d
+    a = (F.col("sxx") * F.col("sy") - F.col("sx") * F.col("sxy")) / d
+    chi2 = F.col("syy") - a * F.col("sy") - b * F.col("sxy")
+    return stats.select(
+        "obs_id",
+        F.col("subint").cast("int").alias("subint"),
+        "n",
+        F.round(b * f0t, 4).alias("dmcoef_fit"),
+        F.round(a * 1e3, 4).alias("base_ms"),
+        F.round(F.sqrt(chi2 / F.col("s")) * 1e6, 4).alias("tres_us"),
+    )

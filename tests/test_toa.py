@@ -116,3 +116,21 @@ def test_evaluate_residuals_with_spindown(spark):
         F.lit(f0), F.lit(pepoch), F.lit(f1),
     ).collect()[0]
     assert abs(out.residual_s) < 2e-6  # double-MJD resolution floor
+
+
+def test_toa_dm_pipeline_recovers_injected_dispersion(spark, sf_dir):
+    """The composed profiles→TOAs→DM-fit pipeline recovers the injected
+    per-obs dispersion coefficients (20/30/40) within the sub-bin
+    estimator's bias budget, and the per-subint base delay tracks the
+    injected 0.12/0.17-turn offsets."""
+    from meerpipe_spark.queries import QUERIES
+
+    rows = QUERIES["toa_dm_pipeline_e2e"].fn(spark, sf_dir).collect()
+    want = {"A": 20.0, "N": 30.0, "R": 40.0}
+    assert len(rows) == 6
+    for r in rows:
+        assert abs(r.dmcoef_fit - want[r.obs_id]) / want[r.obs_id] < 0.1
+        # base = (0.12 + 0.05*subint) turns / f0 in ms
+        expect_ms = (0.12 + 0.05 * r.subint) / 218.81184385 * 1e3
+        assert abs(r.base_ms - expect_ms) < 0.05
+        assert r.tres_us < 20.0

@@ -11926,3 +11926,113 @@ def toa_dm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(a * 1e3, 4).alias("base_ms"),
         F.round(F.sqrt(chi2 / F.col("s")) * 1e6, 4).alias("tres_us"),
     )
+
+
+@_register(
+    "dynspec_acf_2d",
+    """
+    WITH cells AS (
+        SELECT DISTINCT l_returnflag AS obs_id,
+               CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS obsidx,
+               l_linenumber % 4 AS t,
+               l_partkey % 8 AS f,
+               l_orderkey % 1 AS zero
+        FROM lineitem
+    ),
+    grid AS (
+        SELECT obs_id, t, f,
+               CAST(40 * greatest(0, 2 - abs(t - 2) - abs(f % 4 - 2))
+                    + ((((obsidx * 4 + t) * 8 + f) * 48271) % 100003) % 21 - 10
+                    AS BIGINT) AS v
+        FROM cells
+    ),
+    tot AS (
+        SELECT obs_id, CAST(sum(v) AS BIGINT) AS tv, CAST(count(*) AS BIGINT) AS n
+        FROM grid GROUP BY obs_id
+    ),
+    lags AS (SELECT dt, df FROM range(0, 3) r1(dt), range(0, 3) r2(df)),
+    acf AS (
+        SELECT a.obs_id, l.dt, l.df,
+               CAST(sum((t0.n * a.v - t0.tv) * (t0.n * b.v - t0.tv)) AS BIGINT)
+                   AS acf_scaled,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM grid a
+        JOIN lags l ON true
+        JOIN grid b ON b.obs_id = a.obs_id AND b.t = a.t + l.dt AND b.f = a.f + l.df
+        JOIN tot t0 ON t0.obs_id = a.obs_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT obs_id, CAST(dt AS INT) AS dt, CAST(df AS INT) AS df,
+           acf_scaled, n_pairs
+    FROM acf
+    """,
+    doc="Scintillation analysis primitive: the 2-D autocorrelation of "
+        "the dynamic spectrum over (time-lag, frequency-lag) — the "
+        "statistic whose half-width along each axis gives the "
+        "scintillation timescale and bandwidth (the downstream use of "
+        "the reference's .dynspec product, psrflux format). "
+        "Edge-truncated lags via a bounded self-join (each cell meets "
+        "<=9 lag partners — linear work at any grid size, no window). "
+        "EXACT arithmetic throughout: mean subtraction is cleared to "
+        "integers ((n·v − Σv) per cell), so every ACF value is a pure "
+        "bigint — engine- and partitioning-exact with zero float ops.",
+    headline=True,
+)
+def dynspec_acf_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    obsidx = (
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+    )
+    cells = li.select(
+        F.col("l_returnflag").alias("obs_id"),
+        obsidx.alias("obsidx"),
+        (F.col("l_linenumber") % 4).alias("t"),
+        (F.col("l_partkey") % 8).alias("f"),
+        (F.col("l_orderkey") % 1).alias("zero"),
+    ).distinct()
+    blob = 40 * F.greatest(
+        F.lit(0), F.lit(2) - F.abs(F.col("t") - 2) - F.abs(F.col("f") % 4 - 2)
+    )
+    k = ((F.col("obsidx") * 4 + F.col("t")) * 8 + F.col("f")) * 48271
+    noise = ((k % 100003) % 21) - 10
+    grid = cells.select(
+        "obs_id", "t", "f", (blob + noise).cast("bigint").alias("v")
+    )
+    tot = grid.groupBy("obs_id").agg(
+        F.sum("v").cast("bigint").alias("tv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    lags = spark.createDataFrame(
+        [(dt, df) for dt in range(3) for df in range(3)], ["dt", "df"]
+    )
+    a = grid.alias("a")
+    b = grid.alias("b")
+    acf = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.obs_id") == F.col("a.obs_id"))
+            & (F.col("b.t") == F.col("a.t") + F.col("dt"))
+            & (F.col("b.f") == F.col("a.f") + F.col("df")),
+        )
+        .join(F.broadcast(tot.alias("t0")), F.col("a.obs_id") == F.col("t0.obs_id"))
+        .groupBy(F.col("a.obs_id").alias("obs_id"), "dt", "df")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("a.v") - F.col("tv"))
+                * (F.col("n") * F.col("b.v") - F.col("tv"))
+            )
+            .cast("bigint")
+            .alias("acf_scaled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return acf.select(
+        "obs_id",
+        F.col("dt").cast("int").alias("dt"),
+        F.col("df").cast("int").alias("df"),
+        "acf_scaled",
+        "n_pairs",
+    )

@@ -12036,3 +12036,132 @@ def dynspec_acf_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "acf_scaled",
         "n_pairs",
     )
+
+
+@_register(
+    "rm_synthesis_spectrum",
+    """
+    WITH chans AS (
+        SELECT o_orderpriority AS obs, o_orderkey AS k,
+               CAST(900 AS DOUBLE) + CAST(o_orderkey % 64 AS DOUBLE)
+                   * CAST(12 AS DOUBLE) AS f,
+               CASE o_orderpriority
+                    WHEN '1-URGENT' THEN CAST(35 AS DOUBLE)
+                    WHEN '2-HIGH' THEN CAST(-20 AS DOUBLE)
+                    WHEN '3-MEDIUM' THEN CAST(8 AS DOUBLE)
+                    WHEN '4-NOT SPECIFIED' THEN CAST(-42 AS DOUBLE)
+                    ELSE CAST(15 AS DOUBLE) END AS rm_t
+        FROM orders
+    ),
+    meas AS (
+        SELECT obs,
+               (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)))
+               * (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE))) AS l2,
+               cos(CAST(2 AS DOUBLE) * (CAST(0.1 AS DOUBLE)
+                   + rm_t * ((CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)))
+                             * (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE))))
+                   + CAST(((k * 16807) % 100003) % 2001 - 1000 AS DOUBLE)
+                     * CAST(2e-5 AS DOUBLE))) AS q,
+               sin(CAST(2 AS DOUBLE) * (CAST(0.1 AS DOUBLE)
+                   + rm_t * ((CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)))
+                             * (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE))))
+                   + CAST(((k * 16807) % 100003) % 2001 - 1000 AS DOUBLE)
+                     * CAST(2e-5 AS DOUBLE))) AS u
+        FROM chans
+    ),
+    nch AS (SELECT obs, CAST(count(*) AS BIGINT) AS n FROM meas GROUP BY obs),
+    grid AS (SELECT CAST(phi AS DOUBLE) AS phi FROM range(-50, 51, 2) r(phi)),
+    fd AS (
+        SELECT m.obs, g.phi,
+               sum(m.q * cos(CAST(2 AS DOUBLE) * g.phi * m.l2)
+                   + m.u * sin(CAST(2 AS DOUBLE) * g.phi * m.l2)) AS re,
+               sum(m.u * cos(CAST(2 AS DOUBLE) * g.phi * m.l2)
+                   - m.q * sin(CAST(2 AS DOUBLE) * g.phi * m.l2)) AS im
+        FROM meas m CROSS JOIN grid g
+        GROUP BY 1, 2
+    ),
+    amp AS (
+        SELECT fd.obs, fd.phi,
+               sqrt(fd.re * fd.re + fd.im * fd.im) / nch.n AS a
+        FROM fd JOIN nch USING (obs)
+    ),
+    best AS (
+        SELECT obs, phi, a,
+               row_number() OVER (PARTITION BY obs ORDER BY a DESC, phi) AS rn
+        FROM amp
+    )
+    SELECT obs, CAST(phi AS INT) AS rm_peak,
+           round(a, 6) AS peak_amp,
+           (SELECT round(max(a2.a), 6) FROM amp a2
+            WHERE a2.obs = best.obs AND abs(a2.phi - best.phi) > 20) AS max_sidelobe
+    FROM best WHERE rn = 1
+    """,
+    doc="RM SYNTHESIS (Burn dirty spectrum): the Faraday-depth transform "
+        "F(φ) = (1/N)·Σ_ch P(λ²)·exp(−2iφλ²) evaluated on a φ grid — "
+        "the wrap-robust way to find RM when the PA swing exceeds ±π/2 "
+        "and fit_rm's linear regime breaks (here |RM|·Δλ² spans several "
+        "turns). One grid×channel join (grid broadcast, channels never "
+        "shuffled) + a per-(obs, φ) partial aggregation; the peak over "
+        "φ recovers each injected RM on the grid, and the max sidelobe "
+        "beyond 20 rad/m² from the peak (the RMSF quality figure) is "
+        "inside the hash too. Top-φ selection via per-obs window on the "
+        "51-point grid, not the data.",
+    headline=True,
+)
+def rm_synthesis_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.wlsfit import lambda_sq_m2
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    f = F.lit(900.0) + (k % 64).cast("double") * F.lit(12.0)
+    rm_t = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 35.0)
+        .when(F.col("o_orderpriority") == "2-HIGH", -20.0)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 8.0)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", -42.0)
+        .otherwise(15.0)
+    )
+    l2 = lambda_sq_m2(f)
+    theta = (
+        F.lit(0.1)
+        + rm_t * l2
+        + (((k * 16807) % 100003) % 2001 - 1000).cast("double") * F.lit(2e-5)
+    )
+    meas = orders.select(
+        F.col("o_orderpriority").alias("obs"),
+        l2.alias("l2"),
+        F.cos(F.lit(2.0) * theta).alias("q"),
+        F.sin(F.lit(2.0) * theta).alias("u"),
+    )
+    nch = meas.groupBy("obs").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = spark.range(-50, 51, 2).select(F.col("id").cast("double").alias("phi"))
+    arg = F.lit(2.0) * F.col("phi") * F.col("l2")
+    fd = (
+        meas.crossJoin(F.broadcast(grid))
+        .groupBy("obs", "phi")
+        .agg(
+            F.sum(F.col("q") * F.cos(arg) + F.col("u") * F.sin(arg)).alias("re"),
+            F.sum(F.col("u") * F.cos(arg) - F.col("q") * F.sin(arg)).alias("im"),
+        )
+    )
+    amp = fd.join(F.broadcast(nch), "obs").select(
+        "obs",
+        "phi",
+        (F.sqrt(F.col("re") * F.col("re") + F.col("im") * F.col("im")) / F.col("n")).alias("a"),
+    )
+    w = W.partitionBy("obs").orderBy(F.col("a").desc(), "phi")
+    best = amp.select("*", F.row_number().over(w).alias("rn")).filter(F.col("rn") == 1)
+    side = (
+        amp.alias("a2")
+        .join(
+            best.alias("b"),
+            (F.col("a2.obs") == F.col("b.obs"))
+            & (F.abs(F.col("a2.phi") - F.col("b.phi")) > 20),
+        )
+        .groupBy(F.col("a2.obs").alias("obs"))
+        .agg(F.round(F.max("a2.a"), 6).alias("max_sidelobe"))
+    )
+    return (
+        best.select("obs", F.col("phi").cast("int").alias("rm_peak"), F.round("a", 6).alias("peak_amp"))
+        .join(side, "obs")
+    )

@@ -171,3 +171,18 @@ def test_dm_fit_plan_one_shuffle_no_udf(spark):
     plan = fit._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1 + plan.count("ReusedExchange")
     assert "EvalPython" not in plan
+
+
+def test_rm_synthesis_recovers_wrapped_rm(spark, sf_dir):
+    """RM synthesis finds |RM| values whose PA swing wraps many times
+    across the band — the regime where fit_rm's linear fit is invalid.
+    Every injected RM must land on the nearest grid point (step 2)."""
+    from meerpipe_spark.queries import QUERIES
+
+    rows = {r.obs: r for r in QUERIES["rm_synthesis_spectrum"].fn(spark, sf_dir).collect()}
+    want = {"1-URGENT": 35.0, "2-HIGH": -20.0, "3-MEDIUM": 8.0,
+            "4-NOT SPECIFIED": -42.0, "5-LOW": 15.0}
+    for obs, rm_t in want.items():
+        assert abs(rows[obs].rm_peak - rm_t) <= 2.0, obs
+        assert rows[obs].peak_amp > 0.9       # fully polarized source
+        assert rows[obs].max_sidelobe < 0.8   # peak clearly dominates

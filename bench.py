@@ -124,6 +124,9 @@ ANCHORS: dict[str, float] = {
     "results_doc_full": 1.730,             # r6 (measured/ab)
     "media_feature_extract_png": 0.475,    # r6 (measured/ab)
     "template_match_toa_operator": 0.419,  # r6 (measured/ab)
+    "toa_dm_pipeline_e2e": 0.786,          # r6 (measured/ab)
+    "dynspec_acf_2d": 0.581,               # r6 (measured/ab)
+    "rm_synthesis_spectrum": 1.576,        # r6 (measured/ab)
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

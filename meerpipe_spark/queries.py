@@ -12165,3 +12165,153 @@ def rm_synthesis_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.select("obs", F.col("phi").cast("int").alias("rm_peak"), F.round("a", 6).alias("peak_amp"))
         .join(side, "obs")
     )
+
+
+@_register(
+    "spearman_daily_rank_corr",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev,
+               CAST(count(*) AS BIGINT) AS n_ev
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY rev, d) AS rx,
+               row_number() OVER (ORDER BY n_ev, d) AS ry
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rx * ry) AS BIGINT) AS sxy,
+               CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+               CAST(sum(rx * rx) AS BIGINT) AS sxx,
+               CAST(sum(ry * ry) AS BIGINT) AS syy
+        FROM ranked
+    )
+    SELECT n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+    FROM s
+    """,
+    doc="Spearman rank correlation between daily revenue and daily "
+        "event count: ranks are INTEGERS (total order via the date "
+        "tie-break), so every sufficient statistic of the "
+        "Pearson-on-ranks form is an exact bigint and rho needs one "
+        "sqrt and one division — the monotone-association detector "
+        "(robust to outliers and nonlinearity, unlike Pearson). "
+        "Ranking windows run on the day-sized rollup only.",
+)
+def spearman_daily_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(cents).cast("bigint").alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+    )
+    ranked = daily.select(
+        F.row_number().over(W.orderBy("rev", "d")).alias("rx"),
+        F.row_number().over(W.orderBy("n_ev", "d")).alias("ry"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select("n", F.round(num / F.sqrt(dx * dy), 6).alias("spearman_rho"))
+
+
+@_register(
+    "chi2_independence_events",
+    """
+    WITH obs AS (
+        SELECT event_type AS et, CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT et, dow, o,
+               CAST(sum(o) OVER (PARTITION BY et) AS BIGINT) AS row_t,
+               CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS col_t,
+               CAST(sum(o) OVER () AS BIGINT) AS n
+        FROM obs
+    ),
+    terms AS (
+        SELECT n,
+               CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+               (CAST(n AS DOUBLE) * o - CAST(row_t AS DOUBLE) * col_t)
+               * (CAST(n AS DOUBLE) * o - CAST(row_t AS DOUBLE) * col_t)
+               / (CAST(n AS DOUBLE) * CAST(row_t AS DOUBLE) * col_t) AS term
+        FROM margins
+        CROSS JOIN (SELECT count(DISTINCT et) AS r, count(DISTINCT dow) AS c FROM obs)
+    )
+    SELECT any_value(n) AS n,
+           any_value(r) AS n_rows_cat,
+           any_value(c) AS n_cols_cat,
+           round(sum(term), 6) AS chi2,
+           round(sqrt(sum(term) / (CAST(any_value(n) AS DOUBLE)
+                 * least(any_value(r) - 1, any_value(c) - 1))), 6) AS cramers_v
+    FROM terms
+    """,
+    doc="Chi-squared independence test on the event_type × day-of-week "
+        "contingency table, plus Cramér's V effect size: each cell's "
+        "term is written as (n·o − row·col)² / (n·row·col) so the "
+        "numerator is built from EXACT integer products (one float "
+        "multiply-subtract chain per cell, identical tree both "
+        "engines); the full-table margins come from three windows over "
+        "the CELL table (≤ |types|×7 rows), never the event stream. "
+        "The categorical-association primitive behind feature-drift "
+        "and segmentation checks.",
+)
+def chi2_independence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    obs = events.groupBy(
+        F.col("event_type").alias("et"),
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    margins = obs.select(
+        "et",
+        "dow",
+        "o",
+        F.sum("o").over(W.partitionBy("et")).cast("bigint").alias("row_t"),
+        F.sum("o").over(W.partitionBy("dow")).cast("bigint").alias("col_t"),
+        F.sum("o").over(W.partitionBy()).cast("bigint").alias("n"),
+    )
+    dims = obs.agg(
+        F.countDistinct("et").cast("bigint").alias("r"),
+        F.countDistinct("dow").cast("bigint").alias("c"),
+    )
+    dev = (
+        F.col("n").cast("double") * F.col("o")
+        - F.col("row_t").cast("double") * F.col("col_t")
+    )
+    term = dev * dev / (
+        F.col("n").cast("double") * F.col("row_t").cast("double") * F.col("col_t")
+    )
+    terms = margins.crossJoin(F.broadcast(dims)).select(
+        "n", "r", "c", term.alias("term")
+    )
+    chi2 = F.sum("term")
+    return terms.agg(
+        F.any_value("n").alias("n"),
+        F.any_value("r").alias("n_rows_cat"),
+        F.any_value("c").alias("n_cols_cat"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.any_value("n").cast("double")
+                    * F.least(F.any_value("r") - 1, F.any_value("c") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -12315,3 +12315,111 @@ def chi2_independence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@_register(
+    "nulling_fraction_energy",
+    """
+    WITH cells AS (
+        SELECT DISTINCT l_returnflag AS obs_id,
+               CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS obsidx,
+               l_orderkey % 32 AS subint,
+               l_linenumber % 1 AS zero,
+               l_partkey % 16 AS bin
+        FROM lineitem
+    ),
+    vals AS (
+        SELECT obs_id, subint, bin,
+               -- pulse present unless this subint is nulled (obs-dependent
+               -- periodic null pattern: every k-th subint)
+               CASE WHEN bin BETWEEN 5 AND 8
+                         AND NOT (subint % (CASE obsidx WHEN 0 THEN 4
+                                                        WHEN 1 THEN 2
+                                                        ELSE 8 END)) = 0
+                    THEN 50 ELSE 0 END
+               + ((((obsidx * 32 + subint) * 16 + bin) * 48271) % 100003) % 11 - 5
+                   AS v
+        FROM cells
+    ),
+    energy AS (
+        SELECT obs_id, subint,
+               CAST(count(CASE WHEN NOT bin BETWEEN 5 AND 8 THEN v END) AS BIGINT)
+               * CAST(sum(CASE WHEN bin BETWEEN 5 AND 8 THEN v END) AS BIGINT)
+               - CAST(count(CASE WHEN bin BETWEEN 5 AND 8 THEN v END) AS BIGINT)
+               * CAST(sum(CASE WHEN NOT bin BETWEEN 5 AND 8 THEN v END) AS BIGINT)
+                   AS e_s
+        FROM vals GROUP BY 1, 2
+    ),
+    med AS (SELECT obs_id, median(e_s) AS me FROM energy GROUP BY 1)
+    SELECT e.obs_id,
+           CAST(count(*) AS BIGINT) AS n_subints,
+           CAST(sum(CASE WHEN CAST(e.e_s AS DOUBLE)
+                              < CAST(0.5 AS DOUBLE) * m.me
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           round(sum(CASE WHEN CAST(e.e_s AS DOUBLE)
+                               < CAST(0.5 AS DOUBLE) * m.me
+                          THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+                 / count(*), 6) AS nulling_fraction,
+           CAST(max(e.e_s) AS BIGINT) AS max_e
+    FROM energy e JOIN med m USING (obs_id)
+    GROUP BY e.obs_id
+    """,
+    doc="Nulling-fraction analysis (Ritchings-style pulse-energy "
+        "statistics): per-subint on-pulse energy with baseline "
+        "subtraction, kept EXACT by clearing denominators entirely — "
+        "E_s = n_off·ΣE_on − n_on·ΣE_off is a PURE bigint (same sign "
+        "and ordering as the mean-subtracted energy), so no "
+        "double→bigint cast whose truncate-vs-round convention could "
+        "diverge between engines — then "
+        "subints below half the per-obs median energy are classified "
+        "null. Injected periodic null patterns (every 4th/2nd/8th "
+        "subint per obs) are recovered as nulling fractions 0.25/0.5/"
+        "0.125. The single-pulse energy-distribution primitive behind "
+        "nulling/mode-changing studies; one aggregation per stage, "
+        "exact median on the subint-sized series.",
+)
+def nulling_fraction_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    obsidx = (
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+    )
+    cells = li.select(
+        F.col("l_returnflag").alias("obs_id"),
+        obsidx.alias("obsidx"),
+        (F.col("l_orderkey") % 32).alias("subint"),
+        (F.col("l_linenumber") % 1).alias("zero"),
+        (F.col("l_partkey") % 16).alias("bin"),
+    ).distinct()
+    period = (
+        F.when(F.col("obsidx") == 0, 4).when(F.col("obsidx") == 1, 2).otherwise(8)
+    )
+    onp = F.col("bin").between(5, 8)
+    pulse = F.when(onp & ~((F.col("subint") % period) == 0), 50).otherwise(0)
+    k = ((F.col("obsidx") * 32 + F.col("subint")) * 16 + F.col("bin")) * 48271
+    noise = ((k % 100003) % 11) - 5
+    vals = cells.select("obs_id", "subint", "bin", (pulse + noise).alias("v"))
+    onp2 = F.col("bin").between(5, 8)
+    energy = vals.groupBy("obs_id", "subint").agg(
+        (
+            F.count(F.when(~onp2, F.col("v"))).cast("bigint")
+            * F.sum(F.when(onp2, F.col("v"))).cast("bigint")
+            - F.count(F.when(onp2, F.col("v"))).cast("bigint")
+            * F.sum(F.when(~onp2, F.col("v"))).cast("bigint")
+        ).alias("e_s")
+    )
+    med = energy.groupBy("obs_id").agg(F.median("e_s").alias("me"))
+    is_null = F.col("e_s").cast("double") < F.lit(0.5) * F.col("me")
+    return (
+        energy.join(F.broadcast(med), "obs_id")
+        .groupBy("obs_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_subints"),
+            F.sum(F.when(is_null, 1).otherwise(0)).cast("bigint").alias("n_null"),
+            F.round(
+                F.sum(F.when(is_null, 1.0).otherwise(0.0)) / F.count(F.lit(1)), 6
+            ).alias("nulling_fraction"),
+            F.max("e_s").cast("bigint").alias("max_e"),
+        )
+    )

@@ -12423,3 +12423,152 @@ def nulling_fraction_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("e_s").cast("bigint").alias("max_e"),
         )
     )
+
+
+@_register(
+    "polarimetry_profile_e2e",
+    """
+    WITH cells AS (
+        SELECT DISTINCT l_returnflag AS obs_id,
+               CASE l_returnflag WHEN 'A' THEN CAST(12 AS DOUBLE)
+                                 WHEN 'N' THEN CAST(-8 AS DOUBLE)
+                                 ELSE CAST(5 AS DOUBLE) END AS rm_t,
+               l_partkey % 4 AS chan,
+               l_orderkey % 8 AS bin,
+               l_linenumber % 1 AS zero
+        FROM lineitem
+    ),
+    stokes_true AS (
+        SELECT obs_id, rm_t, chan, bin,
+               CAST(900 AS DOUBLE) + CAST(chan AS DOUBLE) * CAST(200 AS DOUBLE) AS f,
+               CASE WHEN bin BETWEEN 3 AND 5 THEN CAST(30 AS DOUBLE)
+                    ELSE CAST(2 AS DOUBLE) END AS i,
+               CAST(0.2 AS DOUBLE)
+                   + CAST(0.04 AS DOUBLE) * (CAST(bin AS DOUBLE) - 4) AS pa0
+        FROM cells
+    ),
+    coh AS (
+        -- observed angle includes the Faraday rotation RM*lambda^2;
+        -- coherences AA,BB,ReAB,ImAB encode (I, Q, U, V=0.2I)
+        SELECT obs_id, rm_t, chan, bin, f, i,
+               (i + CAST(0.6 AS DOUBLE) * i
+                    * cos(CAST(2 AS DOUBLE)
+                          * (pa0 + rm_t * power(CAST(299792458 AS DOUBLE)
+                                                / (f * CAST(1e6 AS DOUBLE)), 2))))
+               / CAST(2 AS DOUBLE) AS aa,
+               (i - CAST(0.6 AS DOUBLE) * i
+                    * cos(CAST(2 AS DOUBLE)
+                          * (pa0 + rm_t * power(CAST(299792458 AS DOUBLE)
+                                                / (f * CAST(1e6 AS DOUBLE)), 2))))
+               / CAST(2 AS DOUBLE) AS bb,
+               CAST(0.6 AS DOUBLE) * i
+                   * sin(CAST(2 AS DOUBLE)
+                         * (pa0 + rm_t * power(CAST(299792458 AS DOUBLE)
+                                               / (f * CAST(1e6 AS DOUBLE)), 2)))
+               / CAST(2 AS DOUBLE) AS reab,
+               CAST(0.2 AS DOUBLE) * i / CAST(2 AS DOUBLE) AS imab
+        FROM stokes_true
+    ),
+    -- Mueller regroup (coherence -> Stokes) exactly as apply_mueller sums
+    st AS (
+        SELECT obs_id, rm_t, chan, bin, f,
+               aa + bb AS si, aa - bb AS sq,
+               CAST(2 AS DOUBLE) * reab AS su,
+               CAST(2 AS DOUBLE) * imab AS sv
+        FROM coh
+    ),
+    -- faraday_rotate inverse rotation to lambda^2 = 0
+    derot AS (
+        SELECT obs_id, chan, bin, si, sv,
+               sq * cos(CAST(2 AS DOUBLE) * rm_t
+                        * power(CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)), 2))
+               + su * sin(CAST(2 AS DOUBLE) * rm_t
+                          * power(CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)), 2))
+                   AS q2,
+               -sq * sin(CAST(2 AS DOUBLE) * rm_t
+                         * power(CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)), 2))
+               + su * cos(CAST(2 AS DOUBLE) * rm_t
+                          * power(CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)), 2))
+                   AS u2
+        FROM st
+    )
+    SELECT obs_id, CAST(bin AS INT) AS bin,
+           round(sum(si), 6) AS i_sum,
+           round(sqrt(sum(q2) * sum(q2) + sum(u2) * sum(u2)) / sum(si), 6)
+               AS linear_frac,
+           round(CAST(0.5 AS DOUBLE) * atan2(sum(u2), sum(q2)), 6) AS pa,
+           round(sum(sv) / sum(si), 6) AS circular_frac
+    FROM derot GROUP BY 1, 2
+    """,
+    doc="The polarimetry chain COMPOSED (make_stokes_movie + pac + RM "
+        "correction semantics): coherence products → Stokes via the "
+        "constant Mueller regroup (operators/polcal.py::"
+        "coherence_to_stokes), Faraday DE-rotation to λ²=0 "
+        "(faraday_rotate) with a per-obs RM, then the band-averaged "
+        "polarization profile per phase bin — linear fraction "
+        "√(Q²+U²)/I (injected 0.6), position angle ½·atan2(U,Q) "
+        "recovering the injected PA sweep 0.2+0.04·(bin−4) exactly "
+        "(the de-rotated angle is frequency-independent, so the "
+        "circular mean over channels is the intrinsic PA), and "
+        "circular fraction V/I (injected 0.2). Three chained operators "
+        "(explode, broadcast-regroup, window pair-rotation) inside one "
+        "oracle hash.",
+    headline=True,
+)
+def polarimetry_profile_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.polcal import coherence_to_stokes, faraday_rotate
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    rm_t = (
+        F.when(F.col("l_returnflag") == "A", 12.0)
+        .when(F.col("l_returnflag") == "N", -8.0)
+        .otherwise(5.0)
+    )
+    cells = li.select(
+        F.col("l_returnflag").alias("obs_id"),
+        rm_t.alias("rm_t"),
+        (F.col("l_partkey") % 4).alias("chan"),
+        (F.col("l_orderkey") % 8).alias("bin"),
+        (F.col("l_linenumber") % 1).alias("zero"),
+    ).distinct()
+    f = F.lit(900.0) + F.col("chan").cast("double") * F.lit(200.0)
+    i = F.when(F.col("bin").between(3, 5), 30.0).otherwise(2.0)
+    pa0 = F.lit(0.2) + F.lit(0.04) * (F.col("bin").cast("double") - 4)
+    lam2 = F.pow(F.lit(299792458.0) / (f * F.lit(1e6)), 2)
+    theta = pa0 + F.col("rm_t") * lam2
+    aa = (i + F.lit(0.6) * i * F.cos(F.lit(2.0) * theta)) / F.lit(2.0)
+    bb = (i - F.lit(0.6) * i * F.cos(F.lit(2.0) * theta)) / F.lit(2.0)
+    reab = F.lit(0.6) * i * F.sin(F.lit(2.0) * theta) / F.lit(2.0)
+    imab = F.lit(0.2) * i / F.lit(2.0)
+    coh = cells.select(
+        "obs_id",
+        "rm_t",
+        F.lit(0).alias("subint"),
+        "chan",
+        "bin",
+        f.alias("freq"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("pol"), aa.alias("value")),
+                F.struct(F.lit(1).alias("pol"), bb.alias("value")),
+                F.struct(F.lit(2).alias("pol"), reab.alias("value")),
+                F.struct(F.lit(3).alias("pol"), imab.alias("value")),
+            )
+        ).alias("pv"),
+    ).select(
+        "obs_id", "rm_t", "subint", "chan", "bin", "freq",
+        F.col("pv.pol").alias("pol"), F.col("pv.value").alias("value"),
+        F.lit(1.0).alias("weight"),
+    )
+    stokes = coherence_to_stokes(coh)
+    derot = faraday_rotate(stokes, F.col("rm_t"))
+    si = F.sum(F.when(F.col("pol") == 0, F.col("value")))
+    sq = F.sum(F.when(F.col("pol") == 1, F.col("value")))
+    su = F.sum(F.when(F.col("pol") == 2, F.col("value")))
+    sv = F.sum(F.when(F.col("pol") == 3, F.col("value")))
+    return derot.groupBy("obs_id", F.col("bin").cast("int").alias("bin")).agg(
+        F.round(si, 6).alias("i_sum"),
+        F.round(F.sqrt(sq * sq + su * su) / si, 6).alias("linear_frac"),
+        F.round(F.lit(0.5) * F.atan2(su, sq), 6).alias("pa"),
+        F.round(sv / si, 6).alias("circular_frac"),
+    )

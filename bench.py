@@ -127,6 +127,7 @@ ANCHORS: dict[str, float] = {
     "toa_dm_pipeline_e2e": 0.786,          # r6 (measured/ab)
     "dynspec_acf_2d": 0.581,               # r6 (measured/ab)
     "rm_synthesis_spectrum": 1.576,        # r6 (measured/ab)
+    "polarimetry_profile_e2e": 0.587,     # r6 (measured/ab)
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

@@ -9745,12 +9745,20 @@ def top_suppliers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Selection-only determinism: within-source ranks are total "
         "(doc_id tie-break), the target position ceil((2r-1)N/(2n_s)) "
         "is exact integer arithmetic, and the normalized value is "
-        "PICKED from the global order, never interpolated. At 100 TB "
-        "the global rank table is the one scale knob — swap the exact "
-        "global sort for the merged sampled-quantile table "
-        "(sampled_quantiles) and the mapping join is unchanged.",
+        "PICKED from the global order, never interpolated. The global "
+        "rank table is built with the range-partitioned dense-rank "
+        "pattern (operators/ids.py::assign_dense_ids — balanced range "
+        "exchange + per-partition row_number + broadcast prefix-sum "
+        "offsets), NOT a single-partition global window, so every "
+        "reducer carries only its id-range slice; at 100 TB the one "
+        "remaining knob is swapping the exact rank table for the "
+        "merged sampled-quantile table (sampled_quantiles) if even "
+        "the range exchange is too much — the mapping join is "
+        "unchanged either way.",
 )
 def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.ids import assign_dense_ids
+
     docs = load_tables(spark, sf_dir)["documents"]
     ws = W.partitionBy("source").orderBy("n_chars", "doc_id")
     ranked = docs.select(
@@ -9760,10 +9768,11 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(ws).alias("r"),
         F.count(F.lit(1)).over(W.partitionBy("source")).alias("ns"),
     )
-    glob = docs.select(
-        F.col("n_chars").alias("ref_value"),
-        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("gpos"),
-    )
+    glob = assign_dense_ids(
+        docs.select(F.col("n_chars").alias("ref_value"), "doc_id"),
+        ["ref_value", "doc_id"],
+        id_name="gpos0",
+    ).select("ref_value", (F.col("gpos0") + 1).alias("gpos"))
     n = docs.count()
     mapped = ranked.select(
         "doc_id",
@@ -9853,35 +9862,40 @@ def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY lead(run_start) OVER (ORDER BY run_start) - run_end - 1 > 0
     """,
     doc="Missing-range detection (the 'find the missing invoice "
-        "numbers' audit): ~6% of event ids are md5-dropped, and the "
-        "id - row_number() islands trick recovers every contiguous gap "
-        "as (start, end, length) — O(n) with one sort, against the "
-        "naive NOT-IN-over-a-generated-series which materializes the "
-        "full id space. The global window runs on the ISLAND list "
-        "(gap-count-sized), not raw rows; at 100 TB shard the islands "
-        "computation per id-range partition and stitch boundaries.",
+        "numbers' audit): ~6% of event ids are md5-dropped and every "
+        "contiguous gap comes back as (start, end, length). The oracle "
+        "spells the classic id - row_number() islands trick; the Spark "
+        "plan is the SHARDED equivalent with no global window at all: "
+        "assign_dense_ids (range exchange + per-partition row_number + "
+        "broadcast prefix-sum offsets) gives each surviving id its "
+        "exact global rank, and an adjacent-pair equi-self-join on "
+        "rank (b.rn = a.rn + 1) finds every place consecutive ranks "
+        "skip ids — identical rows to the islands/lead formulation "
+        "(interior gaps only; the last id has no rank successor), but "
+        "every stage is hash- or range-partitioned across all "
+        "reducers. At 100 TB the self-join shuffles only (rn, id) "
+        "pairs — two narrow bigints per surviving row.",
 )
 def sequence_gap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.ids import assign_dense_ids
+
     events = load_tables(spark, sf_dir)["events"]
     present = events.filter(
         F.expr("substr(md5(CAST(event_id AS STRING)), 1, 1)") != "7"
     ).select("event_id")
-    marks = present.select(
-        "event_id",
-        (F.col("event_id") - F.row_number().over(W.orderBy("event_id"))).alias("grp"),
+    ranked = assign_dense_ids(present, ["event_id"], id_name="rn")
+    a = ranked.select(F.col("rn").alias("a_rn"), F.col("event_id").alias("a_id"))
+    b = ranked.select(
+        (F.col("rn") - 1).alias("a_rn"), F.col("event_id").alias("b_id")
     )
-    islands = marks.groupBy("grp").agg(
-        F.min("event_id").alias("run_start"), F.max("event_id").alias("run_end")
-    )
-    w = W.orderBy("run_start")
-    nxt = F.lead("run_start").over(w)
     return (
-        islands.select(
-            (F.col("run_end") + 1).alias("gap_start"),
-            (nxt - 1).alias("gap_end"),
-            (nxt - F.col("run_end") - 1).cast("bigint").alias("gap_len"),
+        a.join(b, "a_rn")
+        .filter(F.col("b_id") - F.col("a_id") > 1)
+        .select(
+            (F.col("a_id") + 1).alias("gap_start"),
+            (F.col("b_id") - 1).alias("gap_end"),
+            (F.col("b_id") - F.col("a_id") - 1).cast("bigint").alias("gap_len"),
         )
-        .filter(F.col("gap_len") > 0)
     )
 
 

@@ -402,3 +402,60 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
             spark.conf.set("spark.sql.cbo.enabled", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_t")
+
+
+class TestGlobalWindowDetector:
+    """tools/plan_audit.find_global_windows is the registry-wide guard
+    against the single-partition-WindowExec scale-killer; pin its three
+    verdict classes on canned executed-plan shapes so a Spark
+    plan-string drift (or an editing slip) can't silently disarm it."""
+
+    def _fgw(self, plan):
+        import importlib.util
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "plan_audit.py",
+        )
+        spec = importlib.util.spec_from_file_location("plan_audit", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.find_global_windows(plan)
+
+    def test_fact_table_global_window_flagged(self):
+        plan = (
+            "AdaptiveSparkPlan isFinalPlan=false\n"
+            "+- Window [row_number() windowspecdefinition(id#0L ASC NULLS FIRST,"
+            " specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+            " AS rn#1], [id#0L ASC NULLS FIRST]\n"
+            "   +- Sort [id#0L ASC NULLS FIRST], false, 0\n"
+            "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=41]\n"
+            "         +- FileScan parquet [event_id#2L]"
+        )
+        assert self._fgw(plan) == ["FACT"]
+
+    def test_rollup_fed_global_window_allowed(self):
+        plan = (
+            "AdaptiveSparkPlan isFinalPlan=false\n"
+            "+- Window [lead(run_start#3L, 1, null) AS nxt#9L], [run_start#3L ASC NULLS FIRST]\n"
+            "   +- Sort [run_start#3L ASC NULLS FIRST], false, 0\n"
+            "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=41]\n"
+            "         +- HashAggregate(keys=[grp#1L], functions=[min(event_id#2L)])\n"
+            "            +- Exchange hashpartitioning(grp#1L, 8)\n"
+            "               +- FileScan parquet [event_id#2L]"
+        )
+        assert self._fgw(plan) == ["rollup"]
+
+    def test_global_aggregate_not_a_window(self):
+        # partial-agg + Exchange SinglePartition + final agg: one row
+        # per upstream partition flows — scale-safe, must not flag
+        plan = (
+            "AdaptiveSparkPlan isFinalPlan=false\n"
+            "+- HashAggregate(keys=[], functions=[count(1)])\n"
+            "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]\n"
+            "      +- HashAggregate(keys=[], functions=[partial_count(1)])\n"
+            "         +- FileScan parquet [event_id#2L]"
+        )
+        assert self._fgw(plan) == []

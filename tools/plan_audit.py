@@ -84,8 +84,49 @@ def dedupe_cached(plan: str) -> str:
     return "\n".join(out)
 
 
+def find_global_windows(plan: str) -> list[str]:
+    """Every `Exchange SinglePartition` whose nearest Window/Sort
+    ancestor chain ends in a Window node is a single-partition window —
+    the textbook scale-killer. It is ALLOWED only when the subtree
+    BELOW the exchange contains a HashAggregate/ObjectHashAggregate/
+    SortAggregate before any scan: then the rows funneling through the
+    one task are already rollup-sized (group-count, not fact-count).
+    Returns a list of verdicts: 'rollup' (allowed) or 'FACT' (a bug).
+    """
+    lines = plan.splitlines()
+    indents = [_tree_indent(ln) for ln in lines]
+    verdicts: list[str] = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        # nearest ancestors: strictly shallower indent, walking upward
+        is_window = False
+        cur = indents[i]
+        for j in range(i - 1, -1, -1):
+            if indents[j] < cur:
+                cur = indents[j]
+                node = lines[j].lstrip(" :+-")
+                if node.startswith("Sort "):
+                    continue  # the sort the window requires
+                is_window = node.startswith(("Window ", "WindowGroupLimit"))
+                break
+        if not is_window:
+            continue  # single-partition agg/limit: partials flow, fine
+        # subtree below the exchange: deeper indent until it pops back
+        aggregated = False
+        for j in range(i + 1, len(lines)):
+            if indents[j] <= indents[i]:
+                break
+            if re.search(r"(HashAggregate|ObjectHashAggregate|SortAggregate)", lines[j]):
+                aggregated = True
+                break
+        verdicts.append("rollup" if aggregated else "FACT")
+    return verdicts
+
+
 def digest(plan: str, formatted: str) -> dict[str, object]:
     plan = dedupe_cached(strip_initial_plans(plan))
+    gw = find_global_windows(plan)
     return {
         "shuffles": len(re.findall(r"Exchange hashpartitioning", plan)),
         "broadcasts": len(re.findall(r"BroadcastExchange", plan)),
@@ -94,11 +135,71 @@ def digest(plan: str, formatted: str) -> dict[str, object]:
         "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", formatted))),
         "top_k": "TakeOrderedAndProject" in plan,
         "pushed": sorted(set(re.findall(r"PushedFilters: \[([^\]]*)\]", plan)) - {""}),
-        "global_window": "WindowExec: No Partition Defined" in plan,
+        "global_window": "FACT" in gw,
+        "rollup_windows": gw.count("rollup"),
+        "cartesian": len(re.findall(r"CartesianProduct", plan)),
     }
 
 
+def audit_full(spark) -> int:
+    """Sweep EVERY registered query (not just headliners) at sf0.01 and
+    fail on the two registry-wide anti-patterns the headline audit can
+    miss: a single-partition WindowExec fed by fact-table rows, and a
+    non-broadcast CartesianProduct. Writes PLANS_full.md (one row per
+    query) and returns the number of flagged queries.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_FULL_SF_DIR", "/root/testdata/sf0.01")
+    from meerpipe_spark.cacheutil import release_checkpoints, release_persisted
+
+    rows, flagged = [], []
+    for name, q in QUERIES.items():
+        release_persisted()
+        release_checkpoints(spark)
+        df = q.fn(spark, sf_dir)
+        df.count()
+        qe = df._jdf.queryExecution()
+        plan = dedupe_cached(strip_initial_plans(qe.executedPlan().toString()))
+        gw = find_global_windows(plan)
+        cart = len(re.findall(r"CartesianProduct", plan))
+        bad = "FACT" in gw or cart > 0
+        if bad:
+            flagged.append(name)
+        rows.append(
+            f"| {name} | {len(re.findall(r'Exchange hashpartitioning', plan))} | "
+            f"{len(re.findall(r'BroadcastExchange', plan))} | "
+            f"{'⚠FACT' if 'FACT' in gw else ('rollup×%d' % gw.count('rollup') if gw else 'ok')} | "
+            f"{'⚠%d' % cart if cart else 'ok'} |"
+        )
+        print(f"{'FLAG' if bad else 'ok  '} {name}")
+    out = [
+        "# PLANS_full — registry-wide anti-pattern audit "
+        "(auto-generated by tools/plan_audit.py --full)",
+        "",
+        f"Every registered query, AQE-final executed plan at `{sf_dir}`.",
+        "'global window' must never read ⚠FACT (single-partition WindowExec",
+        "fed by un-aggregated fact rows); 'rollup×N' marks single-partition",
+        "windows whose input is already group-count-sized (allowed).",
+        "'cartesian' counts non-broadcast CartesianProduct nodes (must be 0).",
+        "",
+        f"**{len(QUERIES)} queries audited, {len(flagged)} flagged"
+        + (f": {', '.join(flagged)}" if flagged else "") + ".**",
+        "",
+        "| query | shuffles | broadcasts | global window | cartesian |",
+        "|---|---|---|---|---|",
+        *rows,
+    ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS_full.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"\n{len(QUERIES)} audited, {len(flagged)} flagged: {flagged}")
+    return len(flagged)
+
+
 def main() -> None:
+    if "--full" in sys.argv:
+        spark = get_spark(app_name="plan_audit_full")
+        n = audit_full(spark)
+        spark.stop()
+        raise SystemExit(1 if n else 0)
     spark = get_spark(app_name="plan_audit")
     rows = []
     for name in headline_queries():

@@ -234,3 +234,34 @@ def test_results_doc_full_fits_wired(spark):
     from meerpipe_spark.plans.pipeline import release_pipeline
 
     release_pipeline(out)
+
+
+def test_clean_chain_fused_equivalence(spark, cube):
+    """The fused one-exchange clean_chain must reproduce the composed
+    rcvrstd→surgical→bandwagon chain weight-for-weight — including a
+    pre-existing zero-weight row (counts toward bandwagon's fraction)
+    and a rcvrstd-listed channel (every row contributes to the chan
+    fraction)."""
+    from meerpipe_spark.operators.clean import clean_chain
+
+    # seed one pre-zeroed row so the n_w0 lane is exercised
+    seeded = cube.withColumn(
+        "weight",
+        F.when(
+            (F.col("subint") == 0) & (F.col("chan") == 2) & (F.col("bin") == 0),
+            0.0,
+        ).otherwise(F.col("weight")),
+    )
+    composed = bandwagon(
+        surgical(
+            rcvrstd(seeded, bad_channels=[1]), on_pulse(), sigma_threshold=5.0
+        ),
+        chan_frac=0.5,
+        subint_frac=0.5,
+    )
+    fused = clean_chain(seeded, on_pulse(), bad_channels=[1])
+    key = ["subint", "chan", "bin"]
+    a = {tuple(r[k] for k in key): r["weight"] for r in composed.collect()}
+    b = {tuple(r[k] for k in key): r["weight"] for r in fused.collect()}
+    assert a == b
+    assert fused.columns == seeded.columns

@@ -16,9 +16,32 @@ exactly the operator-internal caches (never the caller's own persists).
 
 from __future__ import annotations
 
+import atexit
+from typing import Callable
+
 from pyspark.sql import DataFrame
 
 _HANDLES: list[DataFrame] = []
+_CLEANUPS: list[Callable[[], None]] = []
+
+
+def register_cleanup(fn: Callable[[], None]) -> None:
+    """Defer a side-effect cleanup (e.g. removing a scratch directory a
+    cached scan still references) until :func:`release_persisted` — the
+    point where the caches built on top of it are dropped, so a lost
+    cached block can no longer trigger recomputation against a deleted
+    path. Also runs at interpreter exit so one-off processes don't
+    litter /tmp."""
+    _CLEANUPS.append(fn)
+
+
+@atexit.register
+def _run_cleanups_at_exit() -> None:
+    while _CLEANUPS:
+        try:
+            _CLEANUPS.pop()()
+        except Exception:
+            pass
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
@@ -39,6 +62,11 @@ def release_persisted() -> int:
         try:
             df.unpersist(blocking=False)
             n += 1
+        except Exception:
+            pass
+    while _CLEANUPS:
+        try:
+            _CLEANUPS.pop()()
         except Exception:
             pass
     return n

@@ -98,6 +98,7 @@ def flux_density(
     on_pulse: F.Column,
     group_cols: tuple[str, ...] = ("obs_id",),
     value_col: str = "value",
+    nbin: int | None = None,
 ) -> DataFrame:
     """Period-averaged flux density of the calibrated profile (the
     ``flux`` field of the results document,
@@ -107,15 +108,24 @@ def flux_density(
         flux = ( Σ_on v  −  n_on · mean_off(v) ) / nbin,
 
     the psrchive ``flux`` convention (mean flux density, not peak).
-    Zero-weight cells are excluded; one hash aggregation per obs."""
+    Zero-weight cells are excluded from the flux statistics, but the
+    denominator is the profile's FIXED bin count — pass ``nbin``
+    explicitly, or it is counted over ALL rows (zapped included), so a
+    phase bin that happens to be entirely zapped cannot shrink the
+    period and inflate the flux. One hash aggregation per obs."""
     w = F.col("weight") > 0
-    return calibrated.filter(w).groupBy(*group_cols).agg(
+    denom = (
+        F.lit(float(nbin))
+        if nbin is not None
+        else F.count_distinct(F.col("bin")).cast("double")
+    )
+    return calibrated.groupBy(*group_cols).agg(
         (
             (
-                F.sum(F.when(on_pulse, F.col(value_col)))
-                - F.count(F.when(on_pulse, F.col(value_col)))
-                * F.avg(F.when(~on_pulse, F.col(value_col)))
+                F.sum(F.when(w & on_pulse, F.col(value_col)))
+                - F.count(F.when(w & on_pulse, F.col(value_col)))
+                * F.avg(F.when(w & ~on_pulse, F.col(value_col)))
             )
-            / F.count_distinct(F.col("bin")).cast("double")
+            / denom
         ).alias("flux")
     )

@@ -91,6 +91,11 @@ def fit_dm(
     producer behind generate_images_results.py:281-291, without
     tempo2): one WLS of residual vs K/f² per group.
 
+    ``dm0`` must be CONSTANT within each group — it is the group's
+    reference DM from the par file, not a per-TOA quantity. It is
+    aggregated with min() so the result stays deterministic even for a
+    caller that violates the contract.
+
     Returns per group: ``dm`` (dm0 + fitted correction), ``dm_err``,
     ``dm_epoch`` (weighted mean TOA MJD), ``dm_chi2r`` (reduced χ² of
     the 2-parameter fit), ``dm_tres`` (post-fit weighted RMS residual,
@@ -108,7 +113,11 @@ def fit_dm(
         F.sum(w * x * resid_s).alias("sxy"),
         F.sum(w * resid_s * resid_s).alias("syy"),
         F.sum(w * mjd).alias("swt"),
-        F.first(dm0).alias("dm0"),
+        # dm0 is the group's reference DM and MUST be constant within a
+        # group (it comes from the obs's par file); min() makes the
+        # aggregation deterministic even if a caller violates that —
+        # F.first() would silently pick a partition-order-dependent row
+        F.min(dm0).alias("dm0"),
     )
     d = F.col("s") * F.col("sxx") - F.col("sx") * F.col("sx")
     b = (F.col("s") * F.col("sxy") - F.col("sx") * F.col("sy")) / d

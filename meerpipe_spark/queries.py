@@ -8600,26 +8600,25 @@ def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     d = tempfile.mkdtemp(prefix="mp_csv_")
-    try:
-        lines.write.mode("overwrite").text(d)
-        from meerpipe_spark.cacheutil import persist_tracked
+    lines.write.mode("overwrite").text(d)
+    from meerpipe_spark.cacheutil import persist_tracked, register_cleanup
 
-        # Spark refuses plans that read ONLY the corrupt-record column from
-        # a raw CSV scan (a count() over the status rollup prunes to exactly
-        # that); persisting the parse routes column pruning at the cache
-        # instead of the file source — Spark's own documented remedy.
-        parsed = persist_tracked(
-            spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, _corrupt_record STRING")
-            .option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", "_corrupt_record")
-            .csv(d)
-        )
-        # Materialize the cache so the scratch files are safe to delete;
-        # without this, repeated sweep/bench/test runs leak one temp dir
-        # per invocation.
-        parsed.count()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    # Spark refuses plans that read ONLY the corrupt-record column from
+    # a raw CSV scan (a count() over the status rollup prunes to exactly
+    # that); persisting the parse routes column pruning at the cache
+    # instead of the file source — Spark's own documented remedy.
+    parsed = persist_tracked(
+        spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(d)
+    )
+    parsed.count()
+    # The scratch dir must outlive the CACHE, not just this call: a lost
+    # cached block would recompute against the path. Deletion is deferred
+    # to the tracked-release hook (harnesses call release_persisted after
+    # consuming each query; one-off processes clean up at exit).
+    register_cleanup(lambda: shutil.rmtree(d, ignore_errors=True))
     return (
         parsed.select(
             F.when(F.col("_corrupt_record").isNotNull(), "corrupt")

@@ -12181,6 +12181,179 @@ def rm_synthesis_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rm_refine_e2e",
+    """
+    WITH chans AS (
+        SELECT o_orderpriority AS obs, o_orderkey AS k,
+               CAST(900 AS DOUBLE) + CAST(o_orderkey % 64 AS DOUBLE)
+                   * CAST(12 AS DOUBLE) AS f,
+               CASE o_orderpriority
+                    WHEN '1-URGENT' THEN CAST(35.4 AS DOUBLE)
+                    WHEN '2-HIGH' THEN CAST(-19.7 AS DOUBLE)
+                    WHEN '3-MEDIUM' THEN CAST(8.25 AS DOUBLE)
+                    WHEN '4-NOT SPECIFIED' THEN CAST(-41.6 AS DOUBLE)
+                    ELSE CAST(14.9 AS DOUBLE) END AS rm_t
+        FROM orders
+    ),
+    meas AS (
+        SELECT obs, f,
+               (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)))
+               * (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE))) AS l2,
+               cos(CAST(2 AS DOUBLE) * (CAST(0.1 AS DOUBLE)
+                   + rm_t * ((CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)))
+                             * (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE))))
+                   + CAST(((k * 16807) % 100003) % 2001 - 1000 AS DOUBLE)
+                     * CAST(2e-5 AS DOUBLE))) AS q,
+               sin(CAST(2 AS DOUBLE) * (CAST(0.1 AS DOUBLE)
+                   + rm_t * ((CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE)))
+                             * (CAST(299792458 AS DOUBLE) / (f * CAST(1e6 AS DOUBLE))))
+                   + CAST(((k * 16807) % 100003) % 2001 - 1000 AS DOUBLE)
+                     * CAST(2e-5 AS DOUBLE))) AS u,
+               CAST(1 + k % 4 AS DOUBLE) * CAST(0.01 AS DOUBLE) AS pa_err
+        FROM chans
+    ),
+    grid AS (SELECT CAST(phi AS DOUBLE) AS phi FROM range(-50, 51, 2) r(phi)),
+    fd AS (
+        SELECT m.obs, g.phi,
+               sum(m.q * cos(CAST(2 AS DOUBLE) * g.phi * m.l2)
+                   + m.u * sin(CAST(2 AS DOUBLE) * g.phi * m.l2)) AS re,
+               sum(m.u * cos(CAST(2 AS DOUBLE) * g.phi * m.l2)
+                   - m.q * sin(CAST(2 AS DOUBLE) * g.phi * m.l2)) AS im
+        FROM meas m CROSS JOIN grid g
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT obs, phi AS rm0,
+               row_number() OVER (PARTITION BY obs
+                                  ORDER BY re * re + im * im DESC, phi) AS rn
+        FROM fd
+    ),
+    derot AS (
+        SELECT m.obs, m.l2,
+               m.q * cos(CAST(2 AS DOUBLE) * b.rm0 * m.l2)
+                 + m.u * sin(CAST(2 AS DOUBLE) * b.rm0 * m.l2) AS q2,
+               m.u * cos(CAST(2 AS DOUBLE) * b.rm0 * m.l2)
+                 - m.q * sin(CAST(2 AS DOUBLE) * b.rm0 * m.l2) AS u2,
+               m.pa_err, b.rm0
+        FROM meas m JOIN (SELECT obs, rm0 FROM best WHERE rn = 1) b USING (obs)
+    ),
+    pts AS (
+        SELECT obs, rm0, l2 AS x,
+               CAST(0.5 AS DOUBLE) * atan2(u2, q2) AS y,
+               CAST(1 AS DOUBLE) / (pa_err * pa_err) AS w
+        FROM derot
+    ),
+    stats AS (
+        SELECT obs, rm0, CAST(count(*) AS BIGINT) AS n,
+               sum(w) AS s, sum(w * x) AS sx, sum(w * y) AS sy,
+               sum(w * x * x) AS sxx, sum(w * x * y) AS sxy,
+               sum(w * y * y) AS syy
+        FROM pts GROUP BY obs, rm0
+    ),
+    solved AS (
+        SELECT obs, rm0, n, s,
+               s * sxx - sx * sx AS d,
+               (s * sxy - sx * sy) / (s * sxx - sx * sx) AS slope,
+               (sxx * sy - sx * sxy) / (s * sxx - sx * sx) AS intercept
+        FROM stats
+    )
+    SELECT obs, n, CAST(rm0 AS INT) AS rm_peak,
+           round(rm0 + slope, 6) AS rm,
+           round(sqrt(s / d), 8) AS rm_err,
+           round(intercept, 6) AS pa0
+    FROM solved
+    """,
+    doc="VERDICT r6 #5: coarse+fine RM COMPOSED end to end — the "
+        "reference's RM-correct-then-refine flow "
+        "(docs/pipeline_workflow.md:24). Injected RMs (35.4/-19.7/8.25/"
+        "-41.6/14.9 rad m⁻²) put several PA turns across the band, far "
+        "outside fit_rm's ±π/2 linear regime; RM SYNTHESIS (the Burn "
+        "dirty spectrum on a step-2 φ grid, wrap-robust) finds the "
+        "nearest grid peak, the Q/U plane is de-rotated by the peak "
+        "(the complex rotation e^{-2i·rm0·λ²}, same kernel as the "
+        "transform), and fit_rm (operators/wlsfit.py:149) refines the "
+        "≤1 rad m⁻² residual — which IS inside the linear regime "
+        "(residual swing ≈ 0.07 rad across the band). Peak AND refined "
+        "RM in one hash: the refined value recovers every injected RM "
+        "beyond the linear regime. Plan: one broadcast grid join + "
+        "per-(obs,φ) partial agg for the synthesis, a 5-row broadcast "
+        "of the peaks back onto the channels, one sufficient-statistic "
+        "aggregation for the fit — no global window, no UDF.",
+    headline=True,
+)
+def rm_refine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.wlsfit import fit_rm, lambda_sq_m2
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    f = F.lit(900.0) + (k % 64).cast("double") * F.lit(12.0)
+    rm_t = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 35.4)
+        .when(F.col("o_orderpriority") == "2-HIGH", -19.7)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 8.25)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", -41.6)
+        .otherwise(14.9)
+    )
+    l2 = lambda_sq_m2(f)
+    theta = (
+        F.lit(0.1)
+        + rm_t * l2
+        + (((k * 16807) % 100003) % 2001 - 1000).cast("double") * F.lit(2e-5)
+    )
+    meas = orders.select(
+        F.col("o_orderpriority").alias("obs"),
+        f.alias("f"),
+        l2.alias("l2"),
+        F.cos(F.lit(2.0) * theta).alias("q"),
+        F.sin(F.lit(2.0) * theta).alias("u"),
+        ((1 + k % 4).cast("double") * F.lit(0.01)).alias("pa_err"),
+    )
+    grid = spark.range(-50, 51, 2).select(F.col("id").cast("double").alias("phi"))
+    arg = F.lit(2.0) * F.col("phi") * F.col("l2")
+    fd = (
+        meas.crossJoin(F.broadcast(grid))
+        .groupBy("obs", "phi")
+        .agg(
+            F.sum(F.col("q") * F.cos(arg) + F.col("u") * F.sin(arg)).alias("re"),
+            F.sum(F.col("u") * F.cos(arg) - F.col("q") * F.sin(arg)).alias("im"),
+        )
+    )
+    wseq = W.partitionBy("obs").orderBy(
+        (F.col("re") * F.col("re") + F.col("im") * F.col("im")).desc(), "phi"
+    )
+    best = (
+        fd.select("obs", F.col("phi").alias("rm0"), F.row_number().over(wseq).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rot = F.lit(2.0) * F.col("rm0") * F.col("l2")
+    derot = meas.join(F.broadcast(best), "obs").select(
+        "obs",
+        "f",
+        "pa_err",
+        "rm0",
+        (F.col("q") * F.cos(rot) + F.col("u") * F.sin(rot)).alias("q2"),
+        (F.col("u") * F.cos(rot) - F.col("q") * F.sin(rot)).alias("u2"),
+    )
+    fit = fit_rm(
+        derot,
+        ["obs", "rm0"],
+        F.col("f"),
+        F.col("q2"),
+        F.col("u2"),
+        F.col("pa_err"),
+    )
+    return fit.select(
+        "obs",
+        "n",
+        F.col("rm0").cast("int").alias("rm_peak"),
+        F.round(F.col("rm0") + F.col("rm"), 6).alias("rm"),
+        F.round("rm_err", 8).alias("rm_err"),
+        F.round("pa0", 6).alias("pa0"),
+    )
+
+
+@_register(
     "spearman_daily_rank_corr",
     """
     WITH daily AS (

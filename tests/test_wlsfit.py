@@ -186,3 +186,19 @@ def test_rm_synthesis_recovers_wrapped_rm(spark, sf_dir):
         assert abs(rows[obs].rm_peak - rm_t) <= 2.0, obs
         assert rows[obs].peak_amp > 0.9       # fully polarized source
         assert rows[obs].max_sidelobe < 0.8   # peak clearly dominates
+
+
+def test_rm_refine_e2e_recovers_beyond_linear_regime(spark, sf_dir):
+    """VERDICT r6 #5: the composed coarse+fine flow — synthesis peak on
+    the step-2 grid seeding fit_rm's linear refinement — must recover
+    each injected NON-grid RM to well under the grid step, at |RM|
+    values whose PA swing wraps far outside fit_rm's own validity."""
+    from meerpipe_spark.queries import QUERIES
+
+    rows = {r.obs: r for r in QUERIES["rm_refine_e2e"].fn(spark, sf_dir).collect()}
+    want = {"1-URGENT": 35.4, "2-HIGH": -19.7, "3-MEDIUM": 8.25,
+            "4-NOT SPECIFIED": -41.6, "5-LOW": 14.9}
+    for obs, rm_t in want.items():
+        assert abs(rows[obs].rm_peak - rm_t) <= 1.0, obs     # coarse stage
+        assert abs(rows[obs].rm - rm_t) < 0.05, obs          # refined
+        assert abs(rows[obs].pa0 - 0.1) < 0.01, obs          # PA at λ²=0

@@ -238,3 +238,115 @@ def test_timing_model_rejects_unknown_param(spark):
     )
     with pytest.raises(ValueError, match="unknown timing parameter"):
         fit_timing_model(toas, models, params=("phase", "px"))
+
+
+# ---------------- tempo2 CLI lane with a mock binary (VERDICT r6 #6) ----------
+
+
+def _mock_tempo2(tmp_path, resid_lines, exit_code=0):
+    """A fake tempo2 executable per /root/reference/tempo2_wrapper.sh:28-36
+    semantics: parses -outfile from its argv, writes the canned general2
+    block ({bat} {post} {err} {freq} {post_phase} lines) there, records
+    its full argv for inspection, and exits with the given code."""
+    import os
+    import stat
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir(exist_ok=True)
+    exe = bindir / "tempo2"
+    arglog = tmp_path / "argv.txt"
+    body = "\n".join(resid_lines)
+    exe.write_text(
+        "#!/bin/bash\n"
+        f'printf "%s\\n" "$@" > {arglog}\n'
+        "out=\n"
+        'while [ $# -gt 0 ]; do\n'
+        '  if [ "$1" = "-outfile" ]; then out=$2; shift; fi\n'
+        "  shift\n"
+        "done\n"
+        f'[ -n "$out" ] && cat > "$out" <<"RESID"\n'
+        f"{body}\n"
+        "RESID\n"
+        f"exit {exit_code}\n"
+    )
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    return str(bindir), arglog
+
+
+def _toa_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "psr": ["J0000+0000"] * 3,
+            "bat_mjd": [59000.0, 59001.0, 59002.0],
+            "err_ns": [1000.0, 1000.0, 1000.0],
+            "f0_hz": [10.0] * 3,
+            "f1_hz_s": [-1e-15] * 3,
+            "pepoch_mjd": [59001.0] * 3,
+        }
+    )
+
+
+def test_tempo2_cli_fitter_mock_invocation_and_parse(tmp_path, monkeypatch):
+    """Invocation construction + general2 output parsing, no real tempo2:
+    the reference's exact flag set must appear in argv and the canned
+    residuals must come back as the weighted RMS."""
+    import math
+    import os
+
+    bindir, arglog = _mock_tempo2(
+        tmp_path,
+        # {bat} {post} {err_ns} {freq} {post_phase}
+        [
+            "59000.0 1.0e-06 1000.0 1400.0 0.00001",
+            "59001.0 2.0e-06 1000.0 1400.0 0.00002",
+        ],
+    )
+    monkeypatch.setenv("PATH", bindir + os.pathsep + os.environ["PATH"])
+    fit = tempo2_cli_fitter(select_logic="snr > 10")
+    out = fit("J0000+0000", _toa_pdf())
+    assert out["converged"] is True
+    # equal errors: wrms = sqrt(mean(post^2)) = sqrt(2.5)e-6
+    assert math.isclose(out["wrms_s"], math.sqrt(2.5) * 1e-6, rel_tol=1e-12)
+    argv = arglog.read_text().splitlines()
+    # reference invocation (tempo2_wrapper.sh:36): general2 plugin,
+    # residual format string, START/FINISH window, -nobs cap, -npsr 1
+    assert argv[argv.index("-output") + 1] == "general2"
+    assert "{bat} {post} {err} {freq} {post_phase}" in argv[argv.index("-s") + 1]
+    assert argv[argv.index("-set") + 1 :][:2] == ["START", "40000.0"]
+    assert "-nobs" in argv and argv[argv.index("-nobs") + 1] == "1000000"
+    assert argv[argv.index("-npsr") + 1] == "1"
+    # -select wired through with the logic file containing the predicate
+    sel = argv[argv.index("-select") + 1]
+    # the tempdir is gone after the call; the arg must have pointed at a
+    # .select file (content was written before invocation)
+    assert sel.endswith("logic.select")
+    # par/tim handoff: -f <par> <tim> tail
+    fidx = argv.index("-f")
+    assert argv[fidx + 1].endswith(".par") and argv[fidx + 2].endswith(".tim")
+
+
+def test_tempo2_cli_fitter_mock_no_data_exit_tolerated(tmp_path, monkeypatch):
+    """Exit 134/137 ('no data after selection', tempo2_wrapper.sh:37-42)
+    must not raise — the pulsar comes back converged=False."""
+    import os
+
+    bindir, _ = _mock_tempo2(tmp_path, [], exit_code=134)
+    monkeypatch.setenv("PATH", bindir + os.pathsep + os.environ["PATH"])
+    fit = tempo2_cli_fitter()
+    out = fit("J0000+0000", _toa_pdf())
+    assert out["converged"] is False
+
+
+def test_tempo2_cli_fitter_mock_real_error_raises(tmp_path, monkeypatch):
+    """Any OTHER nonzero exit is a real tempo2 failure and must raise."""
+    import os
+
+    import pytest as _pytest
+
+    bindir, _ = _mock_tempo2(tmp_path, [], exit_code=2)
+    monkeypatch.setenv("PATH", bindir + os.pathsep + os.environ["PATH"])
+    fit = tempo2_cli_fitter()
+    with _pytest.raises(RuntimeError, match="tempo2 failed"):
+        fit("J0000+0000", _toa_pdf())

@@ -12758,3 +12758,167 @@ def polarimetry_profile_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(0.5) * F.atan2(su, sq), 6).alias("pa"),
         F.round(sv / si, 6).alias("circular_frac"),
     )
+
+
+def _quality_logreg_oracle() -> str:
+    """DuckDB twin of operators.logreg.logistic_irls +
+    logistic_evaluate on the documents quality features: the 4 IRLS
+    iterations UNROLLED as CTEs, each one sufficient-statistic
+    aggregation (the 4×4 weighted normal matrix + RHS) and a Cramer
+    solve with machine-generated Leibniz determinants (_det4) — the
+    _timing_fit_oracle discipline applied to classification. The
+    Newton contraction pushes libm-exp and sum-order differences far
+    below the 1e-6 output rounding."""
+
+    def m_entry(i, j):
+        return f"s.m{min(i, j)}{max(i, j)}"
+
+    def num_entry(col):
+        def entry(i, j):
+            return f"s.rhs{i}" if j == col else m_entry(i, j)
+
+        return entry
+
+    det = _det4(m_entry)
+    one = "CAST(1 AS DOUBLE)"
+    sql = f"""
+    WITH base AS (
+      SELECT doc_id,
+             ln({one} + CAST(n_chars AS DOUBLE)) AS x1,
+             CAST(n_chars AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  tk -> tk IN ('a', 'the'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x3
+      FROM documents
+    ),
+    feat AS (
+      SELECT x1, x2, x3,
+             CASE WHEN CAST(1.5 AS DOUBLE) * (x1 - CAST(5.56 AS DOUBLE))
+                       - CAST(2.0 AS DOUBLE) * (x2 - CAST(5.48 AS DOUBLE))
+                       + CAST(8.0 AS DOUBLE) * (x3 - CAST(0.06 AS DOUBLE))
+                       + CAST(((doc_id * 48271) % 100003) % 2001 - 1000 AS DOUBLE)
+                         * CAST(0.0015 AS DOUBLE) > CAST(0 AS DOUBLE)
+                  THEN {one} ELSE CAST(0 AS DOUBLE) END AS y
+      FROM base
+    ),
+    p0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+                  CAST(0 AS DOUBLE) AS b2, CAST(0 AS DOUBLE) AS b3)"""
+    for i in range(4):
+        sql += f""",
+    r{i} AS (
+      SELECT f.x1, f.x2, f.x3, f.y,
+             (p.b0 + p.b1 * f.x1 + p.b2 * f.x2 + p.b3 * f.x3) AS t,
+             {one} / ({one} + exp(-(p.b0 + p.b1 * f.x1 + p.b2 * f.x2
+                                    + p.b3 * f.x3))) AS pr
+      FROM feat f CROSS JOIN p{i} p
+    ),
+    z{i} AS (
+      SELECT x1, x2, x3,
+             pr * ({one} - pr) AS w,
+             t + (y - pr) / (pr * ({one} - pr)) AS z
+      FROM r{i}
+    ),
+    s{i} AS (
+      SELECT
+        sum(w * {one} * {one}) AS m00, sum(w * {one} * x1) AS m01,
+        sum(w * {one} * x2) AS m02, sum(w * {one} * x3) AS m03,
+        sum(w * x1 * x1) AS m11, sum(w * x1 * x2) AS m12,
+        sum(w * x1 * x3) AS m13, sum(w * x2 * x2) AS m22,
+        sum(w * x2 * x3) AS m23, sum(w * x3 * x3) AS m33,
+        sum(w * {one} * z) AS rhs0, sum(w * x1 * z) AS rhs1,
+        sum(w * x2 * z) AS rhs2, sum(w * x3 * z) AS rhs3,
+        CAST(count(*) AS BIGINT) AS n
+      FROM z{i}
+    ),
+    p{i + 1} AS (
+      SELECT s.n,
+             {_det4(num_entry(0))} / {det} AS b0,
+             {_det4(num_entry(1))} / {det} AS b1,
+             {_det4(num_entry(2))} / {det} AS b2,
+             {_det4(num_entry(3))} / {det} AS b3
+      FROM s{i} s
+    )"""
+    sql += f""",
+    ev AS (
+      SELECT f.y,
+             (p.b0 + p.b1 * f.x1 + p.b2 * f.x2 + p.b3 * f.x3) AS t
+      FROM feat f CROSS JOIN p4 p
+    ),
+    met AS (
+      SELECT avg(CASE WHEN (t > CAST(0 AS DOUBLE)) = (y = {one})
+                      THEN {one} ELSE CAST(0 AS DOUBLE) END) AS acc,
+             avg(ln({one} + exp(-((CAST(2 AS DOUBLE) * y - {one}) * t)))) AS ll
+      FROM ev
+    )
+    SELECT p.n, round(p.b0, 6) AS b0, round(p.b1, 6) AS b1,
+           round(p.b2, 6) AS b2, round(p.b3, 6) AS b3,
+           round(m.acc, 6) AS accuracy, round(m.ll, 6) AS logloss
+    FROM p4 p CROSS JOIN met m
+    """
+    return sql
+
+
+@_register(
+    "quality_logreg_train",
+    _quality_logreg_oracle(),
+    doc="Quality-classifier TRAINING as a native distributed operator "
+        "(operators/logreg.py): the fastText/logreg quality gate every "
+        "web-scale corpus pipeline trains, fitted by 4 unrolled IRLS "
+        "iterations — each ONE sufficient-statistic hash aggregation "
+        "(4×4 weighted normal matrix + RHS, 14 doubles per shuffle "
+        "regardless of corpus size) and a closed-form Cramer solve "
+        "with machine-generated Leibniz determinants, coefficients "
+        "chained through broadcast joins (never the driver). Features: "
+        "log-length, mean token length, stopword ratio over the "
+        "documents table (persisted once; 5 cache reads total); labels "
+        "from a noisy deterministic hyperplane, so the fit must "
+        "recover the generating signs. Coefficients AND held-in "
+        "accuracy/log-loss inside one oracle hash: the DuckDB twin "
+        "unrolls all 4 iterations with the _timing_fit_oracle "
+        "discipline. No MLlib, no UDF, no collect.",
+    headline=True,
+)
+def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.cacheutil import persist_tracked
+    from meerpipe_spark.operators.logreg import logistic_evaluate, logistic_irls
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    nw = F.size(toks).cast("double")
+    x1 = F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+    x2 = F.col("n_chars").cast("double") / nw
+    x3 = (
+        F.size(F.filter(toks, lambda tk: tk.isin("a", "the"))).cast("double") / nw
+    )
+    u = ((((F.col("doc_id") * 48271) % 100003) % 2001) - 1000).cast(
+        "double"
+    ) * F.lit(0.0015)
+    score = (
+        F.lit(1.5) * (x1 - F.lit(5.56))
+        - F.lit(2.0) * (x2 - F.lit(5.48))
+        + F.lit(8.0) * (x3 - F.lit(0.06))
+        + u
+    )
+    feats = persist_tracked(
+        docs.select(
+            x1.alias("x1"),
+            x2.alias("x2"),
+            x3.alias("x3"),
+            (score > F.lit(0.0)).cast("int").alias("y"),
+        )
+    )
+    fx = [F.col("x1"), F.col("x2"), F.col("x3")]
+    model = logistic_irls(feats, fx, F.col("y"), iters=4)
+    metrics = logistic_evaluate(feats, fx, F.col("y"), model)
+    return model.crossJoin(
+        metrics.select("accuracy", "logloss")
+    ).select(
+        "n",
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round("b3", 6).alias("b3"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("logloss", 6).alias("logloss"),
+    )

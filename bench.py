@@ -128,6 +128,8 @@ ANCHORS: dict[str, float] = {
     "dynspec_acf_2d": 0.581,               # r6 (measured/ab)
     "rm_synthesis_spectrum": 1.576,        # r6 (measured/ab)
     "polarimetry_profile_e2e": 0.587,     # r6 (measured/ab)
+    "rm_refine_e2e": 1.968,                # r7 (idle best-of-3)
+    "quality_logreg_train": 6.185,         # r7 (idle best-of-3)
 }
 
 # Idle-box seconds for the calibration workload (min of 3), pinned at the

@@ -12760,7 +12760,7 @@ def polarimetry_profile_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_logreg_oracle() -> str:
+def _quality_logreg_oracle(grouped: bool = False) -> str:
     """DuckDB twin of operators.logreg.logistic_irls +
     logistic_evaluate on the documents quality features: the 4 IRLS
     iterations UNROLLED as CTEs, each one sufficient-statistic
@@ -12768,7 +12768,9 @@ def _quality_logreg_oracle() -> str:
     solve with machine-generated Leibniz determinants (_det4) — the
     _timing_fit_oracle discipline applied to classification. The
     Newton contraction pushes libm-exp and sum-order differences far
-    below the 1e-6 output rounding."""
+    below the 1e-6 output rounding. ``grouped=True`` threads the
+    source column through every CTE (one independent model per
+    source — the fit-millions-of-models-in-one-stage lane)."""
 
     def m_entry(i, j):
         return f"s.m{min(i, j)}{max(i, j)}"
@@ -12781,9 +12783,10 @@ def _quality_logreg_oracle() -> str:
 
     det = _det4(m_entry)
     one = "CAST(1 AS DOUBLE)"
+    gs = "lang, " if grouped else ""
     sql = f"""
     WITH base AS (
-      SELECT doc_id,
+      SELECT doc_id, {gs}
              ln({one} + CAST(n_chars AS DOUBLE)) AS x1,
              CAST(n_chars AS DOUBLE)
                / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
@@ -12793,7 +12796,7 @@ def _quality_logreg_oracle() -> str:
       FROM documents
     ),
     feat AS (
-      SELECT x1, x2, x3,
+      SELECT {gs}x1, x2, x3,
              CASE WHEN CAST(1.5 AS DOUBLE) * (x1 - CAST(5.56 AS DOUBLE))
                        - CAST(2.0 AS DOUBLE) * (x2 - CAST(5.48 AS DOUBLE))
                        + CAST(8.0 AS DOUBLE) * (x3 - CAST(0.06 AS DOUBLE))
@@ -12802,25 +12805,26 @@ def _quality_logreg_oracle() -> str:
                   THEN {one} ELSE CAST(0 AS DOUBLE) END AS y
       FROM base
     ),
-    p0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
-                  CAST(0 AS DOUBLE) AS b2, CAST(0 AS DOUBLE) AS b3)"""
+    p0 AS (SELECT {"DISTINCT lang, " if grouped else ""}CAST(0 AS DOUBLE) AS b0,
+                  CAST(0 AS DOUBLE) AS b1, CAST(0 AS DOUBLE) AS b2,
+                  CAST(0 AS DOUBLE) AS b3{" FROM feat" if grouped else ""})"""
     for i in range(4):
         sql += f""",
     r{i} AS (
-      SELECT f.x1, f.x2, f.x3, f.y,
+      SELECT {"f.lang, " if grouped else ""}f.x1, f.x2, f.x3, f.y,
              (p.b0 + p.b1 * f.x1 + p.b2 * f.x2 + p.b3 * f.x3) AS t,
              {one} / ({one} + exp(-(p.b0 + p.b1 * f.x1 + p.b2 * f.x2
                                     + p.b3 * f.x3))) AS pr
-      FROM feat f CROSS JOIN p{i} p
+      FROM feat f {"JOIN" if grouped else "CROSS JOIN"} p{i} p{" USING (lang)" if grouped else ""}
     ),
     z{i} AS (
-      SELECT x1, x2, x3,
+      SELECT {gs}x1, x2, x3,
              pr * ({one} - pr) AS w,
              t + (y - pr) / (pr * ({one} - pr)) AS z
       FROM r{i}
     ),
     s{i} AS (
-      SELECT
+      SELECT {gs}
         sum(w * {one} * {one}) AS m00, sum(w * {one} * x1) AS m01,
         sum(w * {one} * x2) AS m02, sum(w * {one} * x3) AS m03,
         sum(w * x1 * x1) AS m11, sum(w * x1 * x2) AS m12,
@@ -12829,10 +12833,10 @@ def _quality_logreg_oracle() -> str:
         sum(w * {one} * z) AS rhs0, sum(w * x1 * z) AS rhs1,
         sum(w * x2 * z) AS rhs2, sum(w * x3 * z) AS rhs3,
         CAST(count(*) AS BIGINT) AS n
-      FROM z{i}
+      FROM z{i}{" GROUP BY lang" if grouped else ""}
     ),
     p{i + 1} AS (
-      SELECT s.n,
+      SELECT {"s.lang, " if grouped else ""}s.n,
              {_det4(num_entry(0))} / {det} AS b0,
              {_det4(num_entry(1))} / {det} AS b1,
              {_det4(num_entry(2))} / {det} AS b2,
@@ -12841,20 +12845,21 @@ def _quality_logreg_oracle() -> str:
     )"""
     sql += f""",
     ev AS (
-      SELECT f.y,
+      SELECT {"f.lang, " if grouped else ""}f.y,
              (p.b0 + p.b1 * f.x1 + p.b2 * f.x2 + p.b3 * f.x3) AS t
-      FROM feat f CROSS JOIN p4 p
+      FROM feat f {"JOIN" if grouped else "CROSS JOIN"} p4 p{" USING (lang)" if grouped else ""}
     ),
     met AS (
-      SELECT avg(CASE WHEN (t > CAST(0 AS DOUBLE)) = (y = {one})
+      SELECT {gs}avg(CASE WHEN (t > CAST(0 AS DOUBLE)) = (y = {one})
                       THEN {one} ELSE CAST(0 AS DOUBLE) END) AS acc,
              avg(ln({one} + exp(-((CAST(2 AS DOUBLE) * y - {one}) * t)))) AS ll
-      FROM ev
+      FROM ev{" GROUP BY lang" if grouped else ""}
     )
-    SELECT p.n, round(p.b0, 6) AS b0, round(p.b1, 6) AS b1,
+    SELECT {"p.lang, " if grouped else ""}p.n,
+           round(p.b0, 6) AS b0, round(p.b1, 6) AS b1,
            round(p.b2, 6) AS b2, round(p.b3, 6) AS b3,
            round(m.acc, 6) AS accuracy, round(m.ll, 6) AS logloss
-    FROM p4 p CROSS JOIN met m
+    FROM p4 p {"JOIN met m USING (lang)" if grouped else "CROSS JOIN met m"}
     """
     return sql
 
@@ -12914,6 +12919,71 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.crossJoin(
         metrics.select("accuracy", "logloss")
     ).select(
+        "n",
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round("b3", 6).alias("b3"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("logloss", 6).alias("logloss"),
+    )
+
+
+@_register(
+    "quality_logreg_per_lang",
+    _quality_logreg_oracle(grouped=True),
+    doc="GROUPED quality-classifier training — one independent "
+        "logistic model per language, all fitted in the SAME 4 "
+        "aggregations (operators/logreg.py::logistic_irls with "
+        "group_cols): per-group sufficient statistics shuffle 14 "
+        "doubles per key per iteration, the Cramer solves run in the "
+        "projection, and the per-key coefficient frames chain through "
+        "broadcast joins — the fit-a-million-models-in-one-stage shape "
+        "(per-domain/per-language quality gates at corpus scale look "
+        "exactly like this). Per-lang coefficients AND per-lang "
+        "accuracy/log-loss in one oracle hash; the DuckDB twin threads "
+        "lang through every unrolled CTE.",
+    headline=False,
+)
+def quality_logreg_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.cacheutil import persist_tracked
+    from meerpipe_spark.operators.logreg import logistic_evaluate, logistic_irls
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    nw = F.size(toks).cast("double")
+    x1 = F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+    x2 = F.col("n_chars").cast("double") / nw
+    x3 = (
+        F.size(F.filter(toks, lambda tk: tk.isin("a", "the"))).cast("double") / nw
+    )
+    u = ((((F.col("doc_id") * 48271) % 100003) % 2001) - 1000).cast(
+        "double"
+    ) * F.lit(0.0015)
+    score = (
+        F.lit(1.5) * (x1 - F.lit(5.56))
+        - F.lit(2.0) * (x2 - F.lit(5.48))
+        + F.lit(8.0) * (x3 - F.lit(0.06))
+        + u
+    )
+    feats = persist_tracked(
+        docs.select(
+            "lang",
+            x1.alias("x1"),
+            x2.alias("x2"),
+            x3.alias("x3"),
+            (score > F.lit(0.0)).cast("int").alias("y"),
+        )
+    )
+    fx = [F.col("x1"), F.col("x2"), F.col("x3")]
+    model = logistic_irls(feats, fx, F.col("y"), iters=4, group_cols=["lang"])
+    metrics = logistic_evaluate(
+        feats, fx, F.col("y"), model, group_cols=["lang"]
+    )
+    return model.join(
+        metrics.select("lang", "accuracy", "logloss"), "lang"
+    ).select(
+        "lang",
         "n",
         F.round("b0", 6).alias("b0"),
         F.round("b1", 6).alias("b1"),

@@ -12992,3 +12992,79 @@ def quality_logreg_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("accuracy", 6).alias("accuracy"),
         F.round("logloss", 6).alias("logloss"),
     )
+
+
+@_register(
+    "zipf_slope_tokens",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+        FROM counts
+    ),
+    pts AS (
+        SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y,
+               CAST(1 AS DOUBLE) AS w
+        FROM ranked WHERE rnk <= 200
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(w) AS s, sum(w * x) AS sx, sum(w * y) AS sy,
+               sum(w * x * x) AS sxx, sum(w * x * y) AS sxy,
+               sum(w * y * y) AS syy
+        FROM pts
+    ),
+    solved AS (
+        SELECT n, syy, sxy, sy,
+               (s * sxy - sx * sy) / (s * sxx - sx * sx) AS slope,
+               (sxx * sy - sx * sxy) / (s * sxx - sx * sx) AS intercept
+        FROM stats
+    )
+    SELECT n, round(slope, 6) AS slope, round(intercept, 6) AS intercept,
+           round((syy - intercept * sy - slope * sxy)
+                 / CAST(n - 2 AS DOUBLE), 6) AS chi2r
+    FROM solved
+    """,
+    doc="Zipf-law fit over the corpus vocabulary: token frequencies "
+        "(one explode + hash count, the token_topk shape), ranks on "
+        "the VOCAB rollup (the window input is the aggregated type "
+        "table, never corpus rows — at web-scale vocab swap the rank "
+        "window for operators/ids.py::assign_dense_ids), then the WLS "
+        "of ln(freq) on ln(rank) over the top 200 types via the shared "
+        "sufficient-statistic machinery (operators/wlsfit.py). The "
+        "slope is the corpus's Zipf exponent — the language-health "
+        "statistic corpus curation tracks (natural text ≈ −1; "
+        "synthetic/boilerplate-heavy corpora flatten). Slope, "
+        "intercept, and reduced χ² in one hash.",
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.wlsfit import wls_solve, wls_sufficient_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = counts.select(
+        "n",
+        F.row_number().over(W.orderBy(F.desc("n"), F.asc("tok"))).alias("rnk"),
+    ).filter(F.col("rnk") <= 200)
+    pts = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    fit = wls_solve(
+        wls_sufficient_stats(pts, [], F.col("x"), F.col("y"), F.lit(1.0))
+    )
+    return fit.select(
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("chi2r", 6).alias("chi2r"),
+    )

@@ -13068,3 +13068,172 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 6).alias("intercept"),
         F.round("chi2r", 6).alias("chi2r"),
     )
+
+
+def _quality_gate_oracle() -> str:
+    """DuckDB twin of the TRAIN-on-subset / APPLY-to-all lifecycle:
+    the 4 IRLS iterations run over the English slice only (the labeled
+    subset every real quality gate trains on), then the fitted
+    hyperplane scores EVERY document and the per-source keep decision
+    t > 0 is rolled up — distribution shift included in the hash."""
+
+    def m_entry(i, j):
+        return f"s.m{min(i, j)}{max(i, j)}"
+
+    def num_entry(col):
+        def entry(i, j):
+            return f"s.rhs{i}" if j == col else m_entry(i, j)
+
+        return entry
+
+    det = _det4(m_entry)
+    one = "CAST(1 AS DOUBLE)"
+    sql = f"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             ln({one} + CAST(n_chars AS DOUBLE)) AS x1,
+             CAST(n_chars AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  tk -> tk IN ('a', 'the'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x3
+      FROM documents
+    ),
+    feat AS (
+      SELECT source, lang, x1, x2, x3,
+             CASE WHEN CAST(1.5 AS DOUBLE) * (x1 - CAST(5.56 AS DOUBLE))
+                       - CAST(2.0 AS DOUBLE) * (x2 - CAST(5.48 AS DOUBLE))
+                       + CAST(8.0 AS DOUBLE) * (x3 - CAST(0.06 AS DOUBLE))
+                       + CAST(((doc_id * 48271) % 100003) % 2001 - 1000 AS DOUBLE)
+                         * CAST(0.0015 AS DOUBLE) > CAST(0 AS DOUBLE)
+                  THEN {one} ELSE CAST(0 AS DOUBLE) END AS y
+      FROM base
+    ),
+    train AS (SELECT x1, x2, x3, y FROM feat WHERE lang = 'en'),
+    p0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+                  CAST(0 AS DOUBLE) AS b2, CAST(0 AS DOUBLE) AS b3)"""
+    for i in range(4):
+        sql += f""",
+    r{i} AS (
+      SELECT f.x1, f.x2, f.x3, f.y,
+             (p.b0 + p.b1 * f.x1 + p.b2 * f.x2 + p.b3 * f.x3) AS t,
+             {one} / ({one} + exp(-(p.b0 + p.b1 * f.x1 + p.b2 * f.x2
+                                    + p.b3 * f.x3))) AS pr
+      FROM train f CROSS JOIN p{i} p
+    ),
+    z{i} AS (
+      SELECT x1, x2, x3,
+             pr * ({one} - pr) AS w,
+             t + (y - pr) / (pr * ({one} - pr)) AS z
+      FROM r{i}
+    ),
+    s{i} AS (
+      SELECT
+        sum(w * {one} * {one}) AS m00, sum(w * {one} * x1) AS m01,
+        sum(w * {one} * x2) AS m02, sum(w * {one} * x3) AS m03,
+        sum(w * x1 * x1) AS m11, sum(w * x1 * x2) AS m12,
+        sum(w * x1 * x3) AS m13, sum(w * x2 * x2) AS m22,
+        sum(w * x2 * x3) AS m23, sum(w * x3 * x3) AS m33,
+        sum(w * {one} * z) AS rhs0, sum(w * x1 * z) AS rhs1,
+        sum(w * x2 * z) AS rhs2, sum(w * x3 * z) AS rhs3,
+        CAST(count(*) AS BIGINT) AS n
+      FROM z{i}
+    ),
+    p{i + 1} AS (
+      SELECT s.n,
+             {_det4(num_entry(0))} / {det} AS b0,
+             {_det4(num_entry(1))} / {det} AS b1,
+             {_det4(num_entry(2))} / {det} AS b2,
+             {_det4(num_entry(3))} / {det} AS b3
+      FROM s{i} s
+    )"""
+    sql += f""",
+    scored AS (
+      SELECT f.source, f.y,
+             (p.b0 + p.b1 * f.x1 + p.b2 * f.x2 + p.b3 * f.x3) AS t
+      FROM feat f CROSS JOIN p4 p
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN t > CAST(0 AS DOUBLE) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           round(avg(CASE WHEN t > CAST(0 AS DOUBLE) THEN {one}
+                          ELSE CAST(0 AS DOUBLE) END), 6) AS keep_rate,
+           round(avg(CASE WHEN (t > CAST(0 AS DOUBLE)) = (y = {one})
+                          THEN {one} ELSE CAST(0 AS DOUBLE) END), 6)
+               AS transfer_accuracy
+    FROM scored GROUP BY source
+    """
+    return sql
+
+
+@_register(
+    "quality_gate_apply",
+    _quality_gate_oracle(),
+    doc="TRAIN on the labeled subset, APPLY to the whole corpus — the "
+        "actual quality-gate lifecycle: logistic_irls fits on the "
+        "English slice only, the fitted hyperplane is broadcast and "
+        "every document scored in one map pass (keep ⇔ t > 0, the "
+        "linear decision — no transcendental at the boundary), and the "
+        "per-source keep rate + transfer accuracy (how well the "
+        "en-trained gate labels the full distribution) are rolled up. "
+        "Distribution shift is INSIDE the hash: non-English sources "
+        "pass through the en-trained boundary. One corpus aggregation "
+        "per iteration + one scoring pass; the gate table every "
+        "curation report starts from.",
+)
+def quality_gate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.cacheutil import persist_tracked
+    from meerpipe_spark.operators.logreg import logistic_irls
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    nw = F.size(toks).cast("double")
+    x1 = F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+    x2 = F.col("n_chars").cast("double") / nw
+    x3 = (
+        F.size(F.filter(toks, lambda tk: tk.isin("a", "the"))).cast("double") / nw
+    )
+    u = ((((F.col("doc_id") * 48271) % 100003) % 2001) - 1000).cast(
+        "double"
+    ) * F.lit(0.0015)
+    score = (
+        F.lit(1.5) * (x1 - F.lit(5.56))
+        - F.lit(2.0) * (x2 - F.lit(5.48))
+        + F.lit(8.0) * (x3 - F.lit(0.06))
+        + u
+    )
+    feats = persist_tracked(
+        docs.select(
+            "source",
+            "lang",
+            x1.alias("x1"),
+            x2.alias("x2"),
+            x3.alias("x3"),
+            (score > F.lit(0.0)).cast("int").alias("y"),
+        )
+    )
+    fx = [F.col("x1"), F.col("x2"), F.col("x3")]
+    model = logistic_irls(
+        feats.filter(F.col("lang") == "en"), fx, F.col("y"), iters=4
+    )
+    t = (
+        F.col("b0")
+        + F.col("b1") * F.col("x1")
+        + F.col("b2") * F.col("x2")
+        + F.col("b3") * F.col("x3")
+    )
+    kept = F.when(t > 0, 1).otherwise(0)
+    correct = F.when((t > 0) == (F.col("y") == 1), 1.0).otherwise(0.0)
+    return (
+        feats.crossJoin(F.broadcast(model.drop("n")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.round(
+                F.avg(F.when(t > 0, 1.0).otherwise(0.0)), 6
+            ).alias("keep_rate"),
+            F.round(F.avg(correct), 6).alias("transfer_accuracy"),
+        )
+    )

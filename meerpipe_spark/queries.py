@@ -13237,3 +13237,86 @@ def quality_gate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(correct), 6).alias("transfer_accuracy"),
         )
     )
+
+
+@_register(
+    "calibration_reliability_bins",
+    _quality_logreg_oracle(False).replace(
+        """    SELECT p.n,
+           round(p.b0, 6) AS b0, round(p.b1, 6) AS b1,
+           round(p.b2, 6) AS b2, round(p.b3, 6) AS b3,
+           round(m.acc, 6) AS accuracy, round(m.ll, 6) AS logloss
+    FROM p4 p CROSS JOIN met m
+    """,
+        """    SELECT CAST(least(floor(pr * 10), 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(pr), 6) AS mean_p,
+           round(avg(y), 6) AS frac_pos
+    FROM (
+      SELECT f.y,
+             CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+               + exp(-(p.b0 + p.b1 * f.x1 + p.b2 * f.x2 + p.b3 * f.x3))) AS pr
+      FROM feat f CROSS JOIN p4 p
+    ) GROUP BY 1
+    """,
+    ),
+    doc="Reliability diagram of the trained quality classifier: every "
+        "document's predicted probability σ(t) under the 4-iteration "
+        "IRLS model, binned into probability deciles — per bin the "
+        "count, mean predicted probability, and observed positive "
+        "rate. |mean_p − frac_pos| per bin IS the calibration error "
+        "every production gate monitors before thresholding. Reuses "
+        "the unrolled-IRLS oracle (the SELECT tail swapped for the "
+        "binning rollup); one scoring pass + a 10-row aggregate on top "
+        "of the 4 training aggregations.",
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.cacheutil import persist_tracked
+    from meerpipe_spark.operators.logreg import logistic_irls
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    nw = F.size(toks).cast("double")
+    x1 = F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+    x2 = F.col("n_chars").cast("double") / nw
+    x3 = (
+        F.size(F.filter(toks, lambda tk: tk.isin("a", "the"))).cast("double") / nw
+    )
+    u = ((((F.col("doc_id") * 48271) % 100003) % 2001) - 1000).cast(
+        "double"
+    ) * F.lit(0.0015)
+    score = (
+        F.lit(1.5) * (x1 - F.lit(5.56))
+        - F.lit(2.0) * (x2 - F.lit(5.48))
+        + F.lit(8.0) * (x3 - F.lit(0.06))
+        + u
+    )
+    feats = persist_tracked(
+        docs.select(
+            x1.alias("x1"),
+            x2.alias("x2"),
+            x3.alias("x3"),
+            (score > F.lit(0.0)).cast("int").alias("y"),
+        )
+    )
+    fx = [F.col("x1"), F.col("x2"), F.col("x3")]
+    model = logistic_irls(feats, fx, F.col("y"), iters=4)
+    t = (
+        F.col("b0")
+        + F.col("b1") * F.col("x1")
+        + F.col("b2") * F.col("x2")
+        + F.col("b3") * F.col("x3")
+    )
+    pr = F.lit(1.0) / (F.lit(1.0) + F.exp(-t))
+    return (
+        feats.crossJoin(F.broadcast(model.drop("n")))
+        .select(pr.alias("pr"), F.col("y").cast("double").alias("y"))
+        .groupBy(
+            F.least(F.floor(F.col("pr") * 10), F.lit(9)).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("pr"), 6).alias("mean_p"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+        )
+    )

@@ -13320,3 +13320,190 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("y"), 6).alias("frac_pos"),
         )
     )
+
+
+
+
+@_register(
+    "lsh_recall_vs_exact",
+    """
+    WITH docs0 AS (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents WHERE doc_id < 300
+    ),
+    aug AS (
+        SELECT doc_id, words FROM docs0
+        UNION ALL
+        SELECT doc_id + 10000,
+               list_filter(list_transform(range(1, len(words) + 1),
+                   i -> CASE WHEN (i - 1) % 10 <> 0 THEN words[i] END),
+                   v -> v IS NOT NULL)
+        FROM docs0
+        UNION ALL
+        SELECT doc_id + 20000,
+               list_filter(list_transform(range(1, len(words) + 1),
+                   i -> CASE WHEN (i - 1) % 20 <> 0 THEN words[i] END),
+                   v -> v IS NOT NULL)
+        FROM docs0
+        UNION ALL
+        SELECT doc_id + 40000,
+               list_filter(list_transform(range(1, len(words) + 1),
+                   i -> CASE WHEN (i - 1) % 40 <> 0 THEN words[i] END),
+                   v -> v IS NOT NULL)
+        FROM docs0
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS s
+        FROM aug
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE)
+              >= CAST(0.5 AS DOUBLE)
+    ),
+    lanes AS (
+        SELECT doc_id, min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1, min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3, min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5, min(md5('6|' || s)) AS h6, min(md5('7|' || s)) AS h7, min(md5('8|' || s)) AS h8, min(md5('9|' || s)) AS h9, min(md5('10|' || s)) AS h10, min(md5('11|' || s)) AS h11, min(md5('12|' || s)) AS h12, min(md5('13|' || s)) AS h13, min(md5('14|' || s)) AS h14, min(md5('15|' || s)) AS h15
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(h0 || h1 || h2 || h3) AS bh FROM lanes
+        UNION ALL SELECT doc_id, 1 AS band_id, md5(h4 || h5 || h6 || h7) AS bh FROM lanes
+        UNION ALL SELECT doc_id, 2 AS band_id, md5(h8 || h9 || h10 || h11) AS bh FROM lanes
+        UNION ALL SELECT doc_id, 3 AS band_id, md5(h12 || h13 || h14 || h15) AS bh FROM lanes
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT CASE WHEN t.j >= CAST(0.9 AS DOUBLE) THEN '0.90-1.00'
+                WHEN t.j >= CAST(0.7 AS DOUBLE) THEN '0.70-0.90'
+                ELSE '0.50-0.70' END AS band,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(avg(CASE WHEN c.id_a IS NOT NULL THEN CAST(1 AS DOUBLE)
+                          ELSE CAST(0 AS DOUBLE) END), 6) AS recall
+    FROM truth t
+    LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    GROUP BY 1
+    """,
+    doc="LSH quality gate for the dedup pipeline, with CONTROLLED "
+        "ground truth: the audit slice is augmented with deterministic "
+        "near-duplicates (every 10th/20th/40th word dropped, so shingle "
+        "Jaccard lands around 0.55/0.75/0.87 against the original), "
+        "exact Jaccard truth (distinct 3-shingle sets, inverted-index "
+        "intersection join, J >= 0.5) is compared against the SAME "
+        "16-hash/4-band md5 MinHash candidate set that "
+        "minhash_lsh_pairs_md5 hash-matches, and recall per similarity "
+        "band ([0.5,0.7), [0.7,0.9), [0.9,1.0]) lands in one oracle "
+        "hash. The banding S-curve P(candidate) = 1-(1-J^4)^4 (~0.31 at "
+        "J=0.5, ~0.80 at 0.7, ~0.97 at 0.9) becomes a MEASURED, "
+        "regression-gated number — how near-dup coverage is validated "
+        "before committing a banding to a 100 TB dedup run. At scale "
+        "the same audit runs on a sampled stratum, never the full "
+        "corpus.",
+)
+def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    docs0 = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+
+    def dropped(m: int, off: int) -> DataFrame:
+        return docs0.select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            F.filter(F.col("words"), lambda w, i: i % m != 0).alias("words"),
+        )
+
+    aug = (
+        docs0.unionByName(dropped(10, 10000))
+        .unionByName(dropped(20, 20000))
+        .unionByName(dropped(40, 40000))
+    )
+    words = F.col("words")
+    k = F.size(words) - 2
+    shingle_arr = F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    sh = persist_tracked(
+        aug.select("doc_id", F.explode(shingle_arr).alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    j = F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i")).cast("double")
+    truth = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", j.alias("j"))
+        .filter(F.col("j") >= F.lit(0.5))
+    )
+    lanes = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{q}|"), F.col("s")))).alias(f"h{q}")
+            for q in range(16)
+        ]
+    )
+    bands = None
+    for bb in range(4):
+        part = lanes.select(
+            "doc_id",
+            F.lit(bb).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"h{4 * bb + i}") for i in range(4)])).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    ca, cb = bands.alias("ca"), bands.alias("cb")
+    cand = (
+        ca.join(
+            cb,
+            (F.col("ca.band_id") == F.col("cb.band_id"))
+            & (F.col("ca.bh") == F.col("cb.bh"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .select(F.col("ca.doc_id").alias("id_a"), F.col("cb.doc_id").alias("id_b"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    band = (
+        F.when(F.col("j") >= 0.9, "0.90-1.00")
+        .when(F.col("j") >= 0.7, "0.70-0.90")
+        .otherwise("0.50-0.70")
+    )
+    return (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hit"),
+            F.round(
+                F.avg(F.when(F.col("hit").isNotNull(), 1.0).otherwise(0.0)), 6
+            ).alias("recall"),
+        )
+    )

@@ -432,3 +432,20 @@ def test_prefix_filter_indexes_fewer_rows_than_full_index(spark):
     per_doc = total / n_docs
     bound = n_docs * (per_doc - int(0.8 * per_doc) + 1)
     assert bound < 0.45 * total  # the index the operator builds is ≤ bound
+
+
+def test_lsh_recall_bands_follow_s_curve(spark, sf_dir):
+    """The recall audit must reproduce the 16-hash/4-band S-curve:
+    near-perfect recall at J>=0.9, high at [0.7,0.9), and genuinely
+    lossy at [0.5,0.7) — if the low band ever reads ~1.0 the truth set
+    is degenerate, if the high band drops the banding broke."""
+    from meerpipe_spark.queries import QUERIES
+
+    rows = {r.band: r for r in QUERIES["lsh_recall_vs_exact"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"0.50-0.70", "0.70-0.90", "0.90-1.00"}
+    for r in rows.values():
+        assert r.n_true > 0
+    assert rows["0.90-1.00"].recall > 0.9
+    assert rows["0.70-0.90"].recall > 0.6
+    assert 0.1 < rows["0.50-0.70"].recall < 0.95
+    assert rows["0.50-0.70"].recall < rows["0.70-0.90"].recall < rows["0.90-1.00"].recall

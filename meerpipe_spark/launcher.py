@@ -1,0 +1,150 @@
+"""db_specified_launcher parity — the reference's OUTER query engine
+(README.md:75-126, docs/running_pipeline.md:60-64) as one Spark plan
+plus a CLI.
+
+Reference flow: argparse "query" (-utc1/-utc2/-psr/-obs_pid, -list_in)
+→ PSRDB query → optional crossmatch with an input list → unprocessed
+filter → one Slurm job per (observation × pipeline), throttled by
+-job_limit, each job upserting results when done.
+
+Spark-first: the whole outer engine is ONE declarative plan —
+predicates (F8) push into the scan, the input list crossmatch is a
+broadcast LEFT SEMI join (J5), the unprocessed filter a LEFT ANTI join
+against the processed-keys ledger (F9), the throttle a deterministic
+ordered LIMIT, and "submit one job per observation" disappears: the
+per-obs pipeline stages run as DataFrame transformations distributed
+by the scheduler, with the ledger extended in the same batch
+(exactly-once semantics via streaming/events.run_incremental_pipeline
+when driven incrementally). No Slurm, no process boundaries, no
+per-row driver loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def observations_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observations catalog view over the events table (the
+    PSRDB-equivalent store): one row per observation with the columns
+    the launcher queries — obs_id, psr, obs_pid, utc_start."""
+    from meerpipe_spark.io import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.select(
+        F.col("event_id").alias("obs_id"),
+        F.col("event_type").alias("psr"),
+        F.pmod(F.col("user_id"), F.lit(7)).cast("int").alias("obs_pid"),
+        F.col("ts").alias("utc_start"),
+    )
+
+
+def select_observations(
+    obs: DataFrame,
+    utc1: str | None = None,
+    utc2: str | None = None,
+    psr: str | None = None,
+    obs_pid: int | None = None,
+    list_in: DataFrame | None = None,
+    processed: DataFrame | None = None,
+    job_limit: int | None = None,
+) -> DataFrame:
+    """The launcher's observation query (README.md:88-116): every
+    predicate is a pushed filter, the list crossmatch a broadcast semi
+    join, the unprocessed filter an anti join, and the -job_limit
+    throttle a DETERMINISTIC ordered limit (utc_start, obs_id) — the
+    reference's submission-order contract without a scheduler."""
+    out = obs
+    if utc1 is not None:
+        out = out.filter(F.col("utc_start") >= F.lit(utc1))
+    if utc2 is not None:
+        out = out.filter(F.col("utc_start") <= F.lit(utc2))
+    if psr is not None:
+        out = out.filter(F.col("psr") == psr)
+    if obs_pid is not None:
+        out = out.filter(F.col("obs_pid") == obs_pid)
+    if list_in is not None:
+        out = out.join(
+            F.broadcast(list_in.select("obs_id").distinct()), "obs_id", "left_semi"
+        )
+    if processed is not None:
+        out = out.join(processed.select("obs_id"), "obs_id", "left_anti")
+    if job_limit is not None:
+        out = out.orderBy("utc_start", "obs_id").limit(job_limit)
+    return out
+
+
+def launch(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    execute=None,
+    **query,
+) -> int:
+    """Select observations, run ``execute`` (a DataFrame → DataFrame
+    transformation — the per-obs pipeline; identity when None) over the
+    WHOLE selection at once, append the results, and extend the
+    processed-keys ledger in the same batch. Returns the number of
+    observations launched. Re-running with the same arguments launches
+    0 — the reference's -unprocessed semantics."""
+    ledger_dir = os.path.join(out_dir, "ledger")
+    results_dir = os.path.join(out_dir, "results")
+    try:
+        processed = spark.read.parquet(ledger_dir)
+    except Exception:
+        processed = None
+    obs = observations_from_events(spark, sf_dir)
+    selected = select_observations(obs, processed=processed, **query)
+    results = execute(selected) if execute is not None else selected
+    n = results.count()
+    if n:
+        results.write.mode("append").parquet(results_dir)
+        selected.select("obs_id").write.mode("append").parquet(ledger_dir)
+    return n
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Query-driven batch launch (db_specified_launcher parity)"
+    )
+    ap.add_argument("-utc1", help="earliest utc_start (inclusive)")
+    ap.add_argument("-utc2", help="latest utc_start (inclusive)")
+    ap.add_argument("-psr", help="pulsar / event-type predicate")
+    ap.add_argument("-obs_pid", type=int, help="project id predicate")
+    ap.add_argument("-list_in", help="parquet/csv of obs_id to crossmatch")
+    ap.add_argument("-job_limit", type=int, help="max observations this run")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    ap.add_argument("--out-dir", required=True)
+    args = ap.parse_args(argv)
+
+    from meerpipe_spark.session import get_spark
+
+    spark = get_spark(app_name="launcher")
+    list_in = None
+    if args.list_in:
+        reader = spark.read
+        list_in = (
+            reader.parquet(args.list_in)
+            if args.list_in.endswith(".parquet")
+            else reader.option("header", "true").csv(args.list_in)
+        ).select(F.col("obs_id").cast("long").alias("obs_id"))
+    n = launch(
+        spark,
+        args.sf_dir,
+        args.out_dir,
+        utc1=args.utc1,
+        utc2=args.utc2,
+        psr=args.psr,
+        obs_pid=args.obs_pid,
+        list_in=list_in,
+        job_limit=args.job_limit,
+    )
+    print(f"launched {n} observations")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -13507,3 +13507,63 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@_register(
+    "launcher_select_obs",
+    """
+    WITH obs AS (
+        SELECT event_id AS obs_id, event_type AS psr,
+               CAST(user_id % 7 AS INT) AS obs_pid, ts AS utc_start
+        FROM events
+    ),
+    list_in AS (
+        SELECT obs_id FROM obs
+        WHERE substr(md5(obs_id::VARCHAR), 1, 2) < '40'
+    ),
+    processed AS (
+        SELECT obs_id FROM obs
+        WHERE substr(md5((obs_id * 7)::VARCHAR), 1, 2) < '20'
+    )
+    SELECT o.obs_id, o.psr, o.obs_pid, o.utc_start
+    FROM obs o
+    WHERE o.utc_start >= TIMESTAMP '2024-01-05 00:00:00'
+      AND o.utc_start <= TIMESTAMP '2024-01-20 00:00:00'
+      AND o.obs_pid = 3
+      AND o.obs_id IN (SELECT obs_id FROM list_in)
+      AND o.obs_id NOT IN (SELECT obs_id FROM processed)
+    ORDER BY o.utc_start, o.obs_id
+    LIMIT 500
+    """,
+    doc="The reference's OUTER query engine (db_specified_launcher, "
+        "README.md:75-126) as one declarative plan "
+        "(meerpipe_spark/launcher.py::select_observations): "
+        "-utc1/-utc2/-obs_pid predicates pushed into the scan, the "
+        "-list_in crossmatch a broadcast LEFT SEMI join (J5), the "
+        "-unprocessed filter a LEFT ANTI join against the ledger (F9), "
+        "and the -job_limit throttle a DETERMINISTIC ordered LIMIT on "
+        "(utc_start, obs_id) — the reference's submission-order "
+        "contract without Slurm. The CLI (python -m "
+        "meerpipe_spark.launcher) wraps exactly this plan plus the "
+        "results/ledger append; exactly-once re-run semantics are "
+        "pinned by tests/test_launcher.py.",
+)
+def launcher_select_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.launcher import observations_from_events, select_observations
+
+    obs = observations_from_events(spark, sf_dir)
+    list_in = obs.filter(
+        F.expr("substr(md5(CAST(obs_id AS STRING)), 1, 2)") < "40"
+    ).select("obs_id")
+    processed = obs.filter(
+        F.expr("substr(md5(CAST(obs_id * 7 AS STRING)), 1, 2)") < "20"
+    ).select("obs_id")
+    return select_observations(
+        obs,
+        utc1="2024-01-05 00:00:00",
+        utc2="2024-01-20 00:00:00",
+        obs_pid=3,
+        list_in=list_in,
+        processed=processed,
+        job_limit=500,
+    )

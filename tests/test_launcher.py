@@ -1,0 +1,65 @@
+"""The outer query engine (meerpipe_spark/launcher.py): predicate
+selection, deterministic throttle, and the CLI's exactly-once re-run
+contract (the reference's -unprocessed semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meerpipe_spark.launcher import (
+    launch,
+    main,
+    observations_from_events,
+    select_observations,
+)
+
+
+def test_predicates_and_throttle_deterministic(spark, sf_dir):
+    obs = observations_from_events(spark, sf_dir)
+    sel = select_observations(
+        obs, utc1="2024-01-05 00:00:00", obs_pid=3, job_limit=10
+    )
+    rows = sel.collect()
+    assert len(rows) == 10
+    assert all(r.obs_pid == 3 for r in rows)
+    # the throttle is the FIRST 10 in (utc_start, obs_id) order — rerun
+    # must return the identical set (the submission-order contract)
+    again = select_observations(
+        obs, utc1="2024-01-05 00:00:00", obs_pid=3, job_limit=10
+    ).collect()
+    assert sorted(r.obs_id for r in rows) == sorted(r.obs_id for r in again)
+
+
+def test_psr_and_list_in_crossmatch(spark, sf_dir):
+    obs = observations_from_events(spark, sf_dir)
+    some_psr = obs.select("psr").first().psr
+    wanted = obs.filter(F.col("obs_id") % 5 == 0).select("obs_id")
+    sel = select_observations(obs, psr=some_psr, list_in=wanted)
+    rows = sel.collect()
+    assert rows and all(r.psr == some_psr and r.obs_id % 5 == 0 for r in rows)
+
+
+def test_launch_is_exactly_once(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "launch_out")
+    n1 = launch(spark, sf_dir, out, obs_pid=2, job_limit=25)
+    assert n1 == 25
+    # ledger extended: identical query launches the NEXT 25, then dries up
+    n2 = launch(spark, sf_dir, out, obs_pid=2, job_limit=25)
+    assert n2 == 25
+    first = spark.read.parquet(out + "/ledger").collect()
+    assert len({r.obs_id for r in first}) == 50
+    # exhaust, then the re-run launches zero
+    while launch(spark, sf_dir, out, obs_pid=2, job_limit=5000):
+        pass
+    assert launch(spark, sf_dir, out, obs_pid=2) == 0
+    # results parquet holds every launched observation exactly once
+    res = spark.read.parquet(out + "/results")
+    assert res.count() == res.select("obs_id").distinct().count()
+
+
+def test_cli_end_to_end(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "cli_out")
+    rc = main(["-obs_pid", "4", "-job_limit", "7", "--sf-dir", sf_dir, "--out-dir", out])
+    assert rc == 0
+    assert "launched 7 observations" in capsys.readouterr().out
+    assert spark.read.parquet(out + "/results").count() == 7

@@ -470,3 +470,60 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_dir, tmp_pa
         .collect()
     }
     assert got == expect
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The ONLINE corpus filter: a logreg quality model trained in batch
+    (operators/logreg.py) broadcast into a file-source document stream
+    as a stream-static join; per-micro-batch keep decisions must equal
+    the batch gate exactly — the shape a continuously-ingesting corpus
+    pipeline scores new documents with."""
+    from meerpipe_spark.operators.logreg import logistic_irls
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    nw = F.size(toks).cast("double")
+    feats_cols = [
+        F.log(F.lit(1.0) + F.col("n_chars").cast("double")).alias("x1"),
+        (F.col("n_chars").cast("double") / nw).alias("x2"),
+        (F.size(F.filter(toks, lambda tk: tk.isin("a", "the"))).cast("double") / nw).alias("x3"),
+    ]
+    label = (F.col("n_chars") % 2 == 0).cast("int")
+    train = docs.select("doc_id", *feats_cols, label.alias("y"))
+    model = logistic_irls(
+        train, [F.col("x1"), F.col("x2"), F.col("x3")], F.col("y"), iters=2
+    ).drop("n")
+    t = (
+        F.col("b0")
+        + F.col("b1") * F.col("x1")
+        + F.col("b2") * F.col("x2")
+        + F.col("b3") * F.col("x3")
+    )
+
+    # stream the documents table through a file source
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out_dir, ckpt = str(tmp_path / "gate_out"), str(tmp_path / "gate_ckpt")
+    (
+        stream.select("doc_id", *feats_cols)
+        .join(model, how="cross")
+        .select("doc_id", (t > 0).alias("keep"))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {r.doc_id: r.keep for r in spark.read.parquet(out_dir).collect()}
+    expect = {
+        r.doc_id: r.keep
+        for r in docs.select("doc_id", *feats_cols)
+        .crossJoin(model)
+        .select("doc_id", (t > 0).alias("keep"))
+        .collect()
+    }
+    assert got == expect and len(got) == docs.count()
+    assert 0 < sum(got.values()) < len(got)  # a real boundary, not all/none

@@ -362,3 +362,51 @@ def test_session_window_exact_gap_boundary(spark):
     assert [(r.start, r.end, r.n) for r in islands] == [
         (r.start, r.end, r.n) for r in native
     ]
+
+
+def test_flux_density_fixed_denominator_under_full_bin_zap(spark):
+    """ADVICE r6: an entirely-zapped phase bin must NOT shrink the
+    divisor — flux is averaged over the profile's FULL period (psrchive
+    mean-flux convention). With bin 7 fully zapped, the all-rows
+    distinct count and an explicit nbin=8 must agree, and both must be
+    8/7 of what a post-filter distinct count would have produced."""
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.fluxcal import flux_density
+
+    rows = [
+        Row(obs_id="o1", bin=b, value=2.0 if 3 <= b < 5 else 0.0,
+            weight=0.0 if b == 7 else 1.0)
+        for b in range(8)
+    ]
+    cube = spark.createDataFrame(rows)
+    on_pulse = (F.col("bin") >= 3) & (F.col("bin") < 5)
+    implicit = flux_density(cube, on_pulse).collect()[0].flux
+    explicit = flux_density(cube, on_pulse, nbin=8).collect()[0].flux
+    # on_sum=4, off mean=0 -> flux = 4/8
+    assert abs(implicit - 0.5) < 1e-12
+    assert abs(explicit - 0.5) < 1e-12
+
+
+def test_sequence_gap_ranges_no_gaps_and_all_interior(spark, sf_dir):
+    """The de-windowed gap query: every reported gap must be interior
+    (bounded by surviving ids on both sides), positive-length, and the
+    reconstruction surviving+gaps must tile the id range exactly."""
+    from meerpipe_spark.queries import QUERIES
+
+    from meerpipe_spark.io import load_tables as _lt
+
+    gaps = QUERIES["sequence_gap_ranges"].fn(spark, sf_dir).collect()
+    assert gaps and all(g.gap_len == g.gap_end - g.gap_start + 1 > 0 for g in gaps)
+    ev = _lt(spark, sf_dir)["events"]
+    present = {
+        r.event_id
+        for r in ev.filter(
+            F.expr("substr(md5(CAST(event_id AS STRING)), 1, 1)") != "7"
+        ).select("event_id").collect()
+    }
+    for g in gaps:
+        assert (g.gap_start - 1) in present and (g.gap_end + 1) in present
+        assert all(x not in present for x in range(g.gap_start, min(g.gap_end, g.gap_start + 3) + 1))
+    # total coverage: surviving ids + gap lengths tile [min, max]
+    total = max(present) - min(present) + 1
+    assert len(present) + sum(g.gap_len for g in gaps) == total

@@ -391,3 +391,56 @@ def test_deletion_join_matches_brute_force_lev1(spark, names):
         if lev(names[i], names[j]) <= 1
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    nsub=st.integers(1, 3),
+    nchan=st.integers(2, 4),
+    zap_frac=st.floats(0.0, 0.4),
+)
+def test_clean_chain_fused_equals_composed_random_cubes(
+    spark, seed, nsub, nchan, zap_frac
+):
+    """Property: the fused one-exchange clean_chain reproduces the
+    composed rcvrstd→surgical→bandwagon weights on ARBITRARY cubes —
+    including degenerate ones (single subint, pre-zeroed rows, entire
+    channels at zero weight, constant values that zero the MAD)."""
+    import numpy as np
+    from pyspark.sql import Row
+    from meerpipe_spark.operators.clean import bandwagon, clean_chain, rcvrstd, surgical
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    nbin = 8
+    rows = []
+    for s in range(nsub):
+        for c in range(nchan):
+            for b in range(nbin):
+                rows.append(
+                    Row(
+                        obs_id="obsP",
+                        subint=s,
+                        pol=0,
+                        chan=c,
+                        bin=b,
+                        band="LBAND",
+                        nchan=nchan,
+                        freq=900.0 + c * 40.0,
+                        value=float(rng.normal(0, 1.0) * (50.0 if c == 0 else 1.0)),
+                        weight=0.0 if rng.uniform() < zap_frac else 1.0,
+                    )
+                )
+    cube = spark.createDataFrame(rows)
+    on_pulse = (F.col("bin") >= 3) & (F.col("bin") < 5)
+    composed = bandwagon(
+        surgical(rcvrstd(cube, bad_channels=[1]), on_pulse, sigma_threshold=3.0),
+        chan_frac=0.5,
+        subint_frac=0.5,
+    )
+    fused = clean_chain(cube, on_pulse, bad_channels=[1], sigma_threshold=3.0)
+    key = ["subint", "chan", "bin"]
+    a = {tuple(r[k] for k in key): r["weight"] for r in composed.collect()}
+    b = {tuple(r[k] for k in key): r["weight"] for r in fused.collect()}
+    assert a == b

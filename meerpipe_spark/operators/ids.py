@@ -40,16 +40,30 @@ def assign_dense_ids(
     partition count agg. The offsets table is partition-count-sized:
     broadcast, and collected driver-side only to prefix-sum.
 
-    Like ``RDD.zipWithIndex`` (the same two-job pattern), the count job
-    and the enumeration job each traverse the range-shuffled data —
-    persist the input upstream if its recompute is expensive.
+    The range-partitioned frame is PERSISTED (tracked) before the count
+    job: Spark's range exchange samples its boundaries with an
+    execution-dependent seed, so the count job and the enumeration job
+    would otherwise see DIFFERENT partitionings and the prefix-sum
+    offsets would attach to the wrong rows (reproduced in
+    tests/test_ids.py::test_dense_ids_survive_nondeterministic_range_
+    boundaries — ~60% of ranks corrupt on a multi-partition input
+    without the pin). ``RDD.zipWithIndex`` avoids this only because its
+    two jobs share one RDD instance; separate DataFrame actions do not.
+    The cache is released by the harnesses' ``release_persisted`` (or
+    at interpreter exit); cost is one MEMORY_AND_DISK materialization
+    of the input — the unavoidable price of a consistent global
+    enumeration.
     """
+    from meerpipe_spark.cacheutil import persist_tracked
+
     cols = [F.col(c) for c in order_cols]
-    part = (
-        df.repartitionByRange(num_partitions, *cols)
-        if num_partitions
-        else df.repartitionByRange(*cols)
-    ).withColumn("_pid", F.spark_partition_id())
+    part = persist_tracked(
+        (
+            df.repartitionByRange(num_partitions, *cols)
+            if num_partitions
+            else df.repartitionByRange(*cols)
+        ).withColumn("_pid", F.spark_partition_id())
+    )
 
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     rows = sorted((r._pid, r._n) for r in counts.collect())

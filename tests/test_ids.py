@@ -39,3 +39,22 @@ def test_ids_no_single_partition_global_sort(spark):
     # the scale-killer plan shape is Exchange SinglePartition feeding a
     # global Window/Sort; the operator must never produce it
     assert "SinglePartition" not in plan
+
+
+def test_dense_ids_survive_nondeterministic_range_boundaries(spark):
+    """REGRESSION (round 7): Spark's range exchange samples boundaries
+    with an execution-dependent seed, so the count job and the rank job
+    used to see DIFFERENT partitionings on multi-partition inputs —
+    ~60% of ranks corrupt on this exact input before the tracked
+    persist pinned one materialization for both jobs. Keys are unique
+    (48271 coprime to 500009), so the correct result is exactly
+    0..n-1 in key order."""
+    from meerpipe_spark.operators.ids import assign_dense_ids
+
+    df = (
+        spark.range(0, 200_000)
+        .select((F.col("id") * 48271 % 500009).alias("k"))
+        .repartition(32)
+    )
+    got = sorted((r.k, r.rk) for r in assign_dense_ids(df, ["k"], id_name="rk").collect())
+    assert sum(1 for i, (_, rk) in enumerate(got) if rk != i) == 0

@@ -61,12 +61,18 @@ def main() -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
+    # --stress-partitions: force many tiny input splits so every scan
+    # arrives multi-partition — the lane that exposed the round-7
+    # assign_dense_ids range-boundary bug registry-wide
+    mpb = os.environ.get("SWEEP_MAX_PARTITION_BYTES")
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", mpb or "134217728")
+        .config("spark.sql.files.openCostInBytes", "0" if mpb else "4194304")
         .getOrCreate()
     )
 

@@ -13567,3 +13567,92 @@ def launcher_select_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
         processed=processed,
         job_limit=500,
     )
+
+
+@_register(
+    "scd2_user_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_attr
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN prev_attr IS NULL OR prev_attr <> event_type
+                    THEN 1 ELSE 0 END AS new_run
+        FROM ordered
+    ),
+    runs AS (
+        SELECT user_id, ts, event_type,
+               sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS run_id
+        FROM marked
+    ),
+    hist AS (
+        SELECT user_id, run_id,
+               min(event_type) AS attr,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, attr, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY run_id) AS valid_to,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY run_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current,
+           n_events
+    FROM hist
+    """,
+    doc="Slowly-changing-dimension TYPE 2 history built from a change "
+        "log — the warehouse dimension-versioning op every merge-on-"
+        "read pipeline maintains: consecutive repeats of the same "
+        "attribute collapse (no-op changes create no version), each "
+        "version carries [valid_from, valid_to) with valid_to = the "
+        "next version's start (NULL ⇒ current), and the collapsed "
+        "event count per version rides along. Pure gaps-and-islands: "
+        "every window is keyed by user_id (entity-partitioned — "
+        "nothing global), min(event_type) is exact because the "
+        "attribute is constant within a run BY CONSTRUCTION of the "
+        "run id. The SQL twin mirrors lag-mark-cumsum-lead step for "
+        "step.",
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    runs = marked.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_run")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_id"),
+    )
+    hist = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("attr"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wl = W.partitionBy("user_id").orderBy("run_id")
+    valid_to = F.lead("valid_from").over(wl)
+    return hist.select(
+        "user_id",
+        "attr",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+        "n_events",
+    )

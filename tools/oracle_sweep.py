@@ -67,7 +67,8 @@ def main() -> int:
     mpb = os.environ.get("SWEEP_MAX_PARTITION_BYTES")
     spark = (
         SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SWEEP_SHUFFLE_PARTITIONS", "8"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")

@@ -37,13 +37,18 @@ def binned_interval_join(
     end_col: str,
     bucket_width: int,
     how: str = "inner",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``start <= ts < end`` (half-open, the standard window convention).
 
     ``point_ts``/``start_col``/``end_col`` are BIGINT columns in the
     same unit (e.g. microseconds); ``bucket_width`` is in that unit.
-    Returns points' columns + intervals' columns. ``how='inner'`` keeps
+    ``keys`` adds equi-join columns alongside the bucket (the
+    point-in-time dimension-lookup shape: intervals are per entity, a
+    point must only see its OWN entity's intervals — the composite
+    (entity, bucket) key also spreads the shuffle further). Returns
+    points' columns + intervals' columns. ``how='inner'`` keeps
     matched pairs only.
 
     The bucket key never leaks into the output; callers can project
@@ -63,7 +68,7 @@ def binned_interval_join(
             )
         ),
     )
-    out = p.join(i, "_bucket").filter(
+    out = p.join(i, ["_bucket", *(keys or [])]).filter(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
     )
     return out.drop("_bucket")

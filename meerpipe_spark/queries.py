@@ -13656,3 +13656,121 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
         "n_events",
     )
+
+
+@_register(
+    "pit_dimension_lookup",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_attr
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN prev_attr IS NULL OR prev_attr <> event_type
+                    THEN 1 ELSE 0 END AS new_run
+        FROM ordered
+    ),
+    runs AS (
+        SELECT user_id, ts, event_type,
+               sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS run_id
+        FROM marked
+    ),
+    hist AS (
+        SELECT user_id, run_id, min(event_type) AS attr,
+               min(epoch_ms(ts)) AS vf_ms
+        FROM runs GROUP BY user_id, run_id
+    ),
+    maxts AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
+    iv AS (
+        SELECT user_id, attr, vf_ms,
+               coalesce(lead(vf_ms) OVER (PARTITION BY user_id
+                                          ORDER BY run_id),
+                        (SELECT mx + 86400000 FROM maxts)) AS vt_ms
+        FROM hist
+    ),
+    probes AS (
+        SELECT user_id, event_id, epoch_ms(ts) + 1020000 AS probe_ms
+        FROM events
+    ),
+    matched AS (
+        SELECT p.user_id, i.attr
+        FROM probes p JOIN iv i
+          ON p.user_id = i.user_id
+         AND p.probe_ms >= i.vf_ms AND p.probe_ms < i.vt_ms
+    )
+    SELECT attr, CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM matched GROUP BY attr
+    """,
+    doc="POINT-IN-TIME dimension lookup against the SCD2 history — the "
+        "as-of join every feature-store and warehouse backfill runs "
+        "('which attribute version was in effect when this fact "
+        "happened'): probe timestamps (each event shifted +17 min, so "
+        "probes genuinely cross version boundaries) joined to "
+        "[valid_from, valid_to) intervals per entity via "
+        "operators/rangejoin.py::binned_interval_join with the NEW "
+        "composite (entity, bucket) key — a pure equi-join, never a "
+        "theta/nested-loop join, current versions capped at max(ts)+1d "
+        "so the open-ended interval explodes to bounded buckets. "
+        "Rollup per attribute (probe count + distinct entities) in the "
+        "hash. Composes scd2_user_history's island construction with "
+        "the binned range join — two operators, one plan.",
+)
+def pit_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.rangejoin import binned_interval_join
+
+    events = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    runs = marked.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_run")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_id"),
+    )
+    hist = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("attr"),
+        F.min(F.unix_millis("ts")).alias("vf_ms"),
+    )
+    mx = events.agg((F.max(F.unix_millis("ts")) + F.lit(86400000)).alias("mx"))
+    wl = W.partitionBy("user_id").orderBy("run_id")
+    iv = hist.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "attr",
+        "vf_ms",
+        F.coalesce(F.lead("vf_ms").over(wl), F.col("mx")).alias("vt_ms"),
+    )
+    probes = events.select(
+        "user_id",
+        "event_id",
+        (F.unix_millis("ts") + F.lit(1020000)).alias("probe_ms"),
+    )
+    matched = binned_interval_join(
+        probes,
+        iv,
+        "probe_ms",
+        "vf_ms",
+        "vt_ms",
+        bucket_width=3600000,
+        keys=["user_id"],
+    )
+    return matched.groupBy("attr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )

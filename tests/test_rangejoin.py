@@ -54,3 +54,25 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     df = binned_interval_join(pts, ivs, "t", "s", "e", bucket_width=20)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_keys_param_confines_matches_to_entity(spark):
+    """The composite (entity, bucket) key: a point must only see its
+    OWN entity's intervals even when another entity's interval covers
+    the same time range."""
+    from meerpipe_spark.operators.rangejoin import binned_interval_join
+
+    points = spark.createDataFrame(
+        [("u1", 50), ("u2", 50)], "ent STRING, t BIGINT"
+    )
+    intervals = spark.createDataFrame(
+        [("u1", 0, 100, "a"), ("u2", 0, 100, "b")],
+        "ent STRING, s BIGINT, e BIGINT, tag STRING",
+    )
+    got = {
+        (r.ent, r.tag)
+        for r in binned_interval_join(
+            points, intervals, "t", "s", "e", bucket_width=10, keys=["ent"]
+        ).collect()
+    }
+    assert got == {("u1", "a"), ("u2", "b")}

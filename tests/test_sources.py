@@ -472,3 +472,90 @@ def test_chipass_ingest_to_tsky_lookup_end_to_end(spark, chipass_file):
     assert out[1] == pytest.approx(jy(3523.0))
     assert out[2] == pytest.approx(jy(3400.0))
     assert out[3] == pytest.approx(jy(3400.0))
+
+
+def test_fits_datasource_obsid_filter_pushdown(spark, tmp_path, archive_file):
+    """Spark 4.1 Python DataSource filter pushdown: an obs_id equality
+    must prune PARTITIONS (one file opened, not the directory), and the
+    pruned scan must return exactly the single-file rows."""
+    import shutil
+
+    from meerpipe_spark.sources.fits_datasource import (
+        FitsArchivePruningReader,
+        FitsArchiveDataSource,
+    )
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    path, cube, freqs, wts = archive_file
+    d = tmp_path / "arch"
+    d.mkdir()
+    shutil.copy(path, d / "obsA.fits")
+    shutil.copy(path, d / "obsB.fits")
+    shutil.copy(path, d / "obsC.fits")
+
+    # unit level: pushFilters prunes partitions and keeps the remainder
+    rd = FitsArchivePruningReader({"path": str(d / "*.fits")})
+    rest = list(rd.pushFilters([EqualTo(("obs_id",), "obsB"), GreaterThan(("chan",), 0)]))
+    assert len(rest) == 1 and isinstance(rest[0], GreaterThan)
+    parts = rd.partitions()
+    assert len(parts) == 1 and parts[0].path.endswith("obsB.fits")
+
+    # end to end: the query result equals the one-file slice
+    spark.dataSource.register(FitsArchiveDataSource)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    def load():
+        # one load per query: the Python DS relation re-uses its planned
+        # partitions across actions (see the reader() caveat), so a
+        # pushdown-enabled DataFrame must not be shared across
+        # differently filtered queries
+        return (
+            spark.read.format("fits_archive")
+            .option("pushdown", "true")
+            .load(str(d / "*.fits"))
+        )
+
+    try:
+        got = load().filter("obs_id = 'obsB' AND chan > 0").count()
+        assert got == 2 * 2 * 2 * 4  # nsub*npol*(nchan-1)*nbin of ONE file
+        assert load().count() == 3 * 2 * 2 * 3 * 4
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_fits_datasource_streaming_tail(spark, tmp_path, archive_file):
+    """The streaming lane of the Python DataSource: one observation
+    file per arrival, offsets over the sorted listing, exactly-once
+    replay via readBetweenOffsets. Files landing between micro-batches
+    are picked up; rows equal the batch parse of the same files."""
+    import shutil
+
+    from meerpipe_spark.sources.fits_datasource import FitsArchiveDataSource
+
+    path, cube, freqs, wts = archive_file
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    shutil.copy(path, d / "obs1.fits")
+    spark.dataSource.register(FitsArchiveDataSource)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    q = (
+        spark.readStream.format("fits_archive")
+        .load(str(d / "*.fits"))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        shutil.copy(path, d / "obs2.fits")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    per_file = 2 * 2 * 3 * 4
+    assert got.count() == 2 * per_file
+    assert {r.obs_id for r in got.select("obs_id").distinct().collect()} == {"obs1", "obs2"}

@@ -559,3 +559,65 @@ def test_fits_datasource_streaming_tail(spark, tmp_path, archive_file):
     per_file = 2 * 2 * 3 * 4
     assert got.count() == 2 * per_file
     assert {r.obs_id for r in got.select("obs_id").distinct().collect()} == {"obs1", "obs2"}
+
+
+def test_fits_stream_drives_incremental_pipeline(spark, tmp_path, archive_file):
+    """SURVEY §2.11 composed end to end: observation archives ARRIVE
+    through the custom streaming source, each micro-batch runs a
+    per-obs pipeline stage (off-pulse RMS per obs — the fluxcal shape)
+    via foreachBatch with a processed-obs ledger, and re-delivering the
+    whole directory on a second stream produces NO duplicate results
+    (the reference's -unprocessed contract, now source-to-sink)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from meerpipe_spark.sources.fits_datasource import FitsArchiveDataSource
+
+    path, cube, freqs, wts = archive_file
+    d = tmp_path / "obs_in"
+    d.mkdir()
+    shutil.copy(path, d / "obsX.fits")
+    shutil.copy(path, d / "obsY.fits")
+    spark.dataSource.register(FitsArchiveDataSource)
+    results_dir = str(tmp_path / "res")
+    ledger_dir = str(tmp_path / "led")
+
+    def process(batch, batch_id):
+        s = batch.sparkSession
+        try:
+            seen = s.read.parquet(ledger_dir)
+            fresh = batch.join(seen, "obs_id", "left_anti")
+        except Exception:
+            fresh = batch
+        out = (
+            fresh.filter(F.col("weight") > 0)
+            .groupBy("obs_id")
+            .agg(F.stddev_samp("value").alias("off_rms"), F.count(F.lit(1)).alias("n"))
+        )
+        out.write.mode("append").parquet(results_dir)
+        out.select("obs_id").write.mode("append").parquet(ledger_dir)
+
+    def run_once(ckpt):
+        q = (
+            spark.readStream.format("fits_archive")
+            .load(str(d / "*.fits"))
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(str(tmp_path / "ck1"))
+    res1 = spark.read.parquet(results_dir)
+    assert res1.count() == 2
+    assert {r.obs_id for r in res1.collect()} == {"obsX", "obsY"}
+    # second, FRESH stream over the same directory (new checkpoint =
+    # full redelivery): the ledger anti-join must suppress everything
+    run_once(str(tmp_path / "ck2"))
+    res2 = spark.read.parquet(results_dir)
+    assert res2.count() == 2
+    # and a new arrival still lands
+    shutil.copy(path, d / "obsZ.fits")
+    run_once(str(tmp_path / "ck3"))
+    assert spark.read.parquet(results_dir).count() == 3

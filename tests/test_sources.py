@@ -621,3 +621,71 @@ def test_fits_stream_drives_incremental_pipeline(spark, tmp_path, archive_file):
     shutil.copy(path, d / "obsZ.fits")
     run_once(str(tmp_path / "ck3"))
     assert spark.read.parquet(results_dir).count() == 3
+
+
+def test_results_ledger_batch_writer(spark, tmp_path):
+    """Two-phase commit: rows land as ndjson files + one manifest line;
+    nothing half-written ever surfaces outside _staging."""
+    import json
+
+    from meerpipe_spark.sinks_datasource import ResultsLedgerDataSource
+
+    spark.dataSource.register(ResultsLedgerDataSource)
+    out = str(tmp_path / "ledger")
+    df = spark.range(100).selectExpr("id AS obs_id", "CAST(id * 1.5 AS DOUBLE) AS snr")
+    df.repartition(4).write.format("results_ledger").option("path", out).mode("append").save()
+    import glob as g
+
+    files = g.glob(out + "/task-*.ndjson")
+    rows = []
+    for f in files:
+        rows += [json.loads(line) for line in open(f)]
+    assert len(rows) == 100
+    assert {r["obs_id"] for r in rows} == set(range(100))
+    manifest = [json.loads(line) for line in open(out + "/_manifest.ndjson")]
+    assert len(manifest) == 1 and manifest[0]["batch_id"] is None
+    assert sum(e["rows"] for e in manifest[0]["files"]) == 100
+    assert not g.glob(out + "/_staging/*")  # staging fully drained
+
+
+def test_results_ledger_stream_writer_exactly_once(spark, tmp_path):
+    """Streaming sink with batchId-stamped manifest: a REPLAYED
+    micro-batch (same batchId through a fresh query over the same
+    source+checkpoint-less redelivery) publishes nothing twice."""
+    import glob as g
+    import json
+
+    from meerpipe_spark.sinks_datasource import ResultsLedgerDataSource
+
+    spark.dataSource.register(ResultsLedgerDataSource)
+    src = str(tmp_path / "src")
+    df = spark.range(50).selectExpr("id AS obs_id", "CAST(id AS DOUBLE) AS snr")
+    df.write.parquet(src)
+    out = str(tmp_path / "ledger_s")
+
+    def run(ck):
+        q = (
+            spark.readStream.schema("obs_id BIGINT, snr DOUBLE")
+            .parquet(src)
+            .writeStream.format("results_ledger")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    rows = []
+    for f in g.glob(out + "/task-*.ndjson"):
+        rows += [json.loads(line) for line in open(f)]
+    assert len(rows) == 50
+    # fresh checkpoint = the engine re-delivers batch 0; the manifest
+    # already records batch_id 0, so the replay must publish nothing
+    run(str(tmp_path / "ck2"))
+    rows2 = []
+    for f in g.glob(out + "/task-*.ndjson"):
+        rows2 += [json.loads(line) for line in open(f)]
+    assert len(rows2) == 50
+    manifest = [json.loads(line) for line in open(out + "/_manifest.ndjson")]
+    assert [m["batch_id"] for m in manifest] == [0]

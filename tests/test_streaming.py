@@ -527,3 +527,73 @@ def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == expect and len(got) == docs.count()
     assert 0 < sum(got.values()) < len(got)  # a real boundary, not all/none
+
+
+def test_transform_with_state_running_stats(spark, sf_dir, event_dir, tmp_path):
+    """The Spark 4 transformWithStateInPandas lane (typed ValueState,
+    the applyInPandasWithState successor): per-key running moments
+    across micro-batches. After the stream drains, each key's LAST
+    emitted row must equal the batch aggregation of the same rows
+    (merge-based Welford/Chan update ≡ one-pass stats at ~1e-12).
+
+    ENV GATE: the transformWithState wire protocol needs
+    google.protobuf (pyspark/sql/streaming/proto). Containers without
+    it skip — the operator itself (streaming/running_stats.py) has no
+    extra dependency."""
+    pytest.importorskip("google.protobuf", reason="transformWithState needs protobuf")
+    from meerpipe_spark.streaming.running_stats import running_stats_stream
+
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema(load_tables(spark, sf_dir)["events"].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_dir)
+    )
+    out_dir = str(tmp_path / "rs_out")
+    ckpt = str(tmp_path / "rs_ckpt")
+    # parquet sinks reject update mode; foreachBatch appends each
+    # micro-batch's refreshed rows instead
+    (
+        running_stats_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda b, _id: b.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if prev is None:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got_all = spark.read.parquet(out_dir)
+    # update mode appends one refreshed row per key per batch to the
+    # file sink; the final state per key is the row with max n
+    import pandas as pd
+
+    pdf = got_all.toPandas().sort_values("n").groupby("key").last()
+    ev = load_tables(spark, sf_dir)["events"]
+    expect = {
+        r.key: r
+        for r in ev.selectExpr("event_type AS key", "CAST(value AS DOUBLE) AS value")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var_samp"),
+        )
+        .collect()
+    }
+    assert set(pdf.index) == set(expect)
+    for key, row in pdf.iterrows():
+        e = expect[key]
+        assert int(row["n"]) == e.n, key
+        assert abs(row["mean"] - e.mean) < 1e-9
+        assert abs(row["var_samp"] - e.var_samp) < 1e-9

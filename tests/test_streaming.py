@@ -597,3 +597,50 @@ def test_transform_with_state_running_stats(spark, sf_dir, event_dir, tmp_path):
         assert int(row["n"]) == e.n, key
         assert abs(row["mean"] - e.mean) < 1e-9
         assert abs(row["var_samp"] - e.var_samp) < 1e-9
+
+
+def test_running_stats_processor_chan_merge_unit():
+    """Protobuf-free unit coverage of RunningStatsProcessor: drive
+    handleInputRows directly with a fake ValueState across three
+    batches in two different orders — the merged (n, mean, var) must
+    equal numpy's one-pass stats over the concatenation either way."""
+    import numpy as np
+    import pandas as pd
+
+    from meerpipe_spark.streaming.running_stats import RunningStatsProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def __init__(self, state):
+            self._s = state
+
+        def getValueState(self, name, schema):
+            return self._s
+
+    rng = np.random.default_rng(5)
+    batches = [rng.normal(3.0, 2.0, size=n) for n in (17, 1, 400)]
+    full = np.concatenate(batches)
+
+    for order in (batches, batches[::-1]):
+        p = RunningStatsProcessor()
+        p.init(FakeHandle(FakeState()))
+        out = None
+        for b in order:
+            out = list(
+                p.handleInputRows(("k",), iter([pd.DataFrame({"value": b})]), None)
+            )[-1]
+        assert int(out["n"].iloc[0]) == len(full)
+        assert abs(out["mean"].iloc[0] - full.mean()) < 1e-12
+        assert abs(out["var_samp"].iloc[0] - full.var(ddof=1)) < 1e-10

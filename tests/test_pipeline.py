@@ -265,3 +265,40 @@ def test_clean_chain_fused_equivalence(spark, cube):
     b = {tuple(r[k] for k in key): r["weight"] for r in fused.collect()}
     assert a == b
     assert fused.columns == seeded.columns
+
+
+def test_results_doc_writes_through_ledger_sink(spark, cube, tmp_path):
+    """D11 composed with the custom sink: the pipeline's results
+    document lands in the two-phase-commit results ledger (staged
+    ndjson -> atomic publish + manifest), and the emitted JSON parses
+    back with every field present."""
+    import glob as g
+    import json
+
+    from meerpipe_spark.sinks_datasource import ResultsLedgerDataSource
+
+    out = run_observation_pipeline(
+        cube,
+        on_pulse(),
+        specs=[],
+        input_nsub=NSUB,
+        input_nchan=NCHAN,
+        expected_rms=1.0,
+        fluxcal_window=(900.0, 1500.0),
+        bad_channels=[1],
+        persist=False,
+    )
+    spark.dataSource.register(ResultsLedgerDataSource)
+    led = str(tmp_path / "ledger")
+    out["results"].write.format("results_ledger").option("path", led).mode(
+        "append"
+    ).save()
+    rows = []
+    for f in g.glob(led + "/task-*.ndjson"):
+        rows += [json.loads(line) for line in open(f)]
+    assert len(rows) == 1
+    doc = json.loads(rows[0]["results_json"])
+    for field in ("percent_rfi_zapped", "dm", "rm", "sn", "flux", "mult"):
+        assert field in doc
+    manifest = [json.loads(line) for line in open(led + "/_manifest.ndjson")]
+    assert sum(e["rows"] for e in manifest[0]["files"]) == 1

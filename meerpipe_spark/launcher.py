@@ -48,6 +48,7 @@ def select_observations(
     utc2: str | None = None,
     psr: str | None = None,
     obs_pid: int | None = None,
+    obs_id: int | None = None,
     list_in: DataFrame | None = None,
     processed: DataFrame | None = None,
     job_limit: int | None = None,
@@ -66,6 +67,8 @@ def select_observations(
         out = out.filter(F.col("psr") == psr)
     if obs_pid is not None:
         out = out.filter(F.col("obs_pid") == obs_pid)
+    if obs_id is not None:
+        out = out.filter(F.col("obs_id") == obs_id)
     if list_in is not None:
         out = out.join(
             F.broadcast(list_in.select("obs_id").distinct()), "obs_id", "left_semi"
@@ -82,6 +85,8 @@ def launch(
     sf_dir: str,
     out_dir: str,
     execute=None,
+    testrun: bool = False,
+    list_out: str | None = None,
     **query,
 ) -> int:
     """Select observations, run ``execute`` (a DataFrame → DataFrame
@@ -98,6 +103,12 @@ def launch(
         processed = None
     obs = observations_from_events(spark, sf_dir)
     selected = select_observations(obs, processed=processed, **query)
+    if list_out is not None:
+        # the reference's -list_out: persist the selection itself
+        selected.select("obs_id").write.mode("overwrite").parquet(list_out)
+    if testrun:
+        # the reference's -testrun: report what WOULD launch, touch nothing
+        return selected.count()
     results = execute(selected) if execute is not None else selected
     n = results.count()
     if n:
@@ -114,8 +125,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-utc2", help="latest utc_start (inclusive)")
     ap.add_argument("-psr", help="pulsar / event-type predicate")
     ap.add_argument("-obs_pid", type=int, help="project id predicate")
+    ap.add_argument("-obs_id", type=int, help="single observation id")
     ap.add_argument("-list_in", help="parquet/csv of obs_id to crossmatch")
+    ap.add_argument("-list_out", help="write the selected obs_id list here")
     ap.add_argument("-job_limit", type=int, help="max observations this run")
+    ap.add_argument("-testrun", action="store_true",
+                    help="report what would launch; write nothing")
+    # scheduler-resource flags from the reference CLI: in Spark these are
+    # cluster/executor configs (spark.executor.memory, dynamic allocation),
+    # not per-job knobs — accepted for CLI parity, applied to nothing
+    ap.add_argument("-slurm", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("-forceram", help=argparse.SUPPRESS)
+    ap.add_argument("-forcetime", help=argparse.SUPPRESS)
+    ap.add_argument("-errorlog", help=argparse.SUPPRESS)
+    ap.add_argument("-runas", help="pipeline config name stamped into results")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     ap.add_argument("--out-dir", required=True)
     args = ap.parse_args(argv)
@@ -131,18 +154,27 @@ def main(argv: list[str] | None = None) -> int:
             if args.list_in.endswith(".parquet")
             else reader.option("header", "true").csv(args.list_in)
         ).select(F.col("obs_id").cast("long").alias("obs_id"))
+    execute = None
+    if args.runas:
+        def execute(df, _name=args.runas):
+            return df.withColumn("pipeline", F.lit(_name))
+
     n = launch(
         spark,
         args.sf_dir,
         args.out_dir,
+        execute=execute,
+        testrun=args.testrun,
+        list_out=args.list_out,
         utc1=args.utc1,
         utc2=args.utc2,
         psr=args.psr,
         obs_pid=args.obs_pid,
+        obs_id=args.obs_id,
         list_in=list_in,
         job_limit=args.job_limit,
     )
-    print(f"launched {n} observations")
+    print(f"{'would launch' if args.testrun else 'launched'} {n} observations")
     return 0
 
 

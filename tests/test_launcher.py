@@ -63,3 +63,32 @@ def test_cli_end_to_end(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     assert "launched 7 observations" in capsys.readouterr().out
     assert spark.read.parquet(out + "/results").count() == 7
+
+
+def test_testrun_and_list_out_touch_nothing(spark, sf_dir, tmp_path):
+    """The reference's -testrun (report, write nothing) and -list_out
+    (persist the selection itself) contracts."""
+    out = str(tmp_path / "tr_out")
+    lst = str(tmp_path / "sel.parquet")
+    n = launch(spark, sf_dir, out, obs_pid=1, job_limit=9,
+               testrun=True, list_out=lst)
+    assert n == 9
+    import os
+
+    assert not os.path.exists(out + "/results")
+    assert not os.path.exists(out + "/ledger")
+    assert spark.read.parquet(lst).count() == 9
+    # a real run afterwards still launches all 9 (testrun left no ledger)
+    assert launch(spark, sf_dir, out, obs_pid=1, job_limit=9) == 9
+
+
+def test_cli_runas_and_single_obs(spark, sf_dir, tmp_path, capsys):
+    obs = observations_from_events(spark, sf_dir)
+    some = obs.first()
+    out = str(tmp_path / "cli2")
+    rc = main(["-obs_id", str(some.obs_id), "-runas", "meertime_jitter",
+               "--sf-dir", sf_dir, "--out-dir", out])
+    assert rc == 0 and "launched 1 observations" in capsys.readouterr().out
+    res = spark.read.parquet(out + "/results").collect()
+    assert len(res) == 1 and res[0].pipeline == "meertime_jitter"
+    assert res[0].obs_id == some.obs_id

@@ -97,10 +97,12 @@ def launch(
     0 — the reference's -unprocessed semantics."""
     ledger_dir = os.path.join(out_dir, "ledger")
     results_dir = os.path.join(out_dir, "results")
+    from pyspark.errors import AnalysisException
+
     try:
         processed = spark.read.parquet(ledger_dir)
-    except Exception:
-        processed = None
+    except AnalysisException:
+        processed = None  # no ledger yet — first run; real IO errors raise
     obs = observations_from_events(spark, sf_dir)
     selected = select_observations(obs, processed=processed, **query)
     if list_out is not None:

@@ -84,3 +84,23 @@ def test_quality_logreg_query_signs_and_accuracy(spark, sf_dir):
     assert r.b1 > 0 and r.b2 < 0 and r.b3 > 0, r
     assert r.accuracy > 0.7, r
     assert r.logloss < math.log(2), r
+
+
+def test_irls_degenerate_single_class_stays_finite(spark):
+    """Perfect separation limit: with every label 1 the MLE diverges
+    (b0 → ∞), but FOUR bounded Newton steps must return finite
+    coefficients (b0 grows ~1 per step past ~4, slopes ~0) — never
+    NaN/Inf from the w → 0 working weights."""
+    import math
+
+    df = spark.range(200).select(
+        (F.col("id") % 7).cast("double").alias("x1"),
+        (F.col("id") % 3).cast("double").alias("x2"),
+        (F.col("id") % 5).cast("double").alias("x3"),
+        F.lit(1).alias("y"),
+    )
+    r = logistic_irls(df, FX(), F.col("y"), iters=4).collect()[0]
+    for v in (r.b0, r.b1, r.b2, r.b3):
+        assert math.isfinite(v), r
+    assert r.b0 > 3  # pushes toward +inf, as the separated MLE should
+    assert abs(r.b1) < 1e-6 and abs(r.b2) < 1e-6 and abs(r.b3) < 1e-6

@@ -410,3 +410,25 @@ def test_sequence_gap_ranges_no_gaps_and_all_interior(spark, sf_dir):
     # total coverage: surviving ids + gap lengths tile [min, max]
     total = max(present) - min(present) + 1
     assert len(present) + sum(g.gap_len for g in gaps) == total
+
+
+def test_register_cleanup_runs_at_release(tmp_path):
+    """cacheutil.register_cleanup defers side-effect cleanup to the
+    tracked-release point: the hook must fire exactly once on
+    release_persisted and tolerate hooks that raise."""
+    from meerpipe_spark import cacheutil
+
+    hits = []
+    p = tmp_path / "scratch"
+    p.mkdir()
+
+    def boom():
+        raise RuntimeError("cleanup hooks must not break release")
+
+    cacheutil.register_cleanup(boom)
+    cacheutil.register_cleanup(lambda: hits.append(1))
+    cacheutil.release_persisted()
+    assert hits == [1]
+    # queue drained: a second release fires nothing
+    cacheutil.release_persisted()
+    assert hits == [1]

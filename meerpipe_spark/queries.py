@@ -13774,3 +13774,90 @@ def pit_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_probes"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent items: Misra-Gries candidates + exact verification (round 7, wave 4)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "heavy_hitters_tokens",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    tot AS (SELECT count(*)::BIGINT AS n_tokens FROM tok),
+    c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token)
+    SELECT c.token, c.cnt,
+           round(c.cnt / CAST(t.n_tokens AS DOUBLE), 6) AS share,
+           t.n_tokens
+    FROM c CROSS JOIN tot t
+    WHERE c.cnt * 64 > t.n_tokens
+    ORDER BY cnt DESC, token
+    """,
+    doc="EXACT support-1/64 frequent tokens via two-pass Misra-Gries "
+        "(operators/frequent.py::heavy_hitters): pass 1 is a map-only "
+        "mapInPandas keeping <=64 counters per partition (output O(p*k) "
+        "rows regardless of vocabulary — the union of per-partition MG "
+        "summaries provably contains every token above support 1/k, by "
+        "pigeonhole over the per-partition n_p/(k+1) guarantees); pass 2 "
+        "broadcast-semi-joins the candidate set onto the token stream and "
+        "hash-aggregates EXACT counts, keeping cnt*k > N as a pure-bigint "
+        "comparison. The vocabulary-sized shuffle of the naive "
+        "groupBy(token) plan never happens — the only exchange carries "
+        "<= p*k candidate keys. The answer is exact and partitioning-"
+        "independent: MG internals only over-approximate the candidate "
+        "set; the verification pass replaces sketch counts with exact "
+        "ones. The sketch->exact-recheck discipline of the MinHash and "
+        "SimHash lanes, applied to frequency.",
+    headline=True,
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.frequent import heavy_hitters
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tokens = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return heavy_hitters(tokens, k=64)
+
+
+@_register(
+    "heavy_hitters_bigrams",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    tok AS (
+        SELECT unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+                      i -> ws[i + 1] || ' ' || ws[i + 2])) AS token
+        FROM w
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n_tokens FROM tok),
+    c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token)
+    SELECT c.token, c.cnt,
+           round(c.cnt / CAST(t.n_tokens AS DOUBLE), 6) AS share,
+           t.n_tokens
+    FROM c CROSS JOIN tot t
+    WHERE c.cnt * 1024 > t.n_tokens
+    ORDER BY cnt DESC, token
+    """,
+    doc="Frequent BIGRAMS above support 1/1024 through the same "
+        "Misra-Gries two-pass operator — the key space is quadratic in "
+        "the vocabulary (the regime where the naive full-vocab shuffle "
+        "actually hurts at 100 TB: billions of shingle keys), the MG "
+        "pass still emits <= p*1024 candidate rows, and the threshold "
+        "comparison cnt*1024 > N stays pure-bigint. Near-threshold "
+        "bigrams are decided by EXACT verified counts on both engines, "
+        "so the tie behavior is engine-independent.",
+    headline=False,
+)
+def heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.frequent import heavy_hitters
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.col("text"), " ")
+    kb = F.size(words) - 1
+    bigrams = F.when(
+        kb > 0,
+        F.transform(
+            F.sequence(F.lit(0), kb - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tokens = docs.select(F.explode(bigrams).alias("token"))
+    return heavy_hitters(tokens, k=1024)

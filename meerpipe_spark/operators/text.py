@@ -502,3 +502,159 @@ def nb_langid_confusion(
         .groupBy(lang_col, "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM (round 7, wave 4)
+# ---------------------------------------------------------------------------
+
+def _bigram_pairs(docs: DataFrame, text_col: str, id_col: str | None = None) -> DataFrame:
+    """(w1, w2) per bigram POSITION (with doc id + position when
+    ``id_col`` is given — needed for the ordered per-doc fold)."""
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - 1
+    pairs = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.struct(
+                F.element_at(words, i + 1).alias("w1"),
+                F.element_at(words, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    if id_col is None:
+        return docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    return docs.select(
+        F.col(id_col), F.posexplode(pairs).alias("pos", "p")
+    ).select(id_col, "pos", "p.w1", "p.w2")
+
+
+def kneser_ney_tables(
+    docs: DataFrame, text_col: str = "text", discount: float = 0.75
+):
+    """The four sufficient-statistic tables of an interpolated
+    Kneser-Ney bigram model, all rollups of the bigram-TYPE table
+    (vocabulary-sized, never corpus-sized after the one count shuffle):
+
+    - ``c2``:   bigram counts c(w1 w2)
+    - ``c1nf``: per-history totals c(w1) = Σ_w2 c(w1 w2) and fan-out
+                N1+(w1 ·) (distinct continuations)
+    - ``nbd``:  continuation counts N1+(· w2) (distinct histories —
+                the Kneser-Ney insight: how many contexts a word
+                FOLLOWS, not how often it occurs)
+    - ``btot``: 1-row bigram-type total B (broadcast)
+
+    Shuffle budget at any corpus size: ONE corpus-sized exchange (the
+    bigram count, map-side partials) + two type-table rollups.
+    """
+    c2 = _bigram_pairs(docs, text_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    c1nf = c2.groupBy("w1").agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("nf"),
+    )
+    nbd = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    btot = c2.agg(F.count(F.lit(1)).cast("bigint").alias("b_types"))
+    return c2, c1nf, nbd, btot
+
+
+def kneser_ney_bigram(
+    docs: DataFrame, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.25) for every OBSERVED bigram:
+
+        P_KN(w2|w1) = max(c(w1 w2) − D, 0)/c(w1)
+                      + (D·N1+(w1 ·)/c(w1)) · (N1+(· w2)/B)
+
+    with fixed discount D. The absolute-discount mass freed from seen
+    bigrams is routed to the continuation unigram N1+(· w2)/B — the
+    distribution that asks "how many distinct contexts does w2 follow",
+    which is what separates high-frequency-but-bound words (only ever
+    after one history) from genuinely productive ones. The smoothing
+    the n-gram LM quality filters (kenlm) actually ship.
+
+    Everything after the one bigram-count shuffle is vocabulary-sized;
+    the probability is computed from exact bigint counts in a fixed
+    expression tree, so both engines round the same doubles.
+    """
+    c2, c1nf, nbd, btot = kneser_ney_tables(docs, text_col, discount)
+    d = F.lit(float(discount))
+    pkn = (
+        F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("nf") / F.col("c1")) * (F.col("nb") / F.col("b_types"))
+    )
+    return (
+        c2.join(c1nf, "w1")
+        .join(nbd, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            "c1",
+            "nf",
+            "nb",
+            F.round(pkn, 6).alias("p_kn"),
+        )
+    )
+
+
+def kneser_ney_heldout_ppl(
+    docs: DataFrame,
+    train_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    floor: float = 1e-12,
+) -> DataFrame:
+    """Held-out per-document perplexity under a Kneser-Ney bigram model
+    TRAINED on ``train_filter`` rows and SCORED on the rest — the
+    train/evaluate lifecycle of a corpus LM filter, with the backoff
+    chain a real held-out set exercises:
+
+    - seen history:   interpolated KN (the c(w1 w2)=0 case degrades to
+                      the backoff weight times the continuation prob
+                      automatically via coalesce-to-0 counts);
+    - unseen history: continuation unigram N1+(· w2)/B;
+    - unseen word:    probability floor (1e-12), so OOV test tokens
+                      cost ~12 digits instead of -inf.
+
+    Per-doc mean log10 p is a position-ordered fold (engine-exact sum
+    order); ppl = 10^(−mean) with the house pre-rounding discipline.
+    """
+    train = docs.filter(train_filter)
+    test = docs.filter(~train_filter)
+    c2, c1nf, nbd, btot = kneser_ney_tables(train, text_col, discount)
+    bg = _bigram_pairs(test, text_col, id_col=id_col)
+    d = F.lit(float(discount))
+    joined = (
+        bg.join(c2, ["w1", "w2"], "left")
+        .join(c1nf, "w1", "left")
+        .join(nbd, "w2", "left")
+        .crossJoin(F.broadcast(btot))
+    )
+    seen_hist = (
+        F.greatest(F.coalesce(F.col("c2"), F.lit(0)) - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("nf") / F.col("c1"))
+        * (F.coalesce(F.col("nb"), F.lit(0)) / F.col("b_types"))
+    )
+    unseen_hist = F.coalesce(F.col("nb"), F.lit(0)) / F.col("b_types")
+    p = F.greatest(
+        F.when(F.col("c1").isNotNull(), seen_hist).otherwise(unseen_hist),
+        F.lit(float(floor)),
+    )
+    scored = joined.select(id_col, "pos", F.log10(p).alias("logp"))
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["logp"],
+    )
+    mean_logp = F.floor(folded / F.count(F.lit(1)) * 1e6 + F.lit(0.5)) / 1e6
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        mean_logp.alias("mean_logp"),
+        (F.floor(F.pow(F.lit(10.0), -mean_logp) * 1e4 + F.lit(0.5)) / 1e4).alias("ppl"),
+    )

@@ -13861,3 +13861,120 @@ def heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     tokens = docs.select(F.explode(bigrams).alias("token"))
     return heavy_hitters(tokens, k=1024)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM: estimation + held-out perplexity (round 7, wave 4)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "kneser_ney_bigram_lm",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+        SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+                          i -> {'w1': ws[i + 1], 'w2': ws[i + 2]})) AS u
+            FROM w
+        )
+    ),
+    c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2),
+    c1nf AS (SELECT w1, sum(c2)::BIGINT AS c1, count(*)::BIGINT AS nf
+             FROM c2 GROUP BY w1),
+    nbd AS (SELECT w2, count(*)::BIGINT AS nb FROM c2 GROUP BY w2),
+    b AS (SELECT count(*)::BIGINT AS b_types FROM c2)
+    SELECT c2.w1, c2.w2, c2.c2, c1nf.c1, c1nf.nf, nbd.nb,
+           round(greatest(c2.c2 - 0.75::DOUBLE, 0.0::DOUBLE) / c1nf.c1
+                 + (0.75::DOUBLE * c1nf.nf / c1nf.c1)
+                   * (nbd.nb / b.b_types), 6) AS p_kn
+    FROM c2 JOIN c1nf USING (w1) JOIN nbd USING (w2) CROSS JOIN b
+    """,
+    doc="Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen "
+        "& Goodman 1999) over the corpus — the smoothing the kenlm-class "
+        "LM quality filters actually ship (operators/text.py::"
+        "kneser_ney_bigram): absolute discount D=0.75 on seen bigrams, "
+        "freed mass routed to the CONTINUATION unigram N1+(.w2)/B (how "
+        "many distinct contexts a word follows — not how often it "
+        "occurs). One corpus-sized shuffle (the bigram count, map-side "
+        "partials); every other table is a rollup of the bigram-TYPE "
+        "table, so the plan is vocabulary-bounded after the first "
+        "exchange. Exact bigint counts through a fixed expression tree; "
+        "probabilities rounded at 6dp on both engines.",
+    headline=True,
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import kneser_ney_bigram
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return kneser_ney_bigram(docs)
+
+
+@_register(
+    "kneser_ney_heldout_ppl",
+    """
+    WITH d AS (SELECT doc_id, text, substring(md5(text), 1, 8) AS h FROM documents),
+    trw AS (SELECT string_split(text, ' ') AS ws FROM d WHERE h < 'e6666666'),
+    tbg AS (
+        SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+                          i -> {'w1': ws[i + 1], 'w2': ws[i + 2]})) AS u
+            FROM trw
+        )
+    ),
+    c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM tbg GROUP BY w1, w2),
+    c1nf AS (SELECT w1, sum(c2)::BIGINT AS c1, count(*)::BIGINT AS nf
+             FROM c2 GROUP BY w1),
+    nbd AS (SELECT w2, count(*)::BIGINT AS nb FROM c2 GROUP BY w2),
+    b AS (SELECT count(*)::BIGINT AS b_types FROM c2),
+    ebg AS (
+        SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+                          i -> {'pos': i, 'w1': ws[i + 1], 'w2': ws[i + 2]})) AS u
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM d WHERE NOT (h < 'e6666666'))
+        )
+    ),
+    j AS (
+        SELECT e.doc_id, e.pos,
+               CASE WHEN c1nf.c1 IS NOT NULL THEN
+                   greatest(coalesce(c2.c2, 0) - 0.75::DOUBLE, 0.0::DOUBLE) / c1nf.c1
+                   + (0.75::DOUBLE * c1nf.nf / c1nf.c1)
+                     * (coalesce(nbd.nb, 0) / b.b_types)
+               ELSE coalesce(nbd.nb, 0) / b.b_types END AS p0
+        FROM ebg e
+        LEFT JOIN c2 ON e.w1 = c2.w1 AND e.w2 = c2.w2
+        LEFT JOIN c1nf ON e.w1 = c1nf.w1
+        LEFT JOIN nbd ON e.w2 = nbd.w2
+        CROSS JOIN b
+    ),
+    s AS (SELECT doc_id, pos, log10(greatest(p0, 1e-12)) AS logp FROM j),
+    agg AS (
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               floor(list_reduce(list_prepend(0.0, list(logp ORDER BY pos)), (a, b) -> a + b)
+                     / count(*) * 1e6 + 0.5) / 1e6 AS mean_logp
+        FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, mean_logp,
+           floor(pow(10.0, -mean_logp) * 1e4 + 0.5) / 1e4 AS ppl
+    FROM agg
+    """,
+    doc="Held-out perplexity of the Kneser-Ney bigram model: TRAIN on "
+        "the 90% content-hash split (the hash_split threshold "
+        "h < 'e6666666' — dedup-stable, engine-reproducible), SCORE the "
+        "held-out 10% through the full backoff chain a real test set "
+        "exercises: interpolated KN for seen histories (c2=0 degrades "
+        "to backoff-weight x continuation via coalesce-to-0), "
+        "continuation unigram for unseen histories, 1e-12 floor for "
+        "OOV. Per-doc mean log10 p is a position-ordered fold "
+        "(engine-exact sum order), ppl exponentiates the pre-rounded "
+        "mean — the train/evaluate lifecycle of a corpus LM filter in "
+        "one hash.",
+    headline=False,
+)
+def kneser_ney_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import kneser_ney_heldout_ppl
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = F.substring(F.md5(F.col("text")), 1, 8) < F.lit("e6666666")
+    return kneser_ney_heldout_ppl(docs, train)

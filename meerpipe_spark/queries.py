@@ -2599,14 +2599,13 @@ _MINHASH_MD5_SQL = """
         "production pipeline the full shingle->signature->band->bucket-"
         "join candidate set is hash-matched against the SQL oracle.",
 )
-def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _md5_band_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bh) over 16 md5 MinHash lanes / 4 bands — the
+    cross-engine-checkable band table shared by the one-shot and the
+    incremental LSH lanes."""
     from meerpipe_spark.operators.dedup import shingles
 
-    docs = load_tables(spark, sf_dir)["documents"]
-    sh = (
-        docs.filter(F.col("doc_id") < 300)
-        .select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
-    )
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
     lanes = sh.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{j}|".format(j=j)), F.col("s")))).alias(f"h{j}".format(j=j)) for j in range(16)]
     )
@@ -2618,6 +2617,12 @@ def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(*[F.col(f"h{i}".format(i=4 * b + i)) for i in range(4)])).alias("bh"),
         )
         bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    bands = _md5_band_frame(docs.filter(F.col("doc_id") < 300))
     a = bands.alias("a")
     b2 = bands.alias("b")
     return (

@@ -2591,14 +2591,6 @@ _MINHASH_MD5_SQL = """
     """
 
 
-@_register(
-    "minhash_lsh_pairs_md5",
-    _MINHASH_MD5_SQL,
-    doc="MinHash+LSH candidate pairs over md5 lanes (16 hashes / 4 "
-        "bands): md5 is identical across engines, so unlike the xxhash64 "
-        "production pipeline the full shingle->signature->band->bucket-"
-        "join candidate set is hash-matched against the SQL oracle.",
-)
 def _md5_band_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, band_id, bh) over 16 md5 MinHash lanes / 4 bands — the
     cross-engine-checkable band table shared by the one-shot and the
@@ -2607,19 +2599,27 @@ def _md5_band_frame(docs: DataFrame) -> DataFrame:
 
     sh = docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
     lanes = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"{j}|".format(j=j)), F.col("s")))).alias(f"h{j}".format(j=j)) for j in range(16)]
+        *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}") for j in range(16)]
     )
     bands = None
     for b in range(4):
         part = lanes.select(
             "doc_id",
             F.lit(b).alias("band_id"),
-            F.md5(F.concat(*[F.col(f"h{i}".format(i=4 * b + i)) for i in range(4)])).alias("bh"),
+            F.md5(F.concat(*[F.col(f"h{4 * b + i}") for i in range(4)])).alias("bh"),
         )
         bands = part if bands is None else bands.unionByName(part)
     return bands
 
 
+@_register(
+    "minhash_lsh_pairs_md5",
+    _MINHASH_MD5_SQL,
+    doc="MinHash+LSH candidate pairs over md5 lanes (16 hashes / 4 "
+        "bands): md5 is identical across engines, so unlike the xxhash64 "
+        "production pipeline the full shingle->signature->band->bucket-"
+        "join candidate set is hash-matched against the SQL oracle.",
+)
 def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     bands = _md5_band_frame(docs.filter(F.col("doc_id") < 300))

@@ -9,6 +9,13 @@ rows, stable schema).
 Usage:
     python tools/oracle_sweep.py [sf_dir]       # default /root/testdata/sf0.01
     python tools/oracle_sweep.py --only a,b,c   # subset while iterating
+    python tools/oracle_sweep.py --smoke        # CALL every registered fn
+                                                # (plan build only, no
+                                                # execution) — catches
+                                                # mis-registered callables
+                                                # (wrong signature / missing
+                                                # column) in seconds; run it
+                                                # after EVERY commit
 
 Exit code 0 iff every query passes. Prints one status line per query and
 a JSON summary line at the end, so rounds can diff registry visibility
@@ -46,6 +53,9 @@ def _normalize(rows, cols):
 def main() -> int:
     args = sys.argv[1:]
     only: set[str] | None = None
+    smoke = "--smoke" in args
+    if smoke:
+        args.remove("--smoke")
     if "--only" in args:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
@@ -101,6 +111,12 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             spark_cols = [c.lower() for c in sdf.columns]
+            if smoke:
+                # plan construction alone proves the registered callable
+                # has the (spark, sf_dir) signature and a resolvable plan
+                passed.append(name)
+                print(f"SMOKE {name}: {len(spark_cols)} cols ({time.time()-t0:.1f}s)")
+                continue
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failed.append(name)

@@ -689,3 +689,119 @@ def test_results_ledger_stream_writer_exactly_once(spark, tmp_path):
     assert len(rows2) == 50
     manifest = [json.loads(line) for line in open(out + "/_manifest.ndjson")]
     assert [m["batch_id"] for m in manifest] == [0]
+
+
+def test_fits_datasource_equals_mapinpandas(spark, archive_file):
+    """VERDICT r7 item 2: the Arrow-batch DataSource read must be
+    row-for-row identical to the binaryFile+mapInPandas ingest path
+    (read_archive_cube) on the same golden archive."""
+    from meerpipe_spark.sources.fits import read_archive_cube
+    from meerpipe_spark.sources.fits_datasource import FitsArchiveDataSource
+
+    path, cube, freqs, wts = archive_file
+    spark.dataSource.register(FitsArchiveDataSource)
+    ds = spark.read.format("fits_archive").load(path)
+    mp = read_archive_cube(spark, path)
+    key = ["obs_id", "subint", "pol", "chan", "bin"]
+    a = sorted(map(tuple, ds.collect()))
+    b = sorted(map(tuple, mp.select(ds.columns).collect()))
+    assert a == b
+    assert ds.schema == mp.schema
+
+
+def test_fits_datasource_multifile_partitions(spark, tmp_path, archive_file):
+    """One input partition per archive file: a 3-file glob plans 3
+    partitions and each obs_id's rows come back complete."""
+    import shutil
+
+    from meerpipe_spark.sources.fits_datasource import (
+        FitsArchiveReader,
+        FitsArchiveDataSource,
+    )
+
+    path, cube, freqs, wts = archive_file
+    d = tmp_path / "many"
+    d.mkdir()
+    for name in ("a.fits", "b.fits", "c.fits"):
+        shutil.copy(path, d / name)
+    rd = FitsArchiveReader({"path": str(d / "*.fits")})
+    assert len(rd.partitions()) == 3
+    spark.dataSource.register(FitsArchiveDataSource)
+    df = spark.read.format("fits_archive").load(str(d / "*.fits"))
+    per_file = 2 * 2 * 3 * 4
+    got = {r.obs_id: r.n for r in df.groupBy("obs_id").count().withColumnRenamed("count", "n").collect()}
+    assert got == {"a": per_file, "b": per_file, "c": per_file}
+
+
+def test_fits_stream_out_of_order_arrival(spark, tmp_path, archive_file):
+    """ADVICE r7 (medium): a file that arrives LATE but sorts BEFORE
+    already-consumed names must still be picked up exactly once — the
+    offset is the explicit set of consumed paths, not a sorted-listing
+    index."""
+    import shutil
+
+    from meerpipe_spark.sources.fits_datasource import FitsArchiveDataSource
+
+    path, cube, freqs, wts = archive_file
+    d = tmp_path / "ooo"
+    d.mkdir()
+    # consume zz first ...
+    shutil.copy(path, d / "zz.fits")
+    spark.dataSource.register(FitsArchiveDataSource)
+    out = str(tmp_path / "ooo_out")
+    ckpt = str(tmp_path / "ooo_ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("fits_archive")
+            .load(str(d / "*.fits"))
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got1 = spark.read.parquet(out)
+    assert {r.obs_id for r in got1.select("obs_id").distinct().collect()} == {"zz"}
+    # ... then aa lands, sorting before zz: the index-offset design
+    # would skip it and re-read zz; the set-offset design reads exactly aa
+    shutil.copy(path, d / "aa.fits")
+    run_once()
+    got2 = spark.read.parquet(out)
+    per_file = 2 * 2 * 3 * 4
+    assert got2.count() == 2 * per_file
+    counts = {r.obs_id: r.n for r in got2.groupBy("obs_id").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"zz": per_file, "aa": per_file}
+
+
+def test_fits_stream_simple_fallback(spark, tmp_path, archive_file):
+    """.option('simple_stream','true') routes through the driver-side
+    SimpleDataSourceStreamReader; results identical to the batch parse."""
+    import shutil
+
+    from meerpipe_spark.sources.fits_datasource import FitsArchiveDataSource
+
+    path, cube, freqs, wts = archive_file
+    d = tmp_path / "simple"
+    d.mkdir()
+    shutil.copy(path, d / "obs1.fits")
+    spark.dataSource.register(FitsArchiveDataSource)
+    out = str(tmp_path / "simple_out")
+    ckpt = str(tmp_path / "simple_ckpt")
+    q = (
+        spark.readStream.format("fits_archive")
+        .option("simple_stream", "true")
+        .load(str(d / "*.fits"))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 2 * 2 * 3 * 4
+    assert {r.obs_id for r in got.select("obs_id").distinct().collect()} == {"obs1"}

@@ -92,3 +92,94 @@ def test_cli_runas_and_single_obs(spark, sf_dir, tmp_path, capsys):
     res = spark.read.parquet(out + "/results").collect()
     assert len(res) == 1 and res[0].pipeline == "meertime_jitter"
     assert res[0].obs_id == some.obs_id
+
+
+def test_crash_between_commit_and_publish_rolls_forward(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r7 item 4: kill the process between the ledger append
+    (commit point) and the results publication — the re-run completes
+    the publication (roll forward) and neither duplicates nor drops."""
+    import meerpipe_spark.launcher as L
+
+    out = str(tmp_path / "wal_out")
+    real_publish = L._publish_staged
+
+    def boom(staging, results_dir):
+        raise RuntimeError("simulated crash after ledger commit")
+
+    monkeypatch.setattr(L, "_publish_staged", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        launch(spark, sf_dir, out, obs_pid=2, job_limit=10)
+    # ledger committed, results NOT yet published
+    led1 = spark.read.parquet(out + "/ledger")
+    assert led1.count() == 10
+    import os, glob as g
+
+    assert g.glob(out + "/results/*.parquet") == []
+    assert len(os.listdir(out + "/_staging")) == 1
+    # re-run with the crash healed: recovery publishes the staged batch,
+    # then the run launches the NEXT 10 (ledger already covers the first)
+    monkeypatch.setattr(L, "_publish_staged", real_publish)
+    n2 = launch(spark, sf_dir, out, obs_pid=2, job_limit=10)
+    assert n2 == 10
+    res = spark.read.parquet(out + "/results")
+    assert res.count() == 20
+    assert res.select("obs_id").distinct().count() == 20
+    assert os.listdir(out + "/_staging") == []
+    # ledger and results agree row-for-row
+    led = spark.read.parquet(out + "/ledger")
+    assert {r.obs_id for r in led.collect()} == {r.obs_id for r in res.collect()}
+
+
+def test_crash_before_commit_rolls_back(spark, sf_dir, tmp_path, monkeypatch):
+    """A crash BEFORE the ledger append leaves an unledgered staging
+    dir: the re-run discards it and re-processes the same observations
+    — nothing dropped, nothing duplicated."""
+    import meerpipe_spark.launcher as L
+
+    out = str(tmp_path / "wal_out2")
+
+    def boom(selected, ledger_dir, batch_id):
+        raise RuntimeError("simulated crash before ledger commit")
+
+    monkeypatch.setattr(L, "_ledger_append", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        launch(spark, sf_dir, out, obs_pid=2, job_limit=10)
+    import os, glob as g
+
+    assert not os.path.exists(out + "/ledger")
+    assert len(os.listdir(out + "/_staging")) == 1
+    monkeypatch.undo()
+    n2 = launch(spark, sf_dir, out, obs_pid=2, job_limit=10)
+    assert n2 == 10
+    res = spark.read.parquet(out + "/results")
+    assert res.count() == 10
+    assert res.select("obs_id").distinct().count() == 10
+    assert os.listdir(out + "/_staging") == []
+
+
+def test_launch_executes_pipeline_once(spark, sf_dir, tmp_path):
+    """The r7 implementation ran the pipeline twice (count + write).
+    Pin single execution: an accumulator inside the pipeline counts the
+    rows that actually flow through it — exactly n, not 2n."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def execute(df):
+        schema = df.schema
+
+        def tap(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        return df.mapInPandas(tap, schema)
+
+    out = str(tmp_path / "once_out")
+    n = launch(spark, sf_dir, out, execute=execute, obs_pid=3, job_limit=40)
+    assert n == 40
+    assert acc.value == 40

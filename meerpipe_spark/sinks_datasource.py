@@ -77,8 +77,13 @@ class LedgerStreamWriter(DataSourceStreamWriter):
         return _write_rows(os.path.join(self.out_dir, "_staging"), iterator)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
-        if _batch_committed(self.out_dir, batchId):
-            _discard(messages)  # replayed micro-batch: exactly-once skip
+        entry = _batch_entry(self.out_dir, batchId)
+        if entry is not None:
+            # replayed micro-batch: the manifest (sole commit point)
+            # already records it. Finish any renames a crash interrupted
+            # (roll forward), then drop the redelivered staging files.
+            _roll_forward(self.out_dir, entry)
+            _discard(messages)
             return
         _publish(self.out_dir, messages, batch_id=batchId)
 
@@ -90,32 +95,87 @@ def _manifest(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.ndjson")
 
 
-def _batch_committed(out_dir: str, batch_id: int) -> bool:
+def _manifest_entries(out_dir: str):
+    """Parse manifest lines, tolerating a torn final line (a crash mid-
+    append): unparseable lines are treated as never written — safe,
+    because the manifest is the commit point and an unreadable line is
+    an uncommitted batch."""
     try:
         with open(_manifest(out_dir)) as fh:
-            return any(
-                json.loads(line).get("batch_id") == batch_id for line in fh
-            )
+            for line in fh:
+                try:
+                    yield json.loads(line)
+                except json.JSONDecodeError:
+                    continue
     except FileNotFoundError:
-        return False
+        return
+
+
+def _batch_entry(out_dir: str, batch_id: int):
+    for e in _manifest_entries(out_dir):
+        if e.get("batch_id") == batch_id:
+            return e
+    return None
+
+
+def _roll_forward(out_dir: str, entry) -> None:
+    """Complete a crash-interrupted publication: every file the manifest
+    entry names must end up in out_dir; any still sitting in _staging is
+    renamed now. Idempotent."""
+    staging_dir = os.path.join(out_dir, "_staging")
+    for f in entry.get("files", []):
+        final = os.path.join(out_dir, f["file"])
+        staged = os.path.join(staging_dir, f["file"])
+        if not os.path.exists(final) and os.path.exists(staged):
+            os.replace(staged, final)
 
 
 def _publish(out_dir: str, messages, batch_id) -> None:
+    """Manifest-FIRST two-phase commit (ADVICE r7): the manifest append
+    is the sole commit point — it names the batch's files BEFORE any
+    rename, so a crash at any point is recoverable: before the append,
+    nothing is committed (staging is discarded on replay/abort); after
+    it, the renames are rolled forward by the next commit of the same
+    batch or by resolve_manifest(). Readers must resolve data files via
+    the manifest (resolve_manifest), never by globbing *.ndjson — a
+    glob can see files whose batch was never committed only in the
+    legacy rename-first layout; in this layout it can MISS files not
+    yet rolled forward."""
     os.makedirs(out_dir, exist_ok=True)
-    published = []
+    keep = []
     for m in messages:
         if m is None or m.rows == 0:
             if m is not None:
                 os.unlink(m.path)
             continue
-        final = os.path.join(out_dir, os.path.basename(m.path))
-        os.replace(m.path, final)  # atomic on one filesystem
-        published.append({"file": os.path.basename(final), "rows": m.rows})
+        keep.append(m)
+    entry = {
+        "batch_id": batch_id,
+        "files": [
+            {"file": os.path.basename(m.path), "rows": m.rows} for m in keep
+        ],
+    }
+    # COMMIT POINT: one line, flushed before any data file moves
     with open(_manifest(out_dir), "a") as fh:
-        fh.write(
-            json.dumps({"batch_id": batch_id, "files": published}, sort_keys=True)
-            + "\n"
-        )
+        fh.write(json.dumps(entry, sort_keys=True) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    for m in keep:
+        final = os.path.join(out_dir, os.path.basename(m.path))
+        if not os.path.exists(final):
+            os.replace(m.path, final)  # atomic on one filesystem
+
+
+def resolve_manifest(out_dir: str) -> "list[str]":
+    """The reader contract: the committed data files, in commit order,
+    rolling forward any rename a crash interrupted. Use this (not a
+    glob) to read the ledger."""
+    paths = []
+    for entry in _manifest_entries(out_dir):
+        _roll_forward(out_dir, entry)
+        for f in entry.get("files", []):
+            paths.append(os.path.join(out_dir, f["file"]))
+    return paths
 
 
 def _discard(messages) -> None:

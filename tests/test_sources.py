@@ -805,3 +805,64 @@ def test_fits_stream_simple_fallback(spark, tmp_path, archive_file):
     got = spark.read.parquet(out)
     assert got.count() == 2 * 2 * 3 * 4
     assert {r.obs_id for r in got.select("obs_id").distinct().collect()} == {"obs1"}
+
+
+def test_ledger_manifest_is_sole_commit_point(spark, tmp_path):
+    """ADVICE r7: manifest-first commit. A crash between the manifest
+    append and the file renames leaves manifested-but-staged files;
+    a replayed micro-batch (same batchId, new task UUIDs) must ROLL
+    FORWARD the interrupted renames and discard the redelivery — no
+    duplicates, no drops. resolve_manifest() heals the same state for
+    readers."""
+    import json
+    import os
+
+    from meerpipe_spark.sinks_datasource import (
+        LedgerStreamWriter,
+        _Staged,
+        resolve_manifest,
+    )
+
+    out = str(tmp_path / "ledger_wal")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    # simulate the crash window: task file staged, manifest line written,
+    # rename never happened
+    staged_name = "task-deadbeef.ndjson"
+    with open(os.path.join(staging, staged_name), "w") as fh:
+        fh.write(json.dumps({"obs_id": 1, "snr": 2.5}) + "\n")
+    with open(os.path.join(out, "_manifest.ndjson"), "w") as fh:
+        fh.write(json.dumps({"batch_id": 7, "files": [{"file": staged_name, "rows": 1}]}) + "\n")
+
+    # the engine redelivers batch 7 with a NEW task uuid
+    w = LedgerStreamWriter({"path": out})
+    redelivered = os.path.join(staging, "task-cafebabe.ndjson")
+    with open(redelivered, "w") as fh:
+        fh.write(json.dumps({"obs_id": 1, "snr": 2.5}) + "\n")
+    w.commit([_Staged(redelivered, 1)], 7)
+
+    # rolled forward: the ORIGINAL file is published, the redelivery gone
+    assert os.path.exists(os.path.join(out, staged_name))
+    assert not os.path.exists(redelivered)
+    files = resolve_manifest(out)
+    assert files == [os.path.join(out, staged_name)]
+    rows = [json.loads(line) for f in files for line in open(f)]
+    assert rows == [{"obs_id": 1, "snr": 2.5}]
+
+
+def test_ledger_manifest_tolerates_torn_line(tmp_path):
+    """A crash mid-append can tear the final manifest line; parsing
+    must treat it as uncommitted, not explode."""
+    import json
+    import os
+
+    from meerpipe_spark.sinks_datasource import _batch_entry, resolve_manifest
+
+    out = str(tmp_path / "ledger_torn")
+    os.makedirs(out)
+    with open(os.path.join(out, "_manifest.ndjson"), "w") as fh:
+        fh.write(json.dumps({"batch_id": 1, "files": []}) + "\n")
+        fh.write('{"batch_id": 2, "files": [{"fi')  # torn
+    assert _batch_entry(out, 1) is not None
+    assert _batch_entry(out, 2) is None
+    assert resolve_manifest(out) == []

@@ -823,3 +823,73 @@ def prefix_filter_jaccard_join(
         "id_b",
         (F.floor(F.col("jac") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental / streaming LSH (VERDICT r7 item 5): arriving documents
+# probe the ACCUMULATED band table instead of re-running the one-shot
+# self-join over the whole corpus. The production shape of streaming
+# near-dup at 100 TB: per micro-batch the work is |batch| band rows
+# hashed + one equi-join of the batch's buckets against the band store
+# (bucket-key partitioned; only matching buckets are touched), never a
+# corpus-sized self-join.
+# ---------------------------------------------------------------------------
+
+
+def lsh_probe_pairs(
+    accumulated: "DataFrame | None",
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    band_col: str = "band_id",
+    hash_col: str = "bh",
+    max_bucket_size: "int | None" = LSH_AUTO_BUCKET_CAP,
+) -> DataFrame:
+    """Candidate pairs CONTRIBUTED by an arriving batch of band rows.
+
+    ``accumulated`` is the band table of everything seen so far (None on
+    the first batch); ``incoming`` is the new batch's band rows. Every
+    pair involving a new document has its candidates discovered here:
+    new×old (probe) and new×new (within-batch). Pairs are normalized to
+    id_a < id_b, so the union of per-batch outputs over any split of the
+    corpus equals the one-shot ``lsh_candidate_pairs`` candidate set —
+    each pair is emitted by the batch that contains its LATER-arriving
+    member (batch-twin equivalence, oracle-checked by
+    minhash_lsh_incremental_md5).
+
+    The same hot-bucket cap as the one-shot lane guards degenerate
+    boilerplate buckets; it is applied to the PROBE side union so a
+    bucket that went hot historically stays suppressed for new arrivals.
+    """
+    union = (
+        incoming
+        if accumulated is None
+        else accumulated.select(id_col, band_col, hash_col).unionByName(
+            incoming.select(id_col, band_col, hash_col)
+        )
+    )
+    if max_bucket_size is not None:
+        hot = (
+            union.groupBy(band_col, hash_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select(band_col, hash_col)
+        )
+        union = union.join(F.broadcast(hot), [band_col, hash_col], "left_anti")
+        incoming = incoming.join(
+            F.broadcast(hot), [band_col, hash_col], "left_anti"
+        )
+    a = incoming.alias("a")
+    b = union.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{band_col}") == F.col(f"b.{band_col}"))
+            & (F.col(f"a.{hash_col}") == F.col(f"b.{hash_col}"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )

@@ -2638,6 +2638,30 @@ def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "minhash_lsh_incremental_md5",
+    _MINHASH_MD5_SQL,
+    doc="Incremental LSH near-dup (VERDICT r7 item 5): the corpus "
+        "arrives in two waves; each wave's band rows probe the "
+        "accumulated band table (operators/dedup.lsh_probe_pairs — "
+        "new×old + new×new, pairs normalized to id_a<id_b). The union "
+        "of per-wave candidate sets is oracle-checked EQUAL to the "
+        "one-shot md5 band self-join — the batch-twin contract that "
+        "makes the streaming lane trustworthy. Cap disabled here so "
+        "the equivalence is exact (the oracle has no cap); the "
+        "streaming driver lane keeps the hot-bucket guard.",
+)
+def minhash_lsh_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.dedup import lsh_probe_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
+    wave1 = _md5_band_frame(docs.filter(F.col("doc_id") < 150))
+    wave2 = _md5_band_frame(docs.filter(F.col("doc_id") >= 150))
+    p1 = lsh_probe_pairs(None, wave1, max_bucket_size=None)
+    p2 = lsh_probe_pairs(wave1, wave2, max_bucket_size=None)
+    return p1.unionByName(p2).distinct()
+
+
+@_register(
     "toa_residual_stats",
     """
     WITH toas AS (

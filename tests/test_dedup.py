@@ -449,3 +449,75 @@ def test_lsh_recall_bands_follow_s_curve(spark, sf_dir):
     assert rows["0.70-0.90"].recall > 0.6
     assert 0.1 < rows["0.50-0.70"].recall < 0.95
     assert rows["0.50-0.70"].recall < rows["0.70-0.90"].recall < rows["0.90-1.00"].recall
+
+
+def test_streaming_lsh_dedup_exactly_once(spark, sf_dir, tmp_path):
+    """VERDICT r7 item 5, streaming half: documents ARRIVE as a stream;
+    each micro-batch's band rows probe the accumulated band table
+    (lsh_probe_pairs) and extend it. The accumulated candidate set
+    equals the one-shot set, and a full redelivery (fresh checkpoint)
+    adds nothing — the band table doubles as the processed-docs ledger.
+    """
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.io import load_tables
+    from meerpipe_spark.operators.dedup import lsh_probe_pairs
+    from meerpipe_spark.queries import _md5_band_frame
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
+    src = str(tmp_path / "doc_stream")
+    # two arrival waves = two files = two micro-batches
+    docs.filter(F.col("doc_id") < 150).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") >= 150).coalesce(1).write.mode("append").parquet(src)
+    band_dir = str(tmp_path / "bands")
+    pairs_dir = str(tmp_path / "pairs")
+
+    def process(batch, batch_id):
+        s = batch.sparkSession
+        bands_new = _md5_band_frame(batch)
+        try:
+            acc = s.read.parquet(band_dir)
+            # exactly-once: a redelivered doc is already in the band
+            # table — drop it before probing, so replays emit nothing
+            bands_new = bands_new.join(
+                acc.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+        except Exception:
+            acc = None
+        bands_new = bands_new.persist()
+        pairs = lsh_probe_pairs(acc, bands_new, max_bucket_size=None)
+        pairs.write.mode("append").parquet(pairs_dir)
+        bands_new.write.mode("append").parquet(band_dir)
+        bands_new.unpersist()
+
+    def run_once(ckpt):
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(str(tmp_path / "ck1"))
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs_dir).distinct().collect()
+    }
+    one_shot_bands = _md5_band_frame(docs)
+    want = {
+        (r.id_a, r.id_b)
+        for r in lsh_probe_pairs(None, one_shot_bands, max_bucket_size=None).collect()
+    }
+    assert got == want and want  # batch-twin equivalence, non-trivially
+    n_pairs_rows = spark.read.parquet(pairs_dir).count()
+    n_band_rows = spark.read.parquet(band_dir).count()
+    assert n_band_rows == 300 * 4  # every doc banded exactly once
+    # full redelivery: fresh checkpoint re-delivers both waves; the
+    # band-table anti-join must suppress every doc — nothing appended
+    run_once(str(tmp_path / "ck2"))
+    assert spark.read.parquet(pairs_dir).count() == n_pairs_rows
+    assert spark.read.parquet(band_dir).count() == n_band_rows

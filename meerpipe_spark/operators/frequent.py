@@ -11,7 +11,10 @@ form in Berinde et al. 2010) keeps the shuffle bounded by
 
 Pass 1 (map-only, bounded memory): each partition maintains a k-counter
 Misra–Gries summary across its Arrow batches (``mapInPandas`` with an
-iterator-scoped dict — never more than k live counters). Per-partition
+iterator-scoped dict; the trim runs after each merged batch, so live
+counters peak at k + distinct(batch) — bounded by the Arrow batch size,
+not the vocabulary — and return to ≤ k at every batch boundary).
+Per-partition
 guarantee: every item with local count > n_p/(k+1) survives. Emitted
 rows per partition: ≤ k candidates + 1 sentinel carrying the partition
 token count, so the pass-1 output is O(p·k) rows TOTAL regardless of
@@ -51,7 +54,14 @@ def _mg_partition(batches: Iterator[pd.DataFrame], k: int) -> Iterator[pd.DataFr
     ``k`` counters are live, subtract the (k+1)-th largest value from
     all and drop the non-positive ones (the batched decrement — each
     unit of decrement hits ≥ k+1 counters at once, so cumulative
-    decrement ≤ n_p/(k+1), which is the survival guarantee)."""
+    decrement ≤ n_p/(k+1), which is the survival guarantee).
+
+    Memory bound: the dict is trimmed back to ≤ k entries after each
+    merged batch, but DURING a merge it holds up to k + distinct(batch)
+    entries — bounded by the Arrow batch size
+    (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k), not by
+    the vocabulary. The vectorized whole-batch merge is the point: a
+    strict-k incremental trim would decrement per row in Python."""
     counters: dict[str, int] = {}
     n_part = 0
     for pdf in batches:

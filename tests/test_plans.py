@@ -459,3 +459,54 @@ class TestGlobalWindowDetector:
             "         +- FileScan parquet [event_id#2L]"
         )
         assert self._fgw(plan) == []
+
+
+class TestUnpersistedRangeExchangeDetector:
+    """tools/plan_audit.unpersisted_range_exchanges guards the
+    multi-action range-boundary hazard (VERDICT r7 item 7, the
+    assign_dense_ids bug class): pin both verdicts on canned plans."""
+
+    def _mod(self):
+        import importlib.util
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "plan_audit.py",
+        )
+        spec = importlib.util.spec_from_file_location("plan_audit", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_bare_range_exchange_counted(self):
+        plan = (
+            "AdaptiveSparkPlan isFinalPlan=true\n"
+            "+- Project [x#1L]\n"
+            "   +- Exchange rangepartitioning(x#1L ASC NULLS FIRST, 32), "
+            "ENSURE_REQUIREMENTS, [plan_id=7]\n"
+            "      +- FileScan parquet [x#1L]"
+        )
+        assert self._mod().unpersisted_range_exchanges(plan) == 1
+
+    def test_cached_range_exchange_not_counted(self):
+        # the persist pins the sampled boundaries: one execution, reused
+        plan = (
+            "AdaptiveSparkPlan isFinalPlan=true\n"
+            "+- Project [x#1L]\n"
+            "   +- InMemoryTableScan [x#1L]\n"
+            "         +- InMemoryRelation [x#1L], StorageLevel(disk, memory, 1 replicas)\n"
+            "               +- Exchange rangepartitioning(x#1L ASC NULLS FIRST, 32), "
+            "ENSURE_REQUIREMENTS, [plan_id=7]\n"
+            "                  +- FileScan parquet [x#1L]"
+        )
+        assert self._mod().unpersisted_range_exchanges(plan) == 0
+
+    def test_hash_exchange_ignored(self):
+        # hashpartitioning is content-deterministic — no sampling, safe
+        plan = (
+            "+- Exchange hashpartitioning(x#1L, 32), ENSURE_REQUIREMENTS\n"
+            "   +- FileScan parquet [x#1L]"
+        )
+        assert self._mod().unpersisted_range_exchanges(plan) == 0

@@ -124,6 +124,36 @@ def find_global_windows(plan: str) -> list[str]:
     return verdicts
 
 
+def unpersisted_range_exchanges(plan: str) -> int:
+    """Count `Exchange rangepartitioning` nodes NOT under a cached
+    (InMemoryRelation / InMemoryTableScan / TableCacheQueryStage)
+    subtree. Range exchanges sample their input to pick partition
+    boundaries, so two ACTIONS over the same un-persisted range
+    exchange can see different boundaries (the round-7
+    assign_dense_ids silent-wrong-answer class). A cached subtree
+    executes once, pinning the boundaries."""
+    lines = plan.splitlines()
+    indents = [_tree_indent(ln) for ln in lines]
+    spans: list[tuple[int, int]] = []  # (start, end) of cached subtrees
+    i = 0
+    while i < len(lines):
+        if re.search(r"InMemoryRelation|InMemoryTableScan|TableCacheQueryStage", lines[i]):
+            j = i + 1
+            while j < len(lines) and indents[j] > indents[i]:
+                j += 1
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    n = 0
+    for i, ln in enumerate(lines):
+        if "Exchange rangepartitioning" in ln and not any(
+            a <= i < b for a, b in spans
+        ):
+            n += 1
+    return n
+
+
 def digest(plan: str, formatted: str) -> dict[str, object]:
     plan = dedupe_cached(strip_initial_plans(plan))
     gw = find_global_windows(plan)
@@ -151,24 +181,44 @@ def audit_full(spark) -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_FULL_SF_DIR", "/root/testdata/sf0.01")
     from meerpipe_spark.cacheutil import release_checkpoints, release_persisted
 
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     rows, flagged = [], []
     for name, q in QUERIES.items():
         release_persisted()
         release_checkpoints(spark)
+        # VERDICT r7 item 7: count CONSTRUCTION-time Spark jobs (an
+        # operator that runs actions while building its result — BPE
+        # merges, CC fixpoints, per-partition counts). If such an
+        # operator ALSO leaves an un-persisted range exchange in the
+        # final plan, the construction action and the final action may
+        # sample different range boundaries — the assign_dense_ids
+        # silent-wrong-answer class. Flag the combination.
+        group = f"construct-{name}"
+        sc.setJobGroup(group, name)
         df = q.fn(spark, sf_dir)
+        n_construct = len(tracker.getJobIdsForGroup(group))
+        sc.setJobGroup(f"exec-{name}", name)
         df.count()
+        sc.setLocalProperty("spark.jobGroup.id", None)
         qe = df._jdf.queryExecution()
         plan = dedupe_cached(strip_initial_plans(qe.executedPlan().toString()))
         gw = find_global_windows(plan)
         cart = len(re.findall(r"CartesianProduct", plan))
-        bad = "FACT" in gw or cart > 0
+        n_range = unpersisted_range_exchanges(plan)
+        multi_action_range = n_construct > 0 and n_range > 0
+        bad = "FACT" in gw or cart > 0 or multi_action_range
         if bad:
             flagged.append(name)
+        ma = (
+            "—" if n_construct == 0
+            else (f"⚠jobs={n_construct}+range" if multi_action_range else f"jobs={n_construct} ok")
+        )
         rows.append(
             f"| {name} | {len(re.findall(r'Exchange hashpartitioning', plan))} | "
             f"{len(re.findall(r'BroadcastExchange', plan))} | "
             f"{'⚠FACT' if 'FACT' in gw else ('rollup×%d' % gw.count('rollup') if gw else 'ok')} | "
-            f"{'⚠%d' % cart if cart else 'ok'} |"
+            f"{'⚠%d' % cart if cart else 'ok'} | {ma} |"
         )
         print(f"{'FLAG' if bad else 'ok  '} {name}")
     out = [
@@ -180,12 +230,16 @@ def audit_full(spark) -> int:
         "fed by un-aggregated fact rows); 'rollup×N' marks single-partition",
         "windows whose input is already group-count-sized (allowed).",
         "'cartesian' counts non-broadcast CartesianProduct nodes (must be 0).",
+        "'multi-action' shows construction-time Spark jobs; ⚠jobs=N+range",
+        "flags a construction action combined with an UN-PERSISTED range",
+        "exchange in the final plan — two actions may sample different",
+        "range boundaries (the r7 assign_dense_ids bug class). Must be 0 ⚠.",
         "",
         f"**{len(QUERIES)} queries audited, {len(flagged)} flagged"
         + (f": {', '.join(flagged)}" if flagged else "") + ".**",
         "",
-        "| query | shuffles | broadcasts | global window | cartesian |",
-        "|---|---|---|---|---|",
+        "| query | shuffles | broadcasts | global window | cartesian | multi-action |",
+        "|---|---|---|---|---|---|",
         *rows,
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS_full.md"), "w") as f:

@@ -658,3 +658,102 @@ def kneser_ney_heldout_ppl(
         mean_logp.alias("mean_logp"),
         (F.floor(F.pow(F.lit(10.0), -mean_logp) * 1e4 + F.lit(0.5)) / 1e4).alias("ppl"),
     )
+
+
+def _trigram_triples(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w1, w2, w3) per trigram POSITION — the order-3 twin of
+    ``_bigram_pairs``."""
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - 2
+    triples = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.struct(
+                F.element_at(words, i + 1).alias("w1"),
+                F.element_at(words, i + 2).alias("w2"),
+                F.element_at(words, i + 3).alias("w3"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+    return docs.select(F.explode(triples).alias("t")).select(
+        "t.w1", "t.w2", "t.w3"
+    )
+
+
+def kneser_ney_trigram(
+    docs: DataFrame, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """Interpolated TRIGRAM Kneser-Ney (Chen & Goodman 1999 §4.1.6) for
+    every observed trigram — the full three-level backoff chain the
+    kenlm-class corpus filters ship at order ≥3:
+
+        P(w3|w1w2) = max(c(w1w2w3)−D,0)/c(w1w2)
+                     + (D·N1+(w1w2·)/c(w1w2)) · P(w3|w2)
+        P(w3|w2)   = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+                     + (D·N1+(w2··)/N1+(·w2·)) · P_cont(w3)
+        P_cont(w3) = N1+(··w3)/T
+
+    where the MID and BOTTOM levels use continuation (type) counts, not
+    raw counts — the Kneser-Ney insight applied at each backoff level:
+    N1+(·w2w3) = distinct left-contexts of the bigram (w2,w3),
+    N1+(·w2·)  = trigram types with middle w2 (its normalizer),
+    N1+(w2··)  = distinct w3 ever following w2 (the mid fan-out),
+    N1+(··w3)  = distinct (w2) preceding w3 among mid-level types, and
+    T = total mid-level types.
+
+    Shuffle budget: ONE corpus-sized exchange (the trigram count,
+    map-side partials); every other table — c12/nf12, the mid table n3,
+    its rollups, the bottom table — is a rollup of the trigram-TYPE
+    table, so the plan is type-table-bounded after the first exchange
+    (the 100 TB shape: types grow sublinearly in tokens). Exact bigint
+    counts through a fixed expression tree; rounded at 6dp so both
+    engines land on the same doubles.
+    """
+    c3 = _trigram_triples(docs, text_col).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c3")
+    )
+    # top level: raw history totals + fan-out
+    c12 = c3.groupBy("w1", "w2").agg(
+        F.sum("c3").cast("bigint").alias("c12"),
+        F.count(F.lit(1)).cast("bigint").alias("nf12"),
+    )
+    # mid level: continuation counts of the trigram-type table
+    n3 = c3.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n3")
+    )
+    n2m = n3.groupBy("w2").agg(
+        F.sum("n3").cast("bigint").alias("n2m"),
+        F.count(F.lit(1)).cast("bigint").alias("f2"),
+    )
+    # bottom level: continuation counts of the MID-level type table
+    nb3 = n3.groupBy("w3").agg(F.count(F.lit(1)).cast("bigint").alias("nb3"))
+    ttot = n3.agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    d = F.lit(float(discount))
+    p_cont = F.col("nb3") / F.col("t_types")
+    p_mid = (
+        F.greatest(F.col("n3") - d, F.lit(0.0)) / F.col("n2m")
+        + (d * F.col("f2") / F.col("n2m")) * p_cont
+    )
+    p_tri = (
+        F.greatest(F.col("c3") - d, F.lit(0.0)) / F.col("c12")
+        + (d * F.col("nf12") / F.col("c12")) * p_mid
+    )
+    return (
+        c3.join(c12, ["w1", "w2"])
+        .join(n3, ["w2", "w3"])
+        .join(n2m, "w2")
+        .join(nb3, "w3")
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "c3",
+            "c12",
+            "n3",
+            F.round(p_tri, 6).alias("p_kn3"),
+        )
+    )

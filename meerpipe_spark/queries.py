@@ -14007,3 +14007,121 @@ def kneser_ney_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     train = F.substring(F.md5(F.col("text")), 1, 8) < F.lit("e6666666")
     return kneser_ney_heldout_ppl(docs, train)
+
+
+@_register(
+    "kneser_ney_trigram_lm",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    tg AS (
+        SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+            SELECT unnest(list_transform(range(0, greatest(len(ws) - 2, 0)),
+                          i -> {'w1': ws[i + 1], 'w2': ws[i + 2], 'w3': ws[i + 3]})) AS u
+            FROM w
+        )
+    ),
+    c3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM tg GROUP BY w1, w2, w3),
+    c12 AS (SELECT w1, w2, sum(c3)::BIGINT AS c12, count(*)::BIGINT AS nf12
+            FROM c3 GROUP BY w1, w2),
+    n3 AS (SELECT w2, w3, count(*)::BIGINT AS n3 FROM c3 GROUP BY w2, w3),
+    n2m AS (SELECT w2, sum(n3)::BIGINT AS n2m, count(*)::BIGINT AS f2
+            FROM n3 GROUP BY w2),
+    nb3 AS (SELECT w3, count(*)::BIGINT AS nb3 FROM n3 GROUP BY w3),
+    t AS (SELECT count(*)::BIGINT AS t_types FROM n3)
+    SELECT c3.w1, c3.w2, c3.w3, c3.c3, c12.c12, n3.n3,
+           round(greatest(c3.c3 - 0.75::DOUBLE, 0.0::DOUBLE) / c12.c12
+                 + (0.75::DOUBLE * c12.nf12 / c12.c12)
+                   * (greatest(n3.n3 - 0.75::DOUBLE, 0.0::DOUBLE) / n2m.n2m
+                      + (0.75::DOUBLE * n2m.f2 / n2m.n2m)
+                        * (CAST(nb3.nb3 AS DOUBLE) / t.t_types)), 6) AS p_kn3
+    FROM c3 JOIN c12 USING (w1, w2) JOIN n3 USING (w2, w3)
+    JOIN n2m USING (w2) JOIN nb3 USING (w3) CROSS JOIN t
+    """,
+    doc="Interpolated TRIGRAM Kneser-Ney (Chen & Goodman 1999 §4.1.6) — "
+        "the full three-level backoff chain with continuation counts at "
+        "the mid and bottom levels (operators/text.py::"
+        "kneser_ney_trigram). One corpus-sized shuffle (the trigram "
+        "count); every later table is a rollup of the trigram-TYPE "
+        "table. Exact bigint counts; 6dp rounding on both engines.",
+)
+def kneser_ney_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import kneser_ney_trigram
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return kneser_ney_trigram(docs)
+
+
+@_register(
+    "source_token_kl",
+    """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    st AS (SELECT source, token, count(*)::BIGINT AS nst
+           FROM tok GROUP BY source, token),
+    s AS (SELECT source, sum(nst)::BIGINT AS ns FROM st GROUP BY source),
+    c AS (SELECT token, sum(nst)::BIGINT AS nc FROM st GROUP BY token),
+    tot AS (SELECT sum(nst)::BIGINT AS n FROM st),
+    terms AS (
+        SELECT st.source,
+               CAST(floor((st.nst / CAST(s.ns AS DOUBLE))
+                    * ln((st.nst * CAST(t.n AS DOUBLE))
+                         / (s.ns * CAST(c.nc AS DOUBLE))) * 1e9 + 0.5)
+                    AS BIGINT) AS term_i
+        FROM st JOIN s USING (source) JOIN c USING (token) CROSS JOIN tot t
+    )
+    SELECT source,
+           CAST(sum(term_i) AS DOUBLE) / 1e9 AS kl_nats,
+           (SELECT CAST(count(*) AS BIGINT) FROM st st2
+            WHERE st2.source = terms.source) AS n_token_types
+    FROM terms GROUP BY source ORDER BY source
+    """,
+    doc="Per-source token-distribution divergence KL(source ‖ corpus) — "
+        "the mixture-design statistic: how far each source's unigram "
+        "distribution sits from the corpus blend (0 = indistinguishable; "
+        "large = the source needs its own sampling temperature). "
+        "Cross-engine exactness WITHOUT an ordered fold: each KL term "
+        "is computed from exact bigint count ratios (both engines land "
+        "on the same double), scaled by 1e9 and floor-rounded to a "
+        "BIGINT, and the per-source sum runs on INTEGERS — associative "
+        "and order-independent, so no collect_list/sort is needed and "
+        "the plan stays one corpus-sized exchange + type-table rollups "
+        "at any scale (|term|·1e9 ≤ ~3e10; 1e5-type vocabularies sum to "
+        "≪ 2^63). The 1e-9 quantization is far below the statistic's "
+        "sampling noise.",
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nst")
+    )
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    st = persist_tracked(st)  # three rollup consumers; exchanges not reused
+    s = st.groupBy("source").agg(F.sum("nst").cast("bigint").alias("ns"))
+    c = st.groupBy("token").agg(F.sum("nst").cast("bigint").alias("nc"))
+    tot = st.agg(F.sum("nst").cast("bigint").alias("n"))
+    term_i = F.floor(
+        (F.col("nst") / F.col("ns").cast("double"))
+        * F.log(
+            (F.col("nst") * F.col("n").cast("double"))
+            / (F.col("ns") * F.col("nc").cast("double"))
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        st.join(F.broadcast(s), "source")
+        .join(c, "token")
+        .crossJoin(F.broadcast(tot))
+        .select("source", term_i.alias("term_i"))
+        .groupBy("source")
+        .agg(
+            (F.sum("term_i").cast("double") / F.lit(1e9)).alias("kl_nats"),
+            F.count(F.lit(1)).cast("bigint").alias("n_token_types"),
+        )
+        .orderBy("source")
+    )

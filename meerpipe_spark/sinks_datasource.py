@@ -166,16 +166,35 @@ def _publish(out_dir: str, messages, batch_id) -> None:
             os.replace(m.path, final)  # atomic on one filesystem
 
 
-def resolve_manifest(out_dir: str) -> "list[str]":
+def resolve_manifest(out_dir: str, as_of_batch: "int | None" = None) -> "list[str]":
     """The reader contract: the committed data files, in commit order,
     rolling forward any rename a crash interrupted. Use this (not a
-    glob) to read the ledger."""
+    glob) to read the ledger.
+
+    ``as_of_batch`` gives time travel over the streaming ledger: only
+    files whose manifest entry has batch_id ≤ as_of_batch are returned
+    — the ledger exactly as a reader would have seen it after that
+    micro-batch committed. The manifest is append-only, so every
+    historical snapshot stays addressable for free."""
     paths = []
     for entry in _manifest_entries(out_dir):
+        bid = entry.get("batch_id")
+        if as_of_batch is not None and (bid is None or bid > as_of_batch):
+            continue
         _roll_forward(out_dir, entry)
         for f in entry.get("files", []):
             paths.append(os.path.join(out_dir, f["file"]))
     return paths
+
+
+def read_ledger(spark, out_dir: str, as_of_batch: "int | None" = None):
+    """Manifest-resolved ledger read as a DataFrame (ndjson lines), with
+    optional batch-level time travel. Empty snapshot → empty frame with
+    no rows and no columns (the caller sees 0 rows, not an error)."""
+    paths = resolve_manifest(out_dir, as_of_batch)
+    if not paths:
+        return spark.createDataFrame([], "struct<>")
+    return spark.read.json(paths)
 
 
 def _discard(messages) -> None:

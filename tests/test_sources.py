@@ -866,3 +866,38 @@ def test_ledger_manifest_tolerates_torn_line(tmp_path):
     assert _batch_entry(out, 1) is not None
     assert _batch_entry(out, 2) is None
     assert resolve_manifest(out) == []
+
+
+def test_ledger_time_travel_read(spark, tmp_path):
+    """resolve_manifest(as_of_batch=N) / read_ledger: the append-only
+    manifest makes every post-batch snapshot addressable — batch-level
+    time travel over the streaming ledger."""
+    import json
+    import os
+
+    from meerpipe_spark.sinks_datasource import (
+        LedgerStreamWriter,
+        _Staged,
+        read_ledger,
+        resolve_manifest,
+    )
+
+    out = str(tmp_path / "ledger_tt")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    w = LedgerStreamWriter({"path": out})
+    for bid, obs in [(0, [1, 2]), (1, [3]), (2, [4, 5])]:
+        p = os.path.join(staging, f"task-b{bid}.ndjson")
+        with open(p, "w") as fh:
+            for o in obs:
+                fh.write(json.dumps({"obs_id": o, "batch": bid}) + "\n")
+        w.commit([_Staged(p, len(obs))], bid)
+
+    assert len(resolve_manifest(out)) == 3
+    assert len(resolve_manifest(out, as_of_batch=0)) == 1
+    assert read_ledger(spark, out, as_of_batch=0).count() == 2
+    assert read_ledger(spark, out, as_of_batch=1).count() == 3
+    assert read_ledger(spark, out).count() == 5
+    assert {r.obs_id for r in read_ledger(spark, out, as_of_batch=1).collect()} == {1, 2, 3}
+    # empty snapshot: batch -1 predates everything
+    assert read_ledger(spark, out, as_of_batch=-1).count() == 0

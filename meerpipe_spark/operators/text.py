@@ -660,9 +660,11 @@ def kneser_ney_heldout_ppl(
     )
 
 
-def _trigram_triples(docs: DataFrame, text_col: str) -> DataFrame:
-    """(w1, w2, w3) per trigram POSITION — the order-3 twin of
-    ``_bigram_pairs``."""
+def _trigram_triples(
+    docs: DataFrame, text_col: str, id_col: str | None = None
+) -> DataFrame:
+    """(w1, w2, w3) per trigram POSITION (with doc id + position when
+    ``id_col`` is given) — the order-3 twin of ``_bigram_pairs``."""
     words = F.split(F.col(text_col), " ")
     k = F.size(words) - 2
     triples = F.when(
@@ -678,9 +680,13 @@ def _trigram_triples(docs: DataFrame, text_col: str) -> DataFrame:
     ).otherwise(
         F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
     )
-    return docs.select(F.explode(triples).alias("t")).select(
-        "t.w1", "t.w2", "t.w3"
-    )
+    if id_col is None:
+        return docs.select(F.explode(triples).alias("t")).select(
+            "t.w1", "t.w2", "t.w3"
+        )
+    return docs.select(
+        F.col(id_col), F.posexplode(triples).alias("pos", "t")
+    ).select(id_col, "pos", "t.w1", "t.w2", "t.w3")
 
 
 def kneser_ney_trigram(
@@ -756,4 +762,90 @@ def kneser_ney_trigram(
             "n3",
             F.round(p_tri, 6).alias("p_kn3"),
         )
+    )
+
+
+def kneser_ney_trigram_tables(
+    docs: DataFrame, text_col: str = "text"
+):
+    """The six sufficient-statistic tables of the interpolated trigram
+    KN model (see :func:`kneser_ney_trigram`), all rollups of the
+    trigram-TYPE table after one corpus-sized count exchange."""
+    c3 = _trigram_triples(docs, text_col).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c3")
+    )
+    c12 = c3.groupBy("w1", "w2").agg(
+        F.sum("c3").cast("bigint").alias("c12"),
+        F.count(F.lit(1)).cast("bigint").alias("nf12"),
+    )
+    n3 = c3.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n3")
+    )
+    n2m = n3.groupBy("w2").agg(
+        F.sum("n3").cast("bigint").alias("n2m"),
+        F.count(F.lit(1)).cast("bigint").alias("f2"),
+    )
+    nb3 = n3.groupBy("w3").agg(F.count(F.lit(1)).cast("bigint").alias("nb3"))
+    ttot = n3.agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    return c3, c12, n3, n2m, nb3, ttot
+
+
+def kneser_ney_trigram_heldout_ppl(
+    docs: DataFrame,
+    train_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    floor: float = 1e-12,
+) -> DataFrame:
+    """Held-out per-document perplexity under the TRIGRAM KN model —
+    the order-3 twin of :func:`kneser_ney_heldout_ppl`, exercising the
+    full backoff ladder a real held-out set hits:
+
+    - seen history (w1,w2):   interpolated trigram KN (a seen history
+                              implies the mid history w2 is seen too —
+                              c12 comes from a trigram with middle w2);
+    - unseen (w1,w2), seen w2: mid-level continuation model P(w3|w2);
+    - unseen w2:              bottom continuation unigram N1+(··w3)/T;
+    - unseen w3:              probability floor.
+
+    Same engine-exactness discipline as the bigram lane: per-doc mean
+    log10 p is a position-ordered fold; ppl = 10^(−mean) pre-rounded.
+    """
+    train = docs.filter(train_filter)
+    test = docs.filter(~train_filter)
+    c3, c12, n3, n2m, nb3, ttot = kneser_ney_trigram_tables(train, text_col)
+    tg = _trigram_triples(test, text_col, id_col=id_col)
+    d = F.lit(float(discount))
+    joined = (
+        tg.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(n3, ["w2", "w3"], "left")
+        .join(n2m, "w2", "left")
+        .join(nb3, "w3", "left")
+        .crossJoin(F.broadcast(ttot))
+    )
+    p_cont = F.coalesce(F.col("nb3"), F.lit(0)) / F.col("t_types")
+    p_mid_seen = (
+        F.greatest(F.coalesce(F.col("n3"), F.lit(0)) - d, F.lit(0.0)) / F.col("n2m")
+        + (d * F.col("f2") / F.col("n2m")) * p_cont
+    )
+    p_mid = F.when(F.col("n2m").isNotNull(), p_mid_seen).otherwise(p_cont)
+    p_top = F.when(
+        F.col("c12").isNotNull(),
+        F.greatest(F.coalesce(F.col("c3"), F.lit(0)) - d, F.lit(0.0)) / F.col("c12")
+        + (d * F.col("nf12") / F.col("c12")) * p_mid,
+    ).otherwise(p_mid)
+    p = F.greatest(p_top, F.lit(float(floor)))
+    scored = joined.select(id_col, "pos", F.log10(p).alias("logp"))
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["logp"],
+    )
+    mean_logp = F.floor(folded / F.count(F.lit(1)) * 1e6 + F.lit(0.5)) / 1e6
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        mean_logp.alias("mean_logp"),
+        (F.floor(F.pow(F.lit(10.0), -mean_logp) * 1e4 + F.lit(0.5)) / 1e4).alias("ppl"),
     )

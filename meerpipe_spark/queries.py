@@ -14052,6 +14052,89 @@ def kneser_ney_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "kneser_ney_trigram_heldout_ppl",
+    """
+    WITH d AS (SELECT doc_id, text, substring(md5(text), 1, 8) AS h FROM documents),
+    trw AS (SELECT string_split(text, ' ') AS ws FROM d WHERE h < 'e6666666'),
+    ttg AS (
+        SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+            SELECT unnest(list_transform(range(0, greatest(len(ws) - 2, 0)),
+                          i -> {'w1': ws[i + 1], 'w2': ws[i + 2], 'w3': ws[i + 3]})) AS u
+            FROM trw
+        )
+    ),
+    c3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM ttg GROUP BY w1, w2, w3),
+    c12 AS (SELECT w1, w2, sum(c3)::BIGINT AS c12, count(*)::BIGINT AS nf12
+            FROM c3 GROUP BY w1, w2),
+    n3 AS (SELECT w2, w3, count(*)::BIGINT AS n3 FROM c3 GROUP BY w2, w3),
+    n2m AS (SELECT w2, sum(n3)::BIGINT AS n2m, count(*)::BIGINT AS f2
+            FROM n3 GROUP BY w2),
+    nb3 AS (SELECT w3, count(*)::BIGINT AS nb3 FROM n3 GROUP BY w3),
+    t AS (SELECT count(*)::BIGINT AS t_types FROM n3),
+    etg AS (
+        SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, greatest(len(ws) - 2, 0)),
+                          i -> {'pos': i, 'w1': ws[i + 1], 'w2': ws[i + 2], 'w3': ws[i + 3]})) AS u
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM d WHERE NOT (h < 'e6666666'))
+        )
+    ),
+    j AS (
+        SELECT e.doc_id, e.pos,
+               CASE WHEN c12.c12 IS NOT NULL THEN
+                   greatest(coalesce(c3.c3, 0) - 0.75::DOUBLE, 0.0::DOUBLE) / c12.c12
+                   + (0.75::DOUBLE * c12.nf12 / c12.c12)
+                     * (CASE WHEN n2m.n2m IS NOT NULL THEN
+                            greatest(coalesce(n3.n3, 0) - 0.75::DOUBLE, 0.0::DOUBLE) / n2m.n2m
+                            + (0.75::DOUBLE * n2m.f2 / n2m.n2m)
+                              * (coalesce(nb3.nb3, 0) / t.t_types)
+                        ELSE coalesce(nb3.nb3, 0) / t.t_types END)
+               WHEN n2m.n2m IS NOT NULL THEN
+                   greatest(coalesce(n3.n3, 0) - 0.75::DOUBLE, 0.0::DOUBLE) / n2m.n2m
+                   + (0.75::DOUBLE * n2m.f2 / n2m.n2m)
+                     * (coalesce(nb3.nb3, 0) / t.t_types)
+               ELSE coalesce(nb3.nb3, 0) / t.t_types END AS p0
+        FROM etg e
+        LEFT JOIN c3 ON e.w1 = c3.w1 AND e.w2 = c3.w2 AND e.w3 = c3.w3
+        LEFT JOIN c12 ON e.w1 = c12.w1 AND e.w2 = c12.w2
+        LEFT JOIN n3 ON e.w2 = n3.w2 AND e.w3 = n3.w3
+        LEFT JOIN n2m ON e.w2 = n2m.w2
+        LEFT JOIN nb3 ON e.w3 = nb3.w3
+        CROSS JOIN t
+    ),
+    s AS (SELECT doc_id, pos, log10(greatest(p0, 1e-12)) AS logp FROM j),
+    agg AS (
+        SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+               floor(list_reduce(list_prepend(0.0, list(logp ORDER BY pos)), (a, b) -> a + b)
+                     / count(*) * 1e6 + 0.5) / 1e6 AS mean_logp
+        FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, n_trigrams, mean_logp,
+           floor(pow(10.0, -mean_logp) * 1e4 + 0.5) / 1e4 AS ppl
+    FROM agg
+    """,
+    doc="Held-out perplexity of the TRIGRAM Kneser-Ney model (operators/"
+        "text.py::kneser_ney_trigram_heldout_ppl): TRAIN on the 90% "
+        "content-hash split, SCORE the held-out 10% through the full "
+        "order-3 backoff ladder — interpolated trigram KN for seen "
+        "(w1,w2) histories, mid-level continuation model for unseen "
+        "histories with seen w2, bottom continuation unigram for unseen "
+        "w2, 1e-12 floor for OOV. Per-doc mean log10 p is a position-"
+        "ordered fold; ppl exponentiates the pre-rounded mean. The "
+        "Spark when/otherwise tree and the SQL CASE tree share the "
+        "exact expression shapes so both engines land on the same "
+        "doubles.",
+)
+def kneser_ney_trigram_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import kneser_ney_trigram_heldout_ppl
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = F.substring(F.md5(F.col("text")), 1, 8) < F.lit("e6666666")
+    return kneser_ney_trigram_heldout_ppl(docs, train)
+
+
+@_register(
     "source_token_kl",
     """
     WITH tok AS (

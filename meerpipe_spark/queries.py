@@ -2649,6 +2649,7 @@ def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "makes the streaming lane trustworthy. Cap disabled here so "
         "the equivalence is exact (the oracle has no cap); the "
         "streaming driver lane keeps the hot-bucket guard.",
+    headline=True,
 )
 def minhash_lsh_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.dedup import lsh_probe_pairs
@@ -14043,6 +14044,7 @@ def kneser_ney_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kneser_ney_trigram). One corpus-sized shuffle (the trigram "
         "count); every later table is a rollup of the trigram-TYPE "
         "table. Exact bigint counts; 6dp rounding on both engines.",
+    headline=True,
 )
 def kneser_ney_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.text import kneser_ney_trigram

@@ -79,3 +79,20 @@ def assign_dense_ids(
         .withColumn(id_name, F.col("_off") + F.row_number().over(w) - 1)
         .drop("_pid", "_off")
     )
+
+
+def assign_dense_ranks(
+    df: DataFrame,
+    key_cols: list[str],
+    rank_name: str = "dense_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense rank WITH TIES over the total order of ``key_cols`` (equal
+    keys share a rank; ranks are 0-based consecutive) — without a
+    single-partition window: the DISTINCT key set (unique by
+    construction) goes through :func:`assign_dense_ids`, and the ranks
+    join back on the keys. Two extra shuffles (distinct + the rank
+    join), both keyed by the key columns — balanced at any scale."""
+    keys = df.select(*key_cols).distinct()
+    ranked = assign_dense_ids(keys, key_cols, rank_name, num_partitions)
+    return df.join(ranked, key_cols)

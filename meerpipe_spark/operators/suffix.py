@@ -1,0 +1,84 @@
+"""Distributed suffix-array construction by prefix doubling
+(Manber & Myers 1990/1993), word-level, on Spark DataFrames.
+
+The suffix array is the index structure behind exact substring
+dedup/search at corpus scale (the "find every repeated passage"
+primitive). The sequential construction sorts suffix strings directly —
+O(n log n) comparisons of O(n) strings, and unshardable. Prefix
+doubling turns it into ⌈log₂ L⌉ RELATIONAL rounds, each built from
+balanced shuffles only:
+
+    round 0:  rank word at each position (dense rank of the vocabulary)
+    round k:  rank_2k(pos) = dense rank of (rank_k(pos), rank_k(pos+k))
+              with -1 when pos+k runs off the document
+
+After the last round every suffix's rank equals its dense rank in the
+lexicographic order of full suffixes — ties (identical suffixes in
+different documents) share a rank, which is exactly what dense_rank
+over the suffix strings gives, so the whole construction is
+oracle-checkable against a direct ORDER BY in DuckDB.
+
+Scale shape: each round is one self-equi-join on (doc, pos) plus one
+dense-rank assignment over the DISTINCT pair table — all hash/range
+exchanges on uniform keys, no single-partition stage anywhere (the
+dense rank rides operators/ids.assign_dense_ids' range-exchange
+pattern, with its sampled boundaries pinned by persist). Rounds are
+logarithmic in document length, independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from meerpipe_spark.operators.ids import assign_dense_ranks
+
+
+def suffix_array_ranks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, suffix_rank): the 0-based dense lexicographic rank of
+    the word-level suffix starting at ``pos`` in each document, over
+    ALL documents' suffixes jointly.
+
+    The doubling loop is unrolled to ⌈log₂ max-doc-words⌉ rounds (the
+    max is one scalar aggregate — the only driver-side value). Each
+    round's frame is ``localCheckpoint``-ed (the graph-operator
+    cadence): the next round consumes it twice (once as itself, once
+    shifted by k) and the round-over-round lineage would otherwise
+    both recompute exponentially AND grow a plan tree whose mere
+    STRINGIFICATION overflows the heap by round ~6 (observed: the
+    AQE plan-change logger OOMs before any task runs). Checkpoint
+    blocks are released by the harnesses' ``release_checkpoints``.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), F.posexplode(words).alias("pos", "w"))
+    maxlen = docs.agg(F.max(F.size(words))).first()[0] or 0
+
+    cur = (
+        assign_dense_ranks(base, ["w"], "r")
+        .select(id_col, "pos", "r")
+        .localCheckpoint()
+    )
+    k = 1
+    while k < maxlen:
+        shifted = cur.select(
+            F.col(id_col), (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
+        )
+        paired = (
+            cur.join(shifted, [id_col, "pos"], "left")
+            .select(
+                id_col,
+                "pos",
+                "r",
+                F.coalesce("r2", F.lit(-1)).alias("r2"),
+            )
+        )
+        cur = (
+            assign_dense_ranks(paired, ["r", "r2"], "rn")
+            .select(id_col, "pos", F.col("rn").alias("r"))
+            .localCheckpoint()
+        )
+        k *= 2
+    return cur.select(id_col, "pos", F.col("r").cast("bigint").alias("suffix_rank"))

@@ -14137,6 +14137,42 @@ def kneser_ney_trigram_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "suffix_array_ranks",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id < 30),
+    sfx AS (
+        SELECT doc_id, u.pos AS pos, u.suf AS suf FROM (
+            SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+                          i -> {'pos': i, 'suf': list_slice(ws, i + 1, len(ws))})) AS u
+            FROM d
+        )
+    )
+    SELECT doc_id, pos,
+           CAST(dense_rank() OVER (ORDER BY suf) - 1 AS BIGINT) AS suffix_rank
+    FROM sfx
+    """,
+    doc="Distributed suffix-array construction by prefix doubling "
+        "(Manber & Myers; operators/suffix.py::suffix_array_ranks): "
+        "word-level suffix ranks over a 30-doc audit slice, built in "
+        "⌈log2 L⌉ relational rounds — each one equi-join + one dense-"
+        "rank assignment over the DISTINCT rank-pair table riding the "
+        "range-exchange dense-rank pattern (no single-partition stage; "
+        "sampled boundaries pinned by persist). The oracle sorts the "
+        "suffix LISTS directly (DuckDB list comparison is lexicographic "
+        "with shorter-prefix-first — exactly the -1 sentinel's "
+        "semantics), so the logarithmic distributed construction is "
+        "hash-checked against the quadratic direct sort. The primitive "
+        "behind exact repeated-passage discovery at corpus scale.",
+)
+def suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.suffix import suffix_array_ranks
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 30)
+    return suffix_array_ranks(docs)
+
+
+@_register(
     "source_token_kl",
     """
     WITH tok AS (

@@ -82,3 +82,71 @@ def suffix_array_ranks(
         )
         k *= 2
     return cur.select(id_col, "pos", F.col("r").cast("bigint").alias("suffix_rank"))
+
+
+def repeated_passages(
+    docs: DataFrame,
+    min_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every maximal repeated word sequence of ≥ ``min_words`` words, as
+    (suffix_rank, lcp, passage): the LCP of each pair of RANK-ADJACENT
+    distinct suffixes in the suffix array — the classic use of the
+    structure (a passage repeats somewhere in the corpus iff it is a
+    common prefix of two suffixes that sort next to each other).
+
+    The LCP is computed with the monotone-prefix trick shared with the
+    SQL oracle: Σ_i [prefix_i(a) = prefix_i(b)] — prefix equality is
+    monotone in i, so the sum of indicators IS the longest common
+    prefix length, with identical expression shape on both engines.
+    Rank-adjacency is an equi-join on rank+1 (no window); the
+    representative suffix per rank is min_by (all suffixes of a rank
+    are identical word sequences, so any representative is exact).
+    """
+    words = F.split(F.col(text_col), " ")
+    sfx = docs.select(
+        F.col(id_col),
+        F.posexplode(words).alias("pos", "_w"),
+    ).drop("_w")
+    arrs = docs.select(
+        F.col(id_col),
+        words.alias("ws"),
+    )
+    suf = sfx.join(arrs, id_col).select(
+        id_col,
+        "pos",
+        F.slice(F.col("ws"), F.col("pos") + 1, F.size("ws") - F.col("pos")).alias("suf"),
+    )
+    ranks = suffix_array_ranks(docs, text_col, id_col)
+    rep = (
+        ranks.join(suf, [id_col, "pos"])
+        .groupBy("suffix_rank")
+        .agg(F.min_by("suf", F.struct(id_col, "pos")).alias("suf"))
+    )
+    a = rep.alias("a")
+    b = rep.select(
+        (F.col("suffix_rank") - 1).alias("suffix_rank"),
+        F.col("suf").alias("suf_b"),
+    ).alias("b")
+    adj = a.join(b, "suffix_rank")
+    n = F.least(F.size("suf"), F.size("suf_b"))
+    lcp = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(F.slice("suf", F.lit(1), i) == F.slice("suf_b", F.lit(1), i), 1).otherwise(0),
+    )
+    return (
+        adj.select(
+            F.col("suffix_rank").cast("bigint").alias("rank"),
+            lcp.cast("bigint").alias("lcp"),
+            "suf",
+        )
+        .filter(F.col("lcp") >= min_words)
+        .select(
+            "rank",
+            "lcp",
+            F.array_join(F.slice("suf", 1, F.col("lcp")), " ").alias("passage"),
+        )
+    )

@@ -14173,6 +14173,55 @@ def suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "repeated_passages",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id < 30),
+    sfx AS (
+        SELECT u.suf AS suf FROM (
+            SELECT unnest(list_transform(range(0, len(ws)),
+                          i -> {'suf': list_slice(ws, i + 1, len(ws))})) AS u
+            FROM d
+        )
+    ),
+    ranked AS (
+        SELECT suf, dense_rank() OVER (ORDER BY suf) - 1 AS r
+        FROM (SELECT DISTINCT suf FROM sfx)
+    ),
+    adj AS (
+        SELECT a.r AS rank, a.suf AS sa, b.suf AS sb
+        FROM ranked a JOIN ranked b ON b.r = a.r + 1
+    ),
+    lcps AS (
+        SELECT rank,
+               CAST(list_sum(list_transform(range(1, least(len(sa), len(sb)) + 1),
+                    i -> CASE WHEN list_slice(sa, 1, i) = list_slice(sb, 1, i)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS lcp,
+               sa
+        FROM adj
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, lcp,
+           array_to_string(list_slice(sa, 1, lcp), ' ') AS passage
+    FROM lcps WHERE lcp >= 3
+    """,
+    doc="Repeated-passage discovery over the suffix array (operators/"
+        "suffix.py::repeated_passages): a word sequence repeats in the "
+        "corpus iff it is a common prefix of two RANK-ADJACENT distinct "
+        "suffixes, so the scan is one equi-join on rank+1 — no pairwise "
+        "document comparison anywhere. LCP uses the monotone-prefix "
+        "indicator sum (identical expression shape in Spark and the "
+        "oracle); passages of ≥3 words are emitted with their rank and "
+        "length. The exact-substring-dedup primitive, driven by the "
+        "prefix-doubling suffix ranks.",
+)
+def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.suffix import repeated_passages
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 30)
+    return repeated_passages(docs)
+
+
+@_register(
     "source_token_kl",
     """
     WITH tok AS (

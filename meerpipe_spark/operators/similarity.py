@@ -1098,3 +1098,72 @@ def hard_negatives(
             (F.floor(F.col("_sim") * 1e6 + F.lit(0.5)) / 1e6).alias("cosine_sim"),
         )
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diverse
+    top-k selection, UNROLLED to k relational steps — the dedup-aware
+    retrieval/eval-set builder: each step picks
+
+        argmax_d  λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)
+
+    over the not-yet-selected pool, trading relevance against
+    redundancy with the already-selected set S.
+
+    Spark-first shape: no driver loop over data — each step is a plan
+    fragment: the (single-row) previous selections broadcast-cross-join
+    into the pool, the penalty is a running ``greatest`` of per-
+    selection cosines, and the argmax is orderBy().limit(1) (a
+    TakeOrdered heap, never a global sort). k steps build one composed
+    plan; only the FINAL union executes. Cross-engine determinism:
+    relevance, each penalty cosine, and the step score are all rounded
+    at 6dp BEFORE comparisons, with (score DESC, id ASC) tie-break —
+    both engines argmax on the same rounded grid.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pool = embeddings.select(
+        F.col(id_col),
+        cast.alias("v"),
+        F.round(cosine_similarity(cast, q), 6).alias("rel"),
+    )
+    selected = []  # (1-row DataFrame with sel_id, sel_v, step score)
+    out = None
+    for step in range(1, k + 1):
+        cur = pool
+        pen = None
+        for j, sel in enumerate(selected):
+            cur = cur.join(
+                F.broadcast(
+                    sel.select(
+                        F.col(id_col).alias(f"_sid{j}"),
+                        F.col("v").alias(f"_sv{j}"),
+                    )
+                )
+            )
+            cur = cur.filter(F.col(id_col) != F.col(f"_sid{j}"))
+            c = F.round(cosine_similarity(F.col("v"), F.col(f"_sv{j}")), 6)
+            pen = c if pen is None else F.greatest(pen, c)
+        score = (
+            F.col("rel")
+            if pen is None
+            else F.round(F.lit(float(lam)) * F.col("rel") - F.lit(1.0 - float(lam)) * pen, 6)
+        )
+        pick = (
+            cur.select(id_col, "v", "rel", score.alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col))
+            .limit(1)
+        )
+        selected.append(pick)
+        row = pick.select(
+            F.lit(step).alias("step"), id_col, "rel", "score"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

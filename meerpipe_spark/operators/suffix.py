@@ -54,7 +54,11 @@ def suffix_array_ranks(
     """
     words = F.split(F.col(text_col), " ")
     base = docs.select(F.col(id_col), F.posexplode(words).alias("pos", "w"))
-    maxlen = docs.agg(F.max(F.size(words))).first()[0] or 0
+    agg = docs.agg(
+        F.max(F.size(words)).alias("maxlen"),
+        F.sum(F.size(words)).cast("bigint").alias("n_suffixes"),
+    ).first()
+    maxlen, n_suffixes = agg[0] or 0, agg[1] or 0
 
     cur = (
         assign_dense_ranks(base, ["w"], "r")
@@ -62,7 +66,20 @@ def suffix_array_ranks(
         .localCheckpoint()
     )
     k = 1
+    prev_classes = -1
     while k < maxlen:
+        # standard early exit (Manber-Myers): all ranks unique → later
+        # rounds are identity; real corpora resolve in far fewer than
+        # log2(maxlen) rounds. A STALLED class count is also converged
+        # (if no pair separated this round, rank_k(pos) determines
+        # rank_k(pos+k) for every pos, hence the whole suffix — the
+        # remaining ties are identical suffixes, which dense ranks keep
+        # tied by design). One scalar count per round, on the
+        # checkpointed (already materialized) frame.
+        classes = cur.agg(F.countDistinct("r")).first()[0]
+        if classes == n_suffixes or classes == prev_classes:
+            break
+        prev_classes = classes
         shifted = cur.select(
             F.col(id_col), (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
         )

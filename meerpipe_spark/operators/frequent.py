@@ -125,3 +125,41 @@ def heavy_hitters(
         )
         .orderBy(F.desc("cnt"), "token")
     )
+
+
+def mg_merge(summaries: DataFrame, k: int = 64) -> DataFrame:
+    """Merge Misra–Gries summaries (Berinde et al. 2010 / Agarwal et
+    al. "Mergeable Summaries" 2012): sum per-token lower bounds, then
+    apply one batched decrement — subtract the (k+1)-th largest total
+    from every counter and drop the non-positive — yielding a VALID
+    k-counter MG summary of the UNION stream. The error the merge adds
+    is ≤ the subtracted cut, so the standard bound
+    ``true − N/(k+1) ≤ lb ≤ true`` survives arbitrarily many merges:
+    the streaming heavy-hitters state is a bounded table, never a
+    vocabulary.
+
+    Input rows: (token, lb) candidates plus NULL-token sentinels
+    carrying stream-segment totals (the ``mg_summaries`` shape). The
+    output keeps one merged sentinel so merges COMPOSE: the result is
+    itself a valid ``mg_merge`` input. Relational throughout: one
+    ≤(p·k)-row groupBy, the cut via a k+1 TakeOrdered (driver-side
+    scalar — dimension-sized), no window.
+    """
+    totals = (
+        summaries.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("lb").cast("bigint").alias("lb"))
+    )
+    top = [
+        r.lb
+        for r in totals.orderBy(F.desc("lb"), "token").limit(k + 1).collect()
+    ]
+    cut = int(top[k]) if len(top) > k else 0
+    n = summaries.filter(F.col("token").isNull()).agg(
+        F.coalesce(F.sum("lb"), F.lit(0)).cast("bigint").alias("lb")
+    )
+    kept = (
+        totals.select("token", (F.col("lb") - F.lit(cut)).alias("lb"))
+        .filter(F.col("lb") > 0)
+    )
+    return kept.unionByName(n.select(F.lit(None).cast("string").alias("token"), "lb"))

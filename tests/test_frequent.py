@@ -92,3 +92,120 @@ def test_heavy_hitters_empty_and_all_light(spark):
     assert heavy_hitters(df, k=16).count() == 0
     empty = spark.createDataFrame([], "token string")
     assert heavy_hitters(empty, k=16).count() == 0
+
+
+def test_mg_merge_is_mergeable_summary(spark):
+    """Agarwal et al. mergeability: merging per-split MG summaries of an
+    arbitrary split gives a valid MG summary of the union — every token
+    with global count > N/(k+1) survives, and lb is a true lower bound
+    within N/(k+1)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.operators.frequent import mg_merge, mg_summaries
+
+    k = 4
+    words = (
+        ["hot"] * 60 + ["warm"] * 25 + ["mild"] * 12
+        + [f"rare{i}" for i in range(40)]
+    )
+    import random
+
+    rng = random.Random(7)
+    rng.shuffle(words)
+    half = len(words) // 2
+    df1 = spark.createDataFrame([(w,) for w in words[:half]], "token string")
+    df2 = spark.createDataFrame([(w,) for w in words[half:]], "token string")
+    s1 = mg_summaries(df1.coalesce(1), k=k)
+    s2 = mg_summaries(df2.coalesce(2), k=k)
+    merged = mg_merge(s1.unionByName(s2), k=k)
+    rows = merged.collect()
+    cand = {r.token: r.lb for r in rows if r.token is not None}
+    n_total = [r.lb for r in rows if r.token is None][0]
+    true = Counter(words)
+    assert n_total == len(words)
+    assert len(cand) <= k
+    for tok, c in true.items():
+        if c > len(words) / (k + 1):
+            assert tok in cand, tok
+    for tok, lb in cand.items():
+        assert lb <= true[tok]
+        assert true[tok] - lb <= len(words) / (k + 1) + 1e-9
+    # merges COMPOSE: the merged summary is a valid mg_merge input
+    again = mg_merge(merged, k=k).collect()
+    assert {r.token for r in again if r.token is not None} <= set(cand) | {None}
+    assert [r.lb for r in again if r.token is None][0] == len(words)
+
+
+def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
+    """Streaming MG: each micro-batch's per-partition summaries merge
+    into a persistent candidate table via foreachBatch — bounded state
+    (≤ k candidates + sentinel) at any stream length, redelivery-safe
+    via a processed-batch ledger, and the final candidates cover every
+    true global heavy hitter of the delivered stream."""
+    import json
+    import os
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.operators.frequent import mg_merge, mg_summaries
+
+    k = 8
+    words1 = ["alpha"] * 50 + ["beta"] * 30 + [f"x{i}" for i in range(30)]
+    words2 = ["alpha"] * 40 + ["gamma"] * 35 + [f"y{i}" for i in range(30)]
+    src = str(tmp_path / "tok_stream")
+    spark.createDataFrame([(w,) for w in words1], "token string").coalesce(1).write.parquet(src)
+    spark.createDataFrame([(w,) for w in words2], "token string").coalesce(1).write.mode("append").parquet(src)
+    store = str(tmp_path / "mg_store")
+    seen_path = str(tmp_path / "mg_batches.json")
+
+    def process(batch, batch_id):
+        seen = set(json.load(open(seen_path))) if os.path.exists(seen_path) else set()
+        if batch_id in seen:
+            return  # redelivered micro-batch: state already merged
+        s = batch.sparkSession
+        new = mg_summaries(batch, k=k)
+        try:
+            acc = s.read.parquet(store)
+            merged = mg_merge(acc.unionByName(new), k=k)
+        except Exception:
+            merged = mg_merge(new, k=k)
+        rows = merged.collect()  # ≤ k+1 rows: bounded by construction
+        s.createDataFrame(rows, "token string, lb long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(store)
+        json.dump(sorted(seen | {batch_id}), open(seen_path, "w"))
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema("token string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) <= k + 1
+    cand = {r.token: r.lb for r in rows if r.token is not None}
+    n_total = [r.lb for r in rows if r.token is None][0]
+    all_words = words1 + words2
+    true = Counter(all_words)
+    assert n_total == len(all_words)
+    for tok, c in true.items():
+        if c > len(all_words) / (k + 1):
+            assert tok in cand, tok
+    for tok, lb in cand.items():
+        assert lb <= true[tok]
+    # full redelivery (fresh checkpoint): the batch ledger suppresses
+    # every merge — state unchanged
+    before = sorted((r.token or "", r.lb) for r in rows)
+    run(str(tmp_path / "ck2"))
+    after = sorted((r.token or "", r.lb) for r in spark.read.parquet(store).collect())
+    assert after == before

@@ -14297,6 +14297,58 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "table_content_fingerprint",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || o_orderstatus || '|' || CAST(o_orderdate AS VARCHAR)), 1, 12))::UBIGINT)::BIGINT
+               AS content_fp
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Order-independent content fingerprint per partition-key group — "
+        "the data-versioning primitive (detect drift/corruption between "
+        "two copies or two versions of a table without sorting it): "
+        "bit_xor of 48-bit md5 row digests is associative, commutative, "
+        "and mergeable across partitions, so the plan is one map-side-"
+        "combined hash aggregate at any scale, and two engines (or two "
+        "clusters) computing it over the same rows agree bit-for-bit "
+        "regardless of row order or partitioning. Digest columns are "
+        "ints/strings only — cross-engine float stringification is NOT "
+        "portable (cast measures to fixed-point first; the house rule).",
+)
+def table_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir)["orders"]
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_orderdate").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor(digest).alias("content_fp"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
     "source_token_kl",
     """
     WITH tok AS (

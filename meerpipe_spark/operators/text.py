@@ -849,3 +849,129 @@ def kneser_ney_trigram_heldout_ppl(
         mean_logp.alias("mean_logp"),
         (F.floor(F.pow(F.lit(10.0), -mean_logp) * 1e4 + F.lit(0.5)) / 1e4).alias("ppl"),
     )
+
+
+def bm25_term_scores(
+    docs: DataFrame,
+    terms: "tuple[str, ...]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc, term, s): BM25 per-term contributions for the queried
+    terms only (the postings actually touched), with the house
+    cross-engine expression shapes (exact-int ratios into one IEEE
+    chain). Shared by the naive ranking and the MaxScore top-k."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*terms))
+        .groupBy(id_col, F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+
+
+def _bm25_totals(scored: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("term", "s"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["s"],
+    )
+    return scored.groupBy(id_col).agg(
+        (F.floor(folded * 1e6 + F.lit(0.5)) / 1e6).alias("bm25")
+    )
+
+
+def bm25_topk_maxscore(
+    docs: DataFrame,
+    terms: "tuple[str, ...]",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    _introspect: bool = False,
+):
+    """Exact disjunctive BM25 top-k with MaxScore pruning (Turtle &
+    Flood 1995): provably LOSSLESS — the oracle is the naive top-k.
+
+    1. per-term upper bounds UB(t) = max doc contribution (|Q| scalars);
+    2. θ = the k-th best FULL score among docs containing the highest-UB
+       term — a valid lower bound on the final k-th best, computed
+       exactly on that subset;
+    3. non-essential terms = the maximal UB-ascending prefix with
+       ΣUB < θ − 1e-6 (the 1e-6 margin absorbs the output rounding,
+       keeping the prune conservative); a document containing ONLY
+       non-essential terms scores ≤ ΣUB < θ and can neither enter nor
+       tie into the top-k;
+    4. exact-score the surviving candidates (docs with ≥1 essential
+       term, ALL their term rows), TakeOrdered k.
+
+    At index scale the win is the candidate set: a query mixing one
+    rare term with common ones scores only the rare term's postings
+    (plus survivors), not the union. Driver-side values are |Q| bounds
+    + k θ-rows — dimension-sized; the scored frame is persisted so the
+    bound pass and the final pass share one execution (hash exchanges
+    only — multi-action-safe per the plan audit's range-exchange rule).
+    """
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    scored = persist_tracked(bm25_term_scores(docs, terms, text_col, id_col))
+    ubs = {
+        r.term: r.ub
+        for r in scored.groupBy("term").agg(F.max("s").alias("ub")).collect()
+    }
+    top_term = max(ubs, key=lambda t: (ubs[t], t))
+    top_docs = scored.filter(F.col("term") == top_term).select(id_col)
+    theta_rows = (
+        _bm25_totals(scored.join(top_docs, id_col, "leftsemi"), id_col)
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    essential = list(terms)
+    if len(theta_rows) == k:
+        theta = theta_rows[-1].bm25
+        non_essential, cum = [], 0.0
+        for t in sorted(ubs, key=lambda t: (ubs[t], t)):
+            if cum + ubs[t] < theta - 1e-6:
+                cum += ubs[t]
+                non_essential.append(t)
+            else:
+                break
+        essential = [t for t in terms if t not in non_essential]
+    cand = scored.filter(F.col("term").isin(*essential)).select(id_col).distinct()
+    survivors = scored.join(cand, id_col, "leftsemi")
+    result = (
+        _bm25_totals(survivors, id_col)
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )
+    if _introspect:
+        return result, essential, cand.count(), scored.select(id_col).distinct().count()
+    return result

@@ -14349,6 +14349,61 @@ def table_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bm25_topk_maxscore",
+    """
+    WITH q(term) AS (SELECT unnest(['dup', 'join', 'row', 'scan'])),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks JOIN q ON toks.w = q.term GROUP BY doc_id, w
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               floor(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                                 (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS bm25
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25 FROM (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        FROM perdoc
+    ) WHERE rn <= 10
+    """,
+    doc="Exact disjunctive BM25 top-10 for {dup, join, row, scan} "
+        "(one rare term + three common) computed with MaxScore pruning "
+        "(Turtle & Flood 1995; operators/text.py::bm25_topk_maxscore): "
+        "per-term upper bounds, a θ from the full scores of the "
+        "highest-bound term's postings, non-essential terms whose "
+        "cumulative bounds sit below θ−1e-6, and exact scoring of the "
+        "survivors only. The ORACLE is the NAIVE top-10 — the hash "
+        "match proves the pruning lossless, the same discipline as the "
+        "MinHash→exact-Jaccard lanes: sketchy bounds choose the work, "
+        "the answer stays exact.",
+)
+def bm25_topk_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import bm25_topk_maxscore
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bm25_topk_maxscore(docs, ("dup", "join", "row", "scan"), k=10)
+
+
+@_register(
     "source_token_kl",
     """
     WITH tok AS (

@@ -432,3 +432,35 @@ def test_register_cleanup_runs_at_release(tmp_path):
     # queue drained: a second release fires nothing
     cacheutil.release_persisted()
     assert hits == [1]
+
+
+def test_bm25_maxscore_prunes_and_stays_exact(spark, sf_dir):
+    """MaxScore: the candidate set SHRINKS (the rare term's postings
+    dominate θ, the common terms become non-essential) while the top-k
+    equals the naive ranking exactly — lossless pruning, non-vacuous."""
+    from meerpipe_spark.io import load_tables
+    from meerpipe_spark.operators.text import (
+        _bm25_totals,
+        bm25_term_scores,
+        bm25_topk_maxscore,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    terms = ("dup", "join", "row", "scan")
+    result, essential, n_cand, n_all = bm25_topk_maxscore(
+        docs, terms, k=10, _introspect=True
+    )
+    got = [(r.doc_id, r.bm25) for r in result.collect()]
+    naive = (
+        _bm25_totals(bm25_term_scores(docs, terms))
+        .orderBy(F.desc("bm25"), F.col("doc_id"))
+        .limit(10)
+        .collect()
+    )
+    want = [(r.doc_id, r.bm25) for r in naive]
+    assert got == want
+    # non-vacuous on this corpus: at least one term pruned, candidates
+    # strictly fewer than all matching docs
+    assert len(essential) < len(terms)
+    assert n_cand < n_all

@@ -975,3 +975,101 @@ def bm25_topk_maxscore(
     if _introspect:
         return result, essential, cand.count(), scored.select(id_col).distinct().count()
     return result
+
+
+def texttiling_boundaries(
+    docs: DataFrame,
+    block_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst 1997, simplified):
+    split each document into fixed ``block_words`` blocks, score every
+    gap by the cosine of the adjacent blocks' term-frequency vectors,
+    and mark a boundary where the gap similarity falls below
+    mean − 0.5·stddev of the document's gap series — the valley rule.
+
+    Cross-engine exactness: block TF vectors are integers, so each
+    cosine is one IEEE chain over exact ints (dot / √(n2a·n2b)),
+    rounded to a 1e4-scaled INTEGER. The per-doc mean and stddev then
+    run on integer sums (Σx, Σx² — bounded: x ≤ 1e4, so Σx² ≤ n·1e8,
+    far under bigint even at book-length docs), and the threshold is
+    the identical arithmetic chain on both engines — no float
+    accumulation order anywhere.
+
+    Distributed shape: one (doc, block, term) count aggregate, one
+    adjacent-block equi-join on (doc, term), two rollups. All keys are
+    uniform; nothing is corpus-global except through partial aggs.
+    """
+    words = F.split(F.col(text_col), " ")
+    toks = docs.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "w")
+    ).select(
+        id_col, (F.col("pos") / block_words).cast("int").alias("blk"), "w"
+    )
+    tf = toks.groupBy(id_col, "blk", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    n2 = tf.groupBy(id_col, "blk").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    b = tf.select(
+        F.col(id_col),
+        (F.col("blk") - 1).alias("blk"),
+        F.col("w"),
+        F.col("tf").alias("tf_b"),
+    )
+    dots = (
+        tf.join(b, [id_col, "blk", "w"])
+        .groupBy(id_col, "blk")
+        .agg(F.sum(F.col("tf") * F.col("tf_b")).cast("bigint").alias("dot"))
+    )
+    n2b = n2.select(
+        F.col(id_col), (F.col("blk") - 1).alias("blk"), F.col("n2").alias("n2b")
+    )
+    # every gap that has BOTH blocks; gaps with no shared term get dot 0
+    gaps = (
+        n2.join(n2b, [id_col, "blk"])
+        .join(dots, [id_col, "blk"], "left")
+        .select(
+            id_col,
+            F.col("blk").alias("gap"),
+            F.floor(
+                F.coalesce(F.col("dot"), F.lit(0))
+                / F.sqrt(F.col("n2") * F.col("n2b"))
+                * 1e4
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("sim_i"),
+        )
+    )
+    stats = gaps.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sim_i").cast("bigint").alias("sx"),
+        F.sum(F.col("sim_i") * F.col("sim_i")).cast("bigint").alias("sxx"),
+    )
+    thr = (
+        F.col("sx") / (F.col("n") * F.lit(1e4))
+        - F.lit(0.5)
+        * (
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                / (F.col("n") * (F.col("n") - F.lit(1.0)))
+            )
+            / F.lit(1e4)
+        )
+    )
+    return (
+        gaps.join(stats, id_col)
+        .select(
+            id_col,
+            "gap",
+            (F.col("sim_i") / F.lit(1e4)).alias("sim"),
+            F.when(
+                (F.col("n") > 1) & (F.col("sim_i") / F.lit(1e4) < thr), True
+            )
+            .otherwise(False)
+            .alias("is_boundary"),
+        )
+    )

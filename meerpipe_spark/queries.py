@@ -14404,6 +14404,65 @@ def bm25_topk_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "texttiling_boundaries",
+    """
+    WITH toks AS (
+        SELECT doc_id, CAST(floor(u.pos / 20) AS INT) AS blk, u.w AS w FROM (
+            SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+                          i -> {'pos': i, 'w': ws[i + 1]})) AS u
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        )
+    ),
+    tf AS (SELECT doc_id, blk, w, count(*)::BIGINT AS tf
+           FROM toks GROUP BY doc_id, blk, w),
+    n2 AS (SELECT doc_id, blk, CAST(sum(tf * tf) AS BIGINT) AS n2
+           FROM tf GROUP BY doc_id, blk),
+    dots AS (
+        SELECT a.doc_id, a.blk, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        FROM tf a JOIN tf b
+          ON a.doc_id = b.doc_id AND b.blk = a.blk + 1 AND a.w = b.w
+        GROUP BY a.doc_id, a.blk
+    ),
+    gaps AS (
+        SELECT x.doc_id, x.blk AS gap,
+               CAST(floor(coalesce(d.dot, 0) / sqrt(x.n2 * y.n2) * 1e4 + 0.5)
+                    AS BIGINT) AS sim_i
+        FROM n2 x
+        JOIN n2 y ON x.doc_id = y.doc_id AND y.blk = x.blk + 1
+        LEFT JOIN dots d ON d.doc_id = x.doc_id AND d.blk = x.blk
+    ),
+    stats AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(sim_i) AS BIGINT) AS sx,
+               CAST(sum(sim_i * sim_i) AS BIGINT) AS sxx
+        FROM gaps GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.gap, g.sim_i / 1e4 AS sim,
+           CASE WHEN s.n > 1 AND g.sim_i / 1e4 <
+                (s.sx / (s.n * 1e4)
+                 - 0.5 * (sqrt((s.n * s.sxx - s.sx * s.sx)
+                               / (s.n * (s.n - 1.0))) / 1e4))
+           THEN true ELSE false END AS is_boundary
+    FROM gaps g JOIN stats s USING (doc_id)
+    """,
+    doc="TextTiling-style topic segmentation (Hearst 1997, valley rule; "
+        "operators/text.py::texttiling_boundaries): 20-word blocks, "
+        "adjacent-block TF cosine per gap, boundary where the gap falls "
+        "below mean − 0.5·stddev of the document's gap series. Every "
+        "cosine is one IEEE chain over exact integer TF vectors rounded "
+        "to a 1e4-scaled int, and the mean/stddev threshold runs on "
+        "INTEGER sums (Σx, Σx²) — no float accumulation order on either "
+        "engine, so similarities AND boundary decisions hash-match. One "
+        "(doc,block,term) aggregate + one adjacent-block equi-join.",
+)
+def texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import texttiling_boundaries
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return texttiling_boundaries(docs, block_words=20)
+
+
+@_register(
     "source_token_kl",
     """
     WITH tok AS (

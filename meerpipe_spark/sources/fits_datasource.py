@@ -276,11 +276,28 @@ class FitsArchiveStreamReader(DataSourceStreamReader):
     only lists paths and plans one ``_FilePartition`` per new file;
     archive bytes are parsed in the executors and cross as Arrow
     RecordBatches (same `_read_archive_batches` as the batch reader).
+
+    ``.option("max_files_per_trigger", N)`` is the admission-control
+    knob: each ``latestOffset`` admits at most N not-yet-admitted files
+    (sorted order), so a backlogged directory drains as bounded
+    micro-batches instead of one giant catch-up batch. The reader
+    instance lives on the driver across micro-batches; ``_admitted``
+    tracks what earlier offsets already cover, so rate limiting needs
+    no engine support and replay stays pure set-difference. Pair the
+    option with a processingTime trigger: Trigger.AvailableNow
+    snapshots a SINGLE latestOffset at start, so it would stop after
+    the first admitted slice (pinned by test_fits_stream_rate_limit).
+    After a restart the fresh reader re-admits from empty — a few
+    empty catch-up batches, never a duplicate or a drop (partitions()
+    is set-difference from the checkpointed offset).
     """
 
     def __init__(self, options):
         self.path = options.get("path")
         self.hdu_index = int(options.get("hdu", "1"))
+        mft = options.get("max_files_per_trigger")
+        self.max_files = int(mft) if mft is not None else None
+        self._admitted: "set[str]" = set()
 
     def _listing(self):
         return sorted(_glob.glob(self.path))
@@ -289,7 +306,11 @@ class FitsArchiveStreamReader(DataSourceStreamReader):
         return {"seen": {}}
 
     def latestOffset(self) -> dict:
-        return {"seen": {p: True for p in self._listing()}}
+        new = [p for p in self._listing() if p not in self._admitted]
+        if self.max_files is not None:
+            new = new[: self.max_files]
+        self._admitted.update(new)
+        return {"seen": {**{p: True for p in self._admitted}}}
 
     def partitions(self, start: dict, end: dict):
         new = sorted(set(end.get("seen", {})) - set(start.get("seen", {})))
@@ -299,8 +320,9 @@ class FitsArchiveStreamReader(DataSourceStreamReader):
         yield from _read_archive_batches(partition.path, self.hdu_index)
 
     def commit(self, end: dict) -> None:
-        # source files are immutable observations; nothing to clean up
-        pass
+        # committed files can never be un-admitted; fold them in so a
+        # restarted reader (fresh _admitted) resumes from the checkpoint
+        self._admitted.update(end.get("seen", {}))
 
 
 class FitsArchiveSimpleStreamReader(SimpleDataSourceStreamReader):

@@ -298,3 +298,114 @@ def transitive_closure(
         out = out.unionByName(nxt)
         frontier = nxt
     return out
+
+
+def sssp_bellman_ford(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+) -> DataFrame:
+    """Multi-source weighted shortest paths by synchronous Bellman-Ford
+    relaxation (Bellman 1958): dist_{k}(v) = min(dist_{k-1}(v),
+    min over in-edges (dist_{k-1}(u) + w(u, v))), run for a fixed
+    ``rounds`` iterations.
+
+    ``edges`` is (src, dst, w) with integer w (already symmetrized by
+    the caller if the graph is undirected); ``sources`` is (node).
+    Returns (node, dist) for every node within ``rounds`` hops of a
+    source, dist being the exact bigint length of the shortest path
+    using at most ``rounds`` edges. Fixed rounds keep the computation
+    engine-identical (the unrolled-CTE oracle runs the SAME rounds,
+    the k_core discipline); once converged, further rounds are
+    identity, so any bound >= the relevant diameter gives true
+    shortest paths.
+
+    Per round: ONE equi-join of the node-sized distance frame against
+    the edge list + one min aggregation with map-side partials — the
+    frontier never carries paths, only (node, dist) pairs, and all
+    arithmetic is exact bigint (no float summation order anywhere).
+    Lineage is checkpointed per round (the graph-operator cadence).
+
+    At 100 TB: state is node-sized, work is edge-sized per round, and
+    the relaxation join shuffles on the edge key — the textbook
+    Pregel-on-relations shape (identical to PageRank's cost model but
+    with min instead of sum, so map-side combine is even stronger).
+    """
+    dist = sources.select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        relaxed = dist.join(edges, dist["node"] == edges["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).cast("bigint").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int,
+    seed_col: str = "walk_id",
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus generation (Perozzi et al.
+    2014) with HASH-deterministic transitions: at node u on step t of
+    walk w, the next node is the neighbor minimizing
+    md5(w || ':' || t || ':' || neighbor) — a uniform pseudo-random
+    choice that both engines can replay exactly, so the walk corpus is
+    oracle-checkable (no RNG state, no driver loop).
+
+    ``edges`` is (src, dst); ``starts`` is (walk_id, node) — one row
+    per walk with its start node. Returns (walk_id, step, node) for
+    steps 0..``steps`` (step 0 = the start). Walks stop early at sink
+    nodes (no out-edges).
+
+    The argmin is computed with the string-key trick shared with the
+    SQL oracle: key = md5-hex || '|' || zero-padded dst, one min()
+    aggregate per (walk, step) — total order, no ties, identical
+    lexicographic comparison in both engines.
+
+    At 100 TB: each step is one equi-join of the walk-frontier
+    (walk-count-sized, NOT graph-sized) against the edge list plus one
+    min aggregation — map-side combinable, state bounded by the number
+    of walks, steps independent of corpus size. This is the corpus
+    generator feeding skip-gram node-embedding training.
+    """
+    frontier = starts.select(
+        seed_col, F.lit(0).alias("step"), "node"
+    ).localCheckpoint()
+    out = frontier
+    for t in range(1, steps + 1):
+        key = F.concat(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(seed_col).cast("string"),
+                    F.lit(t).cast("string"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            F.lit("|"),
+            F.lpad(F.col("dst").cast("string"), 12, "0"),
+        )
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .groupBy(seed_col)
+            .agg(F.min(key).alias("k"))
+            .select(
+                seed_col,
+                F.lit(t).alias("step"),
+                F.expr("CAST(substr(k, 34) AS BIGINT)").alias("node"),
+            )
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    return out

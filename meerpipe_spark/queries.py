@@ -14536,3 +14536,163 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 late wave 2: weighted shortest paths + deterministic walks
+# ---------------------------------------------------------------------------
+
+def _sssp_oracle_sql(rounds: int) -> str:
+    parts = ["""
+    WITH co AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS MATERIALIZED (
+      SELECT src, dst, CAST(1 + (src * 31 + dst) % 5 AS BIGINT) AS w FROM co
+      UNION ALL
+      SELECT dst AS src, src AS dst, CAST(1 + (src * 31 + dst) % 5 AS BIGINT) AS w
+      FROM co
+    ),
+    d0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+           FROM part WHERE p_partkey % 100 = 0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    d{r} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{r - 1} d JOIN e ON e.src = d.node
+      ) GROUP BY node
+    )""")
+    parts.append(f"""
+    SELECT node, dist FROM d{rounds}""")
+    return "".join(parts)
+
+
+@_register(
+    "sssp_copurchase",
+    _sssp_oracle_sql(rounds=6),
+    doc="Multi-source weighted shortest paths over the part co-purchase "
+        "graph (operators/graph.py::sssp_bellman_ford, Bellman 1958): "
+        "6 fixed synchronous relaxation rounds, each ONE equi-join of "
+        "the node-sized distance frame against the edge list + one "
+        "map-side-combined min aggregation. Edge weights are the "
+        "deterministic integer 1 + (src*31 + dst) % 5 computed on the "
+        "canonical src<dst pair, so every distance is an exact bigint "
+        "— the whole lane has NO floating point and needs NO rounding. "
+        "Sources: parts with p_partkey % 100 = 0 (the multi-source "
+        "form: dist to the NEAREST source, the label-propagation "
+        "seed-distance shape). Fixed rounds keep Spark and the "
+        "unrolled-CTE oracle identical (converged rounds are identity "
+        "— the k_core discipline). Completes the graph suite's path "
+        "family: reachability (transitive_closure) -> weighted "
+        "distance (this).",
+    headline=True,
+)
+def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import sssp_bellman_ford
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    part = load_tables(spark, sf_dir)["part"]
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("src"))
+    b = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("dst"))
+    co = (
+        a.join(b, "kk")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    w = (F.lit(1) + (F.col("src") * 31 + F.col("dst")) % 5).cast("bigint")
+    edges = (
+        co.select("src", "dst", w.alias("w"))
+        .unionByName(
+            co.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")
+            )
+        )
+        .localCheckpoint()
+    )
+    sources = part.filter(F.col("p_partkey") % 100 == 0).select(
+        F.col("p_partkey").alias("node")
+    )
+    return sssp_bellman_ford(edges, sources, rounds=6)
+
+
+def _walks_oracle_sql(steps: int) -> str:
+    parts = ["""
+    WITH co AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS MATERIALIZED (
+      SELECT src, dst FROM co
+      UNION ALL SELECT dst AS src, src AS dst FROM co
+    ),
+    f0 AS (SELECT p_partkey AS walk_id, CAST(0 AS INT) AS step,
+                  p_partkey AS node
+           FROM part WHERE p_partkey % 25 = 0)"""]
+    for t in range(1, steps + 1):
+        parts.append(f""",
+    f{t} AS MATERIALIZED (
+      SELECT walk_id, CAST({t} AS INT) AS step,
+             CAST(substr(k, 34) AS BIGINT) AS node
+      FROM (
+        SELECT f.walk_id,
+               min(md5(f.walk_id || ':' || {t} || ':' || e.dst)
+                   || '|' || lpad(CAST(e.dst AS VARCHAR), 12, '0')) AS k
+        FROM f{t - 1} f JOIN e ON e.src = f.node
+        GROUP BY f.walk_id
+      )
+    )""")
+    sel = "\n      UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM f{t}" for t in range(steps + 1)
+    )
+    parts.append(f"""
+    {sel}""")
+    return "".join(parts)
+
+
+@_register(
+    "random_walks_deterministic",
+    _walks_oracle_sql(steps=8),
+    doc="DeepWalk-style random-walk corpus generation over the part "
+        "co-purchase graph (operators/graph.py::deterministic_walks, "
+        "Perozzi et al. 2014) with HASH-deterministic transitions: the "
+        "next node is the neighbor minimizing md5(walk:step:neighbor) "
+        "— a replayable uniform choice, so the walk corpus itself is "
+        "oracle-hash-checked (both engines compare the same "
+        "md5-hex||'|'||lpad(dst) string key; no RNG state, no ties, "
+        "no driver loop). 80 walks x 8 steps; each step is one "
+        "equi-join of the walk-count-sized frontier against the edge "
+        "list + one min aggregation. The corpus generator feeding "
+        "skip-gram node-embedding training at graph scale.",
+)
+def random_walks_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import deterministic_walks
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    part = load_tables(spark, sf_dir)["part"]
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("src"))
+    b = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("dst"))
+    co = (
+        a.join(b, "kk")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = (
+        co.unionByName(
+            co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    starts = part.filter(F.col("p_partkey") % 25 == 0).select(
+        F.col("p_partkey").alias("walk_id"), F.col("p_partkey").alias("node")
+    )
+    return deterministic_walks(edges, starts, steps=8)

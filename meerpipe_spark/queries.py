@@ -14696,3 +14696,64 @@ def random_walks_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("walk_id"), F.col("p_partkey").alias("node")
     )
     return deterministic_walks(edges, starts, steps=8)
+
+
+_edit_head, _edit_tail = _MINHASH_MD5_SQL.rsplit("SELECT DISTINCT", 1)
+_EDIT_VERIFY_SQL = (
+    _edit_head
+    + ", cand AS (\n        SELECT DISTINCT"
+    + _edit_tail
+    + """
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(substr(da.text, 1, 160), substr(db.text, 1, 160))
+                AS BIGINT) AS edit_dist,
+           CAST(CASE WHEN levenshtein(substr(da.text, 1, 160),
+                                      substr(db.text, 1, 160)) * 4
+                          <= greatest(len(substr(da.text, 1, 160)),
+                                      len(substr(db.text, 1, 160)))
+                     THEN 1 ELSE 0 END AS INT) AS verified_dup
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    """
+)
+
+
+@_register(
+    "lsh_candidate_edit_verify",
+    _EDIT_VERIFY_SQL,
+    doc="Edit-distance VERIFICATION of the LSH candidate pairs — the "
+        "second half of the production near-dup pipeline (candidates "
+        "-> verified pairs): every md5-band candidate pair is scored "
+        "with Levenshtein distance over a bounded 160-char prefix "
+        "(the standard cost cap: O(len^2) per pair but len is "
+        "clamped), and flagged verified_dup when dist*4 <= max "
+        "prefix length (>=75% char similarity). Both engines run "
+        "their native levenshtein (classic Wagner-Fischer semantics) "
+        "— the whole lane is integer-exact, no rounding anywhere. "
+        "Scale: the expensive O(len^2) comparison runs ONLY on the "
+        "banded candidate set (never all pairs), and the two "
+        "documents joins are hash joins on doc_id.",
+)
+def lsh_candidate_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    cand = minhash_lsh_pairs_md5(spark, sf_dir)
+    pref = docs.select(
+        "doc_id", F.substring("text", 1, 160).alias("pref")
+    )
+    da = pref.select(F.col("doc_id").alias("id_a"), F.col("pref").alias("ta"))
+    db = pref.select(F.col("doc_id").alias("id_b"), F.col("pref").alias("tb"))
+    dist = F.levenshtein("ta", "tb").cast("bigint")
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.alias("edit_dist"),
+            (dist * 4 <= F.greatest(F.length("ta"), F.length("tb")))
+            .cast("int")
+            .alias("verified_dup"),
+        )
+    )

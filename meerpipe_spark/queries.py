@@ -14757,3 +14757,78 @@ def lsh_candidate_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verified_dup"),
         )
     )
+
+
+@_register(
+    "bwt_runs",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id < 30),
+    sfx AS (
+        SELECT doc_id, u.pos AS pos, u.suf AS suf,
+               CASE WHEN u.pos = 0 THEN '^' ELSE ws[u.pos] END AS bw
+        FROM (
+            SELECT doc_id, ws, unnest(list_transform(range(0, len(ws)),
+                          i -> {'pos': i, 'suf': list_slice(ws, i + 1, len(ws))})) AS u
+            FROM d
+        )
+    ),
+    idxed AS (
+        SELECT bw,
+               row_number() OVER (ORDER BY suf, doc_id, pos) - 1 AS idx
+        FROM sfx
+    ),
+    flagged AS (
+        SELECT bw,
+               CASE WHEN lag(bw) OVER (ORDER BY idx) IS DISTINCT FROM bw
+                    THEN 1 ELSE 0 END AS run_start
+        FROM idxed
+    )
+    SELECT bw, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(sum(run_start) AS BIGINT) AS n_runs
+    FROM flagged GROUP BY bw
+    """,
+    doc="Burrows-Wheeler transform run statistics over the word-level "
+        "suffix array (Burrows & Wheeler 1994): the BWT column is the "
+        "word PRECEDING each suffix ('^' at document starts), read in "
+        "suffix order (suffix_rank, doc_id, pos). Repetitive corpora "
+        "cluster equal preceding words into long runs, so per-word "
+        "(n_occ, n_runs) is a direct compressibility / repetitiveness "
+        "profile (Σ n_runs / Σ n_occ is the run-length compression "
+        "ratio) — the dedup-signal companion to repeated_passages on "
+        "the same structure. Spark side: prefix-doubling suffix ranks "
+        "-> one range-exchange total index (ids.assign_dense_ranks; no "
+        "single-partition window) -> run starts via an idx-1 self "
+        "equi-join (bw != previous bw) -> one hash agg. The oracle "
+        "sorts suffix lists directly and uses lag(); all outputs are "
+        "integers, no rounding anywhere.",
+)
+def bwt_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.ids import assign_dense_ranks
+    from meerpipe_spark.operators.suffix import suffix_array_ranks
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 30)
+    sa = suffix_array_ranks(docs)
+    base = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    prev = base.select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), F.col("w").alias("bw")
+    )
+    bwt = sa.join(prev, ["doc_id", "pos"], "left").select(
+        "suffix_rank", "doc_id", "pos", F.coalesce("bw", F.lit("^")).alias("bw")
+    )
+    idxed = assign_dense_ranks(
+        bwt, ["suffix_rank", "doc_id", "pos"], "idx"
+    ).select("idx", "bw")
+    nb = idxed.select((F.col("idx") + 1).alias("idx"), F.col("bw").alias("bw_prev"))
+    j = idxed.join(nb, "idx", "left")
+    run_start = (
+        F.when(
+            F.col("bw_prev").isNull() | (F.col("bw_prev") != F.col("bw")), 1
+        ).otherwise(0)
+    )
+    return j.groupBy("bw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.sum(run_start).cast("bigint").alias("n_runs"),
+    )

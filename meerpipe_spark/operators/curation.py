@@ -752,3 +752,46 @@ def leakage_safe_split(
             F.when(h < F.lit(val_hex_lt), F.lit("val")).otherwise(F.lit("train")),
         )
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement by the one-pass reservoir
+    key of Efraimidis & Spirakis (2006): each row draws u ~ U(0,1) and
+    competes with key u^(1/w); the k largest keys are exactly a
+    weighted sample without replacement. One TakeOrdered over the
+    corpus — no sequential reservoir, no multi-pass quota loop, and
+    the same keys make the sample MERGEABLE (union two shards' top-k,
+    re-take top-k — used by every distributed reservoir).
+
+    Determinism contract (the house exactness rules): u is the dyadic
+    (md5_48(salt:id) + 0.5) / 2^48 — exact in both engines; the key is
+    rounded to the 6dp grid with ``id_col`` as tie-break, so libm pow
+    ulp differences cannot reorder the sample. Returns the k sampled
+    rows with their (rounded) keys.
+
+    At 100 TB: TakeOrderedAndProject keeps per-partition top-k heaps
+    and merges k rows per partition on the driver — no global sort, no
+    shuffle of the corpus.
+    """
+    m = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (m + F.lit(0.5)) / F.lit(float(2**48))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 6
+    )
+    return (
+        df.select(id_col, F.col(weight_col).cast("bigint").alias("w"), key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -14832,3 +14832,35 @@ def bwt_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_occ"),
         F.sum(run_start).cast("bigint").alias("n_runs"),
     )
+
+
+@_register(
+    "weighted_sample_wor",
+    """
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               round(pow((('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+                                          1, 12))::UBIGINT::DOUBLE + 0.5) / 281474976710656.0,
+                         1.0 / CAST(n_chars AS DOUBLE)), 6) AS es_key
+        FROM documents
+    )
+    SELECT doc_id, w, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+        "2006; operators/curation.py::weighted_sample_wor): key = "
+        "u^(1/w) with w = n_chars, the one-pass mergeable reservoir "
+        "every distributed weighted sampler uses — long documents are "
+        "proportionally more likely to be drawn, no sequential state, "
+        "top-k of the keys IS the sample. u is the dyadic "
+        "(md5_48 + 0.5)/2^48 (exact in both engines), the key rides "
+        "the 6dp grid with doc_id tie-break (libm pow ulps can't "
+        "reorder), and the plan is one TakeOrderedAndProject — "
+        "per-partition heaps, k rows per partition to the driver, no "
+        "global sort at any scale.",
+)
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.curation import weighted_sample_wor
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return weighted_sample_wor(docs, "n_chars", k=50)

@@ -177,3 +177,81 @@ def fit_rm(
         F.col("intercept").alias("pa0"),
         F.col("chi2r").alias("rm_chi2r"),
     )
+
+
+def huber_line_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+    delta: float,
+    iters: int = 3,
+) -> DataFrame:
+    """Robust line fit y ~ a + b*x by Huber IRLS (Huber 1964): fixed
+    ``iters`` unrolled iterations, the first ordinary least squares
+    (w = 1), each subsequent one reweighting with the Huber psi
+    w = min(1, delta/|r|) against the previous coefficients — outliers
+    beyond ``delta`` get down-weighted proportionally instead of
+    dominating the quadratic loss.
+
+    The ``logistic_irls`` discipline one model-family over: per
+    iteration ONE sufficient-statistic hash aggregation (5 weighted
+    sums + count per group, map-side partials — constant bytes per
+    group per shuffle at any corpus size) and a closed-form 2x2 solve
+    in the projection; coefficient frames chain through broadcast
+    joins, never the driver. The weight guard is branch-exact
+    (CASE WHEN |r| <= delta THEN 1 ELSE delta/|r|), so ANSI mode never
+    sees a zero divisor and the oracle shares the expression tree
+    op-for-op.
+
+    Returns per group: n, slope_ols/intercept_ols (iteration 1) and
+    slope/intercept (final), plus n_downweighted and mean_w diagnosed
+    against the FINAL coefficients.
+    """
+    gb = list(group_cols)
+    pts = df.select(*gb, x.alias("x"), y.alias("y"))
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    pts = persist_tracked(pts)  # consumed once per iteration + diagnostics
+
+    def solve(stats: DataFrame) -> DataFrame:
+        d = F.col("s") * F.col("sxx") - F.col("sx") * F.col("sx")
+        b = (F.col("s") * F.col("sxy") - F.col("sx") * F.col("sy")) / d
+        a = (F.col("sxx") * F.col("sy") - F.col("sx") * F.col("sxy")) / d
+        return stats.select(*gb, "n", b.alias("b"), a.alias("a"))
+
+    def sums(z: DataFrame) -> DataFrame:
+        return z.groupBy(*gb).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("w").alias("s"),
+            F.sum(F.col("w") * F.col("x")).alias("sx"),
+            F.sum(F.col("w") * F.col("y")).alias("sy"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("w") * F.col("x") * F.col("y")).alias("sxy"),
+        )
+
+    beta = solve(sums(pts.select(*gb, "x", "y", F.lit(1.0).alias("w"))))
+    ols = beta
+    r_abs = F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+    w_col = F.when(r_abs <= F.lit(delta), F.lit(1.0)).otherwise(
+        F.lit(delta) / r_abs
+    )
+    for _ in range(iters - 1):
+        joined = pts.join(F.broadcast(beta), gb)
+        beta = solve(sums(joined.select(*gb, "x", "y", w_col.alias("w"))))
+    diag = (
+        pts.join(F.broadcast(beta), gb)
+        .select(*gb, w_col.alias("w"))
+        .groupBy(*gb)
+        .agg(
+            F.sum(F.when(F.col("w") < 1.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_downweighted"),
+            F.avg("w").alias("mean_w"),
+        )
+    )
+    return (
+        ols.select(*gb, F.col("b").alias("b_ols"), F.col("a").alias("a_ols"))
+        .join(beta, gb)
+        .join(diag, gb)
+    )

@@ -14864,3 +14864,92 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return weighted_sample_wor(docs, "n_chars", k=50)
+
+
+def _huber_oracle_sql(delta: float = 500.0, iters: int = 3) -> str:
+    d = f"CAST({int(delta)} AS DOUBLE)"
+    one = "CAST(1 AS DOUBLE)"
+    solve = (
+        "(s*sxy - sx*sy)/(s*sxx - sx*sx) AS b, "
+        "(sxx*sy - sx*sxy)/(s*sxx - sx*sx) AS a"
+    )
+    sums = (
+        "count(*)::BIGINT AS n, sum(w) AS s, sum(w*x) AS sx, "
+        "sum(w*y) AS sy, sum(w*x*x) AS sxx, sum(w*x*y) AS sxy"
+    )
+    wexpr = (
+        f"CASE WHEN abs(y - (a + b*x)) <= {d} THEN {one} "
+        f"ELSE {d} / abs(y - (a + b*x)) END"
+    )
+    sql = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x,
+             l_extendedprice AS y
+      FROM lineitem
+    ),
+    s1 AS (SELECT g, {sums}
+           FROM (SELECT g, x, y, {one} AS w FROM pts) GROUP BY g),
+    p1 AS (SELECT g, n, {solve} FROM s1)"""
+    for i in range(2, iters + 1):
+        sql += f""",
+    z{i} AS (SELECT t.g, x, y, {wexpr} AS w
+             FROM pts t JOIN p{i - 1} USING (g)),
+    s{i} AS (SELECT g, {sums} FROM z{i} GROUP BY g),
+    p{i} AS (SELECT g, n, {solve} FROM s{i})"""
+    sql += f""",
+    diag AS (
+      SELECT g,
+             CAST(sum(CASE WHEN w < {one} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_downweighted,
+             avg(w) AS mean_w
+      FROM (SELECT t.g, {wexpr} AS w FROM pts t JOIN p{iters} USING (g))
+      GROUP BY g
+    )
+    SELECT p1.g AS l_returnflag, p1.n,
+           round(p1.b, 6) AS b_ols, round(p1.a, 6) AS a_ols,
+           round(p.b, 6) AS b, round(p.a, 6) AS a,
+           dg.n_downweighted, round(dg.mean_w, 6) AS mean_w
+    FROM p1 JOIN p{iters} p USING (g) JOIN diag dg USING (g)
+    """
+    return sql
+
+
+@_register(
+    "huber_robust_fit",
+    _huber_oracle_sql(delta=500.0, iters=3),
+    doc="Robust line fit by Huber IRLS (Huber 1964; operators/"
+        "wlsfit.py::huber_line_fit) — price ~ a + b*quantity per "
+        "return flag, 3 fixed iterations (OLS warm start + 2 Huber "
+        "reweights with delta=500): the GLM-training family's third "
+        "member (WLS -> logistic -> robust). Each iteration is ONE "
+        "5-sum sufficient-statistic aggregation (constant bytes per "
+        "group per shuffle) + a closed-form 2x2 solve; coefficients "
+        "chain through broadcast joins. OLS and Huber coefficients "
+        "ship side by side (the outlier sensitivity A/B), plus "
+        "n_downweighted and mean weight under the final fit. The "
+        "weight guard is branch-exact so ANSI mode never divides by "
+        "zero and the unrolled-CTE oracle shares every expression "
+        "tree.",
+)
+def huber_robust_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.wlsfit import huber_line_fit
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    fit = huber_line_fit(
+        li,
+        ["l_returnflag"],
+        F.col("l_quantity").cast("double"),
+        F.col("l_extendedprice"),
+        delta=500.0,
+        iters=3,
+    )
+    return fit.select(
+        "l_returnflag",
+        "n",
+        F.round("b_ols", 6).alias("b_ols"),
+        F.round("a_ols", 6).alias("a_ols"),
+        F.round("b", 6).alias("b"),
+        F.round("a", 6).alias("a"),
+        "n_downweighted",
+        F.round("mean_w", 6).alias("mean_w"),
+    )

@@ -14953,3 +14953,50 @@ def huber_robust_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_downweighted",
         F.round("mean_w", 6).alias("mean_w"),
     )
+
+
+@_register(
+    "pareto_skyline_parts",
+    """
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    doc="Pareto skyline (Borzsony/Kossmann/Stocker 2001): the parts no "
+        "other part dominates on (cheaper-or-equal price, larger-or-"
+        "equal size, strict somewhere) — the multi-objective shortlist "
+        "operator. The oracle is the O(n^2) NOT-EXISTS dominance scan; "
+        "the Spark plan is the 2D skyline REDUCTION: one map-side-"
+        "combined groupBy p_size -> min(price) (vocabulary-sized "
+        "frame), a broadcast theta self-join computing each size's "
+        "best price among STRICTLY LARGER sizes (the suffix min), "
+        "survivors = sizes whose min undercuts it, then one broadcast "
+        "semi-join back to the fact rows on (size, exact min price) — "
+        "never an all-pairs comparison over the corpus, and ties "
+        "(same size, same min price) all survive, matching dominance "
+        "semantics exactly. A cross-PARADIGM check on top of the "
+        "cross-engine one. No arithmetic -> raw column values hash "
+        "exactly.",
+)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir)["part"]
+    g = part.groupBy("p_size").agg(F.min("p_retailprice").alias("mp"))
+    g2 = g.select(F.col("p_size").alias("s2"), F.col("mp").alias("mp2"))
+    better = (
+        g.join(F.broadcast(g2), F.col("s2") > F.col("p_size"), "left")
+        .groupBy("p_size", "mp")
+        .agg(F.min("mp2").alias("best_larger"))
+    )
+    surv = better.filter(
+        F.col("best_larger").isNull() | (F.col("mp") < F.col("best_larger"))
+    ).select(F.col("p_size").alias("sk_size"), F.col("mp").alias("sk_price"))
+    return part.join(
+        F.broadcast(surv),
+        (F.col("p_size") == F.col("sk_size"))
+        & (F.col("p_retailprice") == F.col("sk_price")),
+        "left_semi",
+    ).select("p_partkey", "p_size", "p_retailprice")

@@ -255,3 +255,80 @@ def huber_line_fit(
         .join(beta, gb)
         .join(diag, gb)
     )
+
+
+def kfold_ols_cv(
+    df: DataFrame,
+    fold: Column,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """k-fold cross-validated OLS in ONE pass over the data: per-fold
+    sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) plus the same
+    sums over the whole table; fold f's TRAINING sums are then just
+    total − fold (sufficient statistics are additive), the coefficient
+    solve is closed-form, and fold f's VALIDATION SSE expands from its
+    own sums:
+
+        SSE_f = Σyy − 2a·Σy − 2b·Σxy + 2ab·Σx + a²·n + b²·Σxx
+
+    so k models AND their held-out errors cost exactly two aggregation
+    jobs over the corpus (fold-grouped + total) and a k-row solve — no
+    per-fold re-scan, no driver loop over folds. The leave-one-out
+    trick every distributed CV harness should use.
+
+    Returns per fold: n_train, b, a, val_rmse (unrounded — callers
+    round per the house conventions).
+    """
+    pts = df.select(fold.alias("fold"), x.alias("x"), y.alias("y"))
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    pts = persist_tracked(pts)  # two aggregation consumers
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("s"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ]
+    fs = pts.groupBy("fold").agg(*aggs)
+    tot = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("ts"),
+        F.sum("x").alias("tsx"),
+        F.sum("y").alias("tsy"),
+        F.sum(F.col("x") * F.col("x")).alias("tsxx"),
+        F.sum(F.col("x") * F.col("y")).alias("tsxy"),
+        F.sum(F.col("y") * F.col("y")).alias("tsyy"),
+    )
+    j = fs.crossJoin(F.broadcast(tot))
+    s = F.col("ts") - F.col("s")
+    sx = F.col("tsx") - F.col("sx")
+    sy = F.col("tsy") - F.col("sy")
+    sxx = F.col("tsxx") - F.col("sxx")
+    sxy = F.col("tsxy") - F.col("sxy")
+    d = s * sxx - sx * sx
+    b = (s * sxy - sx * sy) / d
+    a = (sxx * sy - sx * sxy) / d
+    solved = j.select(
+        "fold",
+        s.cast("bigint").alias("n_train"),
+        b.alias("b"),
+        a.alias("a"),
+        "s", "sx", "sy", "sxx", "sxy", "syy",
+    )
+    sse = (
+        F.col("syy")
+        - 2.0 * F.col("a") * F.col("sy")
+        - 2.0 * F.col("b") * F.col("sxy")
+        + 2.0 * F.col("a") * F.col("b") * F.col("sx")
+        + F.col("a") * F.col("a") * F.col("s")
+        + F.col("b") * F.col("b") * F.col("sxx")
+    )
+    return solved.select(
+        "fold",
+        "n_train",
+        "b",
+        "a",
+        F.sqrt(sse / F.col("s")).alias("val_rmse"),
+    )

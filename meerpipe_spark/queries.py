@@ -15000,3 +15000,114 @@ def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_retailprice") == F.col("sk_price")),
         "left_semi",
     ).select("p_partkey", "p_size", "p_retailprice")
+
+
+@_register(
+    "kfold_cv_regression",
+    """
+    WITH pts AS MATERIALIZED (
+      SELECT l_orderkey % 5 AS fold, CAST(l_quantity AS DOUBLE) AS x,
+             l_extendedprice AS y
+      FROM lineitem
+    ),
+    fs AS (
+      SELECT fold, CAST(count(*) AS DOUBLE) AS s, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM pts GROUP BY fold
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS ts, sum(x) AS tsx, sum(y) AS tsy,
+             sum(x * x) AS tsxx, sum(x * y) AS tsxy, sum(y * y) AS tsyy
+      FROM pts
+    ),
+    solved AS (
+      SELECT fold,
+             CAST(ts - s AS BIGINT) AS n_train,
+             ((ts - s) * (tsxy - sxy) - (tsx - sx) * (tsy - sy))
+               / ((ts - s) * (tsxx - sxx) - (tsx - sx) * (tsx - sx)) AS b,
+             ((tsxx - sxx) * (tsy - sy) - (tsx - sx) * (tsxy - sxy))
+               / ((ts - s) * (tsxx - sxx) - (tsx - sx) * (tsx - sx)) AS a,
+             s, sx, sy, sxx, sxy, syy
+      FROM fs CROSS JOIN tot
+    )
+    SELECT fold, n_train, round(b, 6) AS b, round(a, 6) AS a,
+           round(sqrt((syy - 2.0 * a * sy - 2.0 * b * sxy + 2.0 * a * b * sx
+                       + a * a * s + b * b * sxx) / s), 4) AS val_rmse
+    FROM solved
+    """,
+    doc="k-fold cross-validated OLS in ONE corpus pass (operators/"
+        "wlsfit.py::kfold_ols_cv): per-fold sufficient statistics + "
+        "the total sums; fold f trains on total MINUS fold (sufficient "
+        "stats are additive), solves closed-form, and its held-out SSE "
+        "expands from the fold's OWN sums — 5 models and 5 validation "
+        "RMSEs from two aggregation jobs and a 5-row projection. No "
+        "per-fold re-scan, no driver loop: the shape that makes "
+        "cross-validation free at 100 TB. Both engines share the "
+        "subtract-and-solve expression trees; coefficients round at "
+        "6dp, RMSE at 4dp (large-sum convention).",
+)
+def kfold_cv_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.wlsfit import kfold_ols_cv
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cv = kfold_ols_cv(
+        li,
+        F.col("l_orderkey") % 5,
+        F.col("l_quantity").cast("double"),
+        F.col("l_extendedprice"),
+    )
+    return cv.select(
+        "fold",
+        "n_train",
+        F.round("b", 6).alias("b"),
+        F.round("a", 6).alias("a"),
+        F.round("val_rmse", 4).alias("val_rmse"),
+    )
+
+
+@_register(
+    "target_encoding_loo",
+    """
+    WITH g AS (
+      SELECT l_suppkey, sum(l_extendedprice) AS sy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           l.l_suppkey,
+           round((g.sy - l.l_extendedprice)
+                 / CAST(g.n - 1 AS DOUBLE), 6) AS te_loo
+    FROM lineitem l JOIN g USING (l_suppkey)
+    WHERE g.n > 1
+    """,
+    doc="Leave-one-out target encoding — the classic high-cardinality "
+        "categorical feature for gradient-boosted / linear models, "
+        "computed WITHOUT leakage: each row's encoding is the mean "
+        "target of its group EXCLUDING ITSELF, via the total-minus-"
+        "self identity (sum_g - y_i)/(n_g - 1). One map-side-combined "
+        "group aggregate + one hash join back — never a per-row "
+        "exclusion scan; singleton groups are dropped (undefined LOO). "
+        "The same additive-sufficient-statistic trick as "
+        "kfold_cv_regression, at row grain; full 60k-row encoding "
+        "hash-checked at 6dp.",
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    g = li.groupBy("l_suppkey").agg(
+        F.sum("l_extendedprice").alias("sy"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        li.join(g, "l_suppkey")
+        .filter(F.col("n") > 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            F.round(
+                (F.col("sy") - F.col("l_extendedprice"))
+                / (F.col("n") - 1).cast("double"),
+                6,
+            ).alias("te_loo"),
+        )
+    )

@@ -15111,3 +15111,81 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te_loo"),
         )
     )
+
+
+@_register(
+    "isotonic_calibration_bins",
+    """
+    WITH scored AS (
+      SELECT (doc_id * 48271) % 1000 AS k1,
+             CASE WHEN ((doc_id * 16807) % 1000) * 5
+                       < 500 + ((doc_id * 48271) % 1000) * 4
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    bins AS (
+      SELECT CAST(floor(k1 / 50.0) AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    ivl AS (
+      SELECT j.bin AS j, k.bin AS k,
+             CAST(sum(x.pos) AS BIGINT) AS s, CAST(sum(x.n) AS BIGINT) AS w
+      FROM bins j JOIN bins k ON k.bin >= j.bin
+      JOIN bins x ON x.bin >= j.bin AND x.bin <= k.bin
+      GROUP BY j.bin, k.bin
+    ),
+    inner_min AS (
+      SELECT i.bin AS bin, v.j,
+             min(CAST(v.s AS DOUBLE) / CAST(v.w AS DOUBLE)) AS mn
+      FROM bins i JOIN ivl v ON v.j <= i.bin AND v.k >= i.bin
+      GROUP BY i.bin, v.j
+    ),
+    iso AS (SELECT bin, max(mn) AS iso_rate FROM inner_min GROUP BY bin)
+    SELECT b.bin, b.n,
+           CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+           i.iso_rate
+    FROM bins b JOIN iso i USING (bin)
+    """,
+    doc="Isotonic calibration by the exact MINIMAX closed form "
+        "(operators/logreg.py::isotonic_fit_bins; Robertson-Wright-"
+        "Dykstra 1988): iso(i) = max_{j<=i} min_{k>=i} mean(j..k) — "
+        "the pool-adjacent-violators solution WITHOUT the sequential "
+        "pooling loop, so the monotone recalibration every production "
+        "classifier gate runs (Platt's rival) distributes as three "
+        "tiny joins over the 20-row bin frame; the only corpus-sized "
+        "work is the binning aggregate. Scores/labels are a "
+        "deterministic noisy-monotone integer construction; interval "
+        "sums stay exact bigints with ONE division per interval, so "
+        "raw AND isotonic curves hash-match with NO rounding grid "
+        "anywhere. Non-monotone raw bins exist by construction (the "
+        "fit has real violators to pool).",
+)
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.logreg import isotonic_fit_bins
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    k1 = (F.col("doc_id") * 48271) % 1000
+    k2 = (F.col("doc_id") * 16807) % 1000
+    y = F.when(k2 * 5 < 500 + k1 * 4, 1).otherwise(0)
+    bins = (
+        docs.select(
+            F.floor(k1 / F.lit(50.0)).cast("int").alias("bin"), y.alias("y")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    bins = persist_tracked(bins)  # feeds the fit joins + the final select
+    iso = isotonic_fit_bins(bins, "bin", "n", "pos")
+    return bins.join(iso, "bin").select(
+        "bin",
+        "n",
+        (F.col("pos").cast("double") / F.col("n").cast("double")).alias("raw_rate"),
+        "iso_rate",
+    )

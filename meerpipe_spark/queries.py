@@ -15189,3 +15189,128 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos").cast("double") / F.col("n").cast("double")).alias("raw_rate"),
         "iso_rate",
     )
+
+
+@_register(
+    "conformal_interval_coverage",
+    """
+    WITH split AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS y,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS x,
+             substr(md5('conf:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+               AS is_calib
+      FROM documents
+    ),
+    fit AS (
+      SELECT round((CAST(count(*) AS DOUBLE) * sum(x * y) - sum(x) * sum(y))
+                   / (CAST(count(*) AS DOUBLE) * sum(x * x) - sum(x) * sum(x)),
+                   6) AS b,
+             round((sum(x * x) * sum(y) - sum(x) * sum(x * y))
+                   / (CAST(count(*) AS DOUBLE) * sum(x * x) - sum(x) * sum(x)),
+                   6) AS a
+      FROM split WHERE is_calib
+    ),
+    scored AS (
+      SELECT s.doc_id, s.is_calib,
+             round(abs(s.y - (f.a + f.b * s.x)), 4) AS sc
+      FROM split s CROSS JOIN fit f
+    ),
+    calib AS (
+      SELECT sc, row_number() OVER (ORDER BY sc, doc_id) - 1 AS rk
+      FROM scored WHERE is_calib
+    ),
+    kq AS (
+      SELECT CAST(ceil(0.9 * (count(*) + 1)) AS BIGINT) - 1 AS k,
+             CAST(count(*) AS BIGINT) AS n_calib
+      FROM calib
+    ),
+    thr AS (
+      SELECT c.sc AS q_hat, kq.n_calib FROM calib c JOIN kq ON c.rk = kq.k
+    )
+    SELECT t.n_calib, t.q_hat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(avg(CASE WHEN s.sc <= t.q_hat THEN 1.0 ELSE 0.0 END), 6)
+               AS coverage
+    FROM scored s CROSS JOIN thr t
+    WHERE NOT s.is_calib
+    GROUP BY t.n_calib, t.q_hat
+    """,
+    doc="Split conformal prediction (Vovk et al.; the "
+        "distribution-free uncertainty wrapper production models "
+        "ship with): hash-split calib/test, fit the point model on "
+        "calib (one-agg OLS of n_chars on word count, coefficients "
+        "PINNED to the 6dp grid so every downstream double is "
+        "engine-identical), nonconformity = |residual| on the 4dp "
+        "grid, q_hat = the exact ceil(0.9(n+1))-th order statistic "
+        "of calib scores — computed WITHOUT a single-partition sort "
+        "via the range-exchange dense-id pattern (ids.assign_dense_"
+        "ids) — and empirical test coverage of the resulting "
+        "interval (must land near 0.9 by the conformal guarantee; "
+        "the value itself is hash-checked). The order statistic, "
+        "not percentile interpolation: cross-engine quantile "
+        "conventions never enter.",
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.cacheutil import persist_tracked
+    from meerpipe_spark.operators.ids import assign_dense_ids
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    split = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("y"),
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("x"),
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("conf:"), F.col("doc_id").cast("string"))), 1, 1
+            )
+            < F.lit("8")
+        ).alias("is_calib"),
+    )
+    split = persist_tracked(split)  # calib fit + scoring consumers
+    c = split.filter("is_calib")
+    n = F.count(F.lit(1)).cast("double")
+    fit = c.agg(
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("b"),
+        F.round(
+            (
+                F.sum(F.col("x") * F.col("x")) * F.sum("y")
+                - F.sum("x") * F.sum(F.col("x") * F.col("y"))
+            )
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("a"),
+    )
+    scored = split.crossJoin(F.broadcast(fit)).select(
+        "doc_id",
+        "is_calib",
+        F.round(F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))), 4).alias(
+            "sc"
+        ),
+    )
+    scored = persist_tracked(scored)  # rank + threshold + coverage consumers
+    calib = assign_dense_ids(
+        scored.filter("is_calib").select("sc", "doc_id"), ["sc", "doc_id"], "rk"
+    )
+    kq = calib.agg(
+        (F.ceil(F.lit(0.9) * (F.count(F.lit(1)) + 1)).cast("bigint") - 1).alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_calib"),
+    )
+    thr = calib.join(
+        F.broadcast(kq), F.col("rk") == F.col("k")
+    ).select(F.col("sc").alias("q_hat"), "n_calib")
+    return (
+        scored.filter(~F.col("is_calib"))
+        .crossJoin(F.broadcast(thr))
+        .groupBy("n_calib", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(
+                F.avg(F.when(F.col("sc") <= F.col("q_hat"), 1.0).otherwise(0.0)), 6
+            ).alias("coverage"),
+        )
+        .select("n_calib", "q_hat", "n_test", "coverage")
+    )

@@ -15314,3 +15314,144 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_calib", "q_hat", "n_test", "coverage")
     )
+
+
+@_register(
+    "segmented_regression_breakpoint",
+    """
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT x,
+             sum(1) OVER w AS cn, sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy,
+             sum(y * y) OVER w AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS tn, sum(x) AS tsx, sum(y) AS tsy,
+             sum(x * x) AS tsxx, sum(x * y) AS tsxy, sum(y * y) AS tsyy
+      FROM daily
+    ),
+    cand AS (
+      SELECT p.x AS brk, p.cn AS n_left, t.tn - p.cn AS n_right,
+             CAST(p.cn * p.sxy - p.sx * p.sy AS DOUBLE)
+               / CAST(p.cn * p.sxx - p.sx * p.sx AS DOUBLE) AS b_left,
+             CAST((t.tn - p.cn) * (t.tsxy - p.sxy)
+                  - (t.tsx - p.sx) * (t.tsy - p.sy) AS DOUBLE)
+               / CAST((t.tn - p.cn) * (t.tsxx - p.sxx)
+                      - (t.tsx - p.sx) * (t.tsx - p.sx) AS DOUBLE) AS b_right,
+             (CAST(p.syy AS DOUBLE) - CAST(p.sy * p.sy AS DOUBLE) / p.cn
+              - CAST(p.cn * p.sxy - p.sx * p.sy AS DOUBLE)
+                * CAST(p.cn * p.sxy - p.sx * p.sy AS DOUBLE)
+                / (CAST(p.cn AS DOUBLE)
+                   * CAST(p.cn * p.sxx - p.sx * p.sx AS DOUBLE)))
+             + (CAST(t.tsyy - p.syy AS DOUBLE)
+                - CAST((t.tsy - p.sy) * (t.tsy - p.sy) AS DOUBLE) / (t.tn - p.cn)
+                - CAST((t.tn - p.cn) * (t.tsxy - p.sxy)
+                       - (t.tsx - p.sx) * (t.tsy - p.sy) AS DOUBLE)
+                  * CAST((t.tn - p.cn) * (t.tsxy - p.sxy)
+                         - (t.tsx - p.sx) * (t.tsy - p.sy) AS DOUBLE)
+                  / (CAST(t.tn - p.cn AS DOUBLE)
+                     * CAST((t.tn - p.cn) * (t.tsxx - p.sxx)
+                            - (t.tsx - p.sx) * (t.tsx - p.sx) AS DOUBLE))) AS sse
+      FROM pre p CROSS JOIN tot t
+      WHERE p.cn >= 5 AND t.tn - p.cn >= 5
+    )
+    SELECT brk, n_left, n_right, round(b_left, 6) AS b_left,
+           round(b_right, 6) AS b_right, round(sse, 4) AS sse
+    FROM cand ORDER BY sse, brk LIMIT 1
+    """,
+    doc="Two-segment piecewise-linear breakpoint detection over the "
+        "daily order-count series: for every candidate split day, the "
+        "left/right OLS fits and their summed SSE come from PREFIX "
+        "sufficient statistics (one running window over the day frame) "
+        "plus the total-minus-prefix identity — O(days) closed forms, "
+        "no per-candidate re-scan, the change-point companion to "
+        "cusum_change_point that also reports the regime slopes. "
+        "EVERY sufficient statistic is an exact bigint (the series is "
+        "a count), so both engines derive identical doubles from "
+        "identical integers regardless of window implementation "
+        "(Spark's running frame vs DuckDB's segment tree — summation "
+        "order is moot on integers); the argmin is a total (sse, brk) "
+        "order. The day frame is date-vocabulary-sized — the window "
+        "never sees fact rows.",
+)
+def segmented_regression_breakpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir)["orders"]
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = daily.select(
+        "x",
+        F.sum(F.lit(1)).over(w).alias("cn"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("tn"),
+        F.sum("x").alias("tsx"),
+        F.sum("y").alias("tsy"),
+        F.sum(F.col("x") * F.col("x")).alias("tsxx"),
+        F.sum(F.col("x") * F.col("y")).alias("tsxy"),
+        F.sum(F.col("y") * F.col("y")).alias("tsyy"),
+    )
+
+    def seg_sse(n, sx, sy, sxx, sxy, syy):
+        num = n * sxy - sx * sy
+        d = n * sxx - sx * sx
+        return (
+            syy.cast("double")
+            - (sy * sy).cast("double") / n
+            - num.cast("double") * num.cast("double")
+            / (n.cast("double") * d.cast("double"))
+        )
+
+    def seg_slope(n, sx, sy, sxx, sxy):
+        return (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast(
+            "double"
+        )
+
+    cn, sx, sy = F.col("cn"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    rn = F.col("tn") - cn
+    rsx, rsy = F.col("tsx") - sx, F.col("tsy") - sy
+    rsxx, rsxy = F.col("tsxx") - sxx, F.col("tsxy") - sxy
+    rsyy = F.col("tsyy") - syy
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter((cn >= 5) & (rn >= 5))
+        .select(
+            F.col("x").alias("brk"),
+            cn.alias("n_left"),
+            rn.alias("n_right"),
+            seg_slope(cn, sx, sy, sxx, sxy).alias("b_left"),
+            seg_slope(rn, rsx, rsy, rsxx, rsxy).alias("b_right"),
+            (
+                seg_sse(cn, sx, sy, sxx, sxy, syy)
+                + seg_sse(rn, rsx, rsy, rsxx, rsxy, rsyy)
+            ).alias("sse"),
+        )
+    )
+    return (
+        cand.orderBy("sse", "brk")
+        .limit(1)
+        .select(
+            "brk",
+            "n_left",
+            "n_right",
+            F.round("b_left", 6).alias("b_left"),
+            F.round("b_right", 6).alias("b_right"),
+            F.round("sse", 4).alias("sse"),
+        )
+    )

@@ -15455,3 +15455,178 @@ def segmented_regression_breakpoint(spark: SparkSession, sf_dir: str) -> DataFra
             F.round("sse", 4).alias("sse"),
         )
     )
+
+
+@_register(
+    "auc_rank_sum",
+    """
+    WITH scored AS (
+      SELECT (doc_id * 48271) % 1000 AS s,
+             CASE WHEN ((doc_id * 16807) % 1000) * 5
+                       < 500 + ((doc_id * 48271) % 1000) * 4
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    grp AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY s
+    ),
+    ranked AS (
+      SELECT s, cnt, pos,
+             coalesce(sum(cnt) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM grp
+    ),
+    agg AS (
+      SELECT sum(CAST(pos AS DOUBLE) * (below + (cnt + 1) / 2.0)) AS u1,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(cnt - pos) AS BIGINT) AS n_neg
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           (u1 - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+    FROM agg
+    """,
+    doc="Exact ROC AUC by the tie-aware Mann-Whitney rank sum: group "
+        "rows by score (vocabulary-sized frame), cumulative count "
+        "below each tie group, average rank = below + (cnt+1)/2, "
+        "U1 = sum(pos * avg_rank), AUC = (U1 - n1(n1+1)/2)/(n1*n0). "
+        "Scores/labels are the same deterministic noisy-monotone "
+        "construction as the calibration lanes — AUC completes the "
+        "classifier-evaluation family (accuracy/log-loss -> "
+        "reliability bins -> isotonic -> AUC). Every intermediate is "
+        "an exact integer or an exact multiple of 0.5 below 2^53, so "
+        "the sum is order-independent and the single final division "
+        "is engine-identical — NO rounding grid anywhere. The corpus-"
+        "sized work is one map-side-combined aggregate; ranks never "
+        "touch fact rows (the window runs over distinct scores).",
+)
+def auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    k1 = (F.col("doc_id") * 48271) % 1000
+    k2 = (F.col("doc_id") * 16807) % 1000
+    y = F.when(k2 * 5 < 500 + k1 * 4, 1).otherwise(0)
+    grp = (
+        docs.select(k1.alias("s"), y.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    ranked = grp.select(
+        "s",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("pos").cast("double") * (F.col("below") + (F.col("cnt") + 1) / 2.0)
+        ).alias("u1"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        ((F.col("u1") - np_ * (np_ + 1.0) / 2.0) / (np_ * nn)).alias("auc"),
+    )
+
+
+@_register(
+    "kaplan_meier_survival",
+    """
+    WITH users AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS dur,
+             CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END AS died
+      FROM events GROUP BY user_id
+    ),
+    tg AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS n_here,
+             CAST(sum(died) AS BIGINT) AS d
+      FROM users GROUP BY dur
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM users),
+    risk AS (
+      SELECT dur, d,
+             n_total - coalesce(sum(n_here) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM tg CROSS JOIN tot
+    ),
+    ev AS (
+      SELECT dur, d, n_risk,
+             CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                        * 1e9 + 0.5) AS BIGINT) AS term_i
+      FROM risk WHERE d > 0 AND n_risk > d
+    )
+    SELECT dur, n_risk, d,
+           round(exp(CAST(sum(term_i) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / 1e9), 6) AS survival
+    FROM ev
+    """,
+    doc="Kaplan-Meier survival estimator (Kaplan & Meier 1958) over "
+        "per-user activity lifetimes (events until churn) with "
+        "deterministic censoring "
+        "(user_id % 4 = 0 censored): S(t) = prod over event times "
+        "t' <= t of (n_risk - d)/n_risk — the retention/churn curve "
+        "operator, with the number-at-risk derived by total-minus-"
+        "cumulative. The ordered cumulative PRODUCT rides the integer-"
+        "log trick (source_token_kl's exactness tool): each factor's "
+        "ln is scaled to a 1e9 integer, the running sum is an exact "
+        "bigint window (order/implementation-independent), and only "
+        "the final exp/round touches floats — so the whole curve "
+        "hash-matches. Corpus-sized work: one groupBy user. The "
+        "windows run over the duration-vocabulary frame. Times where "
+        "everyone at risk dies (S -> 0, ln undefined) are excluded by "
+        "the n_risk > d guard, documented KM edge handling.",
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dur"),
+    ).select(
+        "user_id",
+        "dur",
+        F.when(F.col("user_id") % 4 != 0, 1).otherwise(0).alias("died"),
+    )
+    tg = users.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_here"),
+        F.sum("died").cast("bigint").alias("d"),
+    )
+    tot = users.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    wb = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    risk = tg.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_here").over(wb), F.lit(0))
+        ).alias("n_risk"),
+    )
+    term = F.floor(
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        )
+        * 1e9
+        + 0.5
+    ).cast("bigint")
+    evt = risk.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d"))).select(
+        "dur", "n_risk", "d", term.alias("term_i")
+    )
+    wc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return evt.select(
+        "dur",
+        "n_risk",
+        "d",
+        F.round(
+            F.exp(F.sum("term_i").over(wc).cast("double") / F.lit(1e9)), 6
+        ).alias("survival"),
+    )

@@ -15630,3 +15630,38 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.sum("term_i").over(wc).cast("double") / F.lit(1e9)), 6
         ).alias("survival"),
     )
+
+
+@_register(
+    "lateral_topk_per_group",
+    """
+    SELECT n.n_name, s.s_name, s.s_acctbal
+    FROM nation n,
+    LATERAL (SELECT s_name, s_acctbal FROM supplier
+             WHERE s_nationkey = n.n_nationkey
+             ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+    """,
+    doc="Correlated LATERAL subquery surface (SQL:1999 / Spark 4 "
+        "lateral join): top-2 suppliers per nation expressed as the "
+        "per-row derived table, the form ORMs and migration SQL "
+        "emit. Catalyst decorrelates it (DecorrelateInnerQuery) into "
+        "the same ranked-window/limit plan the explicit "
+        "top_suppliers_with_ties lane builds by hand — this lane pins "
+        "that the DECLARATIVE spelling stays available and correct, "
+        "with a total (acctbal DESC, name) order making LIMIT "
+        "deterministic. DuckDB runs the identical text. No arithmetic "
+        "-> raw values hash exactly.",
+)
+def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, s.s_name, s.s_acctbal
+        FROM nation n,
+        LATERAL (SELECT s_name, s_acctbal FROM supplier
+                 WHERE s_nationkey = n.n_nationkey
+                 ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+        """
+    )

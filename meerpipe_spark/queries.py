@@ -15665,3 +15665,108 @@ def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY s_acctbal DESC, s_name LIMIT 2) s
         """
     )
+
+
+@_register(
+    "cooccurrence_pmi",
+    """
+    WITH toks AS (
+      SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+                      i -> {'pos': i, 'w': ws[i + 1]})) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE doc_id < 200)
+      )
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.w < b.w THEN a.w ELSE b.w END AS w1,
+             CASE WHEN a.w < b.w THEN b.w ELSE a.w END AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+    ),
+    pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+      FROM pairs GROUP BY w1, w2
+    ),
+    m1 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM (
+        SELECT w1 AS w FROM pairs UNION ALL SELECT w2 AS w FROM pairs
+      ) GROUP BY w
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pairs)
+    SELECT p.w1, p.w2, p.n_xy,
+           CAST(floor(ln(CAST(p.n_xy AS DOUBLE) * 2.0 * CAST(t.n AS DOUBLE)
+                         / (CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE)))
+                      * 1e9 + 0.5) AS BIGINT) AS pmi_nano
+    FROM pc p
+    JOIN m1 a ON a.w = p.w1 JOIN m1 b ON b.w = p.w2
+    CROSS JOIN tot t
+    WHERE p.n_xy >= 5
+    """,
+    doc="Word co-occurrence PMI over a +/-2 token window (Church & "
+        "Hanks 1990) — the collocation / association score behind "
+        "count-based embeddings and phrase mining: pairs via two "
+        "position-shifted self equi-joins on (doc, pos) (never a "
+        "window over the corpus), unordered (w1<w2), marginals from "
+        "the pair slots themselves so PMI = ln(n_xy * 2N / "
+        "(n_x * n_y)) is a ratio of EXACT INTEGERS — one libm ln on "
+        "identical doubles, scaled to the 1e9 integer grid "
+        "(source_token_kl's trick), min support 5. Shuffle story: "
+        "pair counting is one map-side-combined hash agg keyed by the "
+        "pair; marginals one more; the PMI join is pair-vocabulary-"
+        "sized.",
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    toks = persist_tracked(toks)
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("wa"))
+    canon = [
+        F.when(F.col("wa") < F.col("wb"), F.col("wa"))
+        .otherwise(F.col("wb"))
+        .alias("w1"),
+        F.when(F.col("wa") < F.col("wb"), F.col("wb"))
+        .otherwise(F.col("wa"))
+        .alias("w2"),
+    ]
+    pairs = None
+    for d in (1, 2):
+        b = toks.select(
+            "doc_id", (F.col("pos") - d).alias("pa"), F.col("w").alias("wb")
+        )
+        shifted = a.join(b, ["doc_id", "pa"]).select(*canon)
+        pairs = shifted if pairs is None else pairs.unionAll(shifted)
+    pairs = persist_tracked(pairs)  # pair counts + marginals + total
+    pc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    m1 = (
+        pairs.select(F.col("w1").alias("w"))
+        .unionAll(pairs.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    )
+    tot = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ma = m1.select(F.col("w").alias("w1"), F.col("n_w").alias("na"))
+    mb = m1.select(F.col("w").alias("w2"), F.col("n_w").alias("nb"))
+    pmi = F.floor(
+        F.log(
+            F.col("n_xy").cast("double")
+            * 2.0
+            * F.col("n").cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        )
+        * 1e9
+        + 0.5
+    ).cast("bigint")
+    return (
+        pc.filter(F.col("n_xy") >= 5)
+        .join(ma, "w1")
+        .join(mb, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_xy", pmi.alias("pmi_nano"))
+    )

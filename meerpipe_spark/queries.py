@@ -15770,3 +15770,104 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "n_xy", pmi.alias("pmi_nano"))
     )
+
+
+@_register(
+    "negative_sampling_unigram",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w, CAST(floor(pow(CAST(count(*) AS DOUBLE), 0.75) * 1e6 + 0.5)
+                     AS BIGINT) AS wt
+      FROM toks GROUP BY w
+    ),
+    cdf AS (
+      SELECT w, wt,
+             coalesce(sum(wt) OVER (ORDER BY w
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_start
+      FROM vocab
+    ),
+    tot AS (SELECT CAST(sum(wt) AS BIGINT) AS t FROM vocab),
+    draws AS (
+      SELECT i AS draw_id,
+             ('0x' || substr(md5('neg:' || CAST(i AS VARCHAR)), 1, 12))::UBIGINT
+               % t AS h
+      FROM range(0, 500) AS r(i) CROSS JOIN tot
+    )
+    SELECT d.draw_id, c.w
+    FROM draws d JOIN cdf c
+      ON d.h >= c.cum_start AND d.h < c.cum_start + c.wt
+    """,
+    doc="word2vec-style negative sampling from the unigram^0.75 "
+        "distribution (Mikolov et al. 2013): vocabulary weights "
+        "floor(count^0.75 * 1e6) as exact integers, the cumulative "
+        "distribution as an integer running sum over the "
+        "lexicographically-ordered vocabulary (window over the "
+        "VOCAB frame, never fact rows), and 500 hash-deterministic "
+        "draws h = md5_48(neg:i) mod total mapped to tokens by the "
+        "binned interval join (operators/rangejoin.py — intervals "
+        "exploded per bucket, pure equi-join on the bucket key, no "
+        "broadcast of a million-word CDF needed at scale). Heavy "
+        "words are drawn proportionally; every (draw, token) "
+        "assignment is integer-exact and hash-checked. The sampler "
+        "feeding contrastive/skip-gram training corpora.",
+)
+def negative_sampling_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.rangejoin import binned_interval_join
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.floor(
+                F.pow(F.count(F.lit(1)).cast("double"), F.lit(0.75)) * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("wt")
+        )
+    )
+    wb = W.orderBy("w").rowsBetween(W.unboundedPreceding, -1)
+    cdf = vocab.select(
+        "w",
+        "wt",
+        F.coalesce(F.sum("wt").over(wb), F.lit(0)).alias("cum_start"),
+    ).select(
+        "w",
+        "cum_start",
+        (F.col("cum_start") + F.col("wt")).alias("cum_end"),
+    )
+    tot = vocab.agg(F.sum("wt").cast("bigint").alias("t"))
+    draws = (
+        spark.range(0, 500)
+        .select(F.col("id").alias("draw_id"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "draw_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("neg:"), F.col("draw_id").cast("string")
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("t")
+            ).alias("h"),
+        )
+    )
+    joined = binned_interval_join(
+        draws, cdf, "h", "cum_start", "cum_end", bucket_width=100_000_000
+    )
+    return joined.select("draw_id", "w")

@@ -15871,3 +15871,65 @@ def negative_sampling_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         draws, cdf, "h", "cum_start", "cum_end", bucket_width=100_000_000
     )
     return joined.select("draw_id", "w")
+
+
+@_register(
+    "orc_roundtrip_fingerprint",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || o_orderstatus || '|' || CAST(o_orderdate AS VARCHAR)), 1, 12))::UBIGINT)::BIGINT
+               AS content_fp
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="ORC source/sink roundtrip, proven lossless by content "
+        "fingerprint: the orders table is written to ORC (snappy), "
+        "read back, and fingerprinted with the same order-independent "
+        "bit_xor(md5_48(row)) aggregate as table_content_fingerprint "
+        "— while the ORACLE fingerprints the original PARQUET, so the "
+        "hash match certifies that every key, string, and date "
+        "survived the format conversion bit-for-bit (the columnar-"
+        "format interchange check a lakehouse migration runs). Adds "
+        "ORC to the source/sink matrix (parquet, FITS, text/ndjson, "
+        "CSV-corrupt-audit, GIF/PNG/PCM, DataSource ledger) with "
+        "zero extra correctness machinery.",
+)
+def orc_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/meerpipe_spark_orc_roundtrip_{tag}"
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_orderdate").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor(digest).alias("content_fp"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -15933,3 +15933,124 @@ def orc_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_register(
+    "blocklist_term_counts",
+    """
+    WITH terms AS (
+      SELECT unnest(['data', 'model', 'quality', 'the']) AS term
+    ),
+    hits AS (
+      SELECT t.term, d.doc_id,
+             CAST((len(d.text) - len(replace(d.text, t.term, '')))
+                  / len(t.term) AS BIGINT) AS n_occ
+      FROM documents d CROSS JOIN terms t
+    )
+    SELECT term,
+           CAST(sum(n_occ) AS BIGINT) AS total_occ,
+           CAST(count(CASE WHEN n_occ > 0 THEN 1 END) AS BIGINT) AS docs_hit
+    FROM hits GROUP BY term
+    """,
+    doc="Multi-pattern blocklist scan (the safety/compliance term "
+        "filter every corpus pipeline runs before export): occurrence "
+        "counts via the replace-and-measure identity (len(text) - "
+        "len(replace(text, term)))/len(term) — pure string intrinsics, "
+        "no regex engine, no UDF, INTEGER-exact in both engines. The "
+        "term list is a broadcast literal dimension (eval suites and "
+        "blocklists are small); the corpus side is scanned ONCE with "
+        "the counting fused into the scan projection — at 100 TB this "
+        "is a map-only pass, the shuffle carries one row per (term, "
+        "doc). Reports corpus prevalence (total occurrences + "
+        "documents hit) per term.",
+)
+def blocklist_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    terms = F.array(*[F.lit(t) for t in ("data", "model", "quality", "the")])
+    hits = docs.select(
+        "doc_id", F.explode(terms).alias("term"), F.col("text")
+    ).select(
+        "term",
+        "doc_id",
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.col("term"))))
+            / F.length("term")
+        )
+        .cast("bigint")
+        .alias("n_occ"),
+    )
+    return hits.groupBy("term").agg(
+        F.sum("n_occ").cast("bigint").alias("total_occ"),
+        F.count(F.when(F.col("n_occ") > 0, 1)).cast("bigint").alias("docs_hit"),
+    )
+
+
+@_register(
+    "heaps_law_vocab_growth",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    firsts AS (
+      SELECT w, min(doc_id) AS first_doc FROM toks GROUP BY w
+    ),
+    new_per_doc AS (
+      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS new_types
+      FROM firsts GROUP BY first_doc
+    ),
+    tok_per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY doc_id
+    ),
+    growth AS (
+      SELECT t.doc_id,
+             sum(t.n_tokens) OVER (ORDER BY t.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS corpus_tokens,
+             sum(coalesce(n.new_types, 0)) OVER (ORDER BY t.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+      FROM tok_per_doc t LEFT JOIN new_per_doc n USING (doc_id)
+    )
+    SELECT doc_id, corpus_tokens, vocab_size
+    FROM growth WHERE doc_id % 50 = 49
+    """,
+    doc="Heaps'-law vocabulary growth curve (Heaps 1978): distinct "
+        "word types seen vs tokens ingested, in document order — the "
+        "corpus-composition diagnostic that tells you whether more "
+        "data still buys new vocabulary (sub-linear growth V ~ n^b). "
+        "NO cumulative distinct anywhere: each type contributes at "
+        "its FIRST document (one groupBy min), so the curve is two "
+        "integer running sums over the per-doc frame — the first-"
+        "occurrence trick that turns an unmergeable distinct-prefix "
+        "scan into map-side-combinable aggregation at any scale. "
+        "Sampled every 50 docs; all integers, exact.",
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    tok_per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    growth = (
+        tok_per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(w).alias("corpus_tokens"),
+            F.sum("new_types").over(w).alias("vocab_size"),
+        )
+    )
+    return growth.filter(F.col("doc_id") % 50 == 49).select(
+        "doc_id", "corpus_tokens", "vocab_size"
+    )

@@ -14930,6 +14930,7 @@ def _huber_oracle_sql(delta: float = 500.0, iters: int = 3) -> str:
         "weight guard is branch-exact so ANSI mode never divides by "
         "zero and the unrolled-CTE oracle shares every expression "
         "tree.",
+    headline=True,
 )
 def huber_robust_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.wlsfit import huber_line_fit
@@ -15715,6 +15716,7 @@ def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair counting is one map-side-combined hash agg keyed by the "
         "pair; marginals one more; the PMI join is pair-vocabulary-"
         "sized.",
+    headline=True,
 )
 def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 200)
@@ -15815,6 +15817,7 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words are drawn proportionally; every (draw, token) "
         "assignment is integer-exact and hash-checked. The sampler "
         "feeding contrastive/skip-gram training corpora.",
+    headline=True,
 )
 def negative_sampling_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.rangejoin import binned_interval_join

@@ -16057,3 +16057,76 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return growth.filter(F.col("doc_id") % 50 == 49).select(
         "doc_id", "corpus_tokens", "vocab_size"
     )
+
+
+def _hits_oracle_sql(rounds: int = 4) -> str:
+    sql = """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT src AS node, CAST(1 AS DOUBLE) AS score FROM e)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    ar{r} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(h.score) AS raw
+      FROM e JOIN h{r - 1} h ON h.node = e.src GROUP BY e.dst
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT node, raw / (SELECT max(raw) FROM ar{r}) AS score FROM ar{r}
+    ),
+    hr{r} AS MATERIALIZED (
+      SELECT e.src AS node, sum(a.score) AS raw
+      FROM e JOIN a{r} a ON a.node = e.dst GROUP BY e.src
+    ),
+    h{r} AS MATERIALIZED (
+      SELECT node, raw / (SELECT max(raw) FROM hr{r}) AS score FROM hr{r}
+    )"""
+    sql += f"""
+    SELECT 'auth' AS side, node, round(score, 6) AS score FROM a{rounds}
+    UNION ALL
+    SELECT 'hub' AS side, node, round(score, 6) AS score FROM h{rounds}"""
+    return sql
+
+
+@_register(
+    "hits_hubs_authorities",
+    _hits_oracle_sql(rounds=4),
+    doc="HITS hubs and authorities (Kleinberg 1999; operators/"
+        "graph.py::hits_scores) over the customer→part purchase "
+        "bipartite graph, 4 fixed max-normalized power rounds: "
+        "authorities = the catalog items the strongest buyers "
+        "concentrate on, hubs = the buyers whose baskets define them "
+        "— the link-analysis dual of pagerank_customer_supplier and "
+        "the 'which copy is canonical' signal on content graphs. "
+        "Max-normalization is a SELECTION (no float-sum ordering); "
+        "the neighbor sums ride the pagerank contraction discipline "
+        "and both sides round at 6dp. Per round: two equi-joins + two "
+        "map-side-combined aggregations + two broadcast scalars; "
+        "node-sized state, checkpointed lineage.",
+    headline=True,
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import hits_scores
+
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"],
+        )
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    hubs, auths = hits_scores(edges, rounds=4)
+    return auths.select(
+        F.lit("auth").alias("side"), "node", F.round("score", 6).alias("score")
+    ).unionAll(
+        hubs.select(
+            F.lit("hub").alias("side"), "node", F.round("score", 6).alias("score")
+        )
+    )

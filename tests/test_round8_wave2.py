@@ -325,3 +325,34 @@ def test_segmented_breakpoint_recovers_change(spark):
     )
     best = cand.orderBy("sse", "brk").first()
     assert 27 <= best["brk"] <= 31  # the true change point is x=30
+
+
+def test_hits_star_graph(spark):
+    # star: one part bought by everyone is the top authority
+    edges = spark.createDataFrame(
+        [(c, 99) for c in range(1, 6)] + [(1, 7), (2, 7)],
+        "src BIGINT, dst BIGINT",
+    )
+    from meerpipe_spark.operators.graph import hits_scores
+
+    hubs, auths = hits_scores(edges, rounds=4)
+    a = {r["node"]: r["score"] for r in auths.collect()}
+    h = {r["node"]: r["score"] for r in hubs.collect()}
+    assert a[99] == 1.0 and a[99] > a[7]
+    assert max(h.values()) == 1.0
+    assert all(0.0 < v <= 1.0 for v in list(a.values()) + list(h.values()))
+    # hubs 1 and 2 buy both items: strictly stronger than hub 3
+    assert h[1] == h[2] > h[3]
+
+
+def test_observation_metrics_api(spark):
+    # Spark 4 Observation: pipeline QA counters piggybacked on the
+    # action, no second scan of the data
+    from pyspark.sql import Observation
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    obs = Observation("qa")
+    out = df.observe(obs, F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    assert out.count() == 100
+    got = obs.get
+    assert got["n"] == 100 and got["sv"] == 9900

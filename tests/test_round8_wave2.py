@@ -356,3 +356,17 @@ def test_observation_metrics_api(spark):
     assert out.count() == 100
     got = obs.get
     assert got["n"] == 100 and got["sv"] == 9900
+
+
+def test_ktruss_keeps_clique_drops_chain(spark):
+    # K5 clique (every edge in 3 triangles) + a pendant chain
+    import itertools
+
+    clique = list(itertools.combinations(range(1, 6), 2))
+    chain = [(5, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "src BIGINT, dst BIGINT")
+    from meerpipe_spark.operators.graph import k_truss
+
+    got = {(r["src"], r["dst"]): r["support"] for r in k_truss(edges, k=5, rounds=3).collect()}
+    assert set(got) == set(clique)  # the chain is gone, the clique intact
+    assert all(s == 3 for s in got.values())  # K5: each edge in 3 triangles

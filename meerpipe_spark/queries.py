@@ -15928,13 +15928,9 @@ def orc_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    return (
-        back.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.bit_xor(digest).alias("content_fp"),
-        )
-        .orderBy("o_orderpriority")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.bit_xor(digest).alias("content_fp"),
     )
 
 

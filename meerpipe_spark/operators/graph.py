@@ -392,7 +392,10 @@ def deterministic_walks(
                 )
             ),
             F.lit("|"),
-            F.lpad(F.col("dst").cast("string"), 12, "0"),
+            # pad to 19 (max bigint digits): Spark's lpad TRUNCATES
+            # strings longer than the pad length, so a 12-pad would
+            # corrupt node ids above 10^12 when decoded by substr/CAST.
+            F.lpad(F.col("dst").cast("string"), 19, "0"),
         )
         frontier = (
             frontier.join(edges, frontier["node"] == edges["src"])
@@ -485,7 +488,18 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
     term, identical to one triangle-count pass per round.
 
     Returns the surviving edges with their final-round support.
+
+    ``k`` must be >= 3: the peel drops edges contained in zero
+    triangles (they never appear in the support aggregate), which is
+    the correct k>=3 behavior but wrong for k<=2 (the 2-truss is the
+    whole graph) — so k<=2 is rejected rather than silently computing
+    the k=3 answer.
     """
+    if k < 3:
+        raise ValueError(
+            f"k_truss requires k >= 3 (got k={k}): the support peel drops "
+            "zero-triangle edges, so k<=2 would silently return the 3-truss"
+        )
     cur = edges.select("src", "dst").distinct().localCheckpoint()
     sup = None
     for _ in range(rounds):

@@ -14644,7 +14644,7 @@ def _walks_oracle_sql(steps: int) -> str:
       FROM (
         SELECT f.walk_id,
                min(md5(f.walk_id || ':' || {t} || ':' || e.dst)
-                   || '|' || lpad(CAST(e.dst AS VARCHAR), 12, '0')) AS k
+                   || '|' || lpad(CAST(e.dst AS VARCHAR), 19, '0')) AS k
         FROM f{t - 1} f JOIN e ON e.src = f.node
         GROUP BY f.walk_id
       )

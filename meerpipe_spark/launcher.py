@@ -24,9 +24,20 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: Recovery leaves unledgered staging/tmp dirs YOUNGER than this alone:
+#: they may belong to a CONCURRENT launch that is still staging (rolling
+#: them back would strand that run: it would append its ledger entry and
+#: then fail publication, leaving observations ledgered-as-processed with
+#: no published results — a permanent drop). Residual assumption, by
+#: design: concurrent launches sharing one out_dir are safe only while
+#: each batch goes from first staged byte to ledger commit in under this
+#: window; a single writer is always safe.
+RECOVERY_GRACE_SEC = 300.0
 
 
 def observations_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,13 +110,36 @@ def _publish_staged(staging: str, results_dir: str) -> None:
 def _ledger_append(selected: DataFrame, ledger_dir: str, batch_id: str) -> None:
     """The COMMIT POINT: one ledger append records (obs_id, batch_id)
     for the whole batch. Everything before it is roll-back-able staging;
-    everything after it is roll-forward-able publication."""
+    everything after it is roll-forward-able publication.
+
+    ATOMIC by construction: the batch's keys are written as ONE parquet
+    part (coalesce(1) — the ledger is job_limit-throttled metadata, two
+    columns, never data-sized) into a tmp dir and os.replace()d to
+    ``ledger_dir/batch-<id>.parquet``, so a reader observes the batch
+    all-or-nothing. A plain parquet append publishes multiple task files
+    non-atomically at job commit: a crash mid-commit could expose SOME
+    of the batch's ledger rows — _recover would then see the batch_id as
+    committed and roll the staged results forward while the obs_ids with
+    missing rows get re-selected next run → duplicate results."""
+    out_dir = os.path.dirname(ledger_dir)
+    tmp = os.path.join(out_dir, "_ledger_tmp", batch_id)
     (
         selected.select("obs_id")
         .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("append")
-        .parquet(ledger_dir)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
     )
+    part = next(
+        n for n in os.listdir(tmp)
+        if n.startswith("part-") and not n.endswith(".crc")
+    )
+    os.makedirs(ledger_dir, exist_ok=True)
+    os.replace(
+        os.path.join(tmp, part),
+        os.path.join(ledger_dir, f"batch-{batch_id}.parquet"),
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _recover(spark: SparkSession, out_dir: str) -> None:
@@ -115,9 +149,15 @@ def _recover(spark: SparkSession, out_dir: str) -> None:
     commit, discard the staging (roll back — the observations are not
     in the ledger, so the re-run re-selects and re-processes them).
     Either way the invariant holds: results rows exist iff their batch
-    is ledgered, exactly once."""
+    is ledgered, exactly once.
+
+    Unledgered dirs younger than RECOVERY_GRACE_SEC are left alone —
+    they may belong to a concurrent launch that is still between staging
+    and its ledger commit (see the constant's docstring); they are swept
+    by a later recovery once stale."""
     staging_root = os.path.join(out_dir, "_staging")
-    if not os.path.isdir(staging_root):
+    tmp_root = os.path.join(out_dir, "_ledger_tmp")
+    if not os.path.isdir(staging_root) and not os.path.isdir(tmp_root):
         return
     from pyspark.errors import AnalysisException
 
@@ -130,12 +170,22 @@ def _recover(spark: SparkSession, out_dir: str) -> None:
             }
     except AnalysisException:
         pass
-    for bid in os.listdir(staging_root):
-        staging = os.path.join(staging_root, bid)
-        if bid in committed:
-            _publish_staged(staging, os.path.join(out_dir, "results"))
-        else:
-            shutil.rmtree(staging, ignore_errors=True)
+    now = time.time()
+    if os.path.isdir(staging_root):
+        for bid in os.listdir(staging_root):
+            staging = os.path.join(staging_root, bid)
+            if bid in committed:
+                _publish_staged(staging, os.path.join(out_dir, "results"))
+            elif now - os.path.getmtime(staging) >= RECOVERY_GRACE_SEC:
+                shutil.rmtree(staging, ignore_errors=True)
+    if os.path.isdir(tmp_root):
+        # orphaned pre-commit ledger tmp dirs (crash between the tmp
+        # write and the os.replace): never part of the ledger — sweep
+        # once stale
+        for bid in os.listdir(tmp_root):
+            p = os.path.join(tmp_root, bid)
+            if now - os.path.getmtime(p) >= RECOVERY_GRACE_SEC:
+                shutil.rmtree(p, ignore_errors=True)
 
 
 def launch(

@@ -155,6 +155,8 @@ def test_crash_before_commit_rolls_back(spark, sf_dir, tmp_path, monkeypatch):
     assert not os.path.exists(out + "/ledger")
     assert len(os.listdir(out + "/_staging")) == 1
     monkeypatch.undo()
+    # grace 0 = "the crash is old": recovery may roll the orphan back
+    monkeypatch.setattr(L, "RECOVERY_GRACE_SEC", 0.0)
     n2 = launch(spark, sf_dir, out, obs_pid=2, job_limit=10)
     assert n2 == 10
     res = spark.read.parquet(out + "/results")

@@ -297,7 +297,14 @@ class FitsArchiveStreamReader(DataSourceStreamReader):
         self.hdu_index = int(options.get("hdu", "1"))
         mft = options.get("max_files_per_trigger")
         self.max_files = int(mft) if mft is not None else None
+        # _admitted: every path this instance must never admit again —
+        # the union of its own admissions AND every engine-side offset
+        # it has observed (folded in partitions/commit). _last_end: the
+        # head of the offset CHAIN as this instance last saw it; the
+        # two differ after a restart, and the difference is the whole
+        # duplicate-safety argument (see latestOffset).
         self._admitted: "set[str]" = set()
+        self._last_end: "set[str]" = set()
 
     def _listing(self):
         return sorted(_glob.glob(self.path))
@@ -306,13 +313,40 @@ class FitsArchiveStreamReader(DataSourceStreamReader):
         return {"seen": {}}
 
     def latestOffset(self) -> dict:
+        # ADVICE r8 (duplicate safety under restart + rate limit): the
+        # offset returned is last_end ∪ newly_admitted — NOT all of
+        # _admitted. Rows emit as partitions' end−start, so correctness
+        # needs each end to be a superset of the PREVIOUS end (the
+        # chain head), which last_end guarantees by construction. After
+        # a restart whose last batch was committed, the engine's first
+        # call on the fresh reader is latestOffset() (before any
+        # checkpointed offset is revealed — observed engine behavior:
+        # latestOffset precedes even initialOffset on a fresh stream),
+        # so a capped fresh reader may return an offset omitting
+        # committed files; that only RESTARTS the chain below them —
+        # partitions() then folds the checkpointed start into _admitted,
+        # and because committed-but-unchained files never re-enter any
+        # later end (they are in _admitted, and results only ever emit
+        # from end−start), they are never re-emitted: exactly-once
+        # holds, the cap stays active in every state, and the one cost
+        # is a single empty catch-up batch after restart.
         new = [p for p in self._listing() if p not in self._admitted]
         if self.max_files is not None:
             new = new[: self.max_files]
         self._admitted.update(new)
-        return {"seen": {**{p: True for p in self._admitted}}}
+        self._last_end = self._last_end | set(new)
+        return {"seen": {p: True for p in sorted(self._last_end)}}
 
     def partitions(self, start: dict, end: dict):
+        # sync with the engine: fold both offsets into _admitted (never
+        # re-admit anything an engine offset covers — the restart
+        # deduplication) and advance the chain head (never rewind it:
+        # a commit for an older batch may arrive after a newer end).
+        self._admitted.update(start.get("seen", {}))
+        self._admitted.update(end.get("seen", {}))
+        e = set(end.get("seen", {}))
+        if e >= self._last_end:
+            self._last_end = e
         new = sorted(set(end.get("seen", {})) - set(start.get("seen", {})))
         return [_FilePartition(p) for p in new]
 
@@ -321,8 +355,13 @@ class FitsArchiveStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # committed files can never be un-admitted; fold them in so a
-        # restarted reader (fresh _admitted) resumes from the checkpoint
+        # restarted reader (fresh _admitted) resumes from the checkpoint.
+        # The chain head only advances (a commit for an older batch can
+        # arrive after a newer end has been returned — never rewind).
         self._admitted.update(end.get("seen", {}))
+        e = set(end.get("seen", {}))
+        if e >= self._last_end:
+            self._last_end = e
 
 
 class FitsArchiveSimpleStreamReader(SimpleDataSourceStreamReader):

@@ -947,3 +947,114 @@ def test_fits_stream_rate_limit(spark, tmp_path, archive_file):
     assert len(nonempty) == 3  # one file per micro-batch
     assert all(n == per_file and len(obs) == 1 for _, n, obs in nonempty)
     assert set().union(*(obs for _, _, obs in nonempty)) == {"a", "b", "c"}
+
+
+def test_fits_stream_reader_restart_offsets_exactly_once(tmp_path, archive_file):
+    """ADVICE r8 (medium): with max_files_per_trigger, restart safety
+    cannot rely on commit() reaching the fresh reader before its first
+    latestOffset() (observed engine behavior: latestOffset precedes
+    even initialOffset). The reader's offset chain restarts below the
+    committed files, partitions() folds every engine offset into the
+    never-readmit set, and no committed file ever re-enters a later
+    end offset — so emissions stay exactly-once while the cap stays
+    active in every state."""
+    import shutil
+
+    from meerpipe_spark.sources.fits_datasource import FitsArchiveStreamReader
+
+    path = archive_file[0]
+    d = tmp_path / "mono"
+    d.mkdir()
+    for n in ("a.fits", "b.fits", "c.fits"):
+        shutil.copy(path, d / n)
+    opts = {"path": str(d / "*.fits"), "max_files_per_trigger": "1"}
+
+    r1 = FitsArchiveStreamReader(opts)
+    # engine order on a fresh stream: latestOffset FIRST, then initialOffset
+    o1 = r1.latestOffset()
+    start = r1.initialOffset()
+    assert len(o1["seen"]) == 1  # capped from the very first batch
+    emitted = [p.path for p in r1.partitions(start, o1)]
+    o2 = r1.latestOffset()
+    assert len(o2["seen"]) == 2
+    emitted += [p.path for p in r1.partitions(o1, o2)]
+    r1.commit(o2)  # a, b committed in the checkpoint
+
+    # restart, committed case: the engine's first call on the fresh
+    # reader is latestOffset() — the checkpoint is revealed only via
+    # the subsequent partitions(committed_end, new_latest)
+    r2 = FitsArchiveStreamReader(opts)
+    o3 = r2.latestOffset()
+    assert len(o3["seen"]) <= 1  # cap still active after restart
+    emitted += [p.path for p in r2.partitions(o2, o3)]
+    o4 = r2.latestOffset()
+    assert set(o3["seen"]) <= set(o4["seen"])  # chain monotone from its head
+    emitted += [p.path for p in r2.partitions(o3, o4)]
+    # late arrivals keep draining capped, still no re-emission
+    shutil.copy(path, d / "d.fits")
+    shutil.copy(path, d / "e.fits")
+    prev = o4
+    for _ in range(4):
+        nxt = r2.latestOffset()
+        assert set(prev["seen"]) <= set(nxt["seen"])
+        assert len(set(nxt["seen"]) - set(prev["seen"])) <= 1  # capped
+        emitted += [p.path for p in r2.partitions(prev, nxt)]
+        prev = nxt
+    # every file exactly once across the restart — no dup, no drop
+    assert sorted(emitted) == sorted(str(d / n) for n in
+                                     ("a.fits", "b.fits", "c.fits", "d.fits", "e.fits"))
+
+
+def test_fits_stream_rate_limit_restart_no_duplicates(spark, tmp_path, archive_file):
+    """ADVICE r8 (medium), end to end: stop/restart a rate-limited query
+    against a backlog — every file exactly once across the restart."""
+    import shutil
+    import time
+
+    from meerpipe_spark.sources.fits_datasource import FitsArchiveDataSource
+
+    path = archive_file[0]
+    d = tmp_path / "rl_restart"
+    d.mkdir()
+    for n in ("a.fits", "b.fits"):
+        shutil.copy(path, d / n)
+    spark.dataSource.register(FitsArchiveDataSource)
+    out = str(tmp_path / "rlr_out")
+    ckpt = str(tmp_path / "rlr_ckpt")
+    per_file = 2 * 2 * 3 * 4
+
+    def run_until(n_rows, timeout=60):
+        q = (
+            spark.readStream.format("fits_archive")
+            .option("max_files_per_trigger", "1")
+            .load(str(d / "*.fits"))
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        t0 = time.time()
+        try:
+            while time.time() - t0 < timeout:
+                try:
+                    if spark.read.parquet(out).count() >= n_rows:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    run_until(2 * per_file)
+    assert spark.read.parquet(out).count() == 2 * per_file
+    shutil.copy(path, d / "c.fits")
+    shutil.copy(path, d / "dd.fits")
+    run_until(4 * per_file)
+    got = spark.read.parquet(out)
+    assert got.count() == 4 * per_file  # zero duplicates across restart
+    counts = {
+        r["obs_id"]: r["n"]
+        for r in got.groupBy("obs_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert counts == {"a": per_file, "b": per_file, "c": per_file, "dd": per_file}

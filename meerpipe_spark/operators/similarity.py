@@ -326,6 +326,22 @@ def centroid_by_label(
     return exploded.groupBy(label_col, "dim").agg(F.avg(F.col("v").cast("double")).alias("centroid_v"))
 
 
+#: Above this k, centroids must never become plan literals or driver
+#: rows: literal argmin plans grow ∝ k·dim (Catalyst compile time blows
+#: up first), and the per-iteration k×dim driver collect grows with the
+#: corpus whenever k is auto-scaled. kmeans_centroids/ivf_assign guard
+#: on it; the DataFrame-native twins (kmeans_centroids_df /
+#: ivf_assign_join / two_level_assign) carry the large-k path.
+KMEANS_LITERAL_K_MAX = 32
+
+#: Deterministic training-sample budget per centroid: Lloyd's update
+#: needs only enough points per cell to place the mean, not the corpus
+#: (FAISS trains IVF quantizers on ~64-256 points/centroid for 10^9
+#: vector indexes). The sample is an md5-threshold filter — portable,
+#: reproducible, zero shuffle.
+KMEANS_TRAIN_PER_CENTROID = 64
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,
@@ -360,7 +376,21 @@ def kmeans_centroids(
     oracle's GROUP BY does. Returns (cluster, centroid array<double>).
     For 10^9 vectors each iteration is one scan + one k·dim-cell
     exchange; nothing row-sized shuffles.
+
+    k is capped at KMEANS_LITERAL_K_MAX: this implementation is the
+    MODEL-CONSTANT path (pinned small k — the registered lanes), where
+    the k×dim driver round-trip and literal plans are bounded by
+    construction. Auto-scaled k (k ∝ corpus) must use
+    :func:`kmeans_centroids_df` / :func:`two_level_assign`, which keep
+    centroids a DataFrame end to end.
     """
+    if k > KMEANS_LITERAL_K_MAX:
+        raise ValueError(
+            f"kmeans_centroids is the literal-plan path, capped at "
+            f"k<={KMEANS_LITERAL_K_MAX} (got k={k}); use "
+            "kmeans_centroids_df/two_level_assign for large or "
+            "corpus-scaled k"
+        )
     spark = embeddings.sparkSession
     seed_rows = embeddings.select(id_col, vec_col).orderBy(id_col).head(k)
     cents: dict[int, list[float]] = {
@@ -424,6 +454,277 @@ def ivf_assign(
         F.col(id_col),
         m.getField("cluster").alias("cluster"),
         m.getField("d2").alias("d2"),
+    )
+
+
+def _md5_u32(col: F.Column) -> F.Column:
+    """First 8 hex digits of md5 as a uniform 32-bit draw — the repo's
+    portable deterministic-randomness primitive (curation.py's
+    stratified_sample uses the same construction)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+def _train_sample(
+    embeddings: DataFrame,
+    target: int,
+    id_col: str,
+    n: int | None = None,
+) -> DataFrame:
+    """Deterministic ~``target``-row training sample: keep rows whose
+    md5-u32 draw falls under target/n. A pure pushed filter — no
+    shuffle, no count job when ``n`` is supplied, reproducible across
+    runs and engines. Returns the input unchanged when it already fits
+    the budget (so small-corpus results are exactly the unsampled
+    ones)."""
+    if n is None:
+        n = embeddings.count()
+    if n <= target:
+        return embeddings
+    bound = int((target / n) * 4294967296)
+    return embeddings.filter(_md5_u32(F.col(id_col)) < F.lit(bound))
+
+
+def _centroid_arrays(cells: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(key..., dim, cv) per-dimension means → (key..., centroid
+    array<double>), dims restored to array order via a sorted struct
+    collect (k·dim rows total — model-sized, never corpus-sized)."""
+    return cells.groupBy(*key_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+            lambda s: s["cv"],
+        ).alias("centroid")
+    )
+
+
+def kmeans_centroids_df(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_per_centroid: int = KMEANS_TRAIN_PER_CENTROID,
+    approx_n: int | None = None,
+) -> DataFrame:
+    """Lloyd's k-means with the centroid table kept a DATAFRAME end to
+    end — the large-k path (VERDICT r8: the literal/collect form's plan
+    size and per-iteration driver round-trip grow with k, which grows
+    with the corpus under auto-k).
+
+      training set: a deterministic md5-threshold sample of
+                    ~k·train_per_centroid rows — the model needs enough
+                    points per cell to place a mean, not the corpus.
+      init:         random-partition init (Forgy's relational cousin):
+                    cluster₀(p) = md5_u32(id) mod k, centroids = the
+                    per-(cluster, dim) means. Zero sort, zero driver
+                    trip, deterministic.
+      assignment:   broadcast-hash the k×dim centroid table against the
+                    sample (a k-row build side), argmin as a map-side-
+                    combined min(struct(d2, cluster)) — the exchange
+                    carries one row per sample point, never n·k.
+      update:       per-(cluster, dim) mean — one map-side-combining
+                    shuffle of k·dim cells, folded back to arrays by a
+                    sorted struct collect. localCheckpoint per iteration
+                    truncates the iterated lineage (graph.py's Pregel
+                    discipline).
+
+    Empty clusters drop out (their ids simply vanish from the group-by),
+    so the returned table may hold fewer than k rows. Returns (cluster
+    INT, centroid ARRAY<DOUBLE>). Nothing in this function collects,
+    sorts globally, or builds plans proportional to k.
+    """
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = (
+        _train_sample(embeddings, k * train_per_centroid, id_col, approx_n)
+        .select(F.col(id_col).alias("_pid"), cast.alias("_v"))
+    )
+    ex0 = pts.select(
+        F.pmod(_md5_u32(F.col("_pid")), F.lit(k)).cast("int").alias("cluster"),
+        F.posexplode("_v").alias("dim", "v"),
+    )
+    cents = _centroid_arrays(
+        ex0.groupBy("cluster", "dim").agg(F.avg("v").alias("cv")), ["cluster"]
+    ).localCheckpoint()
+    for _ in range(iters):
+        j = pts.crossJoin(F.broadcast(cents))
+        asg = (
+            j.select(
+                "_pid",
+                F.struct(
+                    _fold_d2(F.col("_v"), F.col("centroid")).alias("d2"),
+                    F.col("cluster").alias("cluster"),
+                    F.col("_v").alias("v"),
+                ).alias("s"),
+            )
+            .groupBy("_pid")
+            .agg(F.min("s").alias("s"))
+            .select(F.col("s.cluster").alias("cluster"), F.col("s.v").alias("_v"))
+        )
+        ex = asg.select("cluster", F.posexplode("_v").alias("dim", "v"))
+        cents = _centroid_arrays(
+            ex.groupBy("cluster", "dim").agg(F.avg("v").alias("cv")), ["cluster"]
+        ).localCheckpoint()
+    return cents
+
+
+def ivf_assign_join(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF list assignment with the centroid table as a BROADCAST
+    DataFrame instead of plan literals — the large-k twin of
+    :func:`ivf_assign` (literal plans grow ∝ k·dim and k grows with the
+    corpus under auto-k; a broadcast build side does not touch the
+    plan). The join emits k candidate rows per vector INSIDE each scan
+    task and the per-id argmin partial-aggregates them back to one row
+    before the exchange — the shuffle carries n rows, not n·k. Same
+    output contract as ivf_assign: (id, cluster, d2), lowest-cluster
+    tie-break."""
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = embeddings.select(F.col(id_col), cast.alias("_v"))
+    j = pts.crossJoin(F.broadcast(centroids))
+    return (
+        j.select(
+            id_col,
+            F.struct(
+                _fold_d2(F.col("_v"), F.col("centroid")).alias("d2"),
+                F.col("cluster").alias("cluster"),
+            ).alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("s").alias("s"))
+        .select(
+            id_col,
+            F.col("s.cluster").alias("cluster"),
+            F.col("s.d2").alias("d2"),
+        )
+    )
+
+
+def two_level_assign(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_per_centroid: int = KMEANS_TRAIN_PER_CENTROID,
+    approx_n: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse × fine) quantizer assignment for auto-scaled k
+    — the 100 TB path (VERDICT r8 item 1). A flat quantizer costs n·k
+    distance folds to assign; with k = n/B that is n²/B — superlinear
+    no matter how the model is trained. Splitting k into k1·k2 with
+    k1 = ⌈√k⌉ coarse cells and k2 = ⌈k/k1⌉ fine sub-cells per cell (the
+    inverted-multi-index factorization) makes assignment
+    n·(k1 + k2) ≈ 2n√k: each vector argmins over the k1 coarse
+    centroids (broadcast build side), then only over the k2 fine
+    centroids OF ITS CELL (equi-join on cell).
+
+    Training runs entirely on the deterministic md5 sample and entirely
+    as DataFrames: coarse = kmeans_centroids_df(k1); fine = per-cell
+    random-partition init + ``iters`` Lloyd rounds where assignment is
+    an equi-join on cell (all k2 candidates of a point meet it in one
+    task, so the per-point argmin partial-aggregates map-side) and the
+    update is one (cell, sub, dim)-keyed mean. The fine model is
+    k1·k2·dim ≈ k·dim cells — it ships as a JOIN SIDE, never as plan
+    literals, never to the driver.
+
+    Returns (id, cluster) with cluster = cell·k2 + sub ∈ [0, k1·k2).
+    Candidate-generation semantics downstream (co-membership) are
+    unchanged: lists still target ~B vectors each.
+    """
+    k1 = max(2, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
+    k2 = -(-k // k1)
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sample = _train_sample(embeddings, k * train_per_centroid, id_col, approx_n)
+    coarse = kmeans_centroids_df(
+        sample, k1, iters=iters, vec_col=vec_col, id_col=id_col,
+        train_per_centroid=train_per_centroid,
+        approx_n=min(approx_n, k * train_per_centroid) if approx_n is not None else None,
+    ).withColumnRenamed("cluster", "cell").withColumnRenamed("centroid", "_cc")
+
+    spts = sample.select(F.col(id_col).alias("_pid"), cast.alias("_v"))
+    scell = (
+        spts.crossJoin(F.broadcast(coarse))
+        .select(
+            "_pid", "_v",
+            F.struct(
+                _fold_d2(F.col("_v"), F.col("_cc")).alias("d2"),
+                F.col("cell").alias("cell"),
+            ).alias("s"),
+        )
+        .groupBy("_pid", "_v")
+        .agg(F.min("s").alias("s"))
+        .select("_pid", "_v", F.col("s.cell").alias("cell"))
+    )
+    # fine init: random partition WITHIN each cell (salted draw so the
+    # sub id is independent of the coarse draw)
+    ex0 = scell.select(
+        "cell",
+        F.pmod(_md5_u32(F.concat(F.col("_pid").cast("string"), F.lit(":sub"))),
+               F.lit(k2)).cast("int").alias("sub"),
+        F.posexplode("_v").alias("dim", "v"),
+    )
+    fine = _centroid_arrays(
+        ex0.groupBy("cell", "sub", "dim").agg(F.avg("v").alias("cv")),
+        ["cell", "sub"],
+    ).localCheckpoint()
+    for _ in range(iters):
+        j = scell.join(fine, "cell")
+        asg = (
+            j.select(
+                "cell",
+                F.struct(
+                    _fold_d2(F.col("_v"), F.col("centroid")).alias("d2"),
+                    F.col("sub").alias("sub"),
+                    F.col("_v").alias("v"),
+                ).alias("s"),
+                "_pid",
+            )
+            .groupBy("_pid", "cell")
+            .agg(F.min("s").alias("s"))
+            .select("cell", F.col("s.sub").alias("sub"), F.col("s.v").alias("_v"))
+        )
+        ex = asg.select("cell", "sub", F.posexplode("_v").alias("dim", "v"))
+        fine = _centroid_arrays(
+            ex.groupBy("cell", "sub", "dim").agg(F.avg("v").alias("cv")),
+            ["cell", "sub"],
+        ).localCheckpoint()
+
+    # full-corpus assignment: coarse argmin (broadcast, n·k1) then fine
+    # argmin within the vector's cell (equi-join on cell, n·k2); both
+    # argmins partial-aggregate map-side so each exchange carries n rows
+    pts = embeddings.select(F.col(id_col), cast.alias("_v"))
+    cellassign = (
+        pts.crossJoin(F.broadcast(coarse))
+        .select(
+            id_col, "_v",
+            F.struct(
+                _fold_d2(F.col("_v"), F.col("_cc")).alias("d2"),
+                F.col("cell").alias("cell"),
+            ).alias("s"),
+        )
+        .groupBy(id_col, "_v")
+        .agg(F.min("s").alias("s"))
+        .select(id_col, "_v", F.col("s.cell").alias("cell"))
+    )
+    return (
+        cellassign.join(fine, "cell")
+        .select(
+            id_col,
+            F.struct(
+                _fold_d2(F.col("_v"), F.col("centroid")).alias("d2"),
+                F.col("sub").alias("sub"),
+            ).alias("s"),
+            "cell",
+        )
+        .groupBy(id_col, "cell")
+        .agg(F.min("s").alias("s"))
+        .select(
+            id_col,
+            (F.col("cell").cast("bigint") * k2 + F.col("s.sub")).alias("cluster"),
+        )
     )
 
 
@@ -1057,6 +1358,18 @@ def hard_negatives(
     vector yield no row (at scale: probe neighboring lists, the
     ivf_search_multi pattern). Returns (src, dst, cosine_sim) with
     per-anchor rank ≤ ``per_anchor``, similarity 6dp boundary-proof.
+
+    Index-build routing (VERDICT r8 item 1 — auto-k means k ∝ n, so the
+    quantizer itself must not be superlinear):
+
+    - explicit/auto k ≤ KMEANS_LITERAL_K_MAX: literal-plan k-means +
+      map-only literal argmin (kmeans_centroids + ivf_assign) — the
+      model-constant path the pinned oracles replay.
+    - larger auto k: centroids stay a DataFrame end to end, trained on
+      a deterministic ~k·64-row md5 sample; two-level (coarse √k
+      broadcast + fine-within-cell equi-join) assignment makes the
+      index build n·2√k distance folds instead of n·k = n²/B. No
+      corpus-sized driver collect anywhere on this path.
     """
     from pyspark.sql import Window as W
 
@@ -1067,9 +1380,19 @@ def hard_negatives(
         # default-on scaling as the LSH plane count (VERDICT r4 #2).
         n = embeddings.count()
         centroids_k = max(8, -(-n // HARD_NEG_TARGET_LIST))
-    cents = kmeans_centroids(embeddings, k=centroids_k, iters=iters,
-                             vec_col=vec_col, id_col=id_col)
-    asg = ivf_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)
+        if centroids_k > KMEANS_LITERAL_K_MAX:
+            asg = two_level_assign(
+                embeddings, centroids_k, iters=iters,
+                vec_col=vec_col, id_col=id_col, approx_n=n,
+            )
+        else:
+            cents = kmeans_centroids(embeddings, k=centroids_k, iters=iters,
+                                     vec_col=vec_col, id_col=id_col)
+            asg = ivf_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)
+    else:
+        cents = kmeans_centroids(embeddings, k=centroids_k, iters=iters,
+                                 vec_col=vec_col, id_col=id_col)
+        asg = ivf_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = (
         embeddings.select(F.col(id_col), F.col(label_col), cast.alias("_v"))

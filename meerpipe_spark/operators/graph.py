@@ -414,6 +414,106 @@ def deterministic_walks(
     return out
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed_col: str = "walk_id",
+    replication: int = 4,
+) -> DataFrame:
+    """node2vec-biased second-order walks (Grover & Leskovec 2016) on
+    the hash-deterministic walk machinery: at node v (arrived from t),
+    candidate x is weighted 1/p if x = t (return), 1 if x is adjacent
+    to t (BFS-ish), 1/q otherwise (DFS-ish) — p < q explores, p > q
+    stays local. The corpus generator for structure-aware node
+    embeddings next to DeepWalk's uniform walks.
+
+    Determinism without RNG state OR floating-point transforms: the
+    weighted draw is INTEGER REPLICATION — candidate x gets
+    round(replication·w) replicas, replica i keyed
+    md5(walk:step:x:i), and the walk takes the candidate owning the
+    minimum key. Each replica is equally likely to be the global
+    minimum, so P(x) = count(x)/Σcount — the exact biased draw — and
+    both engines replay it with md5 + a tiny integer explode (no
+    ln/pow whose last-ulp behavior differs across libms). Weights stay
+    exact for p, q in {.25, .5, 1, 2, 4}-style rationals; step 1 has
+    no predecessor and draws uniformly, as in the reference
+    implementation.
+
+    ``edges`` must contain both directions for undirected semantics
+    (the adjacency probe prev–x is a directed lookup). Per step: one
+    equi-join frontier×edges, one LEFT adjacency probe (equi on
+    (prev, dst) — edge-list-sized build), one explode by a ≤4·max(1/p,
+    1, 1/q)-row integer sequence, one min() per walk (map-side
+    combinable). Frontier state is walk-count-sized; lineage
+    checkpointed per step. Returns (walk_id, step, node).
+    """
+    w_ret = max(1, round(replication / p))
+    w_adj = replication
+    w_far = max(1, round(replication / q))
+    adj = edges.select(
+        F.col("src").alias("_pa"), F.col("dst").alias("_pb"), F.lit(1).alias("_isadj")
+    )
+    frontier = starts.select(
+        seed_col,
+        F.lit(0).alias("step"),
+        "node",
+        F.lit(None).cast("bigint").alias("_prev"),
+    ).localCheckpoint()
+    out = frontier.select(seed_col, "step", "node")
+    for t in range(1, steps + 1):
+        cands = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .join(
+                adj,
+                (F.col("_pa") == F.col("_prev")) & (F.col("_pb") == F.col("dst")),
+                "left",
+            )
+        )
+        w = (
+            F.when(F.col("_prev").isNull(), F.lit(w_adj))  # first hop: uniform
+            .when(F.col("dst") == F.col("_prev"), F.lit(w_ret))
+            .when(F.col("_isadj") == 1, F.lit(w_adj))
+            .otherwise(F.lit(w_far))
+        )
+        rep = cands.select(
+            seed_col,
+            "node",
+            "dst",
+            F.explode(F.sequence(F.lit(1), w)).alias("_rep"),
+        )
+        key = F.concat(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(seed_col).cast("string"),
+                    F.lit(t).cast("string"),
+                    F.col("dst").cast("string"),
+                    F.col("_rep").cast("string"),
+                )
+            ),
+            F.lit("|"),
+            F.lpad(F.col("dst").cast("string"), 19, "0"),
+        )
+        frontier = (
+            rep.groupBy(seed_col)
+            .agg(F.min(key).alias("k"), F.max("node").alias("_prev"))
+            .select(
+                seed_col,
+                F.lit(t).alias("step"),
+                F.expr("CAST(substr(k, 34) AS BIGINT)").alias("node"),
+                "_prev",
+            )
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier.select(seed_col, "step", "node"))
+    return out
+
+
 def hits_scores(
     edges: DataFrame,
     rounds: int = 4,

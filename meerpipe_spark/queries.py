@@ -3441,6 +3441,67 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_join_attribution",
+    """
+    SELECT l.user_id AS user_id,
+           l.event_id AS left_id,
+           r.event_id AS right_id,
+           round(r.value - l.value, 4) AS value_delta
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 1 HOUR
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+    doc="REAL streaming stream-stream interval join (§2.11, VERDICT r8 "
+        "item 2): the events table re-served as a file-source stream, "
+        "split into click/purchase streams, watermarked interval join "
+        "(streaming/events.py::join_event_streams — purchase ← same "
+        "user's clicks within the preceding hour), parquet sink "
+        "(availableNow), results read back and hash-matched against the "
+        "batch SQL twin. Watermark above the data's span so no state "
+        "evicts mid-run (production bounds state with the real delay; "
+        "state is O(rate × gap) by the join's range condition).",
+)
+def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from meerpipe_spark.streaming.events import join_event_streams, read_event_stream
+
+    d = tempfile.mkdtemp(prefix="mp_ssj_")
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+    load_tables(spark, sf_dir)["events"].repartition(4).write.parquet(src)
+    stream = read_event_stream(spark, src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    (
+        join_event_streams(clicks, purchases, max_gap="1 hour", watermark="87600 hours")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out)
+    ev = load_tables(spark, sf_dir)["events"]
+    lval = ev.select(F.col("event_id").alias("left_id"), F.col("value").alias("_lv"))
+    rval = ev.select(F.col("event_id").alias("right_id"), F.col("value").alias("_rv"))
+    return (
+        got.join(lval, "left_id")
+        .join(rval, "right_id")
+        .select(
+            "user_id",
+            "left_id",
+            "right_id",
+            F.round(F.col("_rv") - F.col("_lv"), 4).alias("value_delta"),
+        )
+    )
+
+
+@_register(
     "sequence_packing",
     None,
     doc="Context-window sequence packing "
@@ -14655,6 +14716,93 @@ def _walks_oracle_sql(steps: int) -> str:
     parts.append(f"""
     {sel}""")
     return "".join(parts)
+
+
+def _node2vec_oracle_sql(steps: int, w_ret: int, w_adj: int, w_far: int) -> str:
+    maxw = max(w_ret, w_adj, w_far)
+    nums = ",".join(f"({i})" for i in range(1, maxw + 1))
+    parts = [f"""
+    WITH co AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS MATERIALIZED (
+      SELECT src, dst FROM co
+      UNION ALL SELECT dst AS src, src AS dst FROM co
+    ),
+    nums AS (SELECT * FROM (VALUES {nums}) n(i)),
+    f0 AS (SELECT p_partkey AS walk_id, CAST(0 AS INT) AS step,
+                  p_partkey AS node, CAST(NULL AS BIGINT) AS prev
+           FROM part WHERE p_partkey % 25 = 0)"""]
+    for t in range(1, steps + 1):
+        parts.append(f""",
+    f{t} AS MATERIALIZED (
+      SELECT walk_id, CAST({t} AS INT) AS step,
+             CAST(substr(k, 34) AS BIGINT) AS node, prev
+      FROM (
+        SELECT f.walk_id,
+               min(md5(f.walk_id || ':' || {t} || ':' || e.dst || ':' || n.i)
+                   || '|' || lpad(CAST(e.dst AS VARCHAR), 19, '0')) AS k,
+               max(f.node) AS prev
+        FROM f{t - 1} f
+        JOIN e ON e.src = f.node
+        LEFT JOIN e a2 ON a2.src = f.prev AND a2.dst = e.dst
+        JOIN nums n ON n.i <= CASE WHEN f.prev IS NULL THEN {w_adj}
+                                   WHEN e.dst = f.prev THEN {w_ret}
+                                   WHEN a2.src IS NOT NULL THEN {w_adj}
+                                   ELSE {w_far} END
+        GROUP BY f.walk_id
+      )
+    )""")
+    sel = "\n      UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM f{t}" for t in range(steps + 1)
+    )
+    parts.append(f"""
+    {sel}""")
+    return "".join(parts)
+
+
+@_register(
+    "node2vec_biased_walks",
+    _node2vec_oracle_sql(steps=6, w_ret=1, w_adj=4, w_far=16),
+    doc="node2vec-biased second-order walks over the part co-purchase "
+        "graph (operators/graph.py::node2vec_walks, Grover & Leskovec "
+        "2016; VERDICT r8 item 4): return/BFS/DFS weights 1/p : 1 : 1/q "
+        "realized as INTEGER REPLICATION (p=4, q=0.25 → 1/4/16 replicas "
+        "per candidate class), replica keys md5(walk:step:dst:i), walk "
+        "takes the min key — an exact weighted draw both engines replay "
+        "with integers + md5 only (no ln/pow libm divergence). The "
+        "adjacency probe prev-dst is one LEFT equi-join; the oracle "
+        "unrolls 6 steps as CTEs with identical expressions. 80 walks; "
+        "per step one frontier-sized equi-join + one min agg — the "
+        "structure-aware embedding-corpus generator next to DeepWalk's "
+        "uniform lane (random_walks_deterministic).",
+)
+def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import node2vec_walks
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    part = load_tables(spark, sf_dir)["part"]
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("src"))
+    b = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("dst"))
+    co = (
+        a.join(b, "kk")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = (
+        co.unionByName(
+            co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    starts = part.filter(F.col("p_partkey") % 25 == 0).select(
+        F.col("p_partkey").alias("walk_id"), F.col("p_partkey").alias("node")
+    )
+    return node2vec_walks(edges, starts, steps=6, p=4.0, q=0.25)
 
 
 @_register(

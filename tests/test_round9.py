@@ -227,3 +227,106 @@ def test_kmeans_centroids_literal_path_rejects_large_k(spark):
     emb = _toy_embeddings(spark, n=64)
     with pytest.raises(ValueError, match="literal-plan path"):
         kmeans_centroids(emb, k=33)
+
+
+def test_plan_audit_annotates_checkpoint_truncation(spark):
+    """VERDICT r8 item 3: iterative checkpointing operators truncate the
+    audited plan at Scan ExistingRDD — the audit must annotate, not
+    report a misleading 0-shuffle plan silently."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "plan_audit.py",
+    )
+    spec = importlib.util.spec_from_file_location("plan_audit_r9", path)
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    from meerpipe_spark.operators.graph import pagerank_fixed_point
+
+    pa.install_checkpoint_counter()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src BIGINT, dst BIGINT"
+    )
+    pa.CKPT_CALLS["n"] = 0
+    pr = pagerank_fixed_point(edges, iters=2)
+    pr.count()
+    assert pa.CKPT_CALLS["n"] > 0  # iterative checkpointing detected
+    # results pass through the wrapper unchanged (scaled-integer ranks
+    # conserve total mass: sum ≈ PAGERANK_SCALE up to integer division)
+    from meerpipe_spark.operators.graph import PAGERANK_SCALE
+
+    got = sum(r["rank"] for r in pr.collect())
+    assert abs(got - PAGERANK_SCALE) <= 10
+    # a plain plan registers zero checkpoint calls
+    pa.CKPT_CALLS["n"] = 0
+    edges.groupBy("src").count().count()
+    assert pa.CKPT_CALLS["n"] == 0
+    # idempotent install: no double counting
+    pa.install_checkpoint_counter()
+    pa.CKPT_CALLS["n"] = 0
+    edges.localCheckpoint()
+    assert pa.CKPT_CALLS["n"] == 1
+
+
+def test_node2vec_walks_match_bruteforce_replay(spark):
+    """node2vec biased walks: the Spark plan must reproduce EXACTLY the
+    semantics a sequential replay of the replication-argmin draw gives
+    — same md5 keys, same weights, same tie-break."""
+    import hashlib
+
+    from meerpipe_spark.operators.graph import node2vec_walks
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (4, 5), (5, 6)]
+    both = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(both, "src BIGINT, dst BIGINT")
+    starts = spark.createDataFrame(
+        [(100, 1), (200, 4), (300, 6)], "walk_id BIGINT, node BIGINT"
+    )
+    p_, q_, steps, repl = 4.0, 0.25, 6, 4
+    got = {}
+    for r in node2vec_walks(edges, starts, steps=steps, p=p_, q=q_,
+                            replication=repl).collect():
+        got.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+
+    # sequential reference replay
+    w_ret, w_adj, w_far = max(1, round(repl / p_)), repl, max(1, round(repl / q_))
+    outs, adjset = {}, set(both)
+    for a, b in both:
+        outs.setdefault(a, []).append(b)
+
+    def md5hex(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    for wid, start in ((100, 1), (200, 4), (300, 6)):
+        node, prev = start, None
+        expect = {0: start}
+        for t in range(1, steps + 1):
+            best = None
+            for dst in outs.get(node, []):
+                if prev is None:
+                    w = w_adj
+                elif dst == prev:
+                    w = w_ret
+                elif (prev, dst) in adjset:
+                    w = w_adj
+                else:
+                    w = w_far
+                for i in range(1, w + 1):
+                    k = md5hex(f"{wid}:{t}:{dst}:{i}") + "|" + str(dst).zfill(19)
+                    if best is None or k < best[0]:
+                        best = (k, dst)
+            prev, node = node, best[1]
+            expect[t] = node
+        assert got[wid] == expect, f"walk {wid}"
+    # p=4, q=0.25 (explorer): with one low-weight replica against four
+    # far replicas, immediate backtracks should be rare — sanity only
+    backtracks = sum(
+        1
+        for wid, path in got.items()
+        for t in range(2, max(path) + 1)
+        if path[t] == path[t - 2]
+    )
+    assert backtracks <= 6

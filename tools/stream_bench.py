@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F
 
 
-def _session(rocksdb: bool = False) -> SparkSession:
+def _session(rocksdb: bool = False, shuffle_partitions: int = 32) -> SparkSession:
     from meerpipe_spark.session import ensure_driver_memory
 
     ensure_driver_memory()  # builder-config driver.memory is a no-op in local mode
@@ -45,7 +45,7 @@ def _session(rocksdb: bool = False) -> SparkSession:
         SparkSession.builder.master("local[32]")
         .appName("stream-bench")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "false")  # streaming: fixed plan
         .config("spark.ui.enabled", "false")
     )
@@ -195,9 +195,13 @@ def main() -> int:
     ap.add_argument("--rocksdb", action="store_true",
                     help="RocksDB state store (off-heap state; required "
                          "for the 200k+ rows/s points)")
+    ap.add_argument("--shuffle-partitions", type=int, default=32,
+                    help="state-store partition count (fixed for the "
+                         "life of a checkpoint; the per-batch state "
+                         "maintenance overhead knob)")
     args = ap.parse_args()
     rates = [int(r) for r in args.rates.split(",")]
-    spark = _session(rocksdb=args.rocksdb)
+    spark = _session(rocksdb=args.rocksdb, shuffle_partitions=args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     results = []
     for rate in rates:

@@ -7,9 +7,12 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Each query is executed to completion (count() materializes the full
 plan; results are never collected to the driver). A warmup pass JITs
 whole-stage codegen and primes the parquet footer cache; each query is
-then timed twice and the MINIMUM recorded (steady-state execution,
-robust to CI-box load spikes — observed run-to-run noise up to 2× on
-individual sub-second queries).
+then timed THREE times and the MINIMUM recorded (steady-state
+execution, robust to CI-box load spikes — observed run-to-run noise up
+to 2× on individual sub-second queries; best-of-3 per VERDICT r8 item
+5 after the r8 box swung 0.8–1.9× within one session). Calibration
+brackets run before, mid-run, and after; their minimum normalizes the
+regression gate.
 
 Fail-soft per query: a query that raises is recorded under "errors"
 with its exception and EXCLUDED from the total, but never aborts the
@@ -167,11 +170,17 @@ def main() -> None:
 
     cal_before = _calibrate(spark)
 
+    # Per-query BEST-OF-3 (VERDICT r8 item 5): the shared box swung
+    # 0.8x-1.9x of the calibration anchor within single r8 sessions, so
+    # at best-of-2 a genuine 1.5x regression on a sub-second query was
+    # indistinguishable from one load spike. A third run costs ~40% more
+    # wall clock and makes the recorded minimum robust to two spikes.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    cal_mid = float("inf")
+    for i, name in enumerate(names):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             try:
                 QUERIES[name].fn(spark, SF_DIR).count()
@@ -187,11 +196,15 @@ def main() -> None:
         # accumulate MEMORY_AND_DISK blocks
         release_persisted()
         release_checkpoints(spark)
+        if i == len(names) // 2:
+            # mid-run calibration: with only before/after brackets, a
+            # load hump confined to the middle of the window is invisible
+            cal_mid = _calibrate(spark)
 
-    # Second calibration AFTER the queries: the min of the two brackets
-    # the load during the measured window.
+    # Calibration AFTER the queries: min of the three brackets is the
+    # box's best observed speed during the measured window.
     cal_after = _calibrate(spark)
-    cal = min(cal_before, cal_after)
+    cal = min(cal_before, cal_mid, cal_after)
     ab_ratio = round(cal / CALIBRATION_ANCHOR_SEC, 3)
 
     regressions: dict[str, float] = {}

@@ -16083,6 +16083,208 @@ def orc_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "fits_roundtrip_fingerprint",
+    """
+    WITH grid AS (
+      SELECT o.i AS obs, s.i AS subint, p.i AS pol, c.i AS chan, b.i AS bin
+      FROM (VALUES (0),(1)) o(i), (VALUES (0),(1)) s(i),
+           (VALUES (0),(1)) p(i), (VALUES (0),(1),(2)) c(i),
+           (VALUES (0),(1),(2),(3)) b(i)
+    ),
+    cells AS (
+      SELECT l_orderkey % 2  AS obs,  l_partkey % 2   AS subint,
+             l_suppkey % 2   AS pol,  l_linenumber % 3 AS chan,
+             CAST(l_quantity AS BIGINT) % 4 AS bin,
+             sum(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem GROUP BY 1, 2, 3, 4, 5
+    ),
+    cube AS (
+      SELECT g.obs, g.subint, g.pol, g.chan, g.bin,
+             CAST(coalesce(c.q, 0) AS BIGINT) AS v
+      FROM grid g LEFT JOIN cells c
+        ON c.obs = g.obs AND c.subint = g.subint AND c.pol = g.pol
+       AND c.chan = g.chan AND c.bin = g.bin
+    )
+    SELECT CAST(obs AS VARCHAR) AS obs_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           bit_xor(('0x' || substr(md5(
+               CAST(subint AS VARCHAR) || '|' || CAST(pol AS VARCHAR)
+               || '|' || CAST(chan AS VARCHAR) || '|' || CAST(bin AS VARCHAR)
+               || '|' || CAST(v AS VARCHAR)
+               || '|' || CAST(900 + chan * 10 AS VARCHAR)
+               || '|' || CAST(subint + 1 AS VARCHAR)), 1, 12))::UBIGINT)::BIGINT
+               AS content_fp
+    FROM cube GROUP BY obs ORDER BY obs_id
+    """,
+    doc="FITS archive sink/source roundtrip, proven lossless by content "
+        "fingerprint (VERDICT r8 item 6): a dense integer-valued cube "
+        "derived from lineitem is written as PSRFITS-like archives "
+        "(sinks_fits.write_archive_fits — binary big-endian doubles, "
+        "one BINTABLE row per subint), read back with "
+        "sources/fits.read_archive_cube, and fingerprinted with the "
+        "order-independent bit_xor(md5_48(cell)) aggregate; the ORACLE "
+        "fingerprints the same cube straight from SQL, so the hash "
+        "match certifies every value/freq/weight survived the binary "
+        "encode→decode bit-for-bit. Promotes the S1-S3/K1 binary "
+        "plumbing (previously pytest-only) to a driver-visible oracle "
+        "row. Integer-valued doubles make the cross-engine comparison "
+        "cast-exact.",
+)
+def fits_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from meerpipe_spark.sinks_fits import write_archive_fits
+    from meerpipe_spark.sources.fits import read_archive_cube
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cells = (
+        li.groupBy(
+            (F.col("l_orderkey") % 2).alias("obs"),
+            (F.col("l_partkey") % 2).alias("subint"),
+            (F.col("l_suppkey") % 2).alias("pol"),
+            (F.col("l_linenumber") % 3).alias("chan"),
+            (F.col("l_quantity").cast("bigint") % 4).alias("bin"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    rng = lambda n, name: spark.range(n).select(F.col("id").cast("bigint").alias(name))  # noqa: E731
+    grid = (
+        rng(2, "obs")
+        .crossJoin(rng(2, "subint"))
+        .crossJoin(rng(2, "pol"))
+        .crossJoin(rng(3, "chan"))
+        .crossJoin(rng(4, "bin"))
+    )
+    cube = grid.join(cells, ["obs", "subint", "pol", "chan", "bin"], "left").select(
+        F.col("obs").cast("string").alias("obs_id"),
+        F.col("subint").cast("int").alias("subint"),
+        F.col("pol").cast("int").alias("pol"),
+        F.col("chan").cast("int").alias("chan"),
+        F.col("bin").cast("int").alias("bin"),
+        (900 + F.col("chan") * 10).cast("double").alias("freq"),
+        (F.col("subint") + 1).cast("double").alias("weight"),
+        F.coalesce(F.col("q"), F.lit(0)).cast("double").alias("value"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"{tempfile.gettempdir()}/meerpipe_spark_fits_roundtrip_{tag}"
+    write_archive_fits(cube, out_dir).count()  # action drives the write
+    back = read_archive_cube(spark, out_dir + "/*.fits")
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("subint").cast("string"),
+                    F.col("pol").cast("string"),
+                    F.col("chan").cast("string"),
+                    F.col("bin").cast("string"),
+                    F.col("value").cast("bigint").cast("string"),
+                    F.col("freq").cast("bigint").cast("string"),
+                    F.col("weight").cast("bigint").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        back.groupBy("obs_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.bit_xor(digest).alias("content_fp"),
+        )
+        .orderBy("obs_id")
+    )
+
+
+@_register(
+    "tim_roundtrip_fingerprint",
+    """
+    WITH toas AS (
+      SELECT event_type AS name,
+             59000 + event_id % 1000              AS imjd,
+             event_id % 100000                    AS frac5,
+             900 + user_id % 200                  AS freq_i,
+             user_id % 100                        AS err_i,
+             CAST(event_id % 50 AS VARCHAR)       AS snr
+      FROM events
+    )
+    SELECT name,
+           CAST(count(*) AS BIGINT) AS n_toas,
+           bit_xor(('0x' || substr(md5(
+               CAST(imjd AS VARCHAR) || '|' || CAST(frac5 AS VARCHAR)
+               || '|' || CAST(freq_i AS VARCHAR) || '|' || CAST(err_i AS VARCHAR)
+               || '|meerkat|' || snr), 1, 12))::UBIGINT)::BIGINT AS content_fp
+    FROM toas GROUP BY name ORDER BY name
+    """,
+    doc="tempo2 .tim sink/source roundtrip, proven lossless by content "
+        "fingerprint (VERDICT r8 item 6): TOAs synthesized from events "
+        "(split imjd/fmjd MJDs, flag map) are serialized to FORMAT 1 "
+        "text (sources/tim.write_tim), re-parsed with read_tim_df, and "
+        "fingerprinted per pulsar name with bit_xor(md5_48(toa)); the "
+        "ORACLE fingerprints the same TOAs straight from events, so "
+        "the hash match certifies the text encode→parse (15-digit "
+        "fractional MJD, flags) preserved every field. fmjd is compared "
+        "as floor(fmjd·1e5 + .5) — the synthesized fraction has 5 "
+        "digits, so the roundtrip must restore it exactly. Promotes the "
+        "D5 .tim plumbing to a driver-visible oracle row.",
+)
+def tim_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from meerpipe_spark.sources.tim import read_tim_df, write_tim
+
+    ev = load_tables(spark, sf_dir)["events"]
+    toas = ev.select(
+        F.col("event_type").alias("name"),
+        (900 + F.col("user_id") % 200).cast("double").alias("freq_mhz"),
+        (59000 + F.col("event_id") % 1000).cast("long").alias("imjd"),
+        ((F.col("event_id") % 100000) / F.lit(100000.0)).alias("fmjd"),
+        (F.col("user_id") % 100).cast("double").alias("err_us"),
+        F.lit("meerkat").alias("site"),
+        F.map_from_arrays(
+            F.array(F.lit("snr")),
+            F.array((F.col("event_id") % 50).cast("string")),
+        ).alias("flags"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/meerpipe_spark_tim_roundtrip_{tag}"
+    write_tim(toas, path)
+    back = read_tim_df(spark, path)
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("imjd").cast("string"),
+                    F.floor(F.col("fmjd") * 100000 + F.lit(0.5)).cast("bigint").cast("string"),
+                    F.col("freq_mhz").cast("bigint").cast("string"),
+                    F.col("err_us").cast("bigint").cast("string"),
+                    F.col("site"),
+                    F.element_at("flags", "snr"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        back.groupBy("name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toas"),
+            F.bit_xor(digest).alias("content_fp"),
+        )
+        .orderBy("name")
+    )
+
+
+@_register(
     "blocklist_term_counts",
     """
     WITH terms AS (

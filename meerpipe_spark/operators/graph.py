@@ -91,6 +91,73 @@ def pagerank_fixed_point(
     return ranks.select("node", F.col("r").alias("rank"))
 
 
+def weighted_pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 10,
+    scale: int = PAGERANK_SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Edge-weighted PageRank over (src, dst, w) with INTEGER weights —
+    rank flows proportionally to edge weight instead of uniformly over
+    out-edges (purchase counts, citation multiplicity, co-occurrence
+    strength):
+
+      r'(v) = base + Σ_{u→v} (r(u)·damp_num·w(u,v)) DIV (damp_den·W(u))
+
+    with W(u) = Σ out-weights of u. Same exact-bigint discipline as
+    :func:`pagerank_fixed_point` (partition- and engine-invariant,
+    unrolled-CTE oracle-checkable); the extra multiply bounds the
+    intermediate at r·damp_num·w, so weights must satisfy
+    w < 2^63/(scale·damp_num) ≈ 10^5 at the default scale — plenty for
+    count-valued weights, and the guard asserts it.
+
+    Parallel edges should be pre-aggregated (one (src, dst) row with
+    summed weight); per round the plan is identical to the unweighted
+    operator: one map-side-combined (dst, contribution) exchange + one
+    rank⋈edges join, lineage checkpointed every 3 rounds.
+    """
+    edges = (
+        edges.groupBy("src", "dst")
+        .agg(F.sum(F.col("w").cast("bigint")).alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    maxw = edges.agg(F.max("w")).first()[0] or 0
+    if maxw * scale * damp_num >= (1 << 63):
+        raise ValueError(
+            f"edge weight {maxw} overflows bigint at scale {scale}: "
+            "rescale weights (the contribution term is r*damp_num*w)"
+        )
+    base = (scale * (damp_den - damp_num)) // (damp_den * n)
+    outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("outw"))
+    e = edges.join(outw, "src").localCheckpoint()
+    ranks = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
+    for i in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr(f"(r * {damp_num} * w) DIV ({damp_den} * outw)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("bigint").alias("r"),
+        )
+        if i % 3 == 2 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.col("r").alias("rank"))
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Exact triangle count over an undirected edge list (src, dst)
     via degree orientation (the MapReduce-era "node-iterator++" /
@@ -512,6 +579,41 @@ def node2vec_walks(
             break
         out = out.unionByName(frontier.select(seed_col, "step", "node"))
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    seed_col: str = "walk_id",
+) -> DataFrame:
+    """Skip-gram (center, context) training pairs from a walk corpus —
+    the step between walk generation (deterministic_walks /
+    node2vec_walks) and embedding training: every ordered pair of nodes
+    within ``window`` steps on the same walk, with multiplicities.
+
+    One self-equi-join on walk_id with the |Δstep| ≤ window band
+    predicate (walks are short, so the per-walk blow-up is ≤ 2·window
+    rows per position — bounded fan-out, not a cross join) and one
+    map-side-combined count. Input (walk_id, step, node); output
+    (center, context, n_pairs).
+    """
+    a = walks.select(
+        F.col(seed_col).alias("_w"), F.col("step").alias("_sa"),
+        F.col("node").alias("center"),
+    )
+    b = walks.select(
+        F.col(seed_col).alias("_w"), F.col("step").alias("_sb"),
+        F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, "_w")
+        .filter(
+            (F.col("_sa") != F.col("_sb"))
+            & (F.abs(F.col("_sa") - F.col("_sb")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
 
 
 def hits_scores(

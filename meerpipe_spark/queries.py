@@ -6421,6 +6421,71 @@ def _pagerank_oracle_sql(iters: int = 10, scale: int = 10**12, topk: int = 20) -
     return "".join(parts)
 
 
+def _weighted_pagerank_oracle_sql(iters: int = 10, scale: int = 10**12, topk: int = 20) -> str:
+    """Edge-weighted fixed-point PageRank unrolled as CTEs — the oracle
+    twin of operators/graph.py::weighted_pagerank_fixed_point. Weights
+    are lineitem multiplicities; all ops exact bigint."""
+    parts = [f"""
+    WITH edges AS (
+        SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    meta AS (SELECT count(*) AS n FROM nodes),
+    outw AS (SELECT src, sum(w)::BIGINT AS outw FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, edges.w, outw.outw
+          FROM edges JOIN outw USING (src)),
+    r0 AS (SELECT node, ({scale} // n)::BIGINT AS r FROM nodes, meta)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    r{i} AS (
+        SELECT n2.node,
+               (({scale} * 15) // (100 * meta.n) + coalesce(c.s, 0))::BIGINT AS r
+        FROM nodes n2 CROSS JOIN meta
+        LEFT JOIN (
+            SELECT dst, sum((r * 85 * w) // (100 * outw))::BIGINT AS s
+            FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node
+            GROUP BY dst
+        ) c ON n2.node = c.dst
+    )""")
+    parts.append(f"""
+    SELECT node, r AS rank FROM r{iters}
+    ORDER BY rank DESC, node LIMIT {topk}""")
+    return "".join(parts)
+
+
+@_register(
+    "weighted_pagerank_purchases",
+    _weighted_pagerank_oracle_sql(),
+    doc="Edge-WEIGHTED fixed-point PageRank (operators/graph.py::"
+        "weighted_pagerank_fixed_point; VERDICT r8 item 4 family) over "
+        "the customer→supplier graph with purchase-count weights: rank "
+        "flows ∝ w(u,v)/W(u) instead of uniformly over out-edges — "
+        "heavy trading relationships dominate the authority signal. "
+        "Same exact-scaled-bigint Pregel as the unweighted lane (one "
+        "extra integer multiply per contribution, overflow-guarded), "
+        "10 rounds, top-20, bit-identical to the unrolled DuckDB CTE "
+        "chain.",
+)
+def weighted_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import weighted_pagerank_fixed_point
+
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    ranks = weighted_pagerank_fixed_point(edges, iters=10)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
 @_register(
     "pagerank_customer_supplier",
     _pagerank_oracle_sql(),
@@ -14953,6 +15018,59 @@ def _node2vec_oracle_sql(steps: int, w_ret: int, w_adj: int, w_far: int) -> str:
     parts.append(f"""
     {sel}""")
     return "".join(parts)
+
+
+def _skipgram_oracle_sql(steps: int, window: int) -> str:
+    inner = _walks_oracle_sql(steps)
+    return f"""
+    WITH walks AS ({inner})
+    SELECT a.node AS center, b.node AS context,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM walks a JOIN walks b
+      ON a.walk_id = b.walk_id AND a.step <> b.step
+     AND abs(a.step - b.step) <= {window}
+    GROUP BY center, context
+    ORDER BY center, context"""
+
+
+@_register(
+    "skipgram_pairs_walks",
+    _skipgram_oracle_sql(steps=8, window=2),
+    doc="Skip-gram (center, context) training pairs from the "
+        "deterministic walk corpus (operators/graph.py::skipgram_pairs "
+        "over deterministic_walks) — the bridge between walk generation "
+        "and embedding training (word2vec over node sequences): one "
+        "self-equi-join on walk_id with the |Δstep| ≤ window band "
+        "(bounded ≤2·window fan-out per position, never a cross join) "
+        "+ one map-side-combined pair count. The oracle recomputes the "
+        "walks with the shared unrolled CTE and re-derives the pairs, "
+        "so corpus AND extraction hash-match end to end.",
+)
+def skipgram_pairs_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import deterministic_walks, skipgram_pairs
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    part = load_tables(spark, sf_dir)["part"]
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("src"))
+    b = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("dst"))
+    co = (
+        a.join(b, "kk")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = (
+        co.unionByName(
+            co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    starts = part.filter(F.col("p_partkey") % 25 == 0).select(
+        F.col("p_partkey").alias("walk_id"), F.col("p_partkey").alias("node")
+    )
+    walks = deterministic_walks(edges, starts, steps=8)
+    return skipgram_pairs(walks, window=2).orderBy("center", "context")
 
 
 @_register(

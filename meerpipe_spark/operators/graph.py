@@ -158,6 +158,70 @@ def weighted_pagerank_fixed_point(
     return ranks.select("node", F.col("r").alias("rank"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    iters: int = 10,
+    scale: int = PAGERANK_SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Personalized PageRank: the restart mass returns to a SOURCE SET
+    instead of all nodes — r(v) measures relevance of v to the seeds
+    (the recsys / related-items / topic-conditioned authority variant):
+
+      r'(v) = base·1{v ∈ S} + Σ_{u→v} (r(u)·damp_num) DIV (damp_den·outdeg(u))
+
+    with base = (scale·(damp_den−damp_num)) DIV (damp_den·|S|) and the
+    initial mass uniform over S. Same exact-scaled-bigint Pregel as
+    pagerank_fixed_point — bit-identical across engines/partitionings;
+    ``sources`` is (node) and is broadcast-joined (seed sets are small).
+    Returns (node, rank); nodes never reached by seed mass keep rank 0
+    rows only if they appear in the graph (node-sized output).
+    """
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    src_set = sources.select("node").distinct().join(nodes, "node", "left_semi")
+    s = src_set.count()
+    if s == 0:
+        raise ValueError("personalized_pagerank needs at least one source node in the graph")
+    base = (scale * (damp_den - damp_num)) // (damp_den * s)
+    is_src = F.when(F.col("_is_src").isNotNull(), 1).otherwise(0)
+    tagged = nodes.join(
+        F.broadcast(src_set.withColumn("_is_src", F.lit(1))), "node", "left"
+    ).select("node", is_src.alias("in_s")).localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    e = edges.join(outdeg, "src").localCheckpoint()
+    ranks = tagged.select(
+        "node",
+        (F.col("in_s") * F.lit(scale // s)).cast("bigint").alias("r"),
+    )
+    for i in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr(f"(r * {damp_num}) DIV ({damp_den} * outdeg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        ranks = tagged.join(contrib, tagged["node"] == contrib["dst"], "left").select(
+            "node",
+            (F.col("in_s") * F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("bigint")
+            .alias("r"),
+        )
+        if i % 3 == 2 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.col("r").alias("rank"))
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Exact triangle count over an undirected edge list (src, dst)
     via degree orientation (the MapReduce-era "node-iterator++" /

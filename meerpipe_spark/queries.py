@@ -6486,6 +6486,79 @@ def weighted_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
 
 
+def _ppr_oracle_sql(iters: int = 10, scale: int = 10**12, topk: int = 20) -> str:
+    """Personalized PageRank unrolled as CTEs — restart mass confined to
+    the seed set (customers with custkey % 50 = 0)."""
+    parts = [f"""
+    WITH edges AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    seeds AS (
+        SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+        WHERE c_custkey % 50 = 0
+    ),
+    srcset AS (SELECT s.node FROM seeds s JOIN nodes n ON n.node = s.node),
+    meta AS (SELECT count(*) AS s FROM srcset),
+    tagged AS (
+        SELECT n.node, CASE WHEN x.node IS NULL THEN 0 ELSE 1 END AS in_s
+        FROM nodes n LEFT JOIN srcset x ON x.node = n.node
+    ),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, outdeg.outdeg FROM edges JOIN outdeg USING (src)),
+    r0 AS (SELECT node, (in_s * ({scale} // s))::BIGINT AS r FROM tagged, meta)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    r{i} AS (
+        SELECT t.node,
+               (t.in_s * (({scale} * 15) // (100 * meta.s))
+                + coalesce(c.sm, 0))::BIGINT AS r
+        FROM tagged t CROSS JOIN meta
+        LEFT JOIN (
+            SELECT dst, sum((r * 85) // (100 * outdeg))::BIGINT AS sm
+            FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node
+            GROUP BY dst
+        ) c ON t.node = c.dst
+    )""")
+    parts.append(f"""
+    SELECT node, r AS rank FROM r{iters}
+    ORDER BY rank DESC, node LIMIT {topk}""")
+    return "".join(parts)
+
+
+@_register(
+    "personalized_pagerank_seeds",
+    _ppr_oracle_sql(),
+    doc="Personalized PageRank (operators/graph.py::personalized_"
+        "pagerank): restart mass confined to a seed set (every 50th "
+        "customer) — relevance-to-the-seeds propagation, the recsys / "
+        "related-items / topic-conditioned variant of the authority "
+        "family. Seed set broadcast-joined; iteration identical exact-"
+        "scaled-bigint Pregel to the global lane, 10 rounds, top-20, "
+        "bit-identical to the unrolled CTE chain.",
+)
+def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import personalized_pagerank
+
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    seeds = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 50 == 0)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+    )
+    ranks = personalized_pagerank(edges, seeds, iters=10)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
 @_register(
     "pagerank_customer_supplier",
     _pagerank_oracle_sql(),

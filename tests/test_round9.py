@@ -330,3 +330,60 @@ def test_node2vec_walks_match_bruteforce_replay(spark):
         if path[t] == path[t - 2]
     )
     assert backtracks <= 6
+
+
+def test_weighted_pagerank_weights_steer_rank(spark):
+    from meerpipe_spark.operators.graph import weighted_pagerank_fixed_point
+
+    # a splits its mass 99:1 between b and c
+    edges = spark.createDataFrame(
+        [("a", "b", 99), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src STRING, dst STRING, w INT",
+    )
+    r = {x["node"]: x["rank"] for x in weighted_pagerank_fixed_point(edges, iters=8).collect()}
+    # equal weights would give b = c; 99:1 steering leaves only the
+    # damped base share on c (measured ratio ~9x)
+    assert r["b"] > 5 * r["c"]
+    # replay determinism
+    r2 = {x["node"]: x["rank"] for x in weighted_pagerank_fixed_point(edges, iters=8).collect()}
+    assert r == r2
+    # overflow guard: a weight that pushes r*85*w past bigint is rejected
+    big = spark.createDataFrame(
+        [("a", "b", 10**8), ("b", "a", 1)], "src STRING, dst STRING, w LONG"
+    )
+    with pytest.raises(ValueError, match="overflows"):
+        weighted_pagerank_fixed_point(big)
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    from meerpipe_spark.operators.graph import personalized_pagerank
+
+    # two disconnected components; seeds only in the first
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")],
+        "src STRING, dst STRING",
+    )
+    seeds = spark.createDataFrame([("a",)], "node STRING")
+    r = {x["node"]: x["rank"] for x in personalized_pagerank(edges, seeds, iters=6).collect()}
+    assert r["a"] > 0 and r["b"] > 0
+    assert r["x"] == 0 and r["y"] == 0  # no seed mass ever reaches them
+    with pytest.raises(ValueError, match="at least one source"):
+        personalized_pagerank(edges, spark.createDataFrame([("zz",)], "node STRING"))
+
+
+def test_skipgram_pairs_bruteforce(spark):
+    from meerpipe_spark.operators.graph import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 11), (1, 2, 12), (1, 3, 10), (2, 0, 11), (2, 1, 12)],
+        "walk_id BIGINT, step INT, node BIGINT",
+    )
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in skipgram_pairs(walks, window=2).collect()}
+    rows = [(1, 0, 10), (1, 1, 11), (1, 2, 12), (1, 3, 10), (2, 0, 11), (2, 1, 12)]
+    expect = {}
+    for w, sa, na in rows:
+        for w2, sb, nb in rows:
+            if w == w2 and sa != sb and abs(sa - sb) <= 2:
+                expect[(na, nb)] = expect.get((na, nb), 0) + 1
+    assert got == expect

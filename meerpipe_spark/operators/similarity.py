@@ -602,7 +602,7 @@ def ivf_assign_join(
     )
 
 
-def two_level_assign(
+def two_level_model(
     embeddings: DataFrame,
     k: int,
     iters: int = 2,
@@ -610,30 +610,14 @@ def two_level_assign(
     id_col: str = "vec_id",
     train_per_centroid: int = KMEANS_TRAIN_PER_CENTROID,
     approx_n: int | None = None,
-) -> DataFrame:
-    """Two-level (coarse × fine) quantizer assignment for auto-scaled k
-    — the 100 TB path (VERDICT r8 item 1). A flat quantizer costs n·k
-    distance folds to assign; with k = n/B that is n²/B — superlinear
-    no matter how the model is trained. Splitting k into k1·k2 with
-    k1 = ⌈√k⌉ coarse cells and k2 = ⌈k/k1⌉ fine sub-cells per cell (the
-    inverted-multi-index factorization) makes assignment
-    n·(k1 + k2) ≈ 2n√k: each vector argmins over the k1 coarse
-    centroids (broadcast build side), then only over the k2 fine
-    centroids OF ITS CELL (equi-join on cell).
-
-    Training runs entirely on the deterministic md5 sample and entirely
-    as DataFrames: coarse = kmeans_centroids_df(k1); fine = per-cell
-    random-partition init + ``iters`` Lloyd rounds where assignment is
-    an equi-join on cell (all k2 candidates of a point meet it in one
-    task, so the per-point argmin partial-aggregates map-side) and the
-    update is one (cell, sub, dim)-keyed mean. The fine model is
-    k1·k2·dim ≈ k·dim cells — it ships as a JOIN SIDE, never as plan
-    literals, never to the driver.
-
-    Returns (id, cluster) with cluster = cell·k2 + sub ∈ [0, k1·k2).
-    Candidate-generation semantics downstream (co-membership) are
-    unchanged: lists still target ~B vectors each.
-    """
+) -> "tuple[DataFrame, DataFrame, int]":
+    """Train the two-level quantizer MODEL (see :func:`two_level_assign`
+    for the factorization rationale): coarse = kmeans_centroids_df(k1)
+    on the deterministic md5 sample; fine = per-cell random-partition
+    init + ``iters`` Lloyd rounds with cell-equi-join assignment.
+    Returns (coarse(cell, _cc), fine(cell, sub, centroid), k2) — both
+    centroid tables are DataFrames end to end, never plan literals,
+    never driver rows."""
     k1 = max(2, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
     k2 = -(-k // k1)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -691,10 +675,25 @@ def two_level_assign(
             ex.groupBy("cell", "sub", "dim").agg(F.avg("v").alias("cv")),
             ["cell", "sub"],
         ).localCheckpoint()
+    return coarse, fine, k2
 
-    # full-corpus assignment: coarse argmin (broadcast, n·k1) then fine
-    # argmin within the vector's cell (equi-join on cell, n·k2); both
-    # argmins partial-aggregate map-side so each exchange carries n rows
+
+def two_level_assign_with_model(
+    embeddings: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    k2: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    with_cell_sub: bool = False,
+) -> DataFrame:
+    """Full-corpus assignment against a trained two-level model: coarse
+    argmin (broadcast, n·k1) then fine argmin within the vector's cell
+    (equi-join on cell, n·k2); both argmins partial-aggregate map-side
+    so each exchange carries n rows. Returns (id, cluster), plus
+    (cell, sub) when ``with_cell_sub`` (the search path needs the
+    factored key)."""
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     pts = embeddings.select(F.col(id_col), cast.alias("_v"))
     cellassign = (
         pts.crossJoin(F.broadcast(coarse))
@@ -709,7 +708,7 @@ def two_level_assign(
         .agg(F.min("s").alias("s"))
         .select(id_col, "_v", F.col("s.cell").alias("cell"))
     )
-    return (
+    assigned = (
         cellassign.join(fine, "cell")
         .select(
             id_col,
@@ -721,10 +720,114 @@ def two_level_assign(
         )
         .groupBy(id_col, "cell")
         .agg(F.min("s").alias("s"))
-        .select(
+    )
+    if with_cell_sub:
+        return assigned.select(
             id_col,
+            F.col("cell"),
+            F.col("s.sub").alias("sub"),
             (F.col("cell").cast("bigint") * k2 + F.col("s.sub")).alias("cluster"),
         )
+    return assigned.select(
+        id_col,
+        (F.col("cell").cast("bigint") * k2 + F.col("s.sub")).alias("cluster"),
+    )
+
+
+def two_level_assign(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_per_centroid: int = KMEANS_TRAIN_PER_CENTROID,
+    approx_n: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse × fine) quantizer assignment for auto-scaled k
+    — the 100 TB path (VERDICT r8 item 1). A flat quantizer costs n·k
+    distance folds to assign; with k = n/B that is n²/B — superlinear
+    no matter how the model is trained. Splitting k into k1·k2 with
+    k1 = ⌈√k⌉ coarse cells and k2 = ⌈k/k1⌉ fine sub-cells per cell (the
+    inverted-multi-index factorization) makes assignment
+    n·(k1 + k2) ≈ 2n√k: each vector argmins over the k1 coarse
+    centroids (broadcast build side), then only over the k2 fine
+    centroids OF ITS CELL (equi-join on cell).
+
+    Training (:func:`two_level_model`) runs entirely on the
+    deterministic md5 sample and entirely as DataFrames; the fine model
+    is k1·k2·dim ≈ k·dim cells — it ships as a JOIN SIDE, never as
+    plan literals, never to the driver.
+
+    Returns (id, cluster) with cluster = cell·k2 + sub ∈ [0, k1·k2).
+    Candidate-generation semantics downstream (co-membership) are
+    unchanged: lists still target ~B vectors each.
+    """
+    coarse, fine, k2 = two_level_model(
+        embeddings, k, iters=iters, vec_col=vec_col, id_col=id_col,
+        train_per_centroid=train_per_centroid, approx_n=approx_n,
+    )
+    return two_level_assign_with_model(
+        embeddings, coarse, fine, k2, vec_col=vec_col, id_col=id_col
+    )
+
+
+def two_level_search(
+    embeddings: DataFrame,
+    query_vec: "list[float]",
+    k: int = 10,
+    index_k: int = 9,
+    iters: int = 2,
+    probe_cells: int = 2,
+    probe_lists: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    approx_n: int | None = None,
+) -> DataFrame:
+    """IMI-style ANN search over the two-level index: the query argmins
+    over the k1 coarse centroids, then over the fine sub-centroids of
+    its ``probe_cells`` nearest cells, and only the vectors assigned to
+    the ``probe_lists`` winning (cell, sub) lists are scored exactly —
+    at 10^9 vectors the scan touches ~probe_lists·B rows instead of n.
+
+    The model/assignment are the index-build artifacts
+    (:func:`two_level_model` / :func:`two_level_assign_with_model`) —
+    in production they persist once and amortize across queries, the
+    same contract as ivf_search. Probe ordering and the final top-k are
+    deterministic: (d2, cell[, sub]) for probes, (round(d2·1e6),
+    id) for results — both replayable cross-engine. Returns
+    (id, d2) with d2 at 6dp.
+    """
+    coarse, fine, k2 = two_level_model(
+        embeddings, index_k, iters=iters, vec_col=vec_col, id_col=id_col,
+        approx_n=approx_n,
+    )
+    asg = two_level_assign_with_model(
+        embeddings, coarse, fine, k2, vec_col=vec_col, id_col=id_col,
+        with_cell_sub=True,
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cells = (
+        coarse.select("cell", _fold_d2(q, F.col("_cc")).alias("qd2"))
+        .orderBy("qd2", "cell")
+        .limit(probe_cells)
+    )
+    lists = (
+        fine.join(F.broadcast(cells.select("cell")), "cell", "left_semi")
+        .select("cell", "sub", _fold_d2(q, F.col("centroid")).alias("qd2"))
+        .orderBy("qd2", "cell", "sub")
+        .limit(probe_lists)
+    )
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cands = asg.join(
+        F.broadcast(lists.select("cell", "sub")), ["cell", "sub"], "left_semi"
+    ).select(id_col)
+    d2key = F.floor(_fold_d2(cast, q) * 1e6 + F.lit(0.5)).cast("bigint")
+    return (
+        embeddings.join(cands, id_col, "left_semi")
+        .select(F.col(id_col), d2key.alias("_d2k"))
+        .orderBy("_d2k", id_col)
+        .limit(k)
+        .select(id_col, (F.col("_d2k") / 1e6).alias("d2"))
     )
 
 

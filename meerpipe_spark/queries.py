@@ -1955,15 +1955,17 @@ def _lloyds_unrolled_sql(k: int, iters: int) -> str:
     return "".join(parts)
 
 
-def _two_level_oracle_sql(k: int, k1: int, k2: int, iters: int) -> str:
-    """two_level_assign replayed as a DuckDB CTE chain: outer md5
-    training sample (target k·64), coarse random-partition init + iters
-    Lloyd rounds on the inner md5 sample (target k1·64, approx-n =
-    min(n, k·64) — the same ESTIMATE Spark uses, not a recount), sample
-    coarse assignment, per-cell fine init (salted md5 mod k2) + iters
-    fine Lloyd rounds, then the full-corpus two-stage argmin. All
-    argmins are row_number ordered by (list_distance, cluster) — the
-    tie-break min(struct(d2, cluster)) uses on the Spark side."""
+def _two_level_model_ctes(k: int, k1: int, k2: int, iters: int) -> str:
+    """two_level_model + full-corpus assignment as a DuckDB CTE chain
+    ending in ``assigned(vec_id, cell, sub)``: outer md5 training sample
+    (target k·64), coarse random-partition init + iters Lloyd rounds on
+    the inner md5 sample (target k1·64, approx-n = min(n, k·64) — the
+    same ESTIMATE Spark uses, not a recount), sample coarse assignment,
+    per-cell fine init (salted md5 mod k2) + iters fine Lloyd rounds,
+    then the two-stage argmin. Training argmins are row_number ordered
+    by (list_distance, cluster) — the tie-break min(struct(d2,
+    cluster)) uses on the Spark side. Shared by the assign and search
+    oracles."""
     u32 = "('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 8))::UBIGINT"
     parts = [f"""
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2055,18 +2057,102 @@ def _two_level_oracle_sql(k: int, k1: int, k2: int, iters: int) -> str:
       ) WHERE rn = 1
     ),
     assigned AS (
-      SELECT vec_id, CAST(cell * {k2} + sub AS BIGINT) AS cluster FROM (
+      SELECT vec_id, cell, sub FROM (
         SELECT e.vec_id, e.cell, f.sub,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY list_distance(e.v, f.c), f.sub) AS rn
         FROM fullcell e JOIN fc{iters} f ON f.cell = e.cell
       ) WHERE rn = 1
-    )
-    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+    )""")
+    return "".join(parts)
+
+
+def _two_level_oracle_sql(k: int, k1: int, k2: int, iters: int) -> str:
+    """two_level_assign replayed end to end: model CTEs + per-cluster
+    membership fingerprint (see _two_level_model_ctes)."""
+    return _two_level_model_ctes(k, k1, k2, iters) + f"""
+    SELECT CAST(cell * {k2} + sub AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
            bit_xor(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::UBIGINT)::BIGINT
                AS member_fp
-    FROM assigned GROUP BY cluster ORDER BY cluster""")
-    return "".join(parts)
+    FROM assigned GROUP BY cluster ORDER BY cluster"""
+
+
+def _two_level_search_oracle_sql(
+    k: int, k1: int, k2: int, iters: int,
+    query: "list[float]", probe_cells: int, probe_lists: int, topk: int,
+) -> str:
+    """two_level_search replayed: model CTEs + probe chain. Probe
+    distances use the exact sequential fold Spark's _fold_d2 runs (not
+    list_distance — these values ORDER the probes AND the top-k, so
+    both engines must compute identical doubles)."""
+    dim = len(query)
+    qlit = "[" + ", ".join(repr(float(x)) for x in query) + "]::DOUBLE[]"
+
+    def fold(v: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+            f"i -> ({v}[i] - qq.q[i]) * ({v}[i] - qq.q[i]))), (x, y) -> x + y)"
+        )
+
+    return _two_level_model_ctes(k, k1, k2, iters) + f""",
+    qq AS (SELECT {qlit} AS q),
+    cellsq AS (
+      SELECT cell FROM (
+        SELECT c.cluster AS cell,
+               row_number() OVER (ORDER BY {fold("c.c")}, c.cluster) AS rn
+        FROM cc{iters} c, qq
+      ) WHERE rn <= {probe_cells}
+    ),
+    listsq AS (
+      SELECT cell, sub FROM (
+        SELECT f.cell, f.sub,
+               row_number() OVER (ORDER BY {fold("f.c")}, f.cell, f.sub) AS rn
+        FROM fc{iters} f JOIN cellsq USING (cell), qq
+      ) WHERE rn <= {probe_lists}
+    ),
+    cands AS (
+      SELECT a.vec_id FROM assigned a JOIN listsq USING (cell, sub)
+    )
+    SELECT vec_id, d2k / 1000000.0 AS d2 FROM (
+      SELECT e.vec_id,
+             CAST(floor({fold("e.v")} * 1000000.0 + 0.5) AS BIGINT) AS d2k
+      FROM emb e JOIN cands USING (vec_id), qq
+    ) ORDER BY d2k, vec_id LIMIT {topk}"""
+
+
+#: Deterministic 64-dim probe vector for the two-level search lane —
+#: identical literals on both engines (repr round-trips doubles).
+_TWO_LEVEL_QUERY = [round(0.1 * ((i % 7) - 3), 1) for i in range(64)]
+
+
+@_register(
+    "two_level_ann_search",
+    _two_level_search_oracle_sql(
+        k=9, k1=3, k2=3, iters=2,
+        query=_TWO_LEVEL_QUERY, probe_cells=2, probe_lists=4, topk=10,
+    ),
+    doc="IMI-style ANN search over the two-level quantizer "
+        "(operators/similarity.two_level_search): the query argmins "
+        "over k1 coarse centroids, then over the fine sub-centroids of "
+        "its 2 nearest cells, and only the 4 winning (cell, sub) lists "
+        "are scored exactly — probe_lists·B rows touched instead of n. "
+        "Model + assignment are the persisted index artifacts "
+        "(two_level_model / two_level_assign_with_model — the "
+        "amortization contract ivf_search established). Probe ordering "
+        "and the top-k use the exact sequential d2 fold on BOTH "
+        "engines; the final key is floor(d2·1e6+.5) with id tie-break, "
+        "so the entire probe chain hash-matches the unrolled CTE twin.",
+)
+def two_level_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import two_level_search
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    return two_level_search(
+        emb, _TWO_LEVEL_QUERY, k=10, index_k=9, iters=2,
+        probe_cells=2, probe_lists=4, approx_n=n,
+    )
 
 
 @_register(

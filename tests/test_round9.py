@@ -387,3 +387,34 @@ def test_skipgram_pairs_bruteforce(spark):
             if w == w2 and sa != sb and abs(sa - sb) <= 2:
                 expect[(na, nb)] = expect.get((na, nb), 0) + 1
     assert got == expect
+
+
+def test_two_level_search_exact_scores_and_recall(spark):
+    import math
+
+    from meerpipe_spark.operators.similarity import two_level_search
+
+    emb = _toy_embeddings(spark, n=300)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    q = vecs[0]  # probe AT a corpus point: its blob must be found
+    got = two_level_search(emb, list(q), k=10, index_k=9, iters=2,
+                           probe_cells=2, probe_lists=4, approx_n=300).collect()
+    assert len(got) == 10
+    d2s = [r["d2"] for r in got]
+    assert d2s == sorted(d2s)  # ranked ascending
+    # every reported distance is the exact 6dp-keyed d2
+    for r in got:
+        v = vecs[r["vec_id"]]
+        true = 0.0
+        for a, b in zip(v, q):
+            true += (a - b) * (a - b)
+        assert abs(math.floor(true * 1e6 + 0.5) / 1e6 - r["d2"]) < 1e-9
+    # recall vs brute force: the probed lists must contain most of the
+    # true top-10 (query sits inside a blob; lists are blob-aligned)
+    brute = sorted(vecs, key=lambda i: sum((a - b) * (a - b) for a, b in zip(vecs[i], q)))[:10]
+    hit = len({r["vec_id"] for r in got} & set(brute))
+    assert hit >= 7
+    # deterministic replay
+    again = two_level_search(emb, list(q), k=10, index_k=9, iters=2,
+                             probe_cells=2, probe_lists=4, approx_n=300).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

@@ -1875,7 +1875,7 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get("feature", 1).cast("bigint").alias("f1"),
         F.get("feature", 2).cast("bigint").alias("f2"),
         F.get("feature", 3).cast("bigint").alias("f3"),
-    ).orderBy("media_id")
+    )
 
 
 @_register(
@@ -2186,7 +2186,6 @@ def two_level_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.bit_xor(digest).alias("member_fp"),
         )
-        .orderBy("cluster")
     )
 
 
@@ -11853,9 +11852,10 @@ def _media_feature_png_oracle() -> str:
         "and replays numpy's exact float32 normalization (integer "
         "sum-of-squares is exact in f32, so only two correctly-rounded "
         "ops remain), proving payload → decode → featurize is "
-        "pixel-lossless END TO END. The opaque-codec lane "
-        "(media_feature_extract) stays rows-only by design. Two "
-        "mapInPandas stages, zero shuffle.",
+        "pixel-lossless END TO END. Since r9 media_feature_extract runs "
+        "the same real decode with poisoned-payload failure isolation "
+        "and a per-pixel bigint oracle. Two mapInPandas stages, zero "
+        "shuffle.",
     headline=True,
 )
 def media_feature_extract_png(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15229,7 +15229,7 @@ def skipgram_pairs_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("walk_id"), F.col("p_partkey").alias("node")
     )
     walks = deterministic_walks(edges, starts, steps=8)
-    return skipgram_pairs(walks, window=2).orderBy("center", "context")
+    return skipgram_pairs(walks, window=2)
 
 
 @_register(
@@ -16665,7 +16665,6 @@ def fits_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_cells"),
             F.bit_xor(digest).alias("content_fp"),
         )
-        .orderBy("obs_id")
     )
 
 
@@ -16749,7 +16748,6 @@ def tim_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_toas"),
             F.bit_xor(digest).alias("content_fp"),
         )
-        .orderBy("name")
     )
 
 

@@ -97,6 +97,10 @@ ANCHORS: dict[str, float] = {
     "pagerank_customer_supplier": 7.120,   # r5w4 (10 checkpointed rounds)
     "bigram_perplexity_docs": 3.673,       # r5w4
     "hard_negative_mining": 7.517,         # r5w4 (kmeans + pair window)
+    # same computation as hard_negative_mining at sf0.1 (auto-k = 8
+    # there), so the pinned lane's anchor carries over; diverges to the
+    # two-level path only above n ≈ 8k
+    "hard_negative_mining_autok": 7.517,
     "ppjoin_jaccard_pairs": 1.700,         # r5w4 (warm-session steady state)
     # r5w5: measured at the wave-5 commit with ab_ratio 1.146 and divided
     # out (loadavg 4.7 during the 52-query run), so these approximate the

@@ -6821,9 +6821,10 @@ def _hard_negative_oracle_sql(k: int = 8, iters: int = 2) -> str:
         "deterministic Lloyd's quantizer), so the pair join is an "
         "equi-join on cluster id costing Σ n_c², never the n² cross "
         "join. Anchors whose list has no cross-label vector yield no "
-        "row (scale: multi-probe). The negatives that actually move an "
-        "embedding model, mined at corpus scale.",
-    headline=True,
+        "row (scale: multi-probe). k is PINNED to the oracle's 8-cell "
+        "CTE, so at fixed k this lane's pair join grows quadratically "
+        "with n BY CONSTRUCTION — the benched headliner is the auto-k "
+        "twin (hard_negative_mining_autok), which keeps lists ~256.",
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.similarity import hard_negatives
@@ -6832,6 +6833,29 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k pinned to the oracle's CTE (8); the operator DEFAULT auto-scales
     # k to keep IVF lists ~256 vectors, which is what survives 100 TB
     return hard_negatives(emb, centroids_k=8, iters=2, per_anchor=1)
+
+
+@_register(
+    "hard_negative_mining_autok",
+    _hard_negative_oracle_sql(),
+    doc="Hard-negative mining on the DEFAULT auto-k path (VERDICT r8 "
+        "item 1): centroids_k=None → k = max(8, ⌈n/256⌉), routed to "
+        "the sampled two-level quantizer above k=32 — the lane that "
+        "survives 100 TB (sf0.1→sf1.0 measured 2.6× vs the pinned "
+        "lane's inherent quadratic). At the correctness-gate scales "
+        "(n ≤ 8448 ⇒ auto-k = 8 ≤ 32) the plan is computationally "
+        "IDENTICAL to the pinned lane, so the same unrolled-CTE oracle "
+        "replays it; the divergent large-n branch is oracle-gated "
+        "separately (two_level_ivf_assign / two_level_ann_search). "
+        "This is the benched headliner: the sf1.0 artifact measures "
+        "the path a user actually runs.",
+    headline=True,
+)
+def hard_negative_mining_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.similarity import hard_negatives
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return hard_negatives(emb, per_anchor=1)  # centroids_k=None: auto
 
 
 @_register(

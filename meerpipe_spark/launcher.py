@@ -29,14 +29,22 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-#: Recovery leaves unledgered staging/tmp dirs YOUNGER than this alone:
-#: they may belong to a CONCURRENT launch that is still staging (rolling
-#: them back would strand that run: it would append its ledger entry and
-#: then fail publication, leaving observations ledgered-as-processed with
-#: no published results — a permanent drop). Residual assumption, by
-#: design: concurrent launches sharing one out_dir are safe only while
-#: each batch goes from first staged byte to ledger commit in under this
-#: window; a single writer is always safe.
+#: FALLBACK grace for unledgered staging/tmp dirs with NO owner lock
+#: file (pre-lock layouts, foreign writers): they may belong to a
+#: CONCURRENT launch that is still staging (rolling them back would
+#: strand that run: it would append its ledger entry and then fail
+#: publication, leaving observations ledgered-as-processed with no
+#: published results — a permanent drop). The PRIMARY liveness signal
+#: is the per-batch pid lock (_locks/<batch_id>.pid, written before the
+#: first staged byte, removed in the launch's finally): a lock whose
+#: pid is alive spares the batch REGARDLESS of wall-clock (ADVICE r9:
+#: mtime alone rolled back any staging write slower than the grace —
+#: Spark touches the dir's top level only at job start/commit — and the
+#: stranded run then committed its ledger with no results, a silent
+#: permanent drop); a lock whose pid is dead is swept immediately.
+#: Residual assumptions: launches sharing one out_dir run on ONE host
+#: (pid liveness is host-local), and pid-reuse can only DELAY a sweep
+#: until the recycled pid exits — sparing is the safe direction.
 RECOVERY_GRACE_SEC = 300.0
 
 
@@ -142,6 +150,48 @@ def _ledger_append(selected: DataFrame, ledger_dir: str, batch_id: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _lock_path(out_dir: str, batch_id: str) -> str:
+    return os.path.join(out_dir, "_locks", f"{batch_id}.pid")
+
+
+def _acquire_lock(out_dir: str, batch_id: str) -> str:
+    """Write the batch's liveness lock (pid file) BEFORE the first
+    staged byte, so recovery can tell a slow concurrent launch from a
+    dead one without trusting wall-clock."""
+    lock = _lock_path(out_dir, batch_id)
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    return lock
+
+
+def _owner_state(out_dir: str, batch_id: str) -> bool | None:
+    """Tri-state liveness: True = lock exists and its pid is alive
+    (spare the batch, whatever its age); False = lock exists but the
+    pid is gone (the owner crashed — sweep immediately); None = no
+    lock (pre-lock layout / foreign writer — fall back to the mtime
+    grace)."""
+    try:
+        with open(_lock_path(out_dir, batch_id)) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _drop_lock(out_dir: str, batch_id: str) -> None:
+    try:
+        os.remove(_lock_path(out_dir, batch_id))
+    except OSError:
+        pass
+
+
 def _recover(spark: SparkSession, out_dir: str) -> None:
     """Crash recovery, WAL-style. For every leftover staging batch:
     ledgered → the crash hit between commit and publish, complete the
@@ -151,13 +201,17 @@ def _recover(spark: SparkSession, out_dir: str) -> None:
     Either way the invariant holds: results rows exist iff their batch
     is ledgered, exactly once.
 
-    Unledgered dirs younger than RECOVERY_GRACE_SEC are left alone —
-    they may belong to a concurrent launch that is still between staging
-    and its ledger commit (see the constant's docstring); they are swept
-    by a later recovery once stale."""
+    Unledgered dirs are swept only when their owner is provably gone:
+    the per-batch pid lock is the liveness signal (alive → spared at any
+    age; dead → swept immediately); dirs with no lock fall back to the
+    RECOVERY_GRACE_SEC mtime window (see the constant's docstring)."""
     staging_root = os.path.join(out_dir, "_staging")
     tmp_root = os.path.join(out_dir, "_ledger_tmp")
-    if not os.path.isdir(staging_root) and not os.path.isdir(tmp_root):
+    if (
+        not os.path.isdir(staging_root)
+        and not os.path.isdir(tmp_root)
+        and not os.path.isdir(os.path.join(out_dir, "_locks"))
+    ):
         return
     from pyspark.errors import AnalysisException
 
@@ -171,21 +225,49 @@ def _recover(spark: SparkSession, out_dir: str) -> None:
     except AnalysisException:
         pass
     now = time.time()
+    live: set[str] = set()
     if os.path.isdir(staging_root):
         for bid in os.listdir(staging_root):
             staging = os.path.join(staging_root, bid)
+            owner = _owner_state(out_dir, bid)
             if bid in committed:
                 _publish_staged(staging, os.path.join(out_dir, "results"))
+                _drop_lock(out_dir, bid)  # crashed post-commit: finally never ran
+            elif owner is True:
+                live.add(bid)  # concurrent launch mid-stage: spare at any age
+            elif owner is False:
+                shutil.rmtree(staging, ignore_errors=True)
+                _drop_lock(out_dir, bid)
             elif now - os.path.getmtime(staging) >= RECOVERY_GRACE_SEC:
                 shutil.rmtree(staging, ignore_errors=True)
     if os.path.isdir(tmp_root):
         # orphaned pre-commit ledger tmp dirs (crash between the tmp
         # write and the os.replace): never part of the ledger — sweep
-        # once stale
+        # once the owner is provably gone (or stale, for lockless dirs)
         for bid in os.listdir(tmp_root):
             p = os.path.join(tmp_root, bid)
-            if now - os.path.getmtime(p) >= RECOVERY_GRACE_SEC:
+            owner = _owner_state(out_dir, bid)
+            if owner is True:
+                live.add(bid)
+            elif owner is False or (
+                owner is None
+                and now - os.path.getmtime(p) >= RECOVERY_GRACE_SEC
+            ):
                 shutil.rmtree(p, ignore_errors=True)
+                _drop_lock(out_dir, bid)
+    locks_root = os.path.join(out_dir, "_locks")
+    if os.path.isdir(locks_root):
+        # orphan locks (batch fully published/swept, owner dead): sweep
+        for name in os.listdir(locks_root):
+            bid = name[:-4] if name.endswith(".pid") else name
+            if bid in live:
+                continue
+            if (
+                _owner_state(out_dir, bid) is False
+                and not os.path.isdir(os.path.join(staging_root, bid))
+                and not os.path.isdir(os.path.join(tmp_root, bid))
+            ):
+                _drop_lock(out_dir, bid)
 
 
 def launch(
@@ -237,15 +319,24 @@ def launch(
         results = execute(selected) if execute is not None else selected
         batch_id = uuid.uuid4().hex
         staging = os.path.join(out_dir, "_staging", batch_id)
-        # the ONE execution of the per-obs pipeline (populates the
-        # selection cache as a side effect)
-        results.write.mode("overwrite").parquet(staging)
-        n = spark.read.parquet(staging).count()  # footer count, no recompute
-        if n:
-            _ledger_append(selected, ledger_dir, batch_id)
-            _publish_staged(staging, results_dir)
-        else:
-            shutil.rmtree(staging, ignore_errors=True)
+        # liveness lock BEFORE the first staged byte: a slow staging
+        # write (> RECOVERY_GRACE_SEC between Spark's job-start and
+        # job-commit touches of the dir) must not look abandoned to a
+        # concurrent launch's recovery (ADVICE r9 — the mtime-only
+        # check silently dropped such batches)
+        _acquire_lock(out_dir, batch_id)
+        try:
+            # the ONE execution of the per-obs pipeline (populates the
+            # selection cache as a side effect)
+            results.write.mode("overwrite").parquet(staging)
+            n = spark.read.parquet(staging).count()  # footer count, no recompute
+            if n:
+                _ledger_append(selected, ledger_dir, batch_id)
+                _publish_staged(staging, results_dir)
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
+        finally:
+            _drop_lock(out_dir, batch_id)
     finally:
         selected.unpersist()
     return n

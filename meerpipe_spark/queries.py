@@ -1879,6 +1879,87 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_wav_header_extract",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sam AS (
+      SELECT b.vec_id, t.range AS k,
+             LEAST(GREATEST(CAST(floor(
+                 v[CAST(t.range % 64 AS INT) + 1] * (2000 + 8 * t.range))
+                 AS BIGINT), -32768), 32767) AS s
+      FROM base b, range(256) t
+    ),
+    agg AS (
+      SELECT vec_id,
+             CAST(floor(sqrt(CAST(SUM(s * s) AS DOUBLE) / 256.0) * 1e6 + 0.5)
+                  AS BIGINT) / 1e6 AS rms
+      FROM sam GROUP BY vec_id
+    )
+    SELECT b.vec_id AS media_id,
+           (b.vec_id % 50 <> 0 AND b.vec_id % 61 <> 0) AS decode_ok,
+           CASE WHEN b.vec_id % 50 <> 0 AND b.vec_id % 61 <> 0
+                THEN CAST(8000 + (b.vec_id % 8) * 1000 AS INT) END AS sample_rate,
+           CASE WHEN b.vec_id % 50 <> 0 AND b.vec_id % 61 <> 0
+                THEN CAST(256 AS INT) END AS n_samples,
+           CASE WHEN b.vec_id % 50 <> 0 AND b.vec_id % 61 <> 0
+                THEN 256000 // (8000 + (b.vec_id % 8) * 1000) END AS duration_ms,
+           CASE WHEN b.vec_id % 50 <> 0 AND b.vec_id % 61 <> 0
+                THEN a.rms END AS rms
+    FROM base b JOIN agg a USING (vec_id)
+    ORDER BY media_id
+    """,
+    doc="RIFF/WAVE metadata + content extraction through a REAL "
+        "chunk-walking parser (VERDICT r9 item 4 — the second real "
+        "media format, retiring the opaque-decode guard for audio "
+        "containers): embeddings render to real 44-byte-header WAV "
+        "payloads (operators/multimodal.vectors_to_wav; sample rate "
+        "varies per row so header FIELDS are data), then "
+        "wav_header_features walks the chunks, cross-validates "
+        "byte_rate/block_align, bounds-checks the data chunk, and "
+        "computes whole-clip RMS from the decoded samples. TWO poison "
+        "classes exercise per-row failure isolation: id%50=0 payloads "
+        "are not RIFF at all (magic check), id%61=0 payloads have a "
+        "data-chunk size field promising 2^20 bytes that aren't there "
+        "(the truncation/over-read class — a fixed-offset peek would "
+        "NOT catch it). The oracle recomputes every field from the "
+        "synth formulas: sr = 8000+(id%8)·1000, duration = "
+        "256000 div sr, rms from the exact clamp(floor(v[k%64]·"
+        "(2000+8k))) integer samples — so a hash match certifies the "
+        "parser recovered header AND content bit-exactly. mapInPandas, "
+        "map-side only; payload-heavy scan bounded by maxPartitionBytes.",
+    headline=True,
+)
+def media_wav_header_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    from meerpipe_spark.operators.multimodal import (
+        vectors_to_wav,
+        wav_header_features,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    media = vectors_to_wav(emb)
+    huge = F.lit(bytearray(_struct.pack("<I", 1 << 20)))
+    poisoned = media.select(
+        "media_id",
+        F.when(
+            F.col("media_id") % 50 == 0,
+            F.encode(F.lit("certainly not a riff container"), "utf-8"),
+        )
+        .when(
+            F.col("media_id") % 61 == 0,
+            # patch the data-chunk size field (bytes 41..44, 1-based):
+            # header now promises 1 MiB of samples the payload lacks
+            F.concat(F.expr("substring(payload, 1, 40)"), huge,
+                     F.expr("substring(payload, 45, 2147483647)")),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    return wav_header_features(poisoned)
+
+
+@_register(
     "streaming_windowed_counts",
     None,
     doc="REAL Structured Streaming execution (§2.11): events parquet "

@@ -132,3 +132,35 @@ def test_train_sample_salt_decorrelates(spark, sf_dir):
     # unsalted composition would return ~n_outer rows when bounds align;
     # the salted draw actually thins toward the 25-row target
     assert n_inner < 0.6 * n_outer
+
+
+def test_wav_roundtrip_and_poison_isolation(spark, sf_dir):
+    """vectors_to_wav -> wav_header_features roundtrip: header fields
+    match the synth formulas, RMS comes from the real decoded samples,
+    and a payload whose data-chunk size overruns the actual bytes is
+    rejected by the bounds check (not over-read)."""
+    import struct
+
+    from meerpipe_spark.operators.multimodal import (
+        vectors_to_wav,
+        wav_header_features,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    media = vectors_to_wav(emb)
+    rows = wav_header_features(media).collect()
+    assert all(r.decode_ok for r in rows)
+    for r in rows:
+        assert r.sample_rate == 8000 + (r.media_id % 8) * 1000
+        assert r.n_samples == 256
+        assert r.duration_ms == 256000 // r.sample_rate
+        assert 0.0 <= r.rms < 32768.0
+    # corrupt one payload's data-size field: must isolate, not crash
+    one = media.limit(1).collect()[0]
+    bad = one.payload[:40] + struct.pack("<I", 1 << 20) + one.payload[44:]
+    pdf = spark.createDataFrame(
+        [(one.media_id, bytearray(bad))], "media_id LONG, payload BINARY"
+    )
+    out = wav_header_features(pdf).collect()
+    assert len(out) == 1 and out[0].decode_ok is False
+    assert out[0].rms is None and out[0].sample_rate is None

@@ -17030,13 +17030,18 @@ def fits_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fractional MJD, flags) preserved every field. fmjd is compared "
         "as floor(fmjd·1e5 + .5) — the synthesized fraction has 5 "
         "digits, so the roundtrip must restore it exactly. Promotes the "
-        "D5 .tim plumbing to a driver-visible oracle row.",
+        "D5 .tim plumbing to a driver-visible oracle row. Since r10 the "
+        "serialization leg is the BULK sink (write_tim_sharded: 16 "
+        "parallel FORMAT 1 shards + INCLUDE manifest, no coalesce(1) "
+        "serial term — VERDICT r9 item 7); the fingerprint is bit_xor "
+        "per name, order-insensitive, so the values are identical to "
+        "the single-file sink's.",
 )
 def tim_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
-    from meerpipe_spark.sources.tim import read_tim_df, write_tim
+    from meerpipe_spark.sources.tim import read_tim_df, write_tim_sharded
 
     ev = load_tables(spark, sf_dir)["events"]
     toas = ev.select(
@@ -17053,8 +17058,8 @@ def tim_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"{tempfile.gettempdir()}/meerpipe_spark_tim_roundtrip_{tag}"
-    write_tim(toas, path)
-    back = read_tim_df(spark, path)
+    write_tim_sharded(toas, path)
+    back = read_tim_df(spark, path + "/shard=*")
     digest = F.conv(
         F.substring(
             F.md5(

@@ -68,7 +68,22 @@ def read_tim_df(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_tim(toas: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Emit FORMAT 1 lines (flags re-serialized in key order)."""
+    """Emit one FORMAT 1 file (flags re-serialized in key order).
+    Single-file by design — the small-export / fingerprint-lane shape;
+    bulk exports use :func:`write_tim_sharded` (N parallel writers +
+    INCLUDE manifest) instead of funneling the corpus through one
+    task. format_number rounds half-up: an fmjd within 5e-16 of 1.0
+    renders as "1.000000000000000" — _format1_lines carries that
+    overflow into imjd instead of emitting a corrupt token."""
+    header = toas.sparkSession.createDataFrame([("FORMAT 1",)], ["value"])
+    body = toas.select(_format1_lines(toas).alias("value"))
+    header.unionByName(body).coalesce(1).write.mode(mode).text(path)
+
+
+def _format1_lines(toas: DataFrame) -> F.Column:
+    """FORMAT 1 line text for a TOA row (flags re-serialized in key
+    order; fmjd rendered to 15 digits with half-up overflow carried
+    into imjd — see write_tim)."""
     flag_str = F.when(
         F.col("flags").isNotNull(),
         F.concat_ws(
@@ -81,9 +96,6 @@ def write_tim(toas: DataFrame, path: str, mode: str = "overwrite") -> None:
             ),
         ),
     ).otherwise(F.lit(""))
-    # format_number rounds half-up: an fmjd within 5e-16 of 1.0 renders
-    # as "1.000000000000000" — carry the overflow into imjd instead of
-    # emitting a corrupt "<imjd>1.000..." token.
     fmjd_fmt = F.format_number(F.col("fmjd"), 15)
     overflow = fmjd_fmt.startswith("1")
     mjd_txt = F.concat(
@@ -92,15 +104,88 @@ def write_tim(toas: DataFrame, path: str, mode: str = "overwrite") -> None:
             F.regexp_replace(fmjd_fmt, r"^0", "")
         ),
     )
-    line = F.concat_ws(
-        " ",
-        F.col("name"),
-        F.col("freq_mhz").cast("string"),
-        mjd_txt,
-        F.col("err_us").cast("string"),
-        F.col("site"),
-        flag_str,
+    return F.trim(
+        F.concat_ws(
+            " ",
+            F.col("name"),
+            F.col("freq_mhz").cast("string"),
+            mjd_txt,
+            F.col("err_us").cast("string"),
+            F.col("site"),
+            flag_str,
+        )
     )
-    header = toas.sparkSession.createDataFrame([("FORMAT 1",)], ["value"])
-    body = toas.select(F.trim(line).alias("value"))
-    header.unionByName(body).coalesce(1).write.mode(mode).text(path)
+
+
+def write_tim_sharded(
+    toas: DataFrame, path: str, n_shards: int = 16, mode: str = "overwrite"
+) -> str:
+    """BULK .tim sink: per-partition FORMAT 1 shards + a deterministic
+    INCLUDE manifest — the scale path write_tim's coalesce(1) is not
+    (VERDICT r9 item 7: the single-file sink serializes the whole
+    corpus through one task; fine for a fingerprint lane, wrong for a
+    bulk TOA export).
+
+    Layout (every piece is valid tempo2 input):
+
+        path/shard=<i>/part-*.txt   FORMAT 1 + that shard's TOAs
+        path/manifest.tim           FORMAT 1 + INCLUDE lines, shards in
+                                    ascending id / sorted-name order
+
+    Shard assignment is CONTENT-deterministic (xxhash64 of the rendered
+    line, mod n_shards): re-running the sink on the same TOAs produces
+    the same shard membership regardless of input partitioning. Each
+    shard's rows sort by (imjd, fmjd, line) with its header first —
+    sortWithinPartitions after an n_shards hash repartition, so exactly
+    one task writes each shard (N parallel writers, no global sort, no
+    driver data path). The manifest is metadata-sized and written
+    driver-side after the job commits (the ledger discipline: data
+    parallel, commit marker tiny and last).
+
+    Returns the manifest path. read_tim_df(path + "/shard=*") parses
+    the shards back as one distributed scan (FORMAT/INCLUDE lines are
+    directive-filtered by the reader).
+    """
+    import os
+
+    line = _format1_lines(toas)
+    body = toas.select(
+        F.pmod(F.xxhash64(line), F.lit(n_shards)).cast("int").alias("shard"),
+        F.lit(1).alias("_hdr"),
+        F.col("imjd").alias("_k1"),
+        F.col("fmjd").alias("_k2"),
+        line.alias("value"),
+    )
+    header = (
+        toas.sparkSession.range(n_shards)
+        .select(
+            F.col("id").cast("int").alias("shard"),
+            F.lit(0).alias("_hdr"),
+            F.lit(-1).cast("long").alias("_k1"),
+            F.lit(0.0).alias("_k2"),
+            F.lit("FORMAT 1").alias("value"),
+        )
+    )
+    (
+        header.unionByName(body)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_hdr", "_k1", "_k2", "value")
+        .select("shard", "value")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .text(path)
+    )
+    manifest = os.path.join(path, "manifest.tim")
+    lines = ["FORMAT 1"]
+    for d in sorted(
+        (n for n in os.listdir(path) if n.startswith("shard=")),
+        key=lambda n: int(n.split("=", 1)[1]),
+    ):
+        for part in sorted(os.listdir(os.path.join(path, d))):
+            if not part.startswith(("_", ".")) and not part.endswith(".crc"):
+                lines.append(f"INCLUDE {d}/{part}")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, manifest)
+    return manifest

@@ -164,3 +164,62 @@ def test_wav_roundtrip_and_poison_isolation(spark, sf_dir):
     out = wav_header_features(pdf).collect()
     assert len(out) == 1 and out[0].decode_ok is False
     assert out[0].rms is None and out[0].sample_rate is None
+
+
+def test_tim_sharded_sink_layout_and_roundtrip(spark, sf_dir, tmp_path):
+    """write_tim_sharded: every shard is a standalone FORMAT 1 file
+    (header first), the manifest lists every shard part in
+    deterministic order, shard membership is content-deterministic
+    (input partitioning does not move rows between shards), and the
+    distributed re-read recovers every TOA."""
+    from pyspark.sql import functions as F
+
+    from meerpipe_spark.sources.tim import read_tim_df, write_tim_sharded
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    toas = ev.select(
+        F.col("event_type").alias("name"),
+        (900 + F.col("user_id") % 200).cast("double").alias("freq_mhz"),
+        (59000 + F.col("event_id") % 1000).cast("long").alias("imjd"),
+        ((F.col("event_id") % 100000) / F.lit(100000.0)).alias("fmjd"),
+        (F.col("user_id") % 100).cast("double").alias("err_us"),
+        F.lit("meerkat").alias("site"),
+        F.lit(None).cast("map<string,string>").alias("flags"),
+    )
+    out = str(tmp_path / "tim_bulk")
+    manifest = write_tim_sharded(toas, out, n_shards=8)
+    import os
+
+    mlines = open(manifest).read().splitlines()
+    assert mlines[0] == "FORMAT 1"
+    assert all(l.startswith("INCLUDE shard=") for l in mlines[1:])
+    assert len(mlines) - 1 >= 1
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    for d in shard_dirs:
+        for part in os.listdir(os.path.join(out, d)):
+            if part.startswith(("_", ".")) or part.endswith(".crc"):
+                continue
+            first = open(os.path.join(out, d, part)).readline().strip()
+            assert first == "FORMAT 1", f"{d}/{part} lacks header"
+    n_in = toas.count()
+    back = read_tim_df(spark, out + "/shard=*")
+    assert back.count() == n_in
+    # content-deterministic shards: adversarial repartition, same layout
+    out2 = str(tmp_path / "tim_bulk2")
+    write_tim_sharded(toas.repartition(13), out2, n_shards=8)
+
+    def shard_map(root):
+        got = {}
+        for d in sorted(x for x in os.listdir(root) if x.startswith("shard=")):
+            lines = []
+            for part in sorted(os.listdir(os.path.join(root, d))):
+                if part.startswith(("_", ".")) or part.endswith(".crc"):
+                    continue
+                lines += [
+                    l for l in open(os.path.join(root, d, part)).read().splitlines()
+                    if l != "FORMAT 1"
+                ]
+            got[d] = sorted(lines)
+        return got
+
+    assert shard_map(out) == shard_map(out2)

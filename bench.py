@@ -11,17 +11,21 @@ then timed THREE times and the MINIMUM recorded (steady-state
 execution, robust to CI-box load spikes — observed run-to-run noise up
 to 2× on individual sub-second queries; best-of-3 per VERDICT r8 item
 5 after the r8 box swung 0.8–1.9× within one session). Calibration
-brackets run before, mid-run, and after; their minimum normalizes the
-regression gate.
+brackets run before, at each quarter, and after; their MEDIAN
+normalizes the regression gate (VERDICT r9 item 2: the min bracket
+tracked the most idle instant while query minima saw typical load —
+ab-normalized times inflated uniformly on a loaded box).
 
 Fail-soft per query: a query that raises is recorded under "errors"
 with its exception and EXCLUDED from the total, but never aborts the
 run — one broken query must not zero the whole artifact (round-3
 lesson: the NTZ regression killed the bench before a single timing).
 
-Regression gate (round-5): every query has a recorded anchor time
-(ANCHORS — r2 artifact values where the query existed in r2, else the
-round-5 idle-box measurement). A fixed CALIBRATION workload — pure
+Regression gate (round-5 mechanism, anchors RE-PINNED round-10): every
+query's anchor comes from one coherent two-run measurement session at
+the r10 HEAD (see the ANCHORS comment for the full method and the
+AB_r8_vs_r9.jsonl no-regression evidence that makes the re-pin
+honest). A fixed CALIBRATION workload — pure
 spark.range arithmetic, independent of this repo's code — is timed in
 the same session; ``ab_ratio`` = measured/pinned-idle-box calibration
 time, so box-load noise divides out of the per-query comparison
@@ -46,102 +50,117 @@ from meerpipe_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Anchor seconds at sf0.1. Source "r2": BENCH_r02.json (the last
-# uncontested bench artifact); source "r5": idle-box (loadavg < 0.5)
-# measurement at the round-5 commit that introduced the table cache —
-# queries added after r2 have no r2 number.
+# Anchor seconds at sf0.1 — R10 RE-PIN (VERDICT r9 item 2). Method:
+# two full back-to-back bench runs at the r10 HEAD on the same box
+# (fresh process each, warm best-of-3 per query, median-of-5-bracket
+# calibration 0.127/0.121 s, loadavg ~5.5 = the bench itself), anchor =
+# per-query MIN of the two runs. The frozen-checkout interleaved A/B in
+# AB_r8_vs_r9.jsonl established there was no r8->r9 code regression
+# (shared-lane ratios 0.96-1.13), so re-pinning to the current HEAD
+# carries no hidden regression forward; CALIBRATION_ANCHOR_SEC is the
+# same session's smaller median, so ab_ratio ~= 1 under these box
+# conditions and a genuine 1.5x drift on a sub-second query clears the
+# noise floor again. Historical r2 baseline comparisons keep their own
+# pinned constant (r2_subset_anchor = 21.17 in the output line).
 ANCHORS: dict[str, float] = {
-    "q1_pricing_summary": 1.331,       # r2
-    "q5_region_revenue": 1.541,        # r2
-    "cumulative_revenue": 0.815,       # r2
-    "ordered_reduction_reset": 1.166,  # r2
-    "fluxcal_multiplier": 1.077,       # r2
-    "dedup_exact": 0.781,              # r2
-    "text_quality": 0.780,             # r2
-    "cosine_topk": 1.053,              # r2
-    "events_tumbling_window": 0.793,   # r2
-    "delay_rules_engine": 0.853,       # r2
-    "sessionization": 0.873,           # r2
-    "knn_per_label": 1.210,            # r2
-    "scrunch_operator": 0.920,         # r2
-    "pdmp_snr_operator": 1.723,        # r2
-    "minhash_lsh_pairs": 1.675,        # r2
-    "embedding_near_dup": 1.398,       # r2
-    "ivf_search": 1.696,               # r2
-    "kepler_ell1_chain": 0.665,        # r2
-    "astro_coords": 0.817,             # r2
-    "pipeline_results_json": 2.300,    # r5
-    "bucketed_colocated_join": 0.301,  # r5
-    "asof_join_events": 0.253,         # r5
-    "binned_interval_join": 0.329,     # r5
-    "hll_distinct_shingles": 1.568,    # r5
-    "bloom_contamination_check": 1.853,  # r5
-    # re-anchored r5w5: a frozen-checkout A/B showed the original 0.142
-    # was a lucky measurement — the ANCHOR commit itself times 0.371 on
-    # today's idle box while HEAD times 0.305 (no code regression).
-    "paragraph_dedup_docs": 0.305,     # r5w5 (A/B re-anchor)
-    "duplicate_spans_docs": 0.211,     # r5
-    "temperature_mixture_resample": 0.567,  # r5
-    "pca_top2_projection": 0.732,      # r5
-    "sampled_quantiles_lineitem": 0.479,  # r5
-    "doc_chunks": 0.210,               # r5
-    "cdc_chunks_docs": 1.713,          # r5
-    "funnel_view_click_purchase": 0.556,  # r5
-    "ewma_user_values": 0.270,         # r5
-    "cohort_retention_weekly": 0.581,  # r5
-    "quality_gate_gopher": 0.203,      # r5
-    "q17_small_quantity_revenue": 0.354,   # r5w4
-    "q18_large_volume_orders": 0.614,      # r5w4
-    "psi_drift_events": 0.718,             # r5w4
-    "pq_adc_search": 9.769,                # r5w4 (train+encode+search e2e)
-    "pagerank_customer_supplier": 7.120,   # r5w4 (10 checkpointed rounds)
-    "bigram_perplexity_docs": 3.673,       # r5w4
-    "hard_negative_mining": 7.517,         # r5w4 (kmeans + pair window)
-    # same computation as hard_negative_mining at sf0.1 (auto-k = 8
-    # there), so the pinned lane's anchor carries over; diverges to the
-    # two-level path only above n ≈ 8k
-    "hard_negative_mining_autok": 7.517,
-    "ppjoin_jaccard_pairs": 1.700,         # r5w4 (warm-session steady state)
-    # r5w5: measured at the wave-5 commit with ab_ratio 1.146 and divided
-    # out (loadavg 4.7 during the 52-query run), so these approximate the
-    # idle-box convention of the rows above.
-    "q21_waiting_suppliers": 1.04,         # r5w5
-    "bpe_train_merges": 2.55,              # r5w5 (8 vocab-sized merge steps)
-    "table_diff_orders": 0.55,             # r5w5
-    "triangle_count_parts": 7.67,          # r5w5 (wedge join O(m^1.5); oriented edges checkpointed)
-    "event_transitions": 0.30,             # r5w5
-    "skew_profile_users": 0.20,            # r5w5
-    "nb_langid_confusion": 2.17,           # r5w5 (train + self-score)
-    "sequence_pattern_funnels": 0.30,      # r5w5
-    "brand_trend_ols": 0.86,               # r5w5 (warm best-of-3, idle box)
-    "lpa_communities": 9.10,               # r5w5 (4 checkpointed rounds)
-    "entity_match_customers": 4.17,        # r5w5 (deletion join, hashed variant keys)
-    "image_dhash_roundtrip": 0.33,         # r5w5
-    "audio_frame_features_pcm": 0.40,      # r5w5
-    "seasonal_anomaly_hours": 0.52,        # r5w5
-    "association_rules_parts": 2.30,       # r5w5
-    "last_touch_attribution": 0.42,        # r5w5
-    "grouping_sets_revenue": 0.34,         # r5w5
-    "q2_min_cost_supplier": 1.10,          # r5w5
-    "q11_important_parts": 0.60,           # r5w5
-    "corpus_build_e2e": 6.61,              # r5w5 (7-stage lifecycle + CC; shingle table persisted once)
-    "dm_fit_operator": 0.236,              # r6 (measured/ab)
-    "rm_fit_operator": 0.222,              # r6 (measured/ab)
-    "timing_model_fit_operator": 0.530,    # r6 (measured/ab)
-    "results_doc_full": 1.730,             # r6 (measured/ab)
-    "media_feature_extract_png": 0.475,    # r6 (measured/ab)
-    "template_match_toa_operator": 0.419,  # r6 (measured/ab)
-    "toa_dm_pipeline_e2e": 0.786,          # r6 (measured/ab)
-    "dynspec_acf_2d": 0.581,               # r6 (measured/ab)
-    "rm_synthesis_spectrum": 1.576,        # r6 (measured/ab)
-    "polarimetry_profile_e2e": 0.587,     # r6 (measured/ab)
-    "rm_refine_e2e": 1.968,                # r7 (idle best-of-3)
-    "quality_logreg_train": 6.185,         # r7 (idle best-of-3)
+    "asof_join_events": 0.196,
+    "association_rules_parts": 1.522,
+    "astro_coords": 0.225,
+    "audio_frame_features_pcm": 0.253,
+    "bigram_perplexity_docs": 3.16,
+    "binned_interval_join": 0.286,
+    "bloom_contamination_check": 1.721,
+    "bpe_train_merges": 2.317,
+    "brand_trend_ols": 0.439,
+    "bucketed_colocated_join": 0.222,
+    "cdc_chunks_docs": 1.65,
+    "cohort_retention_weekly": 0.326,
+    "cooccurrence_pmi": 0.322,
+    "corpus_build_e2e": 4.386,
+    "cosine_topk": 0.293,
+    "cumulative_revenue": 0.126,
+    "dedup_exact": 0.163,
+    "delay_rules_engine": 0.137,
+    "dm_fit_operator": 0.309,
+    "doc_chunks": 0.192,
+    "duplicate_spans_docs": 0.212,
+    "dynspec_acf_2d": 0.491,
+    "embedding_near_dup": 0.995,
+    "entity_match_customers": 3.942,
+    "event_transitions": 0.327,
+    "events_tumbling_window": 0.178,
+    "ewma_user_values": 0.155,
+    "fluxcal_multiplier": 0.42,
+    "funnel_view_click_purchase": 0.295,
+    "grouping_sets_revenue": 0.235,
+    "hard_negative_mining_autok": 7.955,
+    "heavy_hitters_tokens": 0.539,
+    "hits_hubs_authorities": 3.686,
+    "hll_distinct_shingles": 1.57,
+    "huber_robust_fit": 0.861,
+    "image_dhash_roundtrip": 0.296,
+    "ivf_search": 1.062,
+    "kepler_ell1_chain": 0.104,
+    "kneser_ney_bigram_lm": 2.513,
+    "kneser_ney_trigram_lm": 3.683,
+    "knn_per_label": 0.726,
+    "last_touch_attribution": 0.251,
+    "lpa_communities": 7.698,
+    "media_feature_extract_png": 0.707,
+    "media_wav_header_extract": 0.324,
+    "minhash_lsh_incremental_md5": 1.649,
+    "minhash_lsh_pairs": 1.187,
+    "nb_langid_confusion": 1.97,
+    "negative_sampling_unigram": 0.276,
+    "node2vec_biased_walks": 7.574,
+    "ordered_reduction_reset": 0.408,
+    "pagerank_customer_supplier": 5.717,
+    "paragraph_dedup_docs": 0.164,
+    "pca_top2_projection": 0.675,
+    "pdmp_snr_operator": 1.009,
+    "personalized_pagerank_seeds": 5.844,
+    "pipeline_results_json": 1.695,
+    "polarimetry_profile_e2e": 0.535,
+    "ppjoin_jaccard_pairs": 1.251,
+    "ppmi_svd_node_embeddings": 19.41,
+    "pq_adc_search": 4.9,
+    "psi_drift_events": 0.614,
+    "q11_important_parts": 0.395,
+    "q17_small_quantity_revenue": 0.342,
+    "q18_large_volume_orders": 0.549,
+    "q1_pricing_summary": 0.383,
+    "q21_waiting_suppliers": 0.976,
+    "q2_min_cost_supplier": 0.837,
+    "q5_region_revenue": 0.853,
+    "quality_gate_gopher": 0.165,
+    "quality_logreg_train": 6.062,
+    "results_doc_full": 1.864,
+    "rm_fit_operator": 0.293,
+    "rm_refine_e2e": 1.639,
+    "rm_synthesis_spectrum": 1.443,
+    "sampled_quantiles_lineitem": 0.419,
+    "scrunch_operator": 0.3,
+    "seasonal_anomaly_hours": 0.294,
+    "sequence_pattern_funnels": 0.28,
+    "sessionization": 0.188,
+    "skew_profile_users": 0.201,
+    "skipgram_pairs_walks": 5.824,
+    "sssp_copurchase": 4.629,
+    "table_diff_orders": 0.408,
+    "temperature_mixture_resample": 0.332,
+    "template_match_toa_operator": 0.451,
+    "text_quality": 0.155,
+    "timing_model_fit_operator": 0.791,
+    "toa_dm_pipeline_e2e": 0.61,
+    "triangle_count_parts": 8.322,
+    "two_level_ann_search": 3.722,
+    "two_level_ivf_assign": 3.137,
+    "weighted_pagerank_purchases": 5.493,
 }
 
-# Idle-box seconds for the calibration workload (min of 3), pinned at the
-# same round-5 measurement session as the r5 anchors above.
-CALIBRATION_ANCHOR_SEC = 0.102
+# Idle-box seconds for the calibration workload: the smaller of the two
+# r10 re-pin sessions' MEDIAN-of-5-brackets values (see ANCHORS note).
+CALIBRATION_ANCHOR_SEC = 0.121
 
 
 def _calibrate(spark) -> float:
@@ -172,7 +191,7 @@ def main() -> None:
     except Exception:
         traceback.print_exc(file=sys.stderr)
 
-    cal_before = _calibrate(spark)
+    cals = [_calibrate(spark)]
 
     # Per-query BEST-OF-3 (VERDICT r8 item 5): the shared box swung
     # 0.8x-1.9x of the calibration anchor within single r8 sessions, so
@@ -181,7 +200,9 @@ def main() -> None:
     # wall clock and makes the recorded minimum robust to two spikes.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    cal_mid = float("inf")
+    quarters = {
+        (len(names) * k) // 4 for k in (1, 2, 3)
+    }  # calibration brackets at 1/4, 1/2, 3/4
     for i, name in enumerate(names):
         best = float("inf")
         for _ in range(3):
@@ -200,15 +221,19 @@ def main() -> None:
         # accumulate MEMORY_AND_DISK blocks
         release_persisted()
         release_checkpoints(spark)
-        if i == len(names) // 2:
-            # mid-run calibration: with only before/after brackets, a
-            # load hump confined to the middle of the window is invisible
-            cal_mid = _calibrate(spark)
+        if i in quarters:
+            cals.append(_calibrate(spark))
 
-    # Calibration AFTER the queries: min of the three brackets is the
-    # box's best observed speed during the measured window.
-    cal_after = _calibrate(spark)
-    cal = min(cal_before, cal_mid, cal_after)
+    # Calibration AFTER the queries, then MEDIAN of the five brackets
+    # (VERDICT r9 item 2): min-of-brackets anchored ab_ratio to the most
+    # IDLE instant of the window while the query minima were taken under
+    # the window's TYPICAL load, so on a loaded box every normalized
+    # time inflated uniformly (r9: untouched sub-second lanes "slowed"
+    # 1.3-1.9x, a pure measurement artifact — the frozen-checkout A/B in
+    # AB_r8_vs_r9.jsonl measured r9/r8 = 0.96-1.13 on the same lanes).
+    # The median bracket tracks the same box state the query minima saw.
+    cals.append(_calibrate(spark))
+    cal = sorted(cals)[len(cals) // 2]
     ab_ratio = round(cal / CALIBRATION_ANCHOR_SEC, 3)
 
     regressions: dict[str, float] = {}

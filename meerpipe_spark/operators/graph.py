@@ -814,7 +814,9 @@ def _fdiv(x: str, d: str) -> str:
     return f"(({x}) - pmod({x}, {d})) div ({d})"
 
 
-def _shift_normalize(w: DataFrame, scale_bits: int) -> DataFrame:
+def _shift_normalize(
+    w: DataFrame, scale_bits: int, checkpoint: bool = True
+) -> DataFrame:
     """Renormalize an integer vector (node, w) to ∞-norm < 2^scale_bits
     by an exact power-of-two floor-division — the cross-engine-safe
     substitute for dividing by the (irrational) L2 norm: s =
@@ -822,11 +824,14 @@ def _shift_normalize(w: DataFrame, scale_bits: int) -> DataFrame:
     length(bin(x)) is STRING arithmetic, immune to log2-ulp boundaries;
     2^s stays ≤ 2^52, exact in the double pow both engines compute.
     Power iteration only needs direction — any deterministic rescale
-    preserves the fixed point."""
+    preserves the fixed point. ``checkpoint=False`` lets the caller
+    truncate lineage every OTHER round: each localCheckpoint is an
+    eager job, and at small per-round state the fixed job-scheduling
+    latency, not the data, is the round cost."""
     stats = w.agg(
         F.greatest(F.max(F.abs(F.col("w"))), F.lit(1).cast("bigint")).alias("_mx")
     )
-    return (
+    out = (
         w.crossJoin(F.broadcast(stats))
         .selectExpr(
             "node",
@@ -835,8 +840,8 @@ def _shift_normalize(w: DataFrame, scale_bits: int) -> DataFrame:
             " AS DOUBLE)) AS BIGINT) AS _d",
         )
         .selectExpr("node", _fdiv("w", "_d") + " AS x")
-        .localCheckpoint()
     )
+    return out.localCheckpoint() if checkpoint else out
 
 
 def _matvec(m: DataFrame, v: DataFrame) -> DataFrame:
@@ -894,8 +899,11 @@ def ppmi_spectral_embeddings(
        vocab ~10⁴ (ANSI overflow THROWS rather than corrupts; raise
        ppmi_downshift_bits for larger vocabularies).
 
-    Scale shape: vocab-sized state, matrix-sized rounds, localCheckpoint
-    per round (the Pregel lineage discipline); the scalar aggregates
+    Scale shape: vocab-sized state, matrix-sized rounds, lineage
+    truncated every other round (the pagerank every-3 discipline: the
+    checkpoint is the round's fixed cost once state is node-sized, and
+    a 2-round plan is constant-depth — halves materializations at
+    scale, wall-time-neutral at sf0.1); the scalar aggregates
     (max|w|, p, q) ride as broadcast one-row joins — nothing collects.
     Init: v₁ = all-ones·2^sb (the Perron direction's sign), v₂ = ±2^sb
     by node parity (deterministic and not parallel to v₁).
@@ -935,8 +943,12 @@ def ppmi_spectral_embeddings(
     v = vocab.select(
         "node", F.lit(two_sb).cast("bigint").alias("x")
     ).localCheckpoint()
-    for _ in range(iters):
-        v = _shift_normalize(_matvec(m, v), scale_bits)
+    for r in range(iters):
+        # truncate lineage every OTHER round: the checkpoint job is the
+        # round's fixed cost once state is vocab-sized, and a 2-round
+        # plan (join+agg+scalar ×2) is still constant-depth
+        v = _shift_normalize(_matvec(m, v), scale_bits,
+                             checkpoint=(r % 2 == 1) or r == iters - 1)
     v1 = v
 
     b = (
@@ -948,7 +960,7 @@ def ppmi_spectral_embeddings(
     u = vocab.selectExpr(
         "node", f"{two_sb}L * (1L - 2L * pmod(node, 2)) AS x"
     ).localCheckpoint()
-    for _ in range(iters):
+    for r in range(iters):
         a = _matvec(m, u)
         p = (
             v1.select("node", F.col("x").alias("x1"))
@@ -968,7 +980,8 @@ def ppmi_spectral_embeddings(
                 f"w * {two_sb}L - ({_fdiv('bt * t', '4L')}) AS w",
             )
         )
-        u = _shift_normalize(w2, scale_bits)
+        u = _shift_normalize(w2, scale_bits,
+                             checkpoint=(r % 2 == 1) or r == iters - 1)
 
     return (
         v1.select("node", F.col("x").alias("e1"))

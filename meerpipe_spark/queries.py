@@ -2226,6 +2226,7 @@ _TWO_LEVEL_QUERY = [round(0.1 * ((i % 7) - 3), 1) for i in range(64)]
         "and the top-k use the exact sequential d2 fold on BOTH "
         "engines; the final key is floor(d2·1e6+.5) with id tie-break, "
         "so the entire probe chain hash-matches the unrolled CTE twin.",
+    headline=True,
 )
 def two_level_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.similarity import two_level_search
@@ -2253,6 +2254,7 @@ def two_level_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "whole chain as CTEs; per-cluster membership is fingerprinted "
         "with bit_xor(md5_48(vec_id)) so the hash certifies EVERY "
         "vector landed in the same list in both engines.",
+    headline=True,
 )
 def two_level_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.similarity import two_level_assign
@@ -6636,6 +6638,7 @@ def _weighted_pagerank_oracle_sql(iters: int = 10, scale: int = 10**12, topk: in
         "extra integer multiply per contribution, overflow-guarded), "
         "10 rounds, top-20, bit-identical to the unrolled DuckDB CTE "
         "chain.",
+    headline=True,
 )
 def weighted_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.graph import weighted_pagerank_fixed_point
@@ -6705,6 +6708,7 @@ def _ppr_oracle_sql(iters: int = 10, scale: int = 10**12, topk: int = 20) -> str
         "family. Seed set broadcast-joined; iteration identical exact-"
         "scaled-bigint Pregel to the global lane, 10 rounds, top-20, "
         "bit-identical to the unrolled CTE chain.",
+    headline=True,
 )
 def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.graph import personalized_pagerank
@@ -15342,6 +15346,7 @@ def _skipgram_oracle_sql(steps: int, window: int) -> str:
         "+ one map-side-combined pair count. The oracle recomputes the "
         "walks with the shared unrolled CTE and re-derives the pairs, "
         "so corpus AND extraction hash-match end to end.",
+    headline=True,
 )
 def skipgram_pairs_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.graph import deterministic_walks, skipgram_pairs
@@ -15385,6 +15390,7 @@ def skipgram_pairs_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per step one frontier-sized equi-join + one min agg — the "
         "structure-aware embedding-corpus generator next to DeepWalk's "
         "uniform lane (random_walks_deterministic).",
+    headline=True,
 )
 def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.graph import node2vec_walks

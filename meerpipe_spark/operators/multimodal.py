@@ -478,3 +478,201 @@ def wav_header_features(
     return media.select("media_id", payload_col).mapInPandas(
         run, WAV_HEADER_SCHEMA
     )
+
+
+JPEG_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("x_density", T.IntegerType()),
+        T.StructField("y_density", T.IntegerType()),
+        T.StructField("dqt_sum", T.LongType()),
+    ]
+)
+
+
+def vectors_to_jpeg(
+    vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Render each (id, embedding) row as a REAL baseline-JPEG byte
+    stream — the third real media container after PNG and RIFF/WAVE:
+    SOI, a JFIF APP0 whose pixel densities vary per row, a DQT whose
+    64 quantization values derive from the embedding (so CONTENT, not
+    just header fields, is verifiable), an SOF0 frame header whose
+    dimensions are id-formulas, an SOS header, 4 stuffing-free entropy
+    bytes, and EOI. Every field a downstream parser reads is
+    formula-computable from (id, embedding):
+
+        width  = 16 + id % 240          height = 16 + (id*7) % 240
+        x_density = 72 + id % 5         y_density = 72 + (id*3) % 5
+        q[k] = clamp(floor(abs(v[k])*200) + 1, 1, 255),  k = 0..63
+
+    The reference has no media decode at all (its images are
+    matplotlib outputs, generate_images_results.py:126-132); this lane
+    exists for the 100 TB multimodal contract — payload-bearing rows
+    processed map-side behind one mapInPandas boundary."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, vec in zip(pdf[id_col], pdf[vec_col]):
+                i = int(mid)
+                v = np.asarray(vec, dtype=np.float64)
+                q = np.clip(
+                    np.floor(np.abs(v[:64]) * 200.0).astype(np.int64) + 1, 1, 255
+                ).astype(np.uint8)
+                w, h = 16 + i % 240, 16 + (i * 7) % 240
+                xd, yd = 72 + i % 5, 72 + (i * 3) % 5
+                app0 = struct.pack(
+                    ">HH5sBBBHHBB", 0xFFE0, 16, b"JFIF\x00", 1, 2, 0, xd, yd, 0, 0
+                )
+                dqt = struct.pack(">HHB", 0xFFDB, 67, 0) + q.tobytes()
+                sof0 = struct.pack(
+                    ">HHBHHBBBB", 0xFFC0, 11, 8, h, w, 1, 1, 0x11, 0
+                )
+                sos = struct.pack(">HHBBBBBB", 0xFFDA, 8, 1, 1, 0, 0, 0x3F, 0)
+                entropy = bytes(
+                    [i % 251, (i * 3) % 251, (i * 7) % 251, 0]
+                )
+                payloads.append(
+                    b"\xff\xd8" + app0 + dqt + sof0 + sos + entropy + b"\xff\xd9"
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    out = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return vecs.select(id_col, vec_col).mapInPandas(run, out)
+
+
+def jpeg_header_features(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Parse baseline-JPEG payloads — a REAL marker-walking parser, not
+    a fixed-offset peek: validates SOI, walks FF-marker segments with
+    big-endian length fields BOUNDS-CHECKED against the payload (a
+    length field promising bytes past the end — the over-read poison —
+    must fail, not over-read), requires a JFIF APP0, an 8-bit DQT whose
+    table id matches the SOF0 component's quantizer reference, a
+    precision-8 SOF0 with positive dimensions and a self-consistent
+    component count, and an SOS; the entropy-coded scan is walked
+    honoring FF00 byte-stuffing until EOI, which must terminate the
+    payload exactly. Emits header metadata + the exact DQT value sum
+    (content recovery) per payload; any parse failure isolates to its
+    row (decode_ok=False, NULL fields). mapInPandas, map-side only —
+    the multimodal scale contract."""
+
+    def parse(raw: bytes):
+        if len(raw) < 4 or raw[0:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload (no SOI)")
+        off, app0, dqt, sof, qtab_seen = 2, None, None, None, {}
+        scan_off = None
+        while off + 4 <= len(raw):
+            if raw[off] != 0xFF:
+                raise ValueError("marker sync lost")
+            marker = raw[off + 1]
+            if marker == 0xD9:
+                raise ValueError("EOI before SOS")
+            seglen = int.from_bytes(raw[off + 2 : off + 4], "big")
+            if seglen < 2 or off + 2 + seglen > len(raw):
+                raise ValueError("segment overruns payload")
+            body = raw[off + 4 : off + 2 + seglen]
+            if marker == 0xE0:
+                if len(body) < 14 or body[0:5] != b"JFIF\x00":
+                    raise ValueError("APP0 is not JFIF")
+                app0 = (
+                    int.from_bytes(body[8:10], "big"),
+                    int.from_bytes(body[10:12], "big"),
+                )
+            elif marker == 0xDB:
+                if len(body) != 65 or body[0] >> 4 != 0:
+                    raise ValueError("unsupported DQT layout")
+                qtab_seen[body[0] & 0x0F] = body[1:]
+                dqt = body[1:]
+            elif marker == 0xC0:
+                if len(body) < 6 or body[0] != 8:
+                    raise ValueError("not precision-8 baseline SOF0")
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                nc = body[5]
+                if len(body) != 6 + 3 * nc or w == 0 or h == 0:
+                    raise ValueError("inconsistent SOF0")
+                # every component must reference a DQT table already seen
+                for c in range(nc):
+                    if body[8 + 3 * c] not in qtab_seen:
+                        raise ValueError("component references unknown DQT")
+                sof = (w, h)
+            elif marker == 0xDA:
+                if len(body) < 1 or len(body) != 4 + 2 * body[0]:
+                    raise ValueError("inconsistent SOS header")
+                scan_off = off + 2 + seglen
+                break
+            off += 2 + seglen
+        if app0 is None or dqt is None or sof is None or scan_off is None:
+            raise ValueError("missing JFIF/DQT/SOF0/SOS")
+        i = scan_off  # entropy scan: FF00 is stuffed data, FFD9 ends it
+        while i < len(raw):
+            if raw[i] != 0xFF:
+                i += 1
+                continue
+            if i + 1 >= len(raw):
+                raise ValueError("dangling FF at payload end")
+            if raw[i + 1] == 0xD9:
+                if i + 2 != len(raw):
+                    raise ValueError("trailing bytes after EOI")
+                return (
+                    sof[0],
+                    sof[1],
+                    app0[0],
+                    app0[1],
+                    int(np.frombuffer(dqt, dtype=np.uint8).astype(np.int64).sum()),
+                )
+            if raw[i + 1] != 0x00:
+                raise ValueError("unstuffed marker inside scan")
+            i += 2
+        raise ValueError("no EOI")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, oks, ws, hs, xds, yds, sums = [], [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                ids.append(mid)
+                try:
+                    w, h, xd, yd, qsum = parse(bytes(payload))
+                except (ValueError, IndexError):
+                    oks.append(False)
+                    ws.append(None)
+                    hs.append(None)
+                    xds.append(None)
+                    yds.append(None)
+                    sums.append(None)
+                    continue
+                oks.append(True)
+                ws.append(w)
+                hs.append(h)
+                xds.append(xd)
+                yds.append(yd)
+                sums.append(qsum)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "decode_ok": oks,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "x_density": pd.array(xds, dtype="Int32"),
+                    "y_density": pd.array(yds, dtype="Int32"),
+                    "dqt_sum": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(
+        run, JPEG_HEADER_SCHEMA
+    )

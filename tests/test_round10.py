@@ -223,3 +223,48 @@ def test_tim_sharded_sink_layout_and_roundtrip(spark, sf_dir, tmp_path):
         return got
 
     assert shard_map(out) == shard_map(out2)
+
+
+def test_jpeg_roundtrip_and_poison_isolation(spark, sf_dir):
+    """vectors_to_jpeg -> jpeg_header_features roundtrip: header fields
+    match the synth formulas, dqt_sum comes from the real DQT bytes,
+    and a payload whose SOF0 length field overruns the actual bytes is
+    rejected by the bounds check (not over-read)."""
+    import numpy as np
+
+    from meerpipe_spark.operators.multimodal import (
+        jpeg_header_features,
+        vectors_to_jpeg,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    media = vectors_to_jpeg(emb)
+    rows = jpeg_header_features(media).collect()
+    assert len(rows) == len(vecs) and all(r.decode_ok for r in rows)
+    for r in rows:
+        i = r.media_id
+        assert r.width == 16 + i % 240
+        assert r.height == 16 + (i * 7) % 240
+        assert r.x_density == 72 + i % 5
+        assert r.y_density == 72 + (i * 3) % 5
+        q = np.clip(np.floor(np.abs(vecs[i][:64]) * 200).astype(np.int64) + 1,
+                    1, 255)
+        assert r.dqt_sum == int(q.sum())
+    # corrupt one payload's SOF0 length field: must isolate, not crash
+    one = media.limit(1).collect()[0]
+    bad = one.payload[:91] + b"\x7f\xff" + one.payload[93:]
+    pdf = spark.createDataFrame(
+        [(one.media_id, bytearray(bad))], "media_id LONG, payload BINARY"
+    )
+    out = jpeg_header_features(pdf).collect()
+    assert len(out) == 1 and out[0].decode_ok is False
+    assert out[0].width is None and out[0].dqt_sum is None
+    # non-JPEG bytes: the SOI magic check isolates too
+    pdf2 = spark.createDataFrame(
+        [(99, bytearray(b"certainly not a jpeg"))],
+        "media_id LONG, payload BINARY",
+    )
+    out2 = jpeg_header_features(pdf2).collect()
+    assert out2[0].decode_ok is False

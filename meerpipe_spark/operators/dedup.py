@@ -17,7 +17,12 @@ n_chars). Scale notes per operator:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window as W, functions as F
+
+#: serialized storage for pair-/edge-sized lineage truncation
+#: (see operators/graph.py::ckpt_ser)
+_CKPT_SER = StorageLevel.MEMORY_AND_DISK
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -354,7 +359,7 @@ def _cc_propagation(
     the signal ``algorithm="auto"`` uses to fall back to contraction."""
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(True, _CKPT_SER)
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     ).localCheckpoint()
@@ -422,7 +427,7 @@ def _cc_contraction(
         .distinct()
         .localCheckpoint()
     )
-    edges = e.distinct().localCheckpoint()
+    edges = e.distinct().localCheckpoint(True, _CKPT_SER)
 
     def checksum(df: DataFrame):
         row = df.agg(
@@ -458,7 +463,7 @@ def _cc_contraction(
             .union(mins.select(F.col("u"), F.col("mv").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(True, _CKPT_SER)
         )
         cur = checksum(edges)
         if cur == prev and prev_edges is not None:

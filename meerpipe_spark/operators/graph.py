@@ -20,12 +20,34 @@ node instead of min-id when link structure matters).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 #: Rank mass is distributed over `scale` integer units; 1e12 keeps
 #: per-node quantization error at 1e-12 of total mass while the largest
 #: intermediate (rank·85) stays ~17 bits under the bigint ceiling.
 PAGERANK_SCALE = 10**12
+
+#: serialized disk-backed storage for edge-/fact-sized checkpoints
+_SER = StorageLevel.MEMORY_AND_DISK
+
+
+def ckpt_ser(df: DataFrame) -> DataFrame:
+    """Lineage truncation for EDGE-/FACT-sized intermediates: eager
+    localCheckpoint at serialized MEMORY_AND_DISK instead of the
+    default. The default level unrolls every partition as live
+    UnsafeRow copies whose sampled size accounting lags real
+    allocation — at sf3.0 the node2vec co-purchase edge list (~70M
+    rows × 32 concurrent unrolling tasks) OOMed an 8 GB heap in
+    MemoryStore.putIteratorAsValues before a single byte spilled.
+    Serialized storage unrolls into chunked byte buffers with
+    incremental reservation (putIteratorAsBytes) and spills cleanly,
+    so the same checkpoint is bounded by storage-pool accounting, not
+    by allocation burst — the storage class an edge list needs on a
+    real cluster, where deserialized row cache of fact-sized data is
+    never the right call. Node-/walk-/frontier-sized state keeps the
+    fast deserialized default (MEMORY_AND_DISK_DESER)."""
+    return df.localCheckpoint(eager=True, storageLevel=_SER)
 
 
 def pagerank_fixed_point(
@@ -56,7 +78,7 @@ def pagerank_fixed_point(
 
     Returns (node, rank) with bigint rank in scale units.
     """
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    edges = edges.select("src", "dst").distinct().localCheckpoint(True, _SER)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -66,7 +88,7 @@ def pagerank_fixed_point(
     n = nodes.count()
     base = (scale * (damp_den - damp_num)) // (damp_den * n)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
-    e = edges.join(outdeg, "src").localCheckpoint()
+    e = edges.join(outdeg, "src").localCheckpoint(True, _SER)
     ranks = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
     for i in range(iters):
         contrib = (
@@ -120,7 +142,7 @@ def weighted_pagerank_fixed_point(
     edges = (
         edges.groupBy("src", "dst")
         .agg(F.sum(F.col("w").cast("bigint")).alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(True, _SER)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -137,7 +159,7 @@ def weighted_pagerank_fixed_point(
         )
     base = (scale * (damp_den - damp_num)) // (damp_den * n)
     outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("outw"))
-    e = edges.join(outw, "src").localCheckpoint()
+    e = edges.join(outw, "src").localCheckpoint(True, _SER)
     ranks = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
     for i in range(iters):
         contrib = (
@@ -179,7 +201,7 @@ def personalized_pagerank(
     Returns (node, rank); nodes never reached by seed mass keep rank 0
     rows only if they appear in the graph (node-sized output).
     """
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    edges = edges.select("src", "dst").distinct().localCheckpoint(True, _SER)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -196,7 +218,7 @@ def personalized_pagerank(
         F.broadcast(src_set.withColumn("_is_src", F.lit(1))), "node", "left"
     ).select("node", is_src.alias("in_s")).localCheckpoint()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
-    e = edges.join(outdeg, "src").localCheckpoint()
+    e = edges.join(outdeg, "src").localCheckpoint(True, _SER)
     ranks = tagged.select(
         "node",
         (F.col("in_s") * F.lit(scale // s)).cast("bigint").alias("r"),
@@ -247,7 +269,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    und = und.localCheckpoint()
+    und = und.localCheckpoint(True, _SER)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -273,7 +295,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # consumed by both wedge sides AND the closure union — checkpoint so
     # the degree join isn't re-evaluated per consumer (no automatic
     # subplan reuse across DataFrame branches)
-    oriented = oriented.localCheckpoint()
+    oriented = oriented.localCheckpoint(True, _SER)
     e1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
     e2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
     wedges = e1.join(e2, "apex").filter(F.col("x") < F.col("y"))
@@ -312,7 +334,7 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(True, _SER)
     )
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -360,7 +382,7 @@ def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(True, _SER)
     )
     alive = und.select(F.col("src").alias("node")).distinct().localCheckpoint()
     for _ in range(rounds):
@@ -766,7 +788,7 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
             f"k_truss requires k >= 3 (got k={k}): the support peel drops "
             "zero-triangle edges, so k<=2 would silently return the 3-truss"
         )
-    cur = edges.select("src", "dst").distinct().localCheckpoint()
+    cur = edges.select("src", "dst").distinct().localCheckpoint(True, _SER)
     sup = None
     for _ in range(rounds):
         a = cur.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -788,7 +810,7 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
         cur = (
             sup.filter(F.col("support") >= k - 2)
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(True, _SER)
         )
     final = cur
     a = final.select(F.col("src").alias("u"), F.col("dst").alias("v"))

@@ -28,9 +28,14 @@ logarithmic in document length, independent of corpus size.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from meerpipe_spark.operators.ids import assign_dense_ranks
+
+#: serialized storage for token-position-sized lineage truncation
+#: (see operators/graph.py::ckpt_ser)
+_CKPT_SER = StorageLevel.MEMORY_AND_DISK
 
 
 def suffix_array_ranks(
@@ -63,7 +68,7 @@ def suffix_array_ranks(
     cur = (
         assign_dense_ranks(base, ["w"], "r")
         .select(id_col, "pos", "r")
-        .localCheckpoint()
+        .localCheckpoint(True, _CKPT_SER)
     )
     k = 1
     prev_classes = -1
@@ -95,7 +100,7 @@ def suffix_array_ranks(
         cur = (
             assign_dense_ranks(paired, ["r", "r2"], "rn")
             .select(id_col, "pos", F.col("rn").alias("r"))
-            .localCheckpoint()
+            .localCheckpoint(True, _CKPT_SER)
         )
         k *= 2
     return cur.select(id_col, "pos", F.col("r").cast("bigint").alias("suffix_rank"))

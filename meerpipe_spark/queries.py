@@ -19,9 +19,15 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from meerpipe_spark.io import load_tables, morton_key_sql
+
+#: Edge-/fact-sized lineage truncation stores SERIALIZED blocks — the
+#: deserialized default OOMed materializing the sf3.0 co-purchase edge
+#: list (see operators/graph.py::ckpt_ser for the full post-mortem).
+_CKPT_SER = StorageLevel.MEMORY_AND_DISK
 
 
 @dataclass
@@ -15312,7 +15318,7 @@ def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(True, _CKPT_SER)
     )
     sources = part.filter(F.col("p_partkey") % 100 == 0).select(
         F.col("p_partkey").alias("node")
@@ -15445,7 +15451,7 @@ def skipgram_pairs_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         co.unionByName(
             co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .localCheckpoint()
+        .localCheckpoint(True, _CKPT_SER)
     )
     starts = part.filter(F.col("p_partkey") % 25 == 0).select(
         F.col("p_partkey").alias("walk_id"), F.col("p_partkey").alias("node")
@@ -15489,7 +15495,7 @@ def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         co.unionByName(
             co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .localCheckpoint()
+        .localCheckpoint(True, _CKPT_SER)
     )
     starts = part.filter(F.col("p_partkey") % 25 == 0).select(
         F.col("p_partkey").alias("walk_id"), F.col("p_partkey").alias("node")
@@ -15530,7 +15536,7 @@ def random_walks_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         co.unionByName(
             co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .localCheckpoint()
+        .localCheckpoint(True, _CKPT_SER)
     )
     starts = part.filter(F.col("p_partkey") % 25 == 0).select(
         F.col("p_partkey").alias("walk_id"), F.col("p_partkey").alias("node")
@@ -15698,7 +15704,7 @@ def ppmi_svd_node_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         co.unionByName(
             co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .localCheckpoint()
+        .localCheckpoint(True, _CKPT_SER)
     )
     starts = part.filter(F.col("p_partkey") % 25 == 0).select(
         F.col("p_partkey").alias("walk_id"), F.col("p_partkey").alias("node")
@@ -17355,7 +17361,7 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(True, _CKPT_SER)
     )
     hubs, auths = hits_scores(edges, rounds=4)
     return auths.select(

@@ -15718,6 +15718,16 @@ def ppmi_svd_node_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = emb.filter(nonzero).select(
         F.col("node").alias("dst"), F.col("e1").alias("ca"), F.col("e2").alias("cb")
     )
+    # Spread the queries×vocab product across the cluster BEFORE the
+    # broadcast cross-join: cn arrives from a checkpointed vocab-sized
+    # frame with a handful of partitions, and the per-mapper
+    # WindowGroupLimit partial sort otherwise runs the ENTIRE product
+    # in one task (observed at sf1.0: a single 320M-row TimSort).
+    # Partitioning is value-neutral; the 6dp grid + dst tie-break keeps
+    # the top-3 deterministic. At corpus scale the neighbor retrieval
+    # would route through ivf_search — this exact product is the
+    # oracle-checkable twin, the cosine_topk discipline.
+    cn = cn.repartition(spark.sparkContext.defaultParallelism)
     scored = (
         cn.crossJoin(F.broadcast(qn))
         .filter(F.col("src") != F.col("dst"))

@@ -108,6 +108,7 @@ ANCHORS: dict[str, float] = {
     "lpa_communities": 7.698,
     "media_feature_extract_png": 0.707,
     "media_wav_header_extract": 0.324,
+    "media_jpeg_header_extract": 0.345,  # pinned from the r10 closing run (same session as the re-pin verification)
     "minhash_lsh_incremental_md5": 1.649,
     "minhash_lsh_pairs": 1.187,
     "nb_langid_confusion": 1.97,

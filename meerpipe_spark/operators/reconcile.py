@@ -24,7 +24,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def table_diff(
@@ -169,3 +169,137 @@ def entity_match_deletion_join(
         .withColumn("distance", F.levenshtein("name_a", "name_b"))
         .filter(F.col("distance") <= 1)
     )
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    id_col: str,
+    sort_cols: list[str],
+    block_col,
+    payload_cols: list[str],
+    window: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995,
+    public algorithm): within each block, order records by `sort_cols`
+    (+ id tiebreak) and pair every record with its next `window`
+    neighbors — the LINEAR record-linkage blocking (exactly
+    `window * n` pairs minus block boundaries), versus the quadratic
+    all-pairs-within-block join.
+
+    Returns (id_a, id_b, a_<payload>, b_<payload>) — one lead() window
+    per offset over the same sort, so the physical plan is ONE
+    shuffle+sort on (block, sort key). Block count is fixed here (value
+    bands), so per-block sort volume grows linearly with data; at
+    cluster scale swap the block column for repartitionByRange on the
+    sort key — same operator contract, same output.
+    """
+    cols = [F.col(id_col).alias("id_a")] + [
+        F.col(c).alias(f"a_{c}") for c in payload_cols
+    ]
+    w = W.partitionBy(F.col("_snm_blk")).orderBy(
+        *[F.col(c) for c in sort_cols], F.col(id_col)
+    )
+    base = records.withColumn("_snm_blk", block_col)
+    out = None
+    for d in range(1, window + 1):
+        lead = base.select(
+            *cols,
+            F.lead(F.col(id_col), d).over(w).alias("id_b"),
+            *[F.lead(F.col(c), d).over(w).alias(f"b_{c}") for c in payload_cols],
+        ).filter(F.col("id_b").isNotNull())
+        out = lead if out is None else out.unionAll(lead)
+    return out
+
+
+def fellegi_sunter_em(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    iters: int = 4,
+    p0: float = 0.1,
+    m0: float = 0.8,
+    u0: float = 0.2,
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights by EM (Fellegi & Sunter
+    1969; Winkler 1988 EM fitting — public algorithms): candidate pairs
+    carry binary agreement fields a_k; the latent mixture
+    (match M with P(a_k=1|M)=m_k, unmatch U with P(a_k=1|U)=u_k,
+    P(M)=p) is fitted by `iters` closed-form EM rounds:
+
+      E: w = p*prod_k m_k^a (1-m_k)^(1-a)
+             / (that + (1-p)*prod_k u_k^a (1-u_k)^(1-a))
+      M: p = sum w / n;  m_k = sum w*a_k / sum w;
+         u_k = sum (1-w)*a_k / sum (1-w)     (all clamped to (1e-6, 1-1e-6))
+
+    Scale shape mirrors operators/logreg.py: the E-step is a per-pair
+    projection (parameters arrive via a broadcast 1-row crossJoin, never
+    the driver), the M-step ONE map-side-combined aggregation of
+    2k+2 doubles regardless of pair count. Returns the 1-row model
+    frame (n_pairs, p, m_<k>..., u_<k>...).
+    """
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    k = len(agree_cols)
+    model = None  # 1-row frame with p, m_i, u_i
+    pairs = persist_tracked(pairs)
+    for it in range(iters):
+        if model is None:
+            p = F.lit(float(p0))
+            ms = [F.lit(float(m0))] * k
+            us = [F.lit(float(u0))] * k
+            df = pairs
+        else:
+            df = pairs.crossJoin(F.broadcast(model))
+            p = F.col("p")
+            ms = [F.col(f"m_{i}") for i in range(k)]
+            us = [F.col(f"u_{i}") for i in range(k)]
+        pm = p
+        um = F.lit(1.0) - p
+        for i, c in enumerate(agree_cols):
+            a = F.col(c).cast("double")
+            pm = pm * (a * ms[i] + (F.lit(1.0) - a) * (F.lit(1.0) - ms[i]))
+            um = um * (a * us[i] + (F.lit(1.0) - a) * (F.lit(1.0) - us[i]))
+        wexp = pm / (pm + um)
+        scored = df.select(
+            wexp.alias("w"), *[F.col(c).cast("double").alias(c) for c in agree_cols]
+        )
+        lo, hi = F.lit(1e-6), F.lit(1.0 - 1e-6)
+        aggs = [
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (F.sum("w") / F.count(F.lit(1)).cast("double")).alias("p"),
+        ]
+        for i, c in enumerate(agree_cols):
+            aggs.append(
+                F.least(
+                    hi,
+                    F.greatest(lo, F.sum(F.col("w") * F.col(c)) / F.sum("w")),
+                ).alias(f"m_{i}")
+            )
+            aggs.append(
+                F.least(
+                    hi,
+                    F.greatest(
+                        lo,
+                        F.sum((F.lit(1.0) - F.col("w")) * F.col(c))
+                        / F.sum(F.lit(1.0) - F.col("w")),
+                    ),
+                ).alias(f"u_{i}")
+            )
+        model = scored.agg(*aggs)
+    return model
+
+
+def fellegi_sunter_posteriors(
+    pairs: DataFrame, agree_cols: list[str], model: DataFrame
+) -> DataFrame:
+    """Score pairs with a fitted FS model: appends the match posterior
+    `w` under the model's (p, m_k, u_k) — the same E-step expression as
+    the final EM round, parameters via broadcast crossJoin."""
+    k = len(agree_cols)
+    df = pairs.crossJoin(F.broadcast(model))
+    pm = F.col("p")
+    um = F.lit(1.0) - F.col("p")
+    for i, c in enumerate(agree_cols):
+        a = F.col(c).cast("double")
+        pm = pm * (a * F.col(f"m_{i}") + (F.lit(1.0) - a) * (F.lit(1.0) - F.col(f"m_{i}")))
+        um = um * (a * F.col(f"u_{i}") + (F.lit(1.0) - a) * (F.lit(1.0) - F.col(f"u_{i}")))
+    return df.withColumn("w", pm / (pm + um))

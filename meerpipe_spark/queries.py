@@ -17449,3 +17449,513 @@ def ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return k_truss(co, k=12, rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-preference ranking (Bradley-Terry MM — operators/ranking.py)
+# ---------------------------------------------------------------------------
+
+def _bradley_terry_oracle_sql(iters: int = 6) -> str:
+    """Unrolled-CTE DuckDB twin of the MM rounds in operators/ranking.py:
+    identical float-op ORDER per round ((wins+a)/(den + 2a/(s+1)), then
+    mean-normalize as s_raw * (count/sum)), DOUBLE-cast literals (bare
+    decimals are DECIMAL in DuckDB), counts kept integer until the one
+    division that consumes them."""
+    one = "CAST(1 AS DOUBLE)"
+    two = "CAST(2 AS DOUBLE)"
+    sql = f"""
+    WITH ranked AS (
+      SELECT l.l_orderkey, p.p_brand,
+             row_number() OVER (
+               PARTITION BY l.l_orderkey
+               ORDER BY l.l_extendedprice DESC, l.l_partkey, l.l_linenumber
+             ) AS rn
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    duel AS (
+      SELECT max(CASE WHEN rn = 1 THEN p_brand END) AS winner,
+             max(CASE WHEN rn = 2 THEN p_brand END) AS loser
+      FROM ranked WHERE rn <= 2 GROUP BY l_orderkey
+    ),
+    duels AS MATERIALIZED (
+      SELECT winner, loser FROM duel
+      WHERE loser IS NOT NULL AND winner <> loser
+    ),
+    directed AS (SELECT winner AS i, loser AS j, count(*) AS n FROM duels GROUP BY 1, 2),
+    pairs AS MATERIALIZED (
+      SELECT i, j, CAST(sum(n) AS BIGINT) AS n_ij FROM (
+        SELECT i, j, n FROM directed
+        UNION ALL
+        SELECT j AS i, i AS j, n FROM directed
+      ) GROUP BY i, j
+    ),
+    stats AS MATERIALIZED (SELECT i AS item, CAST(sum(n_ij) AS BIGINT) AS n_duels FROM pairs GROUP BY 1),
+    wins AS MATERIALIZED (
+      SELECT s.item, CAST(coalesce(w.w, 0) AS BIGINT) AS wins
+      FROM stats s LEFT JOIN (
+        SELECT winner AS item, count(*) AS w FROM duels GROUP BY 1
+      ) w USING (item)
+    ),
+    s0 AS MATERIALIZED (SELECT item, {one} AS s FROM stats)"""
+    for t in range(iters):
+        sql += f""",
+    d{t} AS (
+      SELECT p.i AS item,
+             sum(p.n_ij / (si.s + sj.s)) AS den,
+             min(si.s) AS s_cur
+      FROM pairs p
+      JOIN s{t} si ON p.i = si.item
+      JOIN s{t} sj ON p.j = sj.item
+      GROUP BY p.i
+    ),
+    r{t} AS (
+      SELECT w.item,
+             (CAST(w.wins AS DOUBLE) + {one})
+             / (d.den + {two} / (d.s_cur + {one})) AS s_raw
+      FROM wins w JOIN d{t} d USING (item)
+    ),
+    s{t + 1} AS MATERIALIZED (
+      SELECT item,
+             s_raw * (CAST(count(*) OVER () AS DOUBLE) / sum(s_raw) OVER ()) AS s
+      FROM r{t}
+    )"""
+    sql += f"""
+    SELECT w.item AS brand, w.wins, st.n_duels,
+           round(sf.s, 6) AS score,
+           CAST(row_number() OVER (ORDER BY round(sf.s, 6) DESC, w.item) AS INTEGER) AS rank
+    FROM wins w
+    JOIN stats st USING (item)
+    JOIN s{iters} sf USING (item)
+    """
+    return sql
+
+
+@_register(
+    "preference_rank_brands",
+    _bradley_terry_oracle_sql(iters=6),
+    doc="Bradley-Terry skill scores from pairwise preferences "
+        "(operators/ranking.py::bradley_terry, Hunter 2004 MM) — the "
+        "reward-model-data primitive: duels are the top-2 lineitems of "
+        "every multi-item order (deterministic price/partkey/linenumber "
+        "ranking; winner = pricier brand), collapsed ONCE to model-sized "
+        "wins + symmetric pair counts, then 6 anchored MM rounds of "
+        "two equi-joins + one map-side-combined sum over the <=k^2 pair "
+        "table — per-round cost is independent of the duel count, the "
+        "fit-from-sufficient-statistics shape (cf. quality_logreg_train). "
+        "The virtual skill-1 anchor (a=1) keeps zero-win items finite "
+        "and the likelihood strictly concave; each round mean-normalizes. "
+        "Oracle unrolls all 6 rounds with identical float-op order; "
+        "scores AND the rank derived from their rounded values in one "
+        "hash.",
+    headline=True,
+)
+def preference_rank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.ranking import bradley_terry
+
+    t = load_tables(spark, sf_dir)
+    ranked = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_orderkey",
+            "p_brand",
+            F.row_number()
+            .over(
+                W.partitionBy("l_orderkey").orderBy(
+                    F.desc("l_extendedprice"), "l_partkey", "l_linenumber"
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+    duels = (
+        ranked.groupBy("l_orderkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("p_brand"))).alias("winner"),
+            F.max(F.when(F.col("rn") == 2, F.col("p_brand"))).alias("loser"),
+        )
+        .filter(F.col("loser").isNotNull() & (F.col("winner") != F.col("loser")))
+        .select("winner", "loser")
+    )
+    fit = bradley_terry(duels, iters=6, anchor=1.0)
+    score6 = F.round(F.col("score"), 6)
+    return fit.select(
+        F.col("item").alias("brand"),
+        "wins",
+        "n_duels",
+        score6.alias("score"),
+        F.row_number().over(W.orderBy(score6.desc(), F.col("item"))).alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi-Sunter EM — operators/reconcile.py)
+# ---------------------------------------------------------------------------
+
+def _fs_em_oracle_sql(iters: int = 4) -> str:
+    """Unrolled-CTE twin of operators/reconcile.py::fellegi_sunter_em on
+    the dirty-twin registry: identical E-step product order (p*t_seg*
+    t_bal*t_nat), identical M-step divisions, least/greatest clamps,
+    DOUBLE-cast literals throughout."""
+    one = "CAST(1 AS DOUBLE)"
+    lo, hi = "CAST(0.000001 AS DOUBLE)", "CAST(0.999999 AS DOUBLE)"
+    fields = ["a_seg", "a_bal", "a_nat"]
+
+    def estep(p, ms, us):
+        pm, um = p, f"({one} - {p})"
+        for i, a in enumerate(fields):
+            ad = f"CAST({a} AS DOUBLE)"
+            pm = f"{pm} * ({ad} * {ms[i]} + ({one} - {ad}) * ({one} - {ms[i]}))"
+            um = f"{um} * ({ad} * {us[i]} + ({one} - {ad}) * ({one} - {us[i]}))"
+        return f"({pm}) / (({pm}) + ({um}))"
+
+    sql = f"""
+    WITH registry AS (
+      SELECT c_custkey AS id, c_acctbal AS bal,
+             c_nationkey AS nat, c_mktsegment AS seg
+      FROM customer
+      UNION ALL
+      SELECT -c_custkey - 1 AS id,
+             c_acctbal + CAST(0.01 AS DOUBLE)
+                         * CAST((c_custkey % 7) - 3 AS DOUBLE) AS bal,
+             c_nationkey AS nat,
+             CASE WHEN c_custkey % 15 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END AS seg
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    snm AS (
+      SELECT id AS id_a, bal AS a_bal, nat AS a_nat, seg AS a_seg_v,
+             lead(id, 1)  OVER w AS id_b1, lead(bal, 1) OVER w AS b_bal1,
+             lead(nat, 1) OVER w AS b_nat1, lead(seg, 1) OVER w AS b_seg1,
+             lead(id, 2)  OVER w AS id_b2, lead(bal, 2) OVER w AS b_bal2,
+             lead(nat, 2) OVER w AS b_nat2, lead(seg, 2) OVER w AS b_seg2
+      FROM registry
+      WINDOW w AS (PARTITION BY CAST(floor(bal / 100) AS BIGINT) ORDER BY bal, id)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b1 AS id_b,
+             CASE WHEN a_seg_v = b_seg1 THEN 1 ELSE 0 END AS a_seg,
+             CASE WHEN abs(a_bal - b_bal1) < CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END AS a_bal,
+             CASE WHEN a_nat = b_nat1 THEN 1 ELSE 0 END AS a_nat
+      FROM snm WHERE id_b1 IS NOT NULL
+      UNION ALL
+      SELECT id_a, id_b2 AS id_b,
+             CASE WHEN a_seg_v = b_seg2 THEN 1 ELSE 0 END,
+             CASE WHEN abs(a_bal - b_bal2) < CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END,
+             CASE WHEN a_nat = b_nat2 THEN 1 ELSE 0 END
+      FROM snm WHERE id_b2 IS NOT NULL
+    )"""
+    p = "CAST(0.1 AS DOUBLE)"
+    ms = ["CAST(0.8 AS DOUBLE)"] * 3
+    us = ["CAST(0.2 AS DOUBLE)"] * 3
+    for t in range(iters):
+        w = estep(p, ms, us)
+        aggs = [
+            "CAST(count(*) AS BIGINT) AS n_pairs",
+            "sum(w) / CAST(count(*) AS DOUBLE) AS p",
+        ]
+        for i, a in enumerate(fields):
+            ad = f"CAST({a} AS DOUBLE)"
+            aggs.append(
+                f"least({hi}, greatest({lo}, sum(w * {ad}) / sum(w))) AS m_{i}"
+            )
+            aggs.append(
+                f"least({hi}, greatest({lo}, sum(({one} - w) * {ad}) / sum({one} - w))) AS u_{i}"
+            )
+        sql += f""",
+    e{t} AS (SELECT {w} AS w, a_seg, a_bal, a_nat FROM pairs{f" CROSS JOIN mdl{t - 1}" if t else ""}),
+    mdl{t} AS MATERIALIZED (SELECT {', '.join(aggs)} FROM e{t})"""
+        p = "p"
+        ms = [f"m_{i}" for i in range(3)]
+        us = [f"u_{i}" for i in range(3)]
+    w = estep("m.p", [f"m.m_{i}" for i in range(3)], [f"m.u_{i}" for i in range(3)])
+    sql += f""",
+    scored AS (
+      SELECT {w} AS w,
+             CASE WHEN pairs.id_a = -pairs.id_b - 1 OR pairs.id_b = -pairs.id_a - 1
+                  THEN 1 ELSE 0 END AS truth
+      FROM pairs CROSS JOIN mdl{iters - 1} m
+    )
+    SELECT m.n_pairs, round(m.p, 6) AS p,
+           round(m.m_0, 6) AS m_seg, round(m.m_1, 6) AS m_bal, round(m.m_2, 6) AS m_nat,
+           round(m.u_0, 6) AS u_seg, round(m.u_1, 6) AS u_bal, round(m.u_2, 6) AS u_nat,
+           s.tp, s.fp, s.fn
+    FROM mdl{iters - 1} m CROSS JOIN (
+      SELECT CAST(sum(CASE WHEN w > CAST(0.5 AS DOUBLE) AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN w > CAST(0.5 AS DOUBLE) AND truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN w <= CAST(0.5 AS DOUBLE) AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored
+    ) s
+    """
+    return sql
+
+
+@_register(
+    "record_linkage_em",
+    _fs_em_oracle_sql(iters=4),
+    doc="Probabilistic record linkage end-to-end (operators/reconcile.py): "
+        "a dirty registry (every 3rd customer gets a perturbed twin — "
+        "negative id, acctbal nudged <=0.03, every 5th twin's segment "
+        "corrupted) is blocked by SORTED NEIGHBORHOOD "
+        "(sorted_neighborhood_pairs, Hernandez & Stolfo 1995 — exactly "
+        "2n candidate pairs from one shuffle+sort, never all-pairs), "
+        "binary agreement vectors (segment / |bal diff|<0.05 / nation) "
+        "feed 4 Fellegi-Sunter EM rounds (fellegi_sunter_em, Winkler "
+        "1988): each E-step a per-pair projection with parameters via "
+        "broadcast crossJoin, each M-step ONE 8-double aggregation — "
+        "per-round cost independent of model state, the logreg "
+        "sufficient-statistic shape. EM must RECOVER the planted "
+        "structure (m_bal/m_nat -> 1, u_nat -> ~1/25); the final "
+        "posterior classifies pairs against ground truth (twin ids are "
+        "self-describing) for tp/fp/fn inside the same hash. Oracle "
+        "unrolls all 4 rounds + scoring with identical float-op order.",
+    headline=True,
+)
+def record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.reconcile import (
+        fellegi_sunter_em,
+        fellegi_sunter_posteriors,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    twins = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        (-F.col("c_custkey") - 1).alias("id"),
+        (
+            F.col("c_acctbal")
+            + F.lit(0.01) * ((F.col("c_custkey") % 7) - 3).cast("double")
+        ).alias("bal"),
+        F.col("c_nationkey").alias("nat"),
+        F.when(F.col("c_custkey") % 15 == 0, F.lit("AUTOMOBILE"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    registry = base.unionAll(twins)
+    raw_pairs = sorted_neighborhood_pairs(
+        registry,
+        "id",
+        ["bal"],
+        F.floor(F.col("bal") / 100).cast("bigint"),
+        ["bal", "nat", "seg"],
+        window=2,
+    )
+    pairs = raw_pairs.select(
+        "id_a",
+        "id_b",
+        (F.col("a_seg") == F.col("b_seg")).cast("int").alias("a_seg"),
+        (F.abs(F.col("a_bal") - F.col("b_bal")) < F.lit(0.05))
+        .cast("int")
+        .alias("a_bal"),
+        (F.col("a_nat") == F.col("b_nat")).cast("int").alias("a_nat"),
+    )
+    fields = ["a_seg", "a_bal", "a_nat"]
+    model = fellegi_sunter_em(pairs, fields, iters=4, p0=0.1, m0=0.8, u0=0.2)
+    truth = (
+        (F.col("id_a") == -F.col("id_b") - 1)
+        | (F.col("id_b") == -F.col("id_a") - 1)
+    ).cast("int")
+    pred = F.col("w") > F.lit(0.5)
+    confusion = (
+        fellegi_sunter_posteriors(pairs, fields, model)
+        .select("w", truth.alias("truth"))
+        .agg(
+            F.sum(F.when(pred & (F.col("truth") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when(pred & (F.col("truth") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when(~pred & (F.col("truth") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    return model.crossJoin(confusion).select(
+        "n_pairs",
+        F.round("p", 6).alias("p"),
+        F.round("m_0", 6).alias("m_seg"),
+        F.round("m_1", 6).alias("m_bal"),
+        F.round("m_2", 6).alias("m_nat"),
+        F.round("u_0", 6).alias("u_seg"),
+        F.round("u_1", 6).alias("u_bal"),
+        F.round("u_2", 6).alias("u_nat"),
+        "tp",
+        "fp",
+        "fn",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational CART training (operators/tree.py)
+# ---------------------------------------------------------------------------
+
+def _tree_oracle_sql(depth: int = 2, bins: int = 24) -> str:
+    """DuckDB twin of operators/tree.py::binned_split_tree on the
+    documents quality features: every level's (node, feat, bin) cell
+    aggregation, cumulative window, integer-exact Gini argmin, and
+    broadcast re-route is replayed as CTEs. All split statistics are
+    exact bigints; the Gini divisions are the same expression text on
+    both engines, so every argmin reproduces bit-exactly."""
+    one = "CAST(1 AS DOUBLE)"
+    bmax = bins - 1
+
+    def gini(n, pos):
+        return (
+            f"(CAST({n} AS DOUBLE) - CAST({pos} * {pos} + ({n} - {pos}) * ({n} - {pos}) AS DOUBLE)"
+            f" / CAST({n} AS DOUBLE))"
+        )
+
+    bin_of = "CASE b.feat WHEN 0 THEN d.bin_0 WHEN 1 THEN d.bin_1 ELSE d.bin_2 END"
+    sql = f"""
+    WITH base AS (
+      SELECT doc_id,
+             ln({one} + CAST(n_chars AS DOUBLE)) AS x1,
+             CAST(n_chars AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  tk -> tk IN ('a', 'the'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x3
+      FROM documents
+    ),
+    feat AS (
+      SELECT x1, x2, x3,
+             CASE WHEN CAST(1.5 AS DOUBLE) * (x1 - CAST(5.56 AS DOUBLE))
+                       - CAST(2.0 AS DOUBLE) * (x2 - CAST(5.48 AS DOUBLE))
+                       + CAST(8.0 AS DOUBLE) * (x3 - CAST(0.06 AS DOUBLE))
+                       + CAST(((doc_id * 48271) % 100003) % 2001 - 1000 AS DOUBLE)
+                         * CAST(0.0015 AS DOUBLE) > CAST(0 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS y
+      FROM base
+    ),
+    mm AS (
+      SELECT min(x1) AS mn_0, max(x1) AS mx_0,
+             min(x2) AS mn_1, max(x2) AS mx_1,
+             min(x3) AS mn_2, max(x3) AS mx_2
+      FROM feat
+    ),
+    d1 AS MATERIALIZED (
+      SELECT CAST(least({bmax}, floor(((x1 - mn_0) / (mx_0 - mn_0)) * CAST({bins} AS DOUBLE))) AS INTEGER) AS bin_0,
+             CAST(least({bmax}, floor(((x2 - mn_1) / (mx_1 - mn_1)) * CAST({bins} AS DOUBLE))) AS INTEGER) AS bin_1,
+             CAST(least({bmax}, floor(((x3 - mn_2) / (mx_2 - mn_2)) * CAST({bins} AS DOUBLE))) AS INTEGER) AS bin_2,
+             y, 1 AS node
+      FROM feat CROSS JOIN mm
+    )"""
+    for lvl in range(1, depth + 1):
+        sql += f""",
+    l{lvl} AS (
+      SELECT node, y, f.feat,
+             CASE f.feat WHEN 0 THEN bin_0 WHEN 1 THEN bin_1 ELSE bin_2 END AS bin
+      FROM d{lvl} CROSS JOIN (VALUES (0), (1), (2)) f(feat)
+    ),
+    g{lvl} AS (
+      SELECT node, feat, bin,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM l{lvl} GROUP BY 1, 2, 3
+    ),
+    c{lvl} AS (
+      SELECT node, feat, bin,
+             CAST(sum(n)   OVER (PARTITION BY node, feat ORDER BY bin) AS BIGINT) AS nl,
+             CAST(sum(pos) OVER (PARTITION BY node, feat ORDER BY bin) AS BIGINT) AS posl,
+             CAST(sum(n)   OVER (PARTITION BY node, feat) AS BIGINT) AS nt,
+             CAST(sum(pos) OVER (PARTITION BY node, feat) AS BIGINT) AS post
+      FROM g{lvl}
+    ),
+    s{lvl} AS (
+      SELECT node, feat, bin, nt, post,
+             ({gini('nl', 'posl')} + {gini('(nt - nl)', '(post - posl)')}) AS score,
+             {gini('nt', 'post')} AS parent_imp
+      FROM c{lvl} WHERE nt - nl > 0
+    ),
+    b{lvl} AS MATERIALIZED (
+      SELECT node, feat, bin AS sbin, nt, post FROM (
+        SELECT *, row_number() OVER (PARTITION BY node ORDER BY score, feat, bin) AS rk
+        FROM s{lvl} WHERE score < parent_imp
+      ) WHERE rk = 1
+    ),
+    d{lvl + 1} AS MATERIALIZED (
+      SELECT d.bin_0, d.bin_1, d.bin_2, d.y,
+             CASE WHEN b.feat IS NULL THEN d.node
+                  ELSE d.node * 2 + CASE WHEN ({bin_of}) > b.sbin THEN 1 ELSE 0 END
+             END AS node
+      FROM d{lvl} d LEFT JOIN b{lvl} b ON d.node = b.node
+    )"""
+    split_union = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM b{lvl}" for lvl in range(1, depth + 1)
+    )
+    sql += f""",
+    splits AS ({split_union}),
+    split_rows AS (
+      SELECT s.node, 'split' AS kind, s.feat AS feature, s.sbin AS bin,
+             round(CASE s.feat
+                     WHEN 0 THEN mn_0 + (mx_0 - mn_0) * (CAST(s.sbin + 1 AS DOUBLE) / CAST({bins} AS DOUBLE))
+                     WHEN 1 THEN mn_1 + (mx_1 - mn_1) * (CAST(s.sbin + 1 AS DOUBLE) / CAST({bins} AS DOUBLE))
+                     ELSE        mn_2 + (mx_2 - mn_2) * (CAST(s.sbin + 1 AS DOUBLE) / CAST({bins} AS DOUBLE))
+                   END, 6) AS thr,
+             s.nt AS n, s.post AS pos, CAST(NULL AS INTEGER) AS pred
+      FROM splits s CROSS JOIN mm
+    ),
+    leaf_rows AS (
+      SELECT node, 'leaf' AS kind, CAST(NULL AS INTEGER) AS feature,
+             CAST(NULL AS INTEGER) AS bin, CAST(NULL AS DOUBLE) AS thr,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos,
+             CASE WHEN sum(y) * 2 > count(*) THEN 1 ELSE 0 END AS pred
+      FROM d{depth + 1} GROUP BY node
+    )
+    SELECT * FROM split_rows UNION ALL SELECT * FROM leaf_rows
+    """
+    return sql
+
+
+@_register(
+    "decision_tree_quality",
+    _tree_oracle_sql(depth=2, bins=24),
+    doc="Greedy CART depth-2 quality-gate tree fitted RELATIONALLY "
+        "(operators/tree.py::binned_split_tree, Breiman 1984): features "
+        "binned onto a 24-cell equi-width grid (the distributed-"
+        "histogram trick — grid bounds ride a broadcast 1-row "
+        "crossJoin), each level ONE fact-sized aggregation to "
+        "(node, feature, bin) cells + a cumulative bin window + an "
+        "integer-exact weighted-Gini argmin, rows re-routed to child "
+        "ids through a broadcast split join. Labels are the "
+        "quality_logreg noisy hyperplane, so the tree must rediscover "
+        "the same signal axis-aligned. Split statistics are exact "
+        "bigints and Gini scores divisions of exact integers, so the "
+        "oracle replays every argmin bit-exactly — the FITTED TREE "
+        "(features, boundaries, thresholds) is inside the hash, not "
+        "just predictions. Nodes split only on strict impurity "
+        "decrease; leaves carry majority predictions.",
+    headline=True,
+)
+def decision_tree_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.tree import binned_split_tree
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    nw = F.size(toks).cast("double")
+    x1 = F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+    x2 = F.col("n_chars").cast("double") / nw
+    x3 = (
+        F.size(F.filter(toks, lambda tk: tk.isin("a", "the"))).cast("double") / nw
+    )
+    u = ((((F.col("doc_id") * 48271) % 100003) % 2001) - 1000).cast(
+        "double"
+    ) * F.lit(0.0015)
+    score = (
+        F.lit(1.5) * (x1 - F.lit(5.56))
+        - F.lit(2.0) * (x2 - F.lit(5.48))
+        + F.lit(8.0) * (x3 - F.lit(0.06))
+        + u
+    )
+    feats = docs.select(
+        x1.alias("x1"),
+        x2.alias("x2"),
+        x3.alias("x3"),
+        (score > F.lit(0.0)).cast("int").alias("y"),
+    )
+    return binned_split_tree(feats, ["x1", "x2", "x3"], "y", depth=2, bins=24)

@@ -1,0 +1,150 @@
+"""Round-10 second-wave invariants: Bradley-Terry MM ranking,
+sorted-neighborhood blocking + Fellegi-Sunter EM, relational CART."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from meerpipe_spark.operators.ranking import bradley_terry, duel_counts
+from meerpipe_spark.operators.reconcile import (
+    fellegi_sunter_em,
+    fellegi_sunter_posteriors,
+    sorted_neighborhood_pairs,
+)
+from meerpipe_spark.operators.tree import binned_split_tree
+
+
+def _duels(spark, spec):
+    rows = []
+    for winner, loser, n in spec:
+        rows += [Row(winner=winner, loser=loser)] * n
+    return spark.createDataFrame(rows)
+
+
+def test_bradley_terry_orders_by_strength(spark):
+    duels = _duels(
+        spark,
+        [("A", "B", 9), ("B", "A", 1), ("B", "C", 9), ("C", "B", 1),
+         ("A", "C", 9), ("C", "A", 1)],
+    )
+    out = {r["item"]: r for r in bradley_terry(duels, iters=8).collect()}
+    assert out["A"]["score"] > out["B"]["score"] > out["C"]["score"]
+    assert out["A"]["wins"] == 18 and out["C"]["wins"] == 2
+    assert out["A"]["n_duels"] == 20
+    # mean-normalized each round: scores average to ~1
+    mean = sum(r["score"] for r in out.values()) / 3
+    assert abs(mean - 1.0) < 1e-9
+
+
+def test_bradley_terry_zero_win_item_finite(spark):
+    duels = _duels(spark, [("A", "D", 5), ("B", "D", 5), ("A", "B", 3), ("B", "A", 3)])
+    out = {r["item"]: r for r in bradley_terry(duels, iters=6).collect()}
+    assert out["D"]["wins"] == 0
+    assert 0.0 < out["D"]["score"] < out["A"]["score"]
+    assert out["D"]["score"] == min(r["score"] for r in out.values())
+
+
+def test_bradley_terry_partition_invariant(spark):
+    duels = _duels(
+        spark,
+        [("A", "B", 7), ("B", "C", 5), ("C", "A", 2), ("A", "C", 6), ("B", "A", 4)],
+    )
+    a = {r["item"]: round(r["score"], 9) for r in bradley_terry(duels, iters=6).collect()}
+    b = {
+        r["item"]: round(r["score"], 9)
+        for r in bradley_terry(duels.repartition(13), iters=6).collect()
+    }
+    assert a == b
+
+
+def test_duel_counts_symmetric_pairs(spark):
+    duels = _duels(spark, [("A", "B", 3), ("B", "A", 2)])
+    _, wins, pairs = duel_counts(duels)
+    p = {(r["i"], r["j"]): r["n_ij"] for r in pairs.collect()}
+    assert p[("A", "B")] == 5 and p[("B", "A")] == 5
+    w = {r["item"]: r["wins"] for r in wins.collect()}
+    assert w == {"A": 3, "B": 2}
+
+
+def test_sorted_neighborhood_linear_pairing(spark):
+    rows = [Row(id=i, v=float(i)) for i in range(10)]
+    recs = spark.createDataFrame(rows)
+    pairs = sorted_neighborhood_pairs(
+        recs, "id", ["v"], F.lit(0).cast("bigint"), ["v"], window=2
+    ).collect()
+    # one block of 10 sorted records, w=2 -> 9 + 8 = 17 pairs
+    assert len(pairs) == 17
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert all(b in (a + 1, a + 2) for a, b in got)
+    assert all(r["b_v"] >= r["a_v"] for r in pairs)
+
+
+def test_fs_em_recovers_planted_mixture(spark):
+    # 300 planted matches (agree on both strong fields), 700 unmatched
+    # (rarely agree); EM from the generic start must separate them.
+    rows = []
+    for i in range(1000):
+        if i % 10 < 3:
+            rows.append(Row(a_x=1, a_y=1 if i % 17 else 0))
+        else:
+            rows.append(Row(a_x=1 if i % 11 == 0 else 0, a_y=1 if i % 13 == 0 else 0))
+    pairs = spark.createDataFrame(rows)
+    model = fellegi_sunter_em(pairs, ["a_x", "a_y"], iters=8).collect()[0]
+    assert 0.2 < model["p"] < 0.4
+    assert model["m_0"] > 0.9 and model["m_1"] > 0.8
+    assert model["u_0"] < 0.2 and model["u_1"] < 0.2
+    scored = fellegi_sunter_posteriors(
+        pairs, ["a_x", "a_y"], spark.createDataFrame([model])
+    )
+    hi = scored.filter((F.col("a_x") == 1) & (F.col("a_y") == 1)).agg(
+        F.min("w")
+    ).collect()[0][0]
+    lo = scored.filter((F.col("a_x") == 0) & (F.col("a_y") == 0)).agg(
+        F.max("w")
+    ).collect()[0][0]
+    assert hi > 0.5 > lo
+
+
+def test_tree_finds_axis_aligned_split(spark):
+    # y = x0 >= 0.5 exactly (grid-aligned: bin<=9 <=> x0 < 0.5); x1 is
+    # noise -> root must split on feature 0 at 0.5 and both leaves pure.
+    rows = [
+        Row(x0=i / 100.0, x1=float((i * 37) % 100), y=1 if i / 100.0 >= 0.5 else 0)
+        for i in range(101)
+    ]
+    out = binned_split_tree(
+        spark.createDataFrame(rows), ["x0", "x1"], "y", depth=1, bins=20
+    ).collect()
+    splits = [r for r in out if r["kind"] == "split"]
+    leaves = {r["node"]: r for r in out if r["kind"] == "leaf"}
+    assert len(splits) == 1 and splits[0]["feature"] == 0
+    assert abs(splits[0]["thr"] - 0.5) < 0.06
+    assert set(leaves) == {2, 3}
+    assert leaves[2]["pos"] == 0 and leaves[2]["pred"] == 0
+    assert leaves[3]["pos"] == leaves[3]["n"] and leaves[3]["pred"] == 1
+
+
+def test_tree_pure_node_stays_leaf(spark):
+    rows = [Row(x0=float(i), y=1) for i in range(50)]
+    out = binned_split_tree(spark.createDataFrame(rows), ["x0"], "y", depth=2, bins=8)
+    rows_out = out.collect()
+    assert [r["kind"] for r in rows_out] == ["leaf"]
+    assert rows_out[0]["node"] == 1 and rows_out[0]["pred"] == 1
+
+
+def test_tree_depth2_splits_both_children(spark):
+    # stripes: y depends on x0 quartile (low and high -> 1) so depth-2
+    # needs a root split plus meaningful child splits.
+    rows = [
+        Row(x0=i / 200.0, y=1 if (i < 50 or i >= 150) else 0) for i in range(200)
+    ]
+    out = binned_split_tree(
+        spark.createDataFrame(rows), ["x0"], "y", depth=2, bins=16
+    ).collect()
+    splits = {r["node"]: r for r in out if r["kind"] == "split"}
+    leaves = {r["node"]: r for r in out if r["kind"] == "leaf"}
+    assert 1 in splits
+    # every leaf pure, and the four quartile regions are separated
+    assert all(l["pos"] in (0, l["n"]) for l in leaves.values())
+    total = sum(l["n"] for l in leaves.values())
+    assert total == 200

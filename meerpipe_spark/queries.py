@@ -17959,3 +17959,141 @@ def decision_tree_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (score > F.lit(0.0)).cast("int").alias("y"),
     )
     return binned_split_tree(feats, ["x1", "x2", "x3"], "y", depth=2, bins=24)
+
+
+# ---------------------------------------------------------------------------
+# Rank-2 ALS matrix factorization (operators/als.py)
+# ---------------------------------------------------------------------------
+
+def _als_oracle_sql(iters: int = 3, reg: float = 0.5) -> str:
+    """Unrolled-CTE twin of operators/als.py::als_rank2 + als_rmse:
+    every half-round's sufficient-statistic aggregation and 2×2 Cramer
+    solve replayed with identical float-op order; factor CTEs
+    MATERIALIZED (each is referenced by the next half-round AND the
+    final evaluation — DuckDB would otherwise inline and re-derive)."""
+    lam = f"CAST({reg} AS DOUBLE)"
+
+    def solve(pfx):
+        det = (
+            f"(({pfx}a11 + {lam}) * ({pfx}a22 + {lam}) - {pfx}a12 * {pfx}a12)"
+        )
+        x1 = f"({pfx}b1 * ({pfx}a22 + {lam}) - {pfx}b2 * {pfx}a12) / {det}"
+        x2 = f"(({pfx}a11 + {lam}) * {pfx}b2 - {pfx}a12 * {pfx}b1) / {det}"
+        return x1, x2
+
+    sql = f"""
+    WITH ratings AS MATERIALIZED (
+      SELECT o.o_custkey AS u, l.l_partkey AS i, CAST(l.l_quantity AS DOUBLE) AS r
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    q0 AS MATERIALIZED (
+      SELECT i,
+             CAST(1 AS DOUBLE) + CAST(i % 7 AS DOUBLE) * CAST(0.1 AS DOUBLE) AS q1,
+             CAST(1 AS DOUBLE) - CAST(i % 5 AS DOUBLE) * CAST(0.1 AS DOUBLE) AS q2
+      FROM (SELECT DISTINCT i FROM ratings)
+    )"""
+    for t in range(1, iters + 1):
+        x1, x2 = solve("")
+        sql += f""",
+    ua{t} AS (
+      SELECT r.u,
+             sum(q.q1 * q.q1) AS a11, sum(q.q1 * q.q2) AS a12,
+             sum(q.q2 * q.q2) AS a22,
+             sum(r.r * q.q1) AS b1, sum(r.r * q.q2) AS b2
+      FROM ratings r JOIN q{t - 1} q USING (i) GROUP BY r.u
+    ),
+    u{t} AS MATERIALIZED (
+      SELECT u, {x1} AS p1, {x2} AS p2 FROM ua{t}
+    ),
+    ia{t} AS (
+      SELECT r.i,
+             sum(p.p1 * p.p1) AS a11, sum(p.p1 * p.p2) AS a12,
+             sum(p.p2 * p.p2) AS a22,
+             sum(r.r * p.p1) AS b1, sum(r.r * p.p2) AS b2
+      FROM ratings r JOIN u{t} p USING (u) GROUP BY r.i
+    ),
+    q{t} AS MATERIALIZED (
+      SELECT i, {x1} AS q1, {x2} AS q2 FROM ia{t}
+    )"""
+    sql += f""",
+    ev AS (
+      SELECT r.u, r.r - (p.p1 * q.q1 + p.p2 * q.q2) AS e
+      FROM ratings r JOIN u{iters} p USING (u) JOIN q{iters} q USING (i)
+    ),
+    gm AS (
+      SELECT sqrt(sum(e * e) / CAST(count(*) AS DOUBLE)) AS rmse,
+             CAST(count(*) AS BIGINT) AS n_ratings
+      FROM ev
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(p.p1), 6) AS mean_p1,
+           round(avg(p.p2), 6) AS mean_p2,
+           round(g.rmse, 6) AS rmse,
+           g.n_ratings
+    FROM u{iters} p
+    JOIN customer c ON p.u = c.c_custkey
+    CROSS JOIN gm g
+    GROUP BY c.c_mktsegment, g.rmse, g.n_ratings
+    """
+    return sql
+
+
+@_register(
+    "als_factorization",
+    _als_oracle_sql(iters=3, reg=0.5),
+    doc="Rank-2 ALS matrix factorization of the customer×part rating "
+        "matrix (operators/als.py, Zhou 2008 ALS-WR): with rank pinned "
+        "at 2 every per-entity ridge solve is a CLOSED-FORM 2×2 Cramer "
+        "inverse, so the whole alternation is joins + aggregations — "
+        "each half-round ONE fact-sized equi-join and ONE map-side-"
+        "combined aggregation to entity-sized sufficient statistics "
+        "(5 doubles per entity regardless of rating count), factors "
+        "checkpointed per half-round exactly like MLlib persists factor "
+        "RDDs. 3 alternations from a deterministic integer item init; "
+        "output = per-segment user-factor means + global training RMSE, "
+        "all inside one hash against the fully unrolled DuckDB twin "
+        "(6 half-rounds of identical float-op-order CTEs). The "
+        "recommender / embedding-pretraining shape at 100 TB: "
+        "entity-sized state, fact-sized rounds, no driver maths.",
+    headline=True,
+)
+def als_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.als import als_rank2, als_rmse
+
+    t = load_tables(spark, sf_dir)
+    ratings = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("i"),
+            F.col("l_quantity").alias("r"),
+        )
+    )
+    userf, itemf = als_rank2(ratings, iters=3, reg=0.5)
+    metrics = als_rmse(ratings, userf, itemf)
+    return (
+        userf.join(
+            t["customer"], F.col("u") == F.col("c_custkey")
+        )
+        .crossJoin(F.broadcast(metrics))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("rmse"),
+            F.col("n_ratings"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg("p1"), 6).alias("mean_p1"),
+            F.round(F.avg("p2"), 6).alias("mean_p2"),
+        )
+        .select(
+            "segment",
+            "n_users",
+            "mean_p1",
+            "mean_p2",
+            F.round("rmse", 6).alias("rmse"),
+            "n_ratings",
+        )
+    )

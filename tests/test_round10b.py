@@ -148,3 +148,38 @@ def test_tree_depth2_splits_both_children(spark):
     assert all(l["pos"] in (0, l["n"]) for l in leaves.values())
     total = sum(l["n"] for l in leaves.values())
     assert total == 200
+
+
+def test_als_reconstructs_rank2_matrix(spark):
+    from meerpipe_spark.operators.als import als_rank2, als_rmse
+
+    # exact rank-2 ratings r = p·q built from known factors: ALS must
+    # drive training RMSE far below the rating scale
+    rows = []
+    for u in range(20):
+        pu = (1.0 + (u % 4), 2.0 - (u % 3) * 0.5)
+        for i in range(15):
+            qi = (0.5 + (i % 5) * 0.3, 1.0 + (i % 2))
+            rows.append(Row(u=u, i=i, r=pu[0] * qi[0] + pu[1] * qi[1]))
+    ratings = spark.createDataFrame(rows)
+    userf, itemf = als_rank2(ratings, iters=6, reg=0.01)
+    m = als_rmse(ratings, userf, itemf).collect()[0]
+    assert m["n_ratings"] == 300
+    assert m["rmse"] < 0.05
+    assert userf.count() == 20 and itemf.count() == 15
+
+
+def test_als_partition_invariant(spark):
+    from meerpipe_spark.operators.als import als_rank2
+
+    rows = [
+        Row(u=u, i=i, r=float((u * 7 + i * 3) % 11 + 1))
+        for u in range(10)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows)
+    a = {r["u"]: (round(r["p1"], 8), round(r["p2"], 8))
+         for r in als_rank2(df, iters=3)[0].collect()}
+    b = {r["u"]: (round(r["p1"], 8), round(r["p2"], 8))
+         for r in als_rank2(df.repartition(17), iters=3)[0].collect()}
+    assert a == b

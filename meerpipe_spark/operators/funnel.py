@@ -266,3 +266,133 @@ def sequence_pattern_matches(
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+def markov_attribution(
+    events: DataFrame,
+    channels: list[str],
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    iters: int = 12,
+) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    alternative to last-touch (Anderl et al. 2016; public method):
+    per-user journeys truncated at the first conversion feed a
+    first-order transition matrix over START / channel states with two
+    absorbing states (CONV, DROP); the conversion probability from
+    START is solved by `iters` fixed-point rounds, and each channel's
+    removal effect is the relative drop in that probability when every
+    transition touching the channel is redirected to DROP (original
+    row denominators kept — exactly the removal semantics).
+
+    Scale shape: ONE fact-sized pass (two windows over the per-user
+    sort + a transition count) collapses the event log to a ≤(C+1)²
+    probability matrix; all 5 scenarios (base + one per removed
+    channel) then iterate TOGETHER as one (scenario, state)-keyed frame
+    of ≤ 5·(C+2) rows — per-round cost independent of event volume, the
+    sufficient-statistic discipline again.
+
+    Returns one row per channel:
+      (channel, removal_effect, share, base_cvr) — share is the
+    removal effect normalized over channels (the attribution weights).
+    """
+    w = W.partitionBy(user_col).orderBy(*order_cols)
+    is_conv = (F.col(type_col) == conv_type).cast("int")
+    kept = (
+        events.select(user_col, type_col, *order_cols)
+        .withColumn(
+            "_pre",
+            F.sum(is_conv).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            - is_conv,
+        )
+        .filter(F.col("_pre") == 0)
+    )
+    seq = kept.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("dst0"),
+        F.lag(type_col).over(w).alias("src0"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(user_col)).alias("n_ev"),
+    )
+    steps = seq.select(
+        F.coalesce(F.col("src0"), F.lit("START")).alias("src"),
+        F.when(F.col("dst0") == conv_type, F.lit("CONV"))
+        .otherwise(F.col("dst0"))
+        .alias("dst"),
+    ).unionAll(
+        seq.filter((F.col("rn") == F.col("n_ev")) & (F.col("dst0") != conv_type))
+        .select(F.col("dst0").alias("src"), F.lit("DROP").alias("dst"))
+    )
+    counts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = counts.groupBy("src").agg(F.sum("n").cast("bigint").alias("tn"))
+    p = counts.join(tot, "src").select(
+        "src", "dst", (F.col("n").cast("double") / F.col("tn").cast("double")).alias("p")
+    )
+    scen = events.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in ["base"] + channels])).alias("rm")
+    )
+    ps = (
+        p.crossJoin(F.broadcast(scen))
+        .filter(
+            (F.col("rm") == "base")
+            | ((F.col("src") != F.col("rm")) & (F.col("dst") != F.col("rm")))
+        )
+        .select("rm", "src", "dst", "p")
+        .localCheckpoint(eager=True)
+    )
+    # iterate over the FULL scenario x state grid: a removed channel can
+    # empty a scenario's transition set (or drop START's row), and a
+    # state absent from ps must stay in the fixed point with v = 0, not
+    # vanish from the output
+    grid = (
+        p.select(F.col("src").alias("state"))
+        .distinct()
+        .crossJoin(F.broadcast(scen))
+        .select("rm", "state")
+        .localCheckpoint(eager=True)
+    )
+    v = grid.select("rm", "state", F.lit(0.0).alias("v"))
+    for _ in range(iters):
+        upd = (
+            ps.join(
+                F.broadcast(v.select("rm", F.col("state").alias("dst"), "v")),
+                ["rm", "dst"],
+                "left",
+            )
+            .groupBy("rm", F.col("src").alias("state"))
+            .agg(
+                F.sum(
+                    F.when(F.col("dst") == "CONV", F.col("p"))
+                    .when(F.col("dst") == "DROP", F.lit(0.0))
+                    .otherwise(F.col("p") * F.coalesce(F.col("v"), F.lit(0.0)))
+                ).alias("vu")
+            )
+        )
+        v = (
+            grid.join(F.broadcast(upd), ["rm", "state"], "left")
+            .select("rm", "state", F.coalesce(F.col("vu"), F.lit(0.0)).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    start = v.filter(F.col("state") == "START")
+    base = start.filter(F.col("rm") == "base").select(F.col("v").alias("bv"))
+    rem = start.filter(F.col("rm") != "base").select(
+        F.col("rm").alias("channel"), F.col("v").alias("rv")
+    )
+    re = F.when(
+        F.col("bv") > F.lit(0.0), (F.col("bv") - F.col("rv")) / F.col("bv")
+    ).otherwise(F.lit(0.0))
+    tot = F.sum("re").over(W.partitionBy())
+    return (
+        rem.crossJoin(F.broadcast(base))
+        .select("channel", re.alias("re"), "bv")
+        .select(
+            "channel",
+            F.round(F.col("re"), 6).alias("removal_effect"),
+            F.round(
+                F.when(tot > F.lit(0.0), F.col("re") / tot).otherwise(F.lit(0.0)), 6
+            ).alias("share"),
+            F.round(F.col("bv"), 6).alias("base_cvr"),
+        )
+    )

@@ -18097,3 +18097,120 @@ def als_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ratings",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (operators/funnel.py)
+# ---------------------------------------------------------------------------
+
+def _markov_attribution_oracle_sql(iters: int = 12) -> str:
+    """Unrolled twin of operators/funnel.py::markov_attribution: journey
+    truncation windows, transition counts, and all `iters` fixed-point
+    rounds for the 5 scenarios replayed with identical float-op order;
+    the scenario matrix and every value CTE MATERIALIZED (each is
+    consumed by the next round)."""
+    zero = "CAST(0 AS DOUBLE)"
+    sql = f"""
+    WITH kept AS (
+      SELECT user_id, event_type, ts, event_id FROM (
+        SELECT user_id, event_type, ts, event_id,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pre
+        FROM events
+      ) WHERE pre = 0
+    ),
+    seq AS (
+      SELECT user_id AS u, event_type AS dst0,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src0,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_ev
+      FROM kept
+    ),
+    steps AS (
+      SELECT coalesce(src0, 'START') AS src,
+             CASE WHEN dst0 = 'purchase' THEN 'CONV' ELSE dst0 END AS dst
+      FROM seq
+      UNION ALL
+      SELECT dst0 AS src, 'DROP' AS dst
+      FROM seq WHERE rn = n_ev AND dst0 <> 'purchase'
+    ),
+    counts AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM steps GROUP BY 1, 2),
+    tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS tn FROM counts GROUP BY 1),
+    p AS (
+      SELECT c.src, c.dst, CAST(c.n AS DOUBLE) / CAST(t.tn AS DOUBLE) AS p
+      FROM counts c JOIN tot t USING (src)
+    ),
+    scen AS (SELECT * FROM (VALUES ('base'), ('view'), ('click'),
+                                   ('signup'), ('error')) s(rm)),
+    ps AS MATERIALIZED (
+      SELECT s.rm, p.src, p.dst, p.p
+      FROM p CROSS JOIN scen s
+      WHERE s.rm = 'base' OR (p.src <> s.rm AND p.dst <> s.rm)
+    ),
+    grid AS MATERIALIZED (
+      SELECT s.rm, st.state
+      FROM scen s CROSS JOIN (SELECT DISTINCT src AS state FROM p) st
+    ),
+    v0 AS MATERIALIZED (SELECT rm, state, {zero} AS v FROM grid)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    v{t} AS MATERIALIZED (
+      SELECT g.rm, g.state, coalesce(u.vu, {zero}) AS v
+      FROM grid g LEFT JOIN (
+        SELECT ps.rm, ps.src AS state,
+               sum(CASE WHEN ps.dst = 'CONV' THEN ps.p
+                        WHEN ps.dst = 'DROP' THEN {zero}
+                        ELSE ps.p * coalesce(v.v, {zero}) END) AS vu
+        FROM ps LEFT JOIN v{t - 1} v ON ps.rm = v.rm AND ps.dst = v.state
+        GROUP BY ps.rm, ps.src
+      ) u ON g.rm = u.rm AND g.state = u.state
+    )"""
+    sql += f"""
+    SELECT r.channel,
+           round(r.re, 6) AS removal_effect,
+           round(CASE WHEN sum(r.re) OVER () > {zero}
+                      THEN r.re / sum(r.re) OVER () ELSE {zero} END, 6) AS share,
+           round(b.bv, 6) AS base_cvr
+    FROM (
+      SELECT v.rm AS channel,
+             CASE WHEN b0.bv > {zero} THEN (b0.bv - v.v) / b0.bv
+                  ELSE {zero} END AS re
+      FROM v{iters} v
+      CROSS JOIN (SELECT v AS bv FROM v{iters}
+                  WHERE state = 'START' AND rm = 'base') b0
+      WHERE v.state = 'START' AND v.rm <> 'base'
+    ) r
+    CROSS JOIN (SELECT v AS bv FROM v{iters}
+                WHERE state = 'START' AND rm = 'base') b
+    """
+    return sql
+
+
+@_register(
+    "markov_attribution_channels",
+    _markov_attribution_oracle_sql(iters=12),
+    doc="Markov-chain removal-effect attribution over per-user event "
+        "journeys (operators/funnel.py::markov_attribution, Anderl "
+        "2016) — the data-driven upgrade of last_touch_attribution: "
+        "journeys truncate at the first purchase (cumulative-conversion "
+        "window), feed a first-order transition matrix with CONV/DROP "
+        "absorbers, and conversion-from-START is solved by 12 "
+        "fixed-point rounds; each channel's attribution weight is the "
+        "relative conversion drop when transitions touching it are "
+        "redirected to DROP. ONE fact-sized pass collapses the log to "
+        "a ≤36-cell probability matrix; all 5 scenarios iterate "
+        "together as one (scenario, state)-keyed frame — per-round cost "
+        "independent of event volume. Oracle unrolls journey windows, "
+        "transition counts, and all 12 rounds; removal effects, "
+        "normalized shares, and base conversion inside one hash.",
+    headline=True,
+)
+def markov_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.funnel import markov_attribution
+
+    events = load_tables(spark, sf_dir)["events"]
+    return markov_attribution(
+        events, channels=["view", "click", "signup", "error"], iters=12
+    )

@@ -183,3 +183,47 @@ def test_als_partition_invariant(spark):
     b = {r["u"]: (round(r["p1"], 8), round(r["p2"], 8))
          for r in als_rank2(df.repartition(17), iters=3)[0].collect()}
     assert a == b
+
+
+def test_markov_attribution_semantics(spark):
+    from meerpipe_spark.operators.funnel import markov_attribution
+
+    # deterministic journeys: channel A always precedes conversion,
+    # channel B never reaches it -> removing A kills all conversion,
+    # removing B none.
+    rows = []
+    eid = 0
+    for u in range(10):
+        for step, t in enumerate(["A", "purchase"] if u % 2 == 0 else ["B"]):
+            rows.append(Row(user_id=u, event_type=t, ts=float(step), event_id=eid))
+            eid += 1
+    ev = spark.createDataFrame(rows)
+    out = {
+        r["channel"]: r
+        for r in markov_attribution(
+            ev, ["A", "B"], order_cols=("ts", "event_id"), iters=10
+        ).collect()
+    }
+    assert abs(out["A"]["removal_effect"] - 1.0) < 1e-9
+    assert abs(out["B"]["removal_effect"] - 0.0) < 1e-9
+    assert abs(out["A"]["share"] - 1.0) < 1e-9
+    assert abs(out["A"]["base_cvr"] - 0.5) < 1e-9
+
+
+def test_markov_attribution_truncates_at_first_conversion(spark):
+    from meerpipe_spark.operators.funnel import markov_attribution
+
+    # post-conversion events must not contribute transitions: channel C
+    # appears only AFTER purchase, so its removal effect is exactly 0.
+    rows = [
+        Row(user_id=1, event_type=t, ts=float(i), event_id=i)
+        for i, t in enumerate(["A", "purchase", "C", "C"])
+    ]
+    out = {
+        r["channel"]: r
+        for r in markov_attribution(
+            spark.createDataFrame(rows), ["A", "C"], iters=8
+        ).collect()
+    }
+    assert abs(out["C"]["removal_effect"]) < 1e-12
+    assert abs(out["A"]["removal_effect"] - 1.0) < 1e-9

@@ -1009,3 +1009,96 @@ def ppmi_spectral_embeddings(
         v1.select("node", F.col("x").alias("e1"))
         .join(u.select("node", F.col("x").alias("e2")), "node")
     )
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    levels: int = 4,
+) -> DataFrame:
+    """Sampled-source betweenness centrality by Brandes' two-phase
+    algorithm (Brandes 2001, public; the sampled-pivot estimator is
+    Brandes & Pich 2007): for each source s, a synchronous BFS
+    accumulates shortest-path counts σ(s,v) (exact bigint — level-k σ
+    is one sum of level-(k-1) σ over in-edges), then dependencies
+    δ(s,v) = Σ_{w succ} σ(s,v)/σ(s,w) · (1+δ(s,w)) accumulate
+    level-by-level DESCENDING, which finalizes each node's δ exactly
+    once. bc(v) = Σ_s δ(s,v) over non-source nodes.
+
+    Fixed ``levels`` keeps both phases engine-identical for the
+    unrolled-CTE oracle (the sssp/k_core discipline); any bound ≥ the
+    relevant eccentricity gives the true Brandes values for the sample.
+
+    Scale shape: all state is (source × node)-sized; each forward round
+    is ONE frontier⋈edges join + σ-sum with map-side partials, each
+    backward round ONE (level-d × level-d+1) edge join + one float
+    aggregation of exact-integer quotients. Nothing is path-sized and
+    nothing visits the driver; lineage checkpoints per round.
+
+    Returns (node, bc) for every node reached by any source BFS,
+    excluding the sources themselves; bc rounded 6dp.
+    """
+    bfs = sources.select(
+        F.col("node").alias("s"),
+        F.col("node"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint()
+    for d in range(1, levels + 1):
+        frontier = bfs.filter(F.col("dist") == d - 1).select(
+            "s", F.col("node").alias("fnode"), "sigma"
+        )
+        cand = (
+            frontier.join(edges, frontier["fnode"] == edges["src"])
+            .groupBy("s", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+        )
+        new = cand.join(bfs.select("s", "node"), ["s", "node"], "left_anti")
+        bfs = bfs.unionByName(
+            new.select("s", "node", F.lit(d).alias("dist"), "sigma")
+        ).localCheckpoint()
+    acc = bfs.filter(F.col("dist") == levels).select(
+        "s", "node", F.lit(0.0).alias("delta")
+    )
+    for d in range(levels - 1, -1, -1):
+        vs = bfs.filter(F.col("dist") == d).select(
+            "s", F.col("node").alias("v"), F.col("sigma").alias("sv")
+        )
+        ws = bfs.filter(F.col("dist") == d + 1).select(
+            F.col("s").alias("ws_s"),
+            F.col("node").alias("wn"),
+            F.col("sigma").alias("sw"),
+        )
+        contrib = (
+            vs.join(edges, vs["v"] == edges["src"])
+            .join(
+                ws,
+                (F.col("ws_s") == F.col("s")) & (F.col("wn") == F.col("dst")),
+            )
+            .join(
+                acc.select(
+                    F.col("s").alias("a_s"),
+                    F.col("node").alias("a_n"),
+                    "delta",
+                ),
+                (F.col("a_s") == F.col("s")) & (F.col("a_n") == F.col("wn")),
+            )
+            .groupBy("s", F.col("v").alias("node"))
+            .agg(
+                F.sum(
+                    (F.col("sv").cast("double") / F.col("sw").cast("double"))
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("dl")
+            )
+        )
+        lvl = bfs.filter(F.col("dist") == d).select("s", "node")
+        acc = acc.unionByName(
+            lvl.join(contrib, ["s", "node"], "left").select(
+                "s", "node", F.coalesce(F.col("dl"), F.lit(0.0)).alias("delta")
+            )
+        ).localCheckpoint()
+    return (
+        acc.filter(F.col("node") != F.col("s"))
+        .groupBy("node")
+        .agg(F.round(F.sum("delta"), 6).alias("bc"))
+    )

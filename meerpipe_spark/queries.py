@@ -18214,3 +18214,122 @@ def markov_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_attribution(
         events, channels=["view", "click", "signup", "error"], iters=12
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled-source betweenness centrality (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def _betweenness_oracle_sql(levels: int = 3) -> str:
+    """Unrolled twin of operators/graph.py::betweenness_sampled on the
+    co-purchase graph: forward BFS levels with exact-bigint σ sums, then
+    descending dependency accumulation with the identical
+    (σv/σw)·(1+δw) float-op order; every level frame MATERIALIZED (each
+    is read by the next level AND the final rollup)."""
+    zero = "CAST(0 AS DOUBLE)"
+    one = "CAST(1 AS DOUBLE)"
+    sql = """
+    WITH co AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM co
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM co
+    ),
+    sources AS MATERIALIZED (
+      SELECT node FROM (SELECT DISTINCT src AS node FROM edges)
+      ORDER BY node LIMIT 4
+    ),
+    b0 AS MATERIALIZED (
+      SELECT node AS s, node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+      FROM sources
+    )"""
+    for d in range(1, levels + 1):
+        sql += f""",
+    n{d} AS (
+      SELECT f.s, e.dst AS node, {d} AS dist,
+             CAST(sum(f.sigma) AS BIGINT) AS sigma
+      FROM b{d - 1} f JOIN edges e ON f.node = e.src
+      WHERE f.dist = {d - 1}
+        AND NOT EXISTS (SELECT 1 FROM b{d - 1} x
+                        WHERE x.s = f.s AND x.node = e.dst)
+      GROUP BY f.s, e.dst
+    ),
+    b{d} AS MATERIALIZED (
+      SELECT * FROM b{d - 1} UNION ALL SELECT * FROM n{d}
+    )"""
+    sql += f""",
+    a{levels} AS MATERIALIZED (
+      SELECT s, node, {zero} AS delta FROM b{levels} WHERE dist = {levels}
+    )"""
+    for d in range(levels - 1, -1, -1):
+        sql += f""",
+    a{d} AS MATERIALIZED (
+      SELECT * FROM a{d + 1}
+      UNION ALL
+      SELECT lvl.s, lvl.node, coalesce(u.dl, {zero}) AS delta
+      FROM (SELECT s, node FROM b{levels} WHERE dist = {d}) lvl
+      LEFT JOIN (
+        SELECT v.s, v.node, sum((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+                                * ({one} + a.delta)) AS dl
+        FROM b{levels} v
+        JOIN edges e ON v.node = e.src
+        JOIN b{levels} w ON w.s = v.s AND w.node = e.dst AND w.dist = {d + 1}
+        JOIN a{d + 1} a ON a.s = w.s AND a.node = w.node
+        WHERE v.dist = {d}
+        GROUP BY v.s, v.node
+      ) u ON u.s = lvl.s AND u.node = lvl.node
+    )"""
+    sql += """
+    SELECT node, round(sum(delta), 6) AS bc
+    FROM a0 WHERE node <> s GROUP BY node
+    """
+    return sql
+
+
+@_register(
+    "betweenness_sampled_parts",
+    _betweenness_oracle_sql(levels=3),
+    doc="Sampled-source betweenness centrality on the part co-purchase "
+        "graph (operators/graph.py::betweenness_sampled, Brandes 2001 "
+        "two-phase; Brandes & Pich 2007 pivot sampling) — completes the "
+        "centrality family (PageRank/HITS/k-core/k-truss): 4 "
+        "deterministic pivots, 3 forward BFS levels accumulating exact-"
+        "bigint shortest-path counts (one frontier⋈edges join + σ-sum "
+        "per level), then descending dependency accumulation — each "
+        "node's δ finalized exactly once via one (level-d ⋈ level-d+1) "
+        "edge join per level, float quotients of exact integers. All "
+        "state (source × node)-sized, nothing path-sized, checkpointed "
+        "per round. The oracle unrolls both phases level-by-level with "
+        "identical float-op order.",
+    headline=True,
+)
+def betweenness_sampled_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.graph import betweenness_sampled, ckpt_ser
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("src"))
+    b = pp.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("dst"))
+    co = (
+        a.join(b, "kk")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = ckpt_ser(
+        co.unionByName(
+            co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    sources = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(4)
+    )
+    return betweenness_sampled(edges, sources, levels=3)

@@ -227,3 +227,35 @@ def test_markov_attribution_truncates_at_first_conversion(spark):
     }
     assert abs(out["C"]["removal_effect"]) < 1e-12
     assert abs(out["A"]["removal_effect"] - 1.0) < 1e-9
+
+
+def test_betweenness_path_graph(spark):
+    from meerpipe_spark.operators.graph import betweenness_sampled
+
+    # path 1-2-3-4-5, sources {1, 5}: on a path every interior node is
+    # a cut vertex; Brandes dependency from s=1 gives delta(2)=3,
+    # delta(3)=2, delta(4)=1 (and symmetrically from s=5).
+    und = [(i, i + 1) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in und] + [Row(src=b, dst=a) for a, b in und]
+    )
+    sources = spark.createDataFrame([Row(node=1), Row(node=5)])
+    bc = {r["node"]: r["bc"] for r in
+          betweenness_sampled(edges, sources, levels=4).collect()}
+    assert bc[2] == 4.0 and bc[3] == 4.0 and bc[4] == 4.0
+    assert bc[1] == 0.0 and bc[5] == 0.0  # endpoints of the other BFS
+
+
+def test_betweenness_sigma_counts_parallel_paths(spark):
+    from meerpipe_spark.operators.graph import betweenness_sampled
+
+    # diamond 1->{2,3}->4: two shortest paths to 4, so delta(2) =
+    # delta(3) = sigma_ratio 1/2 each; node 4 gets 0.
+    und = [(1, 2), (1, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in und] + [Row(src=b, dst=a) for a, b in und]
+    )
+    sources = spark.createDataFrame([Row(node=1)])
+    bc = {r["node"]: r["bc"] for r in
+          betweenness_sampled(edges, sources, levels=3).collect()}
+    assert bc[2] == 0.5 and bc[3] == 0.5 and bc[4] == 0.0

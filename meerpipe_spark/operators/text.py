@@ -7,7 +7,7 @@ no Python UDFs — so they whole-stage-codegen and scan-prune at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -1072,4 +1072,82 @@ def texttiling_boundaries(
             .otherwise(False)
             .alias("is_boundary"),
         )
+    )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    stopwords: list[str],
+    top_per_doc: int = 2,
+    score_scale: int = 1_000_000,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, public algorithm),
+    scored in EXACT scaled integers so rankings are engine-identical:
+
+    - candidate phrases are maximal stopword-free token runs (the
+      gaps-and-islands cumulative-stopword window; empty tokens from
+      trailing separators act as boundaries);
+    - word degree = Σ length of phrases containing each occurrence,
+      word frequency = occurrence count — both exact bigints;
+    - word score = (degree · scale) DIV frequency (integer floor
+      division — the float deg/freq ratio on a fixed grid), phrase
+      score = Σ member word scores (exact bigint, no float summation
+      order anywhere), top phrases per doc by (score, phrase) with
+      integer tiebreaks.
+
+    Scale shape: one posexplode + one cumulative window per doc (the
+    fact-sized pass), one corpus-wide word aggregation (vocabulary-
+    sized), one broadcast-friendly join back, one per-doc top-k window.
+    Returns (doc_id, phrase, n_words, score, rk).
+    """
+    w = W.partitionBy(doc_col).orderBy("pos")
+    toks = docs.select(
+        doc_col,
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).withColumn(
+        "is_stop",
+        (F.col("tok").isin(*stopwords) | (F.col("tok") == "")).cast("int"),
+    )
+    marked = toks.withColumn(
+        "phrase_id",
+        F.sum("is_stop").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    ).filter(F.col("is_stop") == 0)
+    phrases = marked.groupBy(doc_col, "phrase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("phrase"),
+    )
+    words = marked.join(
+        phrases.select(doc_col, "phrase_id", "n_words"), [doc_col, "phrase_id"]
+    )
+    wstats = words.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("n_words").cast("bigint").alias("deg"),
+    )
+    wscore = wstats.select(
+        "tok",
+        F.expr(f"deg * {score_scale} DIV freq").cast("bigint").alias("wscore"),
+    )
+    pscores = (
+        words.join(wscore, "tok")
+        .groupBy(doc_col, "phrase_id")
+        .agg(F.sum("wscore").cast("bigint").alias("score"))
+        .join(phrases, [doc_col, "phrase_id"])
+    )
+    rk = F.row_number().over(
+        W.partitionBy(doc_col).orderBy(
+            F.desc("score"), "phrase", "phrase_id"
+        )
+    )
+    return (
+        pscores.withColumn("rk", rk)
+        .filter(F.col("rk") <= top_per_doc)
+        .select(doc_col, "phrase", "n_words", "score", "rk")
     )

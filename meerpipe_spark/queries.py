@@ -18333,3 +18333,74 @@ def betweenness_sampled_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(4)
     )
     return betweenness_sampled(edges, sources, levels=3)
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (operators/text.py)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "rake_keyphrases_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN ('a', 'the') OR tok = '' THEN 1 ELSE 0 END AS is_stop,
+             sum(CASE WHEN tok IN ('a', 'the') OR tok = '' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+      FROM toks
+    ),
+    wtoks AS MATERIALIZED (
+      SELECT doc_id, pos, tok, phrase_id FROM marked WHERE is_stop = 0
+    ),
+    phrases AS MATERIALIZED (
+      SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS n_words,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase
+      FROM wtoks GROUP BY 1, 2
+    ),
+    words AS MATERIALIZED (
+      SELECT w.doc_id, w.phrase_id, w.tok, p.n_words
+      FROM wtoks w JOIN phrases p USING (doc_id, phrase_id)
+    ),
+    wscore AS (
+      SELECT tok,
+             CAST(sum(n_words) * 1000000 // count(*) AS BIGINT) AS wscore
+      FROM words GROUP BY tok
+    ),
+    pscores AS (
+      SELECT w.doc_id, w.phrase_id, CAST(sum(s.wscore) AS BIGINT) AS score
+      FROM words w JOIN wscore s USING (tok) GROUP BY 1, 2
+    )
+    SELECT p.doc_id, p.phrase, p.n_words, ps.score,
+           CAST(row_number() OVER (PARTITION BY p.doc_id
+                                   ORDER BY ps.score DESC, p.phrase, p.phrase_id)
+                AS INTEGER) AS rk
+    FROM phrases p JOIN pscores ps USING (doc_id, phrase_id)
+    QUALIFY rk <= 2
+    """,
+    doc="RAKE keyphrase extraction (operators/text.py::rake_keyphrases, "
+        "Rose 2010) in EXACT scaled integers: candidate phrases are "
+        "maximal stopword-free token runs via the gaps-and-islands "
+        "cumulative-stopword window, word score = (degree·10^6) DIV "
+        "frequency (integer floor division — the deg/freq ratio on a "
+        "fixed grid), phrase score = exact-bigint sum of member word "
+        "scores, top-2 per doc with integer tiebreaks — no float "
+        "summation order anywhere, so rankings are engine-identical by "
+        "construction. One fact-sized posexplode + window, one "
+        "vocabulary-sized aggregation, one join back, one per-doc "
+        "top-k window. The keyword-extraction member of the text "
+        "family (tfidf/texttiling/bm25 cover retrieval; this covers "
+        "summarization-style candidate mining).",
+    headline=True,
+)
+def rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.text import rake_keyphrases
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return rake_keyphrases(docs, stopwords=["a", "the"], top_per_doc=2)

@@ -259,3 +259,37 @@ def test_betweenness_sigma_counts_parallel_paths(spark):
     bc = {r["node"]: r["bc"] for r in
           betweenness_sampled(edges, sources, levels=3).collect()}
     assert bc[2] == 0.5 and bc[3] == 0.5 and bc[4] == 0.0
+
+
+def test_rake_segments_and_scores(spark):
+    from meerpipe_spark.operators.text import rake_keyphrases
+
+    # "deep learning" appears twice as a phrase; "fast" once alone.
+    # deg(deep)=4, freq=2 -> 2.0; deg(learning)=4, freq=2 -> 2.0;
+    # phrase "deep learning" scores 4.0 > "fast" at 1.0.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="deep learning the fast a deep learning"),
+            Row(doc_id=2, text="fast the fast"),
+        ]
+    )
+    out = rake_keyphrases(docs, ["a", "the"], top_per_doc=3).collect()
+    d1 = {r["rk"]: r for r in out if r["doc_id"] == 1}
+    # both occurrences of the top phrase rank first (occurrence-level
+    # candidates, canonical RAKE), then the lone single word
+    assert d1[1]["phrase"] == "deep learning" == d1[2]["phrase"]
+    assert d1[1]["score"] == 4_000_000 and d1[1]["n_words"] == 2
+    assert d1[3]["phrase"] == "fast" and d1[3]["score"] == 1_000_000
+    d2 = {r["rk"]: r for r in out if r["doc_id"] == 2}
+    # doc 2 has two single-word "fast" phrases, tie broken by phrase_id
+    assert d2[1]["phrase"] == "fast" and d2[2]["phrase"] == "fast"
+
+
+def test_rake_empty_token_is_separator(spark):
+    from meerpipe_spark.operators.text import rake_keyphrases
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="alpha beta  gamma ")])
+    out = rake_keyphrases(docs, ["the"], top_per_doc=5).collect()
+    phrases = sorted(r["phrase"] for r in out)
+    # double space and trailing space split candidates
+    assert phrases == ["alpha beta", "gamma"]

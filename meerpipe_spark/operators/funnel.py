@@ -383,16 +383,21 @@ def markov_attribution(
     re = F.when(
         F.col("bv") > F.lit(0.0), (F.col("bv") - F.col("rv")) / F.col("bv")
     ).otherwise(F.lit(0.0))
-    tot = F.sum("re").over(W.partitionBy())
-    return (
-        rem.crossJoin(F.broadcast(base))
-        .select("channel", re.alias("re"), "bv")
-        .select(
-            "channel",
-            F.round(F.col("re"), 6).alias("removal_effect"),
-            F.round(
-                F.when(tot > F.lit(0.0), F.col("re") / tot).otherwise(F.lit(0.0)), 6
-            ).alias("share"),
-            F.round(F.col("bv"), 6).alias("base_cvr"),
-        )
+    effects = rem.crossJoin(F.broadcast(base)).select(
+        "channel", re.alias("re"), "bv"
+    )
+    # share normalizer as an aggregate + broadcast crossJoin, not a
+    # single-partition window — same values, and the plan stays in the
+    # agg/broadcast discipline the audit checks for
+    tot = effects.agg(F.sum("re").alias("tot"))
+    return effects.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round(F.col("re"), 6).alias("removal_effect"),
+        F.round(
+            F.when(F.col("tot") > F.lit(0.0), F.col("re") / F.col("tot")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("share"),
+        F.round(F.col("bv"), 6).alias("base_cvr"),
     )

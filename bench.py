@@ -109,6 +109,17 @@ ANCHORS: dict[str, float] = {
     "media_feature_extract_png": 0.707,
     "media_wav_header_extract": 0.324,
     "media_jpeg_header_extract": 0.345,  # pinned from the r10 closing run (same session as the re-pin verification)
+    # wave-2 lanes: pinned as per-query MIN of the two-run wave-2
+    # measurement session (same method as the r10 re-pin; the two runs'
+    # spurious-regression sets were disjoint = box noise, calibration
+    # 0.133/0.140 vs the 0.121 anchor)
+    "preference_rank_brands": 4.398,
+    "record_linkage_em": 2.084,
+    "decision_tree_quality": 1.116,
+    "als_factorization": 3.545,
+    "markov_attribution_channels": 3.199,
+    "betweenness_sampled_parts": 7.389,
+    "rake_keyphrases_docs": 1.046,
     "minhash_lsh_incremental_md5": 1.649,
     "minhash_lsh_pairs": 1.187,
     "nb_langid_confusion": 1.97,

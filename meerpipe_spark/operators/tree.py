@@ -67,14 +67,20 @@ def binned_split_tree(
         ]
     )
     mm = persist_tracked(mm)
+    # a CONSTANT feature would make the grid span zero and the bin
+    # division raise under ANSI; the guard pins its span to 1 so every
+    # row lands in bin 0 — the feature then never yields a valid split
+    # (no right side), which is the correct degenerate behavior. The
+    # oracle mirrors the same CASE (value-neutral for real features).
+    def _span(i: int) -> F.Column:
+        mn, mx = F.col(f"mn_{i}"), F.col(f"mx_{i}")
+        return F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+
     binned_cols = [
         F.least(
             F.lit(bins - 1),
             F.floor(
-                (
-                    (F.col(c).cast(_D) - F.col(f"mn_{i}"))
-                    / (F.col(f"mx_{i}") - F.col(f"mn_{i}"))
-                )
+                ((F.col(c).cast(_D) - F.col(f"mn_{i}")) / _span(i))
                 * F.lit(float(bins))
             ),
         )

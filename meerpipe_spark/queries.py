@@ -17840,9 +17840,9 @@ def _tree_oracle_sql(depth: int = 2, bins: int = 24) -> str:
       FROM feat
     ),
     d1 AS MATERIALIZED (
-      SELECT CAST(least({bmax}, floor(((x1 - mn_0) / (mx_0 - mn_0)) * CAST({bins} AS DOUBLE))) AS INTEGER) AS bin_0,
-             CAST(least({bmax}, floor(((x2 - mn_1) / (mx_1 - mn_1)) * CAST({bins} AS DOUBLE))) AS INTEGER) AS bin_1,
-             CAST(least({bmax}, floor(((x3 - mn_2) / (mx_2 - mn_2)) * CAST({bins} AS DOUBLE))) AS INTEGER) AS bin_2,
+      SELECT CAST(least({bmax}, floor(((x1 - mn_0) / (CASE WHEN mx_0 > mn_0 THEN mx_0 - mn_0 ELSE CAST(1 AS DOUBLE) END)) * CAST({bins} AS DOUBLE))) AS INTEGER) AS bin_0,
+             CAST(least({bmax}, floor(((x2 - mn_1) / (CASE WHEN mx_1 > mn_1 THEN mx_1 - mn_1 ELSE CAST(1 AS DOUBLE) END)) * CAST({bins} AS DOUBLE))) AS INTEGER) AS bin_1,
+             CAST(least({bmax}, floor(((x3 - mn_2) / (CASE WHEN mx_2 > mn_2 THEN mx_2 - mn_2 ELSE CAST(1 AS DOUBLE) END)) * CAST({bins} AS DOUBLE))) AS INTEGER) AS bin_2,
              y, 1 AS node
       FROM feat CROSS JOIN mm
     )"""

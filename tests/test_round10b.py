@@ -293,3 +293,16 @@ def test_rake_empty_token_is_separator(spark):
     phrases = sorted(r["phrase"] for r in out)
     # double space and trailing space split candidates
     assert phrases == ["alpha beta", "gamma"]
+
+
+def test_tree_constant_feature_is_ignored(spark):
+    # a constant feature must not crash the grid (ANSI division) and
+    # must never be chosen; the informative feature still splits.
+    rows = [Row(x0=5.0, x1=i / 50.0, y=1 if i >= 25 else 0) for i in range(50)]
+    out = binned_split_tree(
+        spark.createDataFrame(rows), ["x0", "x1"], "y", depth=1, bins=10
+    ).collect()
+    splits = [r for r in out if r["kind"] == "split"]
+    assert len(splits) == 1 and splits[0]["feature"] == 1
+    leaves = {r["node"]: r for r in out if r["kind"] == "leaf"}
+    assert all(l["pos"] in (0, l["n"]) for l in leaves.values())

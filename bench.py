@@ -217,7 +217,13 @@ def main() -> None:
     }  # calibration brackets at 1/4, 1/2, 3/4
     for i, name in enumerate(names):
         best = float("inf")
-        for _ in range(3):
+        # Sub-second lanes get best-of-5 (r10's driver flag on
+        # delay_rules_engine, anchor 0.137 s: on a loadavg-6.8 box all
+        # three reps can land on spikes — AB_r9_vs_r10_delay.jsonl
+        # measured the same lane at the same HEAD wobbling 0.26-0.36 s
+        # under load vs 0.13 s idle, code flat at r10/r9 = 0.98).
+        reps = 5 if ANCHORS.get(name, 1.0) < 0.5 else 3
+        for _ in range(reps):
             t0 = time.perf_counter()
             try:
                 QUERIES[name].fn(spark, SF_DIR).count()
@@ -255,8 +261,16 @@ def main() -> None:
             continue
         # normalize by box speed; never normalize downward past the raw
         # ratio (a fast box should not hide a real regression)
-        ratio = t / (anchor * max(ab_ratio, 1.0))
-        if ratio > 2.0:
+        norm = anchor * max(ab_ratio, 1.0)
+        ratio = t / norm
+        # Absolute-slack floor (r10 verdict item 2): a sub-second lane
+        # needs BOTH >2x normalized AND >0.5 s of absolute excess to
+        # flag. Scheduler jitter on a loaded box is additive (~0.2-0.5 s
+        # per job regardless of lane size — AB_r9_vs_r10_delay.jsonl),
+        # so a pure ratio gate on a 0.14 s anchor fires on noise while a
+        # REAL plan regression (sub-second lane going multi-second)
+        # still clears the floor by construction.
+        if ratio > 2.0 and t - norm > 0.5:
             regressions[name] = round(ratio, 2)
 
     try:

@@ -63,6 +63,11 @@ def als_rank2(
     follow. Returns (user_factors, item_factors) DataFrames:
     (u, p1, p2) and (i, q1, q2). Entity keys must be integers.
     """
+    if iters < 1:
+        # iters=0 would return userf=None (no user half-step has run)
+        # and downstream als_rmse would die on a confusing
+        # AttributeError (ADVICE r10) — fail loudly at the API edge.
+        raise ValueError(f"als_rank2 requires iters >= 1, got {iters}")
     rat = ratings.select(
         F.col(user_col).alias("u"),
         F.col(item_col).alias("i"),

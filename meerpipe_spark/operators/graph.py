@@ -1035,6 +1035,14 @@ def betweenness_sampled(
     aggregation of exact-integer quotients. Nothing is path-sized and
     nothing visits the driver; lineage checkpoints per round.
 
+    Precondition: ``edges`` must be a DEDUPLICATED simple edge list —
+    a duplicate (src,dst) row inflates σ in the forward phase and
+    double-counts its δ contribution in the backward phase (ADVICE
+    r10). Callers own the distinct (the in-repo caller's edge builder
+    already emits distinct pairs); this operator does not re-shuffle
+    defensively, because on a corpus-sized edge table that distinct is
+    a full extra shuffle the caller can usually prove unnecessary.
+
     Returns (node, bc) for every node reached by any source BFS,
     excluding the sources themselves; bc rounded 6dp.
     """

@@ -1097,6 +1097,13 @@ def rake_keyphrases(
       order anywhere), top phrases per doc by (score, phrase) with
       integer tiebreaks.
 
+    Candidates are OCCURRENCE-level, not deduplicated (ADVICE r10):
+    a phrase that appears twice in a doc occupies two top_per_doc
+    slots and can crowd out distinct phrases — matching the original
+    RAKE formulation, pinned by test_rake_segments_and_scores.
+    Consumers wanting unique-phrase top-k should groupBy(doc, phrase)
+    before the ranking window.
+
     Scale shape: one posexplode + one cumulative window per doc (the
     fact-sized pass), one corpus-wide word aggregation (vocabulary-
     sized), one broadcast-friendly join back, one per-doc top-k window.

@@ -33,9 +33,19 @@ _D = "double"
 
 
 def _gini_pair(n, pos):
-    """n·gini(node) = n - (pos² + neg²)/n, from exact bigint counts."""
+    """n·gini(node) = n - (pos² + neg²)/n, from exact bigint counts.
+
+    The squares are taken in decimal(38,0) (ADVICE r10: bigint pos²
+    overflows once a node side exceeds ~3.0e9 same-class rows — ANSI
+    mode would THROW mid-fit). decimal(38,0) keeps the sum exact for
+    any count expressible in a bigint (pos, neg < 2^63 ⇒ pos²+neg² <
+    1.7e38 < 10^38), and the single cast-to-double afterwards rounds
+    the same exact integer the oracle's HUGEINT arithmetic produces,
+    so argmins stay bit-exact cross-engine."""
     neg = n - pos
-    return n.cast(_D) - (pos * pos + neg * neg).cast(_D) / n.cast(_D)
+    dec = "decimal(38,0)"
+    sq = pos.cast(dec) * pos.cast(dec) + neg.cast(dec) * neg.cast(dec)
+    return n.cast(_D) - sq.cast(_D) / n.cast(_D)
 
 
 def binned_split_tree(

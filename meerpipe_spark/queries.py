@@ -17828,14 +17828,21 @@ def _tree_oracle_sql(depth: int = 2, bins: int = 24) -> str:
     documents quality features: every level's (node, feat, bin) cell
     aggregation, cumulative window, integer-exact Gini argmin, and
     broadcast re-route is replayed as CTEs. All split statistics are
-    exact bigints; the Gini divisions are the same expression text on
-    both engines, so every argmin reproduces bit-exactly."""
+    exact integers (HUGEINT squares here, decimal(38,0) on the Spark
+    side — the same exact value either way); the Gini divisions round
+    the same integers to double, so every argmin reproduces
+    bit-exactly."""
     one = "CAST(1 AS DOUBLE)"
     bmax = bins - 1
 
     def gini(n, pos):
+        # HUGEINT squares mirror the Spark side's decimal(38,0): both
+        # produce the same EXACT integer for any bigint count (no
+        # overflow below 2^63 per side), then one identical IEEE
+        # round-to-double — argmins stay bit-exact cross-engine.
         return (
-            f"(CAST({n} AS DOUBLE) - CAST({pos} * {pos} + ({n} - {pos}) * ({n} - {pos}) AS DOUBLE)"
+            f"(CAST({n} AS DOUBLE) - CAST(CAST({pos} AS HUGEINT) * {pos}"
+            f" + CAST({n} - {pos} AS HUGEINT) * ({n} - {pos}) AS DOUBLE)"
             f" / CAST({n} AS DOUBLE))"
         )
 

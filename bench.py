@@ -21,10 +21,10 @@ with its exception and EXCLUDED from the total, but never aborts the
 run — one broken query must not zero the whole artifact (round-3
 lesson: the NTZ regression killed the bench before a single timing).
 
-Regression gate (round-5 mechanism, anchors RE-PINNED round-10): every
+Regression gate (round-5 mechanism, anchors RE-PINNED round-11): every
 query's anchor comes from one coherent two-run measurement session at
-the r10 HEAD (see the ANCHORS comment for the full method and the
-AB_r8_vs_r9.jsonl no-regression evidence that makes the re-pin
+the r11 HEAD (see the ANCHORS comment for the full method and the
+AB_r10_vs_r11.jsonl no-regression evidence that makes the re-pin
 honest). A fixed CALIBRATION workload — pure
 spark.range arithmetic, independent of this repo's code — is timed in
 the same session; ``ab_ratio`` = measured/pinned-idle-box calibration

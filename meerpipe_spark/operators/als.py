@@ -237,6 +237,13 @@ def als_rank_k(
         raise ValueError(f"als_rank_k requires k >= 1, got {k}")
     if iters < 1:
         raise ValueError(f"als_rank_k requires iters >= 1, got {iters}")
+    if reg <= 0:
+        # (A + λI) is guaranteed positive definite only for λ > 0; with
+        # reg=0 a per-entity singular Gram matrix (entity with < k
+        # distinct co-rated factors) would raise LinAlgError inside the
+        # Arrow batch and kill the whole stage. Fail at the API edge
+        # instead, matching the k/iters guards. (ADVICE r11)
+        raise ValueError(f"als_rank_k requires reg > 0, got {reg}")
     rat = ratings.select(
         F.col(user_col).alias("u"),
         F.col(item_col).alias("i"),

@@ -1107,6 +1107,11 @@ def jpeg_decode_pixels(
                         if run != 15:
                             raise ValueError("bad AC symbol")
                         idx += 16  # ZRL
+                        if idx > 63:
+                            # ZRL is only legal with >= 16 zero coefs
+                            # remaining; past-the-end must not silently
+                            # act like EOB (ADVICE r11).
+                            raise ValueError("ZRL overflows block")
                         continue
                     idx += run
                     if idx > 63:

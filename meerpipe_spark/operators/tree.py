@@ -37,9 +37,11 @@ def _gini_pair(n, pos):
 
     The squares are taken in decimal(38,0) (ADVICE r10: bigint pos²
     overflows once a node side exceeds ~3.0e9 same-class rows — ANSI
-    mode would THROW mid-fit). decimal(38,0) keeps the sum exact for
-    any count expressible in a bigint (pos, neg < 2^63 ⇒ pos²+neg² <
-    1.7e38 < 10^38), and the single cast-to-double afterwards rounds
+    mode would THROW mid-fit). decimal(38,0) keeps the sum exact
+    because pos+neg = n is itself a bigint: pos²+neg² ≤ n² <
+    (2^63)² ≈ 8.5e37 < 10^38−1 (the individual-term bound 2·(2^63)²
+    ≈ 1.7e38 would NOT fit — the invariant that saves us is the sum
+    constraint, not the per-term one), and the cast-to-double rounds
     the same exact integer the oracle's HUGEINT arithmetic produces,
     so argmins stay bit-exact cross-engine."""
     neg = n - pos

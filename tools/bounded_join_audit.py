@@ -146,12 +146,19 @@ def main() -> int:
         if not sides:
             continue
         worst = max(r for _, r in sides)
+        # -1 means the build side's BroadcastExchange could not be
+        # located, so the bound was NOT verified — an unmeasurable BNLJ
+        # must surface as unresolved, never pass silently (ADVICE r11).
+        unresolved = any(r < 0 for _, r in sides)
         bad = worst > BOUND
         if bad:
             flagged.append(name)
-        rows.append((name, sides, worst, bad))
+        elif unresolved:
+            flagged.append(name + " (unresolved build side)")
+        rows.append((name, sides, worst, bad or unresolved))
+        tag = "FLAG" if bad else ("UNRS" if unresolved else "ok  ")
         print(
-            f"{'FLAG' if bad else 'ok  '} {name}: "
+            f"{tag} {name}: "
             + ", ".join(f"{nm}={r}" for nm, r in sides),
             flush=True,
         )

@@ -18512,3 +18512,480 @@ def rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return rake_keyphrases(docs, stopwords=["a", "the"], top_per_doc=2)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: source-scan promotion lanes (VERDICT r11 item 2) — the five
+# pytest-only scanners (S5/S6/S8/S10/S11) made driver-visible with the
+# synthesize-in-lane + formula-oracle pattern (psrcat/tim precedent):
+# raw file bytes are synthesized deterministically from the parquet
+# tables, written to a temp path, parsed with the REAL scanner, and the
+# oracle derives the typed result straight from the tables — a parse
+# bug on the Spark side hash-mismatches by construction.
+# ---------------------------------------------------------------------------
+
+_MD5_48_SQL = "('0x' || substr(md5({c}), 1, 12))::UBIGINT::BIGINT"
+
+
+def _fp48(col):
+    """48-bit md5 fingerprint, engine-portable (see tim lane)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def _fpnum(col):
+    """Order-insensitive double fingerprint on a fixed 1e-9 grid; -1
+    marks NULL so bit_xor stays total."""
+    return F.coalesce(
+        F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("bigint"), F.lit(-1)
+    )
+
+
+@_register(
+    "par_typed_scan",
+    f"""
+    WITH src AS (SELECT event_id AS e, user_id AS u FROM events),
+    typed AS (
+      SELECT 'RAJ' AS param,
+             '04:37:15.' || (e % 1000)::VARCHAR AS value_str,
+             NULL::VARCHAR AS err_str, 's' AS ptype
+      FROM src WHERE e % 10 = 4
+      UNION ALL
+      SELECT 'F0',
+             u::VARCHAR || '.' || (e % 1000)::VARCHAR || 'D-0' || ((e % 7) + 1)::VARCHAR,
+             (e % 90)::VARCHAR || '.' || u::VARCHAR || 'D-0' || ((e % 5) + 1)::VARCHAR,
+             'e'
+      FROM src WHERE e % 10 = 5
+      UNION ALL
+      SELECT 'DM', u::VARCHAR || '.' || (e % 997)::VARCHAR, NULL, 'f'
+      FROM src WHERE e % 10 = 6
+      UNION ALL
+      SELECT 'ECC', '0.' || (e % 100000)::VARCHAR, NULL, 'f'
+      FROM src WHERE e % 10 = 7
+      UNION ALL
+      SELECT 'PB',
+             (CASE u % 3 WHEN 1 THEN '+' WHEN 2 THEN '-' ELSE '' END) || e::VARCHAR,
+             u::VARCHAR || '.5', 'd'
+      FROM src WHERE e % 10 = 8
+      UNION ALL
+      SELECT 'PSRJ',
+             'J' || lpad(((u % 24) * 100 + e % 60)::VARCHAR, 4, '0')
+                 || '-' || lpad((e % 90)::VARCHAR, 2, '0'),
+             NULL, 's'
+      FROM src WHERE e % 10 = 9
+    ),
+    vals AS (
+      SELECT param, ptype, value_str,
+             TRY_CAST(replace(value_str, 'D', 'E') AS DOUBLE) AS value_num,
+             CASE WHEN ptype = 'd' THEN TRY_CAST(value_str AS BIGINT) END AS value_int,
+             TRY_CAST(replace(err_str, 'D', 'E') AS DOUBLE) AS errv
+      FROM typed
+    )
+    SELECT param, ptype, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value_int) AS BIGINT) AS sum_int,
+           bit_xor({_MD5_48_SQL.format(c='value_str')}) AS fp_str,
+           bit_xor(coalesce(CAST(floor(value_num * 1e9 + 0.5) AS BIGINT), -1)) AS fp_num,
+           bit_xor(coalesce(CAST(floor(errv * 1e9 + 0.5) AS BIGINT), -1)) AS fp_err
+    FROM vals GROUP BY param, ptype
+    """,
+    doc="S6/S5 typed par-file scan promoted to an oracle lane (VERDICT "
+        "r11 item 2): par text is synthesized from events — blank "
+        "lines, '#' and 'C ' comments, the FULL 17-key ignore-list "
+        "rotated via element_at, the E→ECC rename, D→E exponent "
+        "normalization in both value and error columns, 3-column "
+        "fit-flag-vs-error disambiguation, 4-column errors, signed "
+        "ints, and string params — written to a temp text dir, parsed "
+        "with the real sources/par.read_par_df scanner, and "
+        "fingerprinted per (param, ptype). The oracle derives the "
+        "typed rows straight from events (never seeing the text), so "
+        "any tokenizer/ignore/rename/typing bug hash-mismatches. "
+        "Reference contract: meerpipe/binary_tools.py:25-74.",
+)
+def par_typed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from meerpipe_spark.sources.par import IGNORE_PARAMS, read_par_df
+
+    ev = load_tables(spark, sf_dir)["events"]
+    e, u = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    ig = F.array(*[F.lit(p) for p in IGNORE_PARAMS])
+    line = (
+        F.when(e % 10 == 0, F.lit(""))
+        .when(e % 10 == 1, F.concat(F.lit("# comment "), s(e)))
+        .when(e % 10 == 2, F.concat(F.lit("C legacy comment "), s(e)))
+        .when(
+            e % 10 == 3,
+            F.concat(
+                F.element_at(ig, ((u % 17) + 1).cast("int")),
+                F.lit(" 12345 0.5"),
+            ),
+        )
+        .when(e % 10 == 4, F.concat(F.lit("RAJ 04:37:15."), s(e % 1000), F.lit(" 1")))
+        .when(
+            e % 10 == 5,
+            F.concat(
+                F.lit("F0 "), s(u), F.lit("."), s(e % 1000),
+                F.lit("D-0"), s(e % 7 + 1), F.lit(" 1 "),
+                s(e % 90), F.lit("."), s(u), F.lit("D-0"), s(e % 5 + 1),
+            ),
+        )
+        .when(
+            e % 10 == 6,
+            F.concat(F.lit("DM "), s(u), F.lit("."), s(e % 997), F.lit(" "), s(e % 2)),
+        )
+        .when(e % 10 == 7, F.concat(F.lit("E 0."), s(e % 100000)))
+        .when(
+            e % 10 == 8,
+            F.concat(
+                F.lit("PB "),
+                F.when(u % 3 == 1, "+").when(u % 3 == 2, "-").otherwise(""),
+                s(e), F.lit(" "), s(u), F.lit(".5"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("PSRJ J"),
+                F.lpad(s((u % 24) * 100 + e % 60), 4, "0"),
+                F.lit("-"), F.lpad(s(e % 90), 2, "0"),
+            )
+        )
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/meerpipe_spark_par_scan_{tag}"
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    par = read_par_df(spark, path)
+    return par.groupBy("param", "ptype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value_int").cast("bigint").alias("sum_int"),
+        F.bit_xor(_fp48(F.col("value_str"))).alias("fp_str"),
+        F.bit_xor(_fpnum(F.col("value_num"))).alias("fp_num"),
+        F.bit_xor(_fpnum(F.col("err"))).alias("fp_err"),
+    )
+
+
+@_register(
+    "kv_header_scan",
+    """
+    WITH obs AS (
+      SELECT event_id % 64 AS obs, CAST(count(*) AS BIGINT) AS n_ev
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(obs AS BIGINT) AS obs,
+           CAST(64 << (obs % 5) AS BIGINT)  AS nbin,
+           CAST(928 AS BIGINT)              AS nchan,
+           856.0::DOUBLE                    AS bw_mhz,
+           (815 + obs)::DOUBLE              AS freq_mhz,
+           n_ev,
+           'J' || lpad(((obs * 7) % 2400)::VARCHAR, 4, '0')
+               || '-' || lpad((obs % 60)::VARCHAR, 2, '0') AS source,
+           round(856.0 / 928.0, 6)          AS chan_bw
+    FROM obs
+    """,
+    doc="S5 whitespace key/value header scan promoted to an oracle "
+        "lane (VERDICT r11 item 2): per-observation obs.header-style "
+        "'KEY VALUE' files are synthesized from events aggregates and "
+        "written as a partitioned text directory (obs=<id>/ — the "
+        "cluster-scale shape of the reference's per-file get_listinfo "
+        "loop, scripts/fluxcal_meerkat.py:19-31: ONE distributed scan "
+        "over every header with provenance from partition discovery, "
+        "not a driver loop over open()). Parsed with the real "
+        "sources/catalogues.read_catalogue scanner (passthrough of "
+        "the discovered obs column), pivoted back to the typed dict "
+        "shape, and compared against the oracle's direct derivation — "
+        "a tokenizer or pivot bug hash-mismatches.",
+)
+def kv_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from meerpipe_spark.sources.catalogues import read_catalogue
+
+    ev = load_tables(spark, sf_dir)["events"]
+    obs_agg = ev.groupBy((F.col("event_id") % 64).alias("obs")).agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    o = F.col("obs")
+    kv = obs_agg.select(
+        "obs",
+        F.map_from_arrays(
+            F.array(
+                F.lit("NBIN"), F.lit("NCHAN"), F.lit("BW"),
+                F.lit("FREQ"), F.lit("TOBS"), F.lit("SOURCE"),
+            ),
+            F.array(
+                F.expr("shiftleft(64, CAST(obs % 5 AS INT))").cast("string"),
+                F.lit("928"),
+                F.lit("856"),
+                (F.lit(815) + o).cast("string"),
+                F.col("n_ev").cast("string"),
+                F.concat(
+                    F.lit("J"), F.lpad(((o * 7) % 2400).cast("string"), 4, "0"),
+                    F.lit("-"), F.lpad((o % 60).cast("string"), 2, "0"),
+                ),
+            ),
+        ).alias("m"),
+    ).select("obs", F.explode("m").alias("key", "val"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/meerpipe_spark_kv_header_{tag}"
+    (
+        kv.select("obs", F.concat_ws(" ", "key", "val").alias("value"))
+        .write.partitionBy("obs").mode("overwrite").text(path)
+    )
+    cat = read_catalogue(
+        spark, path, columns=("key", "val"), numeric_cols=(),
+        passthrough_cols=("obs",),
+    )
+    pivoted = (
+        cat.groupBy("obs")
+        .pivot("key", ["NBIN", "NCHAN", "BW", "FREQ", "TOBS", "SOURCE"])
+        .agg(F.first("val"))
+    )
+    return pivoted.select(
+        F.col("obs").cast("bigint").alias("obs"),
+        F.col("NBIN").cast("bigint").alias("nbin"),
+        F.col("NCHAN").cast("bigint").alias("nchan"),
+        F.col("BW").cast("double").alias("bw_mhz"),
+        F.col("FREQ").cast("double").alias("freq_mhz"),
+        F.col("TOBS").cast("bigint").alias("n_ev"),
+        F.col("SOURCE").alias("source"),
+        F.round(F.col("BW").cast("double") / F.col("NCHAN").cast("double"), 6).alias("chan_bw"),
+    )
+
+
+@_register(
+    "rm_catalogue_qa",
+    """
+    WITH users AS (SELECT DISTINCT user_id AS u FROM events),
+    cat AS (
+      SELECT 'J' || lpad((u % 120)::VARCHAR, 4, '0')
+                 || '-' || lpad((u % 60)::VARCHAR, 2, '0') AS psr,
+             CASE
+               WHEN u % 10 = 7 THEN '0' || (u % 9 + 1)::VARCHAR || '.' || (u % 100)::VARCHAR
+               WHEN u % 10 = 3 THEN '-0' || (u % 9 + 1)::VARCHAR || '.' || (u % 100)::VARCHAR
+               ELSE ((u * 13) % 200 - 100)::VARCHAR || '.' || (u % 100)::VARCHAR
+             END AS rm_raw
+      FROM users
+    )
+    SELECT psr, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN regexp_matches(rm_raw, '^-?0[0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+           bit_xor(('0x' || substr(md5(rm_raw), 1, 12))::UBIGINT)::BIGINT AS fp_raw,
+           round(sum(TRY_CAST(rm_raw AS DOUBLE)), 6) AS rm_sum,
+           count(*) > 1 AS is_dup
+    FROM cat GROUP BY psr
+    """,
+    doc="S8/A13 RM catalogue scan + QA promoted to an oracle lane "
+        "(VERDICT r11 item 2): a '(psr, rm)' whitespace catalogue with "
+        "'#' comment headers is synthesized from the distinct user set "
+        "— including deliberate DUPLICATE pulsar keys (u and u+120 "
+        "collide) and malformed leading-zero values ('07.5' / '-07.5', "
+        "the exact defect class the reference's tests/test_data.py:3-34 "
+        "guards against) — written to a temp text dir, scanned twice "
+        "with the real read_catalogue (typed cast path + raw string "
+        "path), and rolled up per pulsar: multiplicity, duplicate "
+        "flag, malformed count, raw fingerprint, typed sum. The oracle "
+        "derives the same QA report straight from events.",
+)
+def rm_catalogue_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from meerpipe_spark.sources.catalogues import read_catalogue
+
+    ev = load_tables(spark, sf_dir)["events"]
+    users = ev.select(F.col("user_id").alias("u")).distinct()
+    u = F.col("u")
+    s = lambda c: c.cast("string")  # noqa: E731
+    psr = F.concat(
+        F.lit("J"), F.lpad(s(u % 120), 4, "0"),
+        F.lit("-"), F.lpad(s(u % 60), 2, "0"),
+    )
+    rm_str = (
+        F.when(u % 10 == 7, F.concat(F.lit("0"), s(u % 9 + 1), F.lit("."), s(u % 100)))
+        .when(u % 10 == 3, F.concat(F.lit("-0"), s(u % 9 + 1), F.lit("."), s(u % 100)))
+        .otherwise(F.concat(s((u * 13) % 200 - 100), F.lit("."), s(u % 100)))
+    )
+    data = users.select(F.concat_ws(" ", psr, rm_str).alias("value"))
+    hdr = spark.createDataFrame(
+        [("# RM catalogue (synthetic, round-12 QA lane)",), ("# psr rm",)],
+        "value string",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/meerpipe_spark_rm_cat_{tag}"
+    hdr.union(data).write.mode("overwrite").text(path)
+    typed = read_catalogue(spark, path, columns=("psr", "rm"), numeric_cols=("rm",))
+    raw = read_catalogue(spark, path, columns=("psr", "rm_raw"), numeric_cols=())
+    qa_raw = raw.groupBy("psr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("rm_raw").rlike(r"^-?0\d"), 1).otherwise(0))
+        .cast("bigint").alias("n_malformed"),
+        F.bit_xor(_fp48(F.col("rm_raw"))).alias("fp_raw"),
+    )
+    qa_typed = typed.groupBy("psr").agg(F.round(F.sum("rm"), 6).alias("rm_sum"))
+    return qa_raw.join(qa_typed, "psr").withColumn("is_dup", F.col("n") > 1)
+
+
+@_register(
+    "npy_reference_scan",
+    """
+    WITH ev AS (SELECT event_type, event_id % 928 AS chan_idx FROM events),
+    freq AS (
+      SELECT chan_idx, 856.0 + ((chan_idx + 0.5) * 856.0) / 928.0 AS freq_mhz
+      FROM (SELECT unnest(range(928)) AS chan_idx)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(freq_mhz * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_freq_scaled,
+           bit_xor(CAST(floor(freq_mhz * 1e6 + 0.5) AS BIGINT)) AS fp_freq
+    FROM ev JOIN freq USING (chan_idx) GROUP BY event_type
+    """,
+    doc="S10 .npy reference scan promoted to an oracle lane (VERDICT "
+        "r11 item 2): the 928-channel frequency reference "
+        "(configuration_files/928ch_frequency_reference.npy wired in "
+        "via dm_offset_pta.config:37 — MeerKAT L-band 856-1712 MHz "
+        "center frequencies) is synthesized as a float64 .npy, then "
+        "read back through the DISTRIBUTED reader "
+        "(sources/npy.read_npy_distributed: header parse driver-side, "
+        "executors memmap ONLY their byte range, rows_per_batch=128 → "
+        "8 real partitions), broadcast-joined against the events "
+        "channel axis, and fingerprinted on a fixed 1e-6 grid (exact "
+        "bigint sums — no float summation order anywhere). The oracle "
+        "recomputes the frequency formula from the channel index with "
+        "the same IEEE operation order, so a header-offset or "
+        "byte-range bug in the scanner hash-mismatches.",
+)
+def npy_reference_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    import numpy as np
+
+    from meerpipe_spark.sources.npy import read_npy_distributed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/meerpipe_spark_npy_ref_{tag}.npy"
+    # same IEEE op order as the oracle: 856.0 + ((i + 0.5) * 856.0) / 928.0
+    arr = 856.0 + ((np.arange(928, dtype=np.float64) + 0.5) * 856.0) / 928.0
+    np.save(path, arr)
+    freqs = read_npy_distributed(
+        spark, path, rows_per_batch=128, value_col="freq_mhz", idx_col="chan_idx"
+    )
+    ev = load_tables(spark, sf_dir)["events"]
+    scaled = F.floor(F.col("freq_mhz") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return (
+        ev.select("event_type", (F.col("event_id") % 928).alias("chan_idx"))
+        .join(F.broadcast(freqs), "chan_idx")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(scaled).cast("bigint").alias("sum_freq_scaled"),
+            F.bit_xor(scaled).alias("fp_freq"),
+        )
+    )
+
+
+@_register(
+    "decimation_flags_plan",
+    """
+    WITH proj AS (SELECT DISTINCT o_custkey % 50 AS p FROM orders),
+    pv AS (SELECT p, CAST(4 << (p % 7) AS BIGINT) AS a,
+                  CAST(2 << (p % 5) AS BIGINT) AS b FROM proj),
+    specs AS (
+      SELECT p, CAST(0 AS BIGINT) AS prod_idx, 'pscrunch' AS name,
+             NULL::BIGINT AS nsub, NULL::BIGINT AS nchan, TRUE AS pscrunch
+      FROM pv WHERE p % 4 = 0
+      UNION ALL SELECT p, 1, 't_' || a::VARCHAR || '_f_' || b::VARCHAR, a, b, FALSE
+      FROM pv WHERE p % 4 = 0
+      UNION ALL SELECT p, 2, 'tscrunch', 1, NULL, FALSE FROM pv WHERE p % 4 = 0
+      UNION ALL SELECT p, 3, 'fscrunch', NULL, 1, FALSE FROM pv WHERE p % 4 = 0
+      UNION ALL SELECT p, 0, 't_' || a::VARCHAR || '_f_' || b::VARCHAR, a, b, FALSE
+      FROM pv WHERE p % 4 = 1
+      UNION ALL SELECT p, 1, 'pscrunch', NULL, NULL, TRUE FROM pv WHERE p % 4 = 1
+      UNION ALL SELECT p, 2, 'fscrunch', NULL, 1, FALSE FROM pv WHERE p % 4 = 1
+      UNION ALL SELECT p, 0, 'tscrunch_fscrunch', 1, 1, FALSE FROM pv WHERE p % 4 = 2
+      UNION ALL SELECT p, 0, 'pscrunch_t_' || a::VARCHAR, a, NULL, TRUE
+      FROM pv WHERE p % 4 = 3
+      UNION ALL SELECT p, 1, 'f_' || b::VARCHAR, NULL, b, FALSE FROM pv WHERE p % 4 = 3
+    )
+    SELECT p, prod_idx, name, nsub, nchan, pscrunch,
+           CAST(CASE WHEN nsub IS NULL THEN 1 ELSE greatest(1, 1024 // nsub) END AS BIGINT) AS t_factor,
+           CAST(CASE WHEN nchan IS NULL THEN 1 ELSE greatest(1, 928 // nchan) END AS BIGINT) AS f_factor
+    FROM specs
+    """,
+    doc="S11 config scan + flags-DSL parse promoted to an oracle lane "
+        "(VERDICT r11 item 2): full 'key = value' config files with "
+        "'#' comments (the meertime_jitter.config:19-20 shape, flags "
+        "strings like 'pscrunch,t 320 f 8,tscrunch,fscrunch' in four "
+        "template arms incl. spacing variance and combined-token "
+        "products) are synthesized per project from orders, written "
+        "partitioned (project=<p>/ text dirs), scanned distributed "
+        "(split-on-first-'=' KV extraction), and the flags value is "
+        "parsed with the REAL plans/decimation.parse_decimation_flags "
+        "DSL parser into the decimation-spec table plus A1 group "
+        "factors for a 1024x928 input (max(1, n // target) — pam "
+        "--setnsub semantics). Config strings are O(projects) "
+        "dimension-sized, so the driver-side parse is a model-sized "
+        "collect (delay-rules precedent). The oracle derives the spec "
+        "table straight from the project ids — a DSL tokenizer or "
+        "factor bug hash-mismatches.",
+)
+def decimation_flags_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from meerpipe_spark.plans.decimation import parse_decimation_flags
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    projects = orders.select((F.col("o_custkey") % 50).alias("p")).distinct()
+    p = F.col("p")
+    a = F.expr("shiftleft(4, CAST(p % 7 AS INT))").cast("string")
+    b = F.expr("shiftleft(2, CAST(p % 5 AS INT))").cast("string")
+    flags = (
+        F.when(
+            p % 4 == 0,
+            F.concat(F.lit("pscrunch,t "), a, F.lit(" f "), b, F.lit(",tscrunch,fscrunch")),
+        )
+        .when(p % 4 == 1, F.concat(F.lit("t "), a, F.lit(" f "), b, F.lit(", pscrunch, fscrunch")))
+        .when(p % 4 == 2, F.lit("tscrunch fscrunch"))
+        .otherwise(F.concat(F.lit("pscrunch t "), a, F.lit(", f "), b))
+    )
+    cfg_lines = projects.select(
+        "p",
+        F.explode(
+            F.array(
+                F.lit("#Configuration file for MeerTime pipeline (synthetic)"),
+                F.lit("user = synth"),
+                F.lit("type = meertime"),
+                F.concat(F.lit("flags = "), flags),
+                F.concat(F.lit("project_id = P"), p.cast("string")),
+            )
+        ).alias("value"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/meerpipe_spark_cfg_{tag}"
+    cfg_lines.write.partitionBy("p").mode("overwrite").text(path)
+    scan = spark.read.text(path)
+    kv = (
+        scan.filter(~F.col("value").startswith("#"))
+        .filter(F.col("value").contains("="))
+        .select(
+            "p",
+            F.trim(F.get(F.split("value", "=", 2), 0)).alias("key"),
+            F.trim(F.get(F.split("value", "=", 2), 1)).alias("val"),
+        )
+    )
+    # config dimension is O(projects) — model-sized collect, then the
+    # real DSL parse (plans/decimation.py) emits the spec table
+    flag_rows = kv.filter(F.col("key") == "flags").select("p", "val").collect()
+    out_rows = []
+    for r in sorted(flag_rows, key=lambda x: int(x.p)):
+        for i, spec in enumerate(parse_decimation_flags(r.val)):
+            t, f = spec.factors(1024, 928)
+            out_rows.append(
+                (int(r.p), i, spec.name, spec.nsub, spec.nchan,
+                 bool(spec.pscrunch), t, f)
+            )
+    return spark.createDataFrame(
+        out_rows,
+        "p bigint, prod_idx bigint, name string, nsub bigint, "
+        "nchan bigint, pscrunch boolean, t_factor bigint, f_factor bigint",
+    )

@@ -17,14 +17,26 @@ def read_catalogue(
     path: str,
     columns: tuple[str, ...] = ("psr", "rm"),
     numeric_cols: tuple[str, ...] = ("rm",),
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Whitespace-delimited catalogue with ``#`` comments → typed rows."""
+    """Whitespace-delimited catalogue with ``#`` comments → typed rows.
+
+    ``passthrough_cols`` keeps non-token columns that file-source
+    partition discovery attaches (e.g. ``obs=<id>/`` directories of
+    per-observation header files scanned as ONE distributed read with
+    provenance from the path — the cluster-scale shape of the
+    reference's per-file ``get_listinfo`` loop,
+    scripts/fluxcal_meerkat.py:19-31).
+    """
     toks = F.split(F.trim(F.col("value")), r"\s+")
     df = (
         spark.read.text(path)
         .filter(F.length(F.trim("value")) > 0)
         .filter(~F.trim(F.col("value")).startswith("#"))
-        .select(*[F.get(toks, i).alias(c) for i, c in enumerate(columns)])
+        .select(
+            *[F.get(toks, i).alias(c) for i, c in enumerate(columns)],
+            *[F.col(c) for c in passthrough_cols],
+        )
     )
     for c in numeric_cols:
         df = df.withColumn(c, F.col(c).try_cast("double"))

@@ -24,9 +24,15 @@ do, linear in |left| + |right|. A naive range-join formulation
 pairs before pruning; this form never materializes them.
 
 Skew note: a hot join key concentrates one partition, same class as any
-window — at 100 TB pre-split hot keys upstream or sub-bucket by a coarse
-time bucket (as-of then only needs the previous bucket's tail carried
-forward).
+window — at 100 TB pass ``bucket_width`` to sub-bucket each key by a
+coarse time bucket: the window then partitions on (key, bucket), and
+correctness is restored by carrying each earlier bucket's LAST right
+row (the "tail") into every later bucket as a synthetic right row — the
+as-of only ever needs the single most recent preceding right row, so
+one carried row per (key, bucket) is sufficient. The carry itself is a
+window over the per-key DISTINCT bucket list (rows/bucket_width — tiny),
+so a hot key's cost drops from O(n log n) in one task to
+O(n/buckets log n/buckets) across `buckets` tasks.
 """
 
 from __future__ import annotations
@@ -43,6 +49,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_asof",
     tiebreak_col: str | None = None,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the largest
     ``right.ts_col <= left.ts_col`` (direction="backward") or smallest
@@ -55,11 +62,21 @@ def asof_join(
     If several right rows share (key, ts), the winner is the one with
     the greatest ``tiebreak_col`` (deterministic); without a tiebreak
     the caller must guarantee (key, ts) uniqueness on the right side.
+
+    ``bucket_width`` (hot-key pre-split, see module skew note): when
+    set, the fill window partitions on (key, floor(ts/bucket_width))
+    instead of (key) alone, with each earlier bucket's last right row
+    carried into later buckets — identical results, but a single hot
+    key spreads over ~time_span/bucket_width tasks instead of one.
+    Requires non-null ``ts_col`` on both sides (a null ts cannot be
+    assigned a bucket); timestamps are bucketed on epoch seconds.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if bucket_width is not None and not bucket_width > 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    reserved = {"_ts", "_side", "_rn"}
+    reserved = {"_ts", "_side", "_rn", "_bkt"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"asof_join reserves column names {sorted(clash)}")
@@ -92,9 +109,69 @@ def asof_join(
     )
     unioned = r_tagged.unionByName(l_tagged)
 
+    part_keys = list(keys)
+    if bucket_width is not None:
+        # Hot-key pre-split: window on (key, coarse time bucket), with
+        # each earlier bucket's tail right-row carried into every later
+        # bucket that appears in the data (see module skew note).
+        bkt = (
+            F.floor(F.col("_ts").cast("double") / F.lit(float(bucket_width)))
+            .cast("long")
+        )
+        unioned = unioned.withColumn("_bkt", bkt)
+        carry_cols = [f"_r_{c}" for c in carry]
+        # per-(key, bucket) tail: the single right row an as-of from any
+        # later (earlier, for forward) bucket would pick
+        w_tail = Window.partitionBy(*keys, "_bkt").orderBy(
+            F.desc("_ts") if direction == "backward" else F.asc("_ts")
+        )
+        tails = (
+            unioned.filter(F.col("_side") == 0)
+            .withColumn("_rn", F.row_number().over(w_tail))
+            .filter(F.col("_rn") == 1)
+            .select(*keys, "_bkt", "_ts", *carry_cols)
+        )
+        # propagate the nearest preceding tail onto EVERY bucket present
+        # in the data: a window over the per-key DISTINCT bucket list —
+        # O(span/bucket_width) rows per key, tiny next to the fact side.
+        # The tail row is carried as ONE struct so per-column ignorenulls
+        # can never mix payload columns from different right rows.
+        buckets = unioned.select(*keys, "_bkt").distinct()
+        w_carry = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc("_bkt") if direction == "backward" else F.desc("_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        tail_struct = F.when(
+            F.col("_ts").isNotNull(),
+            F.struct(F.col("_ts"), *[F.col(c) for c in carry_cols]),
+        )
+        carried = (
+            buckets.join(tails, [*keys, "_bkt"], "left")
+            .select(
+                *keys, "_bkt",
+                F.last(tail_struct, ignorenulls=True).over(w_carry).alias("_tail"),
+            )
+            .filter(F.col("_tail").isNotNull())
+        )
+        synth = carried.select(
+            *[F.col(k) for k in keys],
+            F.col("_tail._ts").alias("_ts"),
+            F.lit(0).alias("_side"),
+            *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+              for c in left.columns if c not in keys],
+            *[F.col(f"_tail.{c}").alias(c) for c in carry_cols],
+            F.col("_bkt"),
+        )
+        # the carried row's _ts lies strictly outside the bucket on the
+        # preceding side, so it sorts first within its (key, bucket)
+        # partition under either direction's ordering
+        unioned = unioned.unionByName(synth)
+        part_keys = [*keys, "_bkt"]
+
     ts_order = F.asc("_ts") if direction == "backward" else F.desc("_ts")
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*part_keys)
         .orderBy(ts_order, F.asc("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

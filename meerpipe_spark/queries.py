@@ -18989,3 +18989,60 @@ def decimation_flags_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p bigint, prod_idx bigint, name string, nsub bigint, "
         "nchan bigint, pscrunch boolean, t_factor bigint, f_factor bigint",
     )
+
+
+@_register(
+    "media_gif_pixel_roundtrip",
+    """
+    WITH base AS (SELECT vec_id FROM embeddings),
+    ok AS (SELECT vec_id, vec_id % 97 NOT IN (13, 29) AS is_ok FROM base),
+    frames AS (
+      SELECT vec_id, unnest(range(3)) AS f FROM ok WHERE is_ok
+    ),
+    px AS (
+      SELECT vec_id, f, pos, (vec_id * 5 + f * 16 + pos) % 256 AS v
+      FROM frames, (SELECT unnest(range(256)) AS pos)
+    ),
+    stats AS (
+      SELECT vec_id, f,
+             CAST(sum(v) AS BIGINT)             AS frame_sum,
+             CAST(sum((pos + 1) * v) AS BIGINT) AS wsum,
+             CAST(max(CASE WHEN pos = 0 THEN v END) AS INT)   AS px00,
+             CAST(max(CASE WHEN pos = 136 THEN v END) AS INT) AS pxc
+      FROM px GROUP BY vec_id, f
+    )
+    SELECT vec_id AS media_id, TRUE AS decode_ok, CAST(f AS INT) AS frame_idx,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           frame_sum, wsum, px00, pxc
+    FROM stats
+    UNION ALL
+    SELECT vec_id, FALSE, NULL::INT, NULL::INT, NULL::INT,
+           NULL::BIGINT, NULL::BIGINT, NULL::INT, NULL::INT
+    FROM ok WHERE NOT is_ok
+    """,
+    doc="GIF89a DECODE parity (VERDICT r11 item 4 — the last media "
+        "format without a decode→fingerprint roundtrip): each "
+        "embeddings row renders as a complete 3-frame 16×16 grayscale "
+        "animated GIF (functions/gif.encode_gif — global palette, "
+        "Netscape loop extension, per-frame variable-width LZW with "
+        "dictionary resets), and operators/multimodal.gif_decode_pixels "
+        "runs the full block walk + LZW decode + palette resolution, "
+        "emitting per FRAME the pixel sum, the position-weighted sum "
+        "Σ(pos+1)·px (pins values AND alignment — a resynchronized "
+        "LZW stream cannot fake it), and two probe pixels. Pixel "
+        "content is the pure-integer formula (id·5 + frame·16 + pos) "
+        "mod 256, replayed exactly by the oracle. Poison classes: "
+        "id%97==13 truncates the final sub-block (starved LZW), "
+        "id%97==29 corrupts the magic — both must isolate to ONE "
+        "decode_ok=false row. Completes encode+decode parity across "
+        "all four media codecs (PNG, WAV, JPEG, GIF). mapInPandas, "
+        "map-side only.",
+)
+def media_gif_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.multimodal import (
+        gif_decode_pixels,
+        vectors_to_gif,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return gif_decode_pixels(vectors_to_gif(emb))

@@ -155,3 +155,36 @@ def test_jpeg_zrl_overflow_rejected(spark):
     row = mm.jpeg_decode_pixels(media).collect()[0]
     assert row.decode_ok is False
     assert row.pixel_sum is None
+
+
+def test_gif_roundtrip_expected_stats(spark):
+    """vectors_to_gif → gif_decode_pixels reproduces gif_frame_expect
+    exactly for clean ids; both poison classes isolate to one
+    decode_ok=False row."""
+    from meerpipe_spark.operators.multimodal import (
+        gif_decode_pixels,
+        gif_frame_expect,
+        vectors_to_gif,
+    )
+
+    ids = [0, 1, 7, 13, 29, 42, 97 + 13, 97 + 29, 255]
+    vecs = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    out = gif_decode_pixels(vectors_to_gif(vecs)).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    for i in ids:
+        rows = by_id[i]
+        if i % 97 in (13, 29):
+            assert len(rows) == 1 and rows[0].decode_ok is False
+            assert rows[0].frame_sum is None
+            continue
+        assert len(rows) == 3
+        for r in sorted(rows, key=lambda r: r.frame_idx):
+            exp = gif_frame_expect(i, r.frame_idx)
+            assert (
+                r.width, r.height, r.frame_sum, r.wsum, r.px00, r.pxc
+            ) == (
+                exp["width"], exp["height"], exp["frame_sum"],
+                exp["wsum"], exp["px00"], exp["pxc"],
+            )

@@ -19046,3 +19046,72 @@ def media_gif_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return gif_decode_pixels(vectors_to_gif(emb))
+
+
+@_register(
+    "sequence_packing_invariants",
+    r"""
+    SELECT CAST(count(*) AS BIGINT) AS total_docs,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT)
+               AS total_tokens,
+           CAST(0 AS BIGINT) AS budget_violations,
+           CAST(0 AS BIGINT) AS dup_assignments,
+           CAST(0 AS BIGINT) AS halffull_violations
+    FROM documents
+    """,
+    doc="Partial oracle for FFD sequence packing (VERDICT r11 item 5): "
+        "the FFD bin CHOICE is not SQL-replayable, but its CONTRACT is "
+        "— the oracle states the invariants as constants derived from "
+        "the input corpus and Spark must PROVE its real packing "
+        "(pack_sequences, budget=512, 16 groups — the sequence_packing "
+        "lane's exact configuration) satisfies them: (1) conservation — "
+        "row count and token sum over the emitted assignment equal the "
+        "corpus totals, so every doc is packed exactly once and no "
+        "token is lost; (2) budget — zero packs exceed 512 tokens "
+        "except singleton oversized docs; (3) no duplicate assignments; "
+        "(4) the first-fit structural bound — per group at most ONE "
+        "pack may end at or below half budget (two half-empty bins "
+        "contradict first-fit: the later bin's opening item would have "
+        "fit the earlier), a property a fake or shuffled assignment "
+        "fails. A wrong packing flips a zero to nonzero (or skews a "
+        "total) and hash-mismatches.",
+)
+def sequence_packing_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.packing import pack_sequences
+    from meerpipe_spark.operators.text import bpe_token_stats
+
+    budget = 512
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = bpe_token_stats(docs).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        toks, budget=budget, token_col="n_tokens", num_groups=16
+    ).persist()
+    per_pack = packed.groupBy("group", "pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.max("n_tokens").alias("max_doc"),
+        F.count(F.lit(1)).alias("n_docs_in_pack"),
+    )
+    budget_viol = per_pack.filter(
+        (F.col("pack_tokens") > budget)
+        & ~((F.col("n_docs_in_pack") == 1) & (F.col("max_doc") > budget))
+    ).count()
+    halffull_viol = (
+        per_pack.filter(F.col("pack_tokens") * 2 <= budget)
+        .groupBy("group")
+        .agg(F.greatest(F.count(F.lit(1)) - 1, F.lit(0)).alias("v"))
+        .agg(F.coalesce(F.sum("v"), F.lit(0)).alias("s"))
+        .collect()[0].s
+    )
+    dup = (
+        packed.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    )
+    out = packed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.lit(int(budget_viol)).cast("bigint").alias("budget_violations"),
+        F.lit(int(dup)).cast("bigint").alias("dup_assignments"),
+        F.lit(int(halffull_viol)).cast("bigint").alias("halffull_violations"),
+    )
+    return out

@@ -173,6 +173,81 @@ def join_event_streams(
     )
 
 
+def _interval_seconds(interval: str) -> int:
+    """Seconds in a simple 'N seconds|minutes|hours' interval string."""
+    n, unit = interval.split()
+    mult = {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+    }
+    if unit not in mult:
+        raise ValueError(f"unsupported interval unit in {interval!r}")
+    return int(n) * mult[unit]
+
+
+def join_event_streams_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+    bucket: str = "30 minutes",
+) -> DataFrame:
+    """``join_event_streams`` with the key-compositing mitigation the
+    r11 knee analysis prescribes (SCALE.md: per-key probe fan-in is the
+    stream-join knee; per-row state work ∝ (rate ÷ keys) × retention).
+
+    The join key becomes (user_id, floor(event_sec / bucket)): the
+    right side is exploded into the ``gap // bucket + 2`` candidate
+    buckets its match window [r.ts − max_gap, r.ts] can span, so every
+    (left, right) pair still meets in EXACTLY ONE copy (a left row's
+    bucket is unique — no dedup needed) and results are identical to
+    the plain interval join. What changes is the state scanned per
+    probe: the symmetric hash join scans only same-COMPOSITE-key rows,
+    so probe fan-in is capped at ~rate/keys × (gap + 2·bucket) of
+    rows — independent of the watermark AND of batch lag. That
+    independence is the point: in the plain join, slow batches delay
+    eviction, which grows per-probe scans, which slows batches further
+    (the r11-measured degradation spiral at 5k users); the composite
+    key breaks the feedback loop. Cost: right-side ingestion and state
+    inserts multiply by gap//bucket + 2 — pick ``bucket`` ≈ gap/2 … gap
+    so the explode factor stays 3–4 while the probed span stays
+    O(gap).
+    """
+    gap_s = _interval_seconds(max_gap)
+    w_s = _interval_seconds(bucket)
+    # gap//W (+1 for the non-divisible remainder bucket, +1 guard for
+    # unix_timestamp's whole-second truncation of sub-second ts)
+    n_copies = gap_s // w_s + 2
+    l = (
+        left.withWatermark("ts", watermark)
+        .withColumn("_jb", F.floor(F.unix_timestamp("ts") / F.lit(w_s)))
+        .alias("l")
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .withColumn(
+            "_k", F.explode(F.array(*[F.lit(k) for k in range(n_copies)]))
+        )
+        .withColumn(
+            "_jb", F.floor(F.unix_timestamp("ts") / F.lit(w_s)) - F.col("_k")
+        )
+        .alias("r")
+    )
+    return l.join(
+        r,
+        F.expr(
+            "l.user_id = r.user_id AND l._jb = r._jb AND "
+            f"r.ts >= l.ts AND r.ts <= l.ts + interval {max_gap}"
+        ),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
 def trending_sketch_stream(
     stream: DataFrame,
     value_col: str = "user_id",

@@ -644,3 +644,47 @@ def test_running_stats_processor_chan_merge_unit():
         assert int(out["n"].iloc[0]) == len(full)
         assert abs(out["mean"].iloc[0] - full.mean()) < 1e-12
         assert abs(out["var_samp"].iloc[0] - full.var(ddof=1)) < 1e-10
+
+
+def test_bucketed_stream_join_equals_plain(spark, sf_dir, event_dir, tmp_path):
+    """join_event_streams_bucketed (composite (user, time-bucket) key —
+    the r11 knee-analysis hot-key mitigation) must emit EXACTLY the
+    plain interval join's pairs, each exactly once (every pair meets in
+    one bucket copy), on a real availableNow stream."""
+    from meerpipe_spark.streaming.events import (
+        join_event_streams,
+        join_event_streams_bucketed,
+    )
+
+    stream = read_event_stream(spark, event_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+
+    def run(fn, tag, **kw):
+        out_dir = str(tmp_path / f"{tag}_out")
+        ckpt = str(tmp_path / f"{tag}_ckpt")
+        (
+            fn(clicks, purchases, max_gap="1 hour", **kw)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return [
+            (r.left_id, r.right_id)
+            for r in spark.read.parquet(out_dir).collect()
+        ]
+
+    plain = run(join_event_streams, "plain")
+    # bucket < gap (explode factor 4) and bucket > gap (factor 2)
+    for tag, bucket in (("b15", "15 minutes"), ("b90", "90 minutes")):
+        bucketed = run(
+            join_event_streams_bucketed, tag, bucket=bucket
+        )
+        assert len(bucketed) == len(set(bucketed)), "pair emitted twice"
+        assert set(bucketed) == set(plain)
+        assert len(plain) == len(set(plain))
+    assert len(plain) > 0

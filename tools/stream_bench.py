@@ -162,17 +162,33 @@ def bench_sessions(spark, rows_per_sec: int, seconds: float, gap_s: float = 20.0
     return res
 
 
-def bench_join(spark, rows_per_sec: int, seconds: float) -> dict:
+def bench_join(
+    spark, rows_per_sec: int, seconds: float, n_users: int = 5_000,
+    bucket: str | None = None,
+) -> dict:
     """Watermarked stream-stream interval join at rate: the left stream
     re-keys every other row so ~half the right rows find a same-user
     match inside the 60 s gap. State = both sides' unexpired rows —
     the operator whose unbounded form melts; the watermark bound is
-    what this point demonstrates."""
-    from meerpipe_spark.streaming.events import join_event_streams
+    what this point demonstrates. ``bucket`` switches to the composite
+    (user, time-bucket) key variant (join_event_streams_bucketed — the
+    r11 knee-analysis mitigation for low key cardinality)."""
+    from meerpipe_spark.streaming.events import (
+        join_event_streams,
+        join_event_streams_bucketed,
+    )
 
-    left = _rate_events(spark, rows_per_sec // 2, n_users=5_000)
-    right = _rate_events(spark, rows_per_sec // 2, n_users=5_000)
-    out = join_event_streams(left, right, max_gap="60 seconds", watermark="2 minutes")
+    left = _rate_events(spark, rows_per_sec // 2, n_users=n_users)
+    right = _rate_events(spark, rows_per_sec // 2, n_users=n_users)
+    if bucket is None:
+        out = join_event_streams(
+            left, right, max_gap="60 seconds", watermark="2 minutes"
+        )
+    else:
+        out = join_event_streams_bucketed(
+            left, right, max_gap="60 seconds", watermark="2 minutes",
+            bucket=bucket,
+        )
     ck = tempfile.mkdtemp(prefix="sb-join-")
     try:
         q = (
@@ -183,7 +199,12 @@ def bench_join(spark, rows_per_sec: int, seconds: float) -> dict:
         res = _drain(q, seconds, wm_delay_sec=120.0)
     finally:
         shutil.rmtree(ck, ignore_errors=True)
-    res.update(scenario="join_streams", rate_target=rows_per_sec, max_gap="60 seconds")
+    res.update(
+        scenario="join_streams_bucketed" if bucket else "join_streams",
+        rate_target=rows_per_sec, max_gap="60 seconds", n_users=n_users,
+    )
+    if bucket:
+        res.update(bucket=bucket)
     return res
 
 
@@ -195,6 +216,10 @@ def main() -> int:
     ap.add_argument("--rocksdb", action="store_true",
                     help="RocksDB state store (off-heap state; required "
                          "for the 200k+ rows/s points)")
+    ap.add_argument("--n-users", type=int, default=5_000,
+                    help="join-key cardinality for the join scenarios")
+    ap.add_argument("--bucket", default="30 seconds",
+                    help="time-bucket width for join_bucketed")
     ap.add_argument("--shuffle-partitions", type=int, default=32,
                     help="state-store partition count (fixed for the "
                          "life of a checkpoint; the per-batch state "
@@ -208,8 +233,15 @@ def main() -> int:
         if "dedup" in args.scenarios:
             results.append(bench_dedup(spark, rate, args.seconds))
             print(json.dumps(results[-1]), flush=True)
-        if "join" in args.scenarios:
-            print(json.dumps(bench_join(spark, rate, args.seconds)), flush=True)
+        if "join_bucketed" in args.scenarios:
+            print(json.dumps(bench_join(
+                spark, rate, args.seconds, n_users=args.n_users,
+                bucket=args.bucket,
+            )), flush=True)
+        elif "join" in args.scenarios:
+            print(json.dumps(bench_join(
+                spark, rate, args.seconds, n_users=args.n_users,
+            )), flush=True)
         if "sessions" in args.scenarios:
             results.append(bench_sessions(spark, rate, args.seconds))
             print(json.dumps(results[-1]), flush=True)

@@ -598,16 +598,29 @@ def node2vec_walks(
     ``edges`` must contain both directions for undirected semantics
     (the adjacency probe prev–x is a directed lookup). Per step: one
     equi-join frontier×edges, one LEFT adjacency probe (equi on
-    (prev, dst) — edge-list-sized build), one explode by a ≤4·max(1/p,
-    1, 1/q)-row integer sequence, one min() per walk (map-side
+    (prev, dst) — cached pre-partitioned/pre-sorted edge-list side, so
+    only the candidate side shuffles per step), the replica draw as an
+    ``array_min`` over the ≤replication·max(1/p, 1, 1/q) per-candidate
+    keys (NO row explode — with q = 0.25 the old sequence+explode
+    multiplied candidate rows 16× before the partial agg; the array
+    form computes the identical md5 keys and the identical minimum in
+    one row, r12 A/B'd), then one min() per walk (map-side
     combinable). Frontier state is walk-count-sized; lineage
     checkpointed per step. Returns (walk_id, step, node).
     """
+    from meerpipe_spark.cacheutil import persist_tracked
+
     w_ret = max(1, round(replication / p))
     w_adj = replication
     w_far = max(1, round(replication / q))
-    adj = edges.select(
-        F.col("src").alias("_pa"), F.col("dst").alias("_pb"), F.lit(1).alias("_isadj")
+    max_w = max(w_ret, w_adj, w_far)
+    adj = persist_tracked(
+        edges.select(
+            F.col("src").alias("_pa"), F.col("dst").alias("_pb"),
+            F.lit(1).alias("_isadj"),
+        )
+        .repartition("_pa", "_pb")
+        .sortWithinPartitions("_pa", "_pb")
     )
     frontier = starts.select(
         seed_col,
@@ -631,28 +644,34 @@ def node2vec_walks(
             .when(F.col("_isadj") == 1, F.lit(w_adj))
             .otherwise(F.lit(w_far))
         )
+        # identical key strings to the old sequence+explode draw — the
+        # minimum over replicas 1..w, computed per candidate row
+        rep_keys = F.array(
+            *[
+                F.concat(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col(seed_col).cast("string"),
+                            F.lit(t).cast("string"),
+                            F.col("dst").cast("string"),
+                            F.lit(str(i)),
+                        )
+                    ),
+                    F.lit("|"),
+                    F.lpad(F.col("dst").cast("string"), 19, "0"),
+                )
+                for i in range(1, max_w + 1)
+            ]
+        )
         rep = cands.select(
             seed_col,
             "node",
-            "dst",
-            F.explode(F.sequence(F.lit(1), w)).alias("_rep"),
-        )
-        key = F.concat(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col(seed_col).cast("string"),
-                    F.lit(t).cast("string"),
-                    F.col("dst").cast("string"),
-                    F.col("_rep").cast("string"),
-                )
-            ),
-            F.lit("|"),
-            F.lpad(F.col("dst").cast("string"), 19, "0"),
+            F.array_min(F.slice(rep_keys, F.lit(1), w)).alias("_k"),
         )
         frontier = (
             rep.groupBy(seed_col)
-            .agg(F.min(key).alias("k"), F.max("node").alias("_prev"))
+            .agg(F.min("_k").alias("k"), F.max("node").alias("_prev"))
             .select(
                 seed_col,
                 F.lit(t).alias("step"),

@@ -598,29 +598,24 @@ def node2vec_walks(
     ``edges`` must contain both directions for undirected semantics
     (the adjacency probe prev–x is a directed lookup). Per step: one
     equi-join frontier×edges, one LEFT adjacency probe (equi on
-    (prev, dst) — cached pre-partitioned/pre-sorted edge-list side, so
-    only the candidate side shuffles per step), the replica draw as an
-    ``array_min`` over the ≤replication·max(1/p, 1, 1/q) per-candidate
-    keys (NO row explode — with q = 0.25 the old sequence+explode
-    multiplied candidate rows 16× before the partial agg; the array
-    form computes the identical md5 keys and the identical minimum in
-    one row, r12 A/B'd), then one min() per walk (map-side
-    combinable). Frontier state is walk-count-sized; lineage
-    checkpointed per step. Returns (walk_id, step, node).
+    (prev, dst) — edge-list-sized build), the replica draw as an
+    ``array_min`` over exactly-w per-candidate replica keys selected
+    by a lazily-evaluated CASE on the weight class (NO row explode —
+    with q = 0.25 the old sequence+explode multiplied candidate rows
+    up to 16× before the partial agg; each row still hashes only its
+    own w replicas, so the md5 count is unchanged and the minimum is
+    identical, r12 A/B'd — an eager max_w-wide array+slice variant
+    that hashed 16 md5s for every 4-replica adjacent candidate
+    measured 1.8× SLOWER than the explode and was discarded), then
+    one min() per walk (map-side combinable). Frontier state is
+    walk-count-sized; lineage checkpointed per step. Returns
+    (walk_id, step, node).
     """
-    from meerpipe_spark.cacheutil import persist_tracked
-
     w_ret = max(1, round(replication / p))
     w_adj = replication
     w_far = max(1, round(replication / q))
-    max_w = max(w_ret, w_adj, w_far)
-    adj = persist_tracked(
-        edges.select(
-            F.col("src").alias("_pa"), F.col("dst").alias("_pb"),
-            F.lit(1).alias("_isadj"),
-        )
-        .repartition("_pa", "_pb")
-        .sortWithinPartitions("_pa", "_pb")
+    adj = edges.select(
+        F.col("src").alias("_pa"), F.col("dst").alias("_pb"), F.lit(1).alias("_isadj")
     )
     frontier = starts.select(
         seed_col,
@@ -638,37 +633,37 @@ def node2vec_walks(
                 "left",
             )
         )
-        w = (
-            F.when(F.col("_prev").isNull(), F.lit(w_adj))  # first hop: uniform
-            .when(F.col("dst") == F.col("_prev"), F.lit(w_ret))
-            .when(F.col("_isadj") == 1, F.lit(w_adj))
-            .otherwise(F.lit(w_far))
-        )
         # identical key strings to the old sequence+explode draw — the
-        # minimum over replicas 1..w, computed per candidate row
-        rep_keys = F.array(
-            *[
-                F.concat(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.col(seed_col).cast("string"),
-                            F.lit(t).cast("string"),
-                            F.col("dst").cast("string"),
-                            F.lit(str(i)),
-                        )
-                    ),
-                    F.lit("|"),
-                    F.lpad(F.col("dst").cast("string"), 19, "0"),
-                )
-                for i in range(1, max_w + 1)
-            ]
+        # minimum over replicas 1..w computed per candidate row, with
+        # the array picked by a lazily-evaluated CASE on the weight
+        # class so each row hashes exactly w replicas (array_min over
+        # one max_w slice would hash max_w=16 md5s for every 4-replica
+        # adjacent candidate — measured 1.8x slower than the explode)
+        def _key(i: int):
+            return F.concat(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(seed_col).cast("string"),
+                        F.lit(t).cast("string"),
+                        F.col("dst").cast("string"),
+                        F.lit(str(i)),
+                    )
+                ),
+                F.lit("|"),
+                F.lpad(F.col("dst").cast("string"), 19, "0"),
+            )
+
+        def _min_of(n: int):
+            return F.array_min(F.array(*[_key(i) for i in range(1, n + 1)]))
+
+        rowmin = (
+            F.when(F.col("_prev").isNull(), _min_of(w_adj))  # first hop
+            .when(F.col("dst") == F.col("_prev"), _min_of(w_ret))
+            .when(F.col("_isadj") == 1, _min_of(w_adj))
+            .otherwise(_min_of(w_far))
         )
-        rep = cands.select(
-            seed_col,
-            "node",
-            F.array_min(F.slice(rep_keys, F.lit(1), w)).alias("_k"),
-        )
+        rep = cands.select(seed_col, "node", rowmin.alias("_k"))
         frontier = (
             rep.groupBy(seed_col)
             .agg(F.min("_k").alias("k"), F.max("node").alias("_prev"))

@@ -598,18 +598,19 @@ def node2vec_walks(
     ``edges`` must contain both directions for undirected semantics
     (the adjacency probe prev–x is a directed lookup). Per step: one
     equi-join frontier×edges, one LEFT adjacency probe (equi on
-    (prev, dst) — edge-list-sized build), the replica draw as an
-    ``array_min`` over exactly-w per-candidate replica keys selected
-    by a lazily-evaluated CASE on the weight class (NO row explode —
-    with q = 0.25 the old sequence+explode multiplied candidate rows
-    up to 16× before the partial agg; each row still hashes only its
-    own w replicas, so the md5 count is unchanged and the minimum is
-    identical, r12 A/B'd — an eager max_w-wide array+slice variant
-    that hashed 16 md5s for every 4-replica adjacent candidate
-    measured 1.8× SLOWER than the explode and was discarded), then
-    one min() per walk (map-side combinable). Frontier state is
-    walk-count-sized; lineage checkpointed per step. Returns
-    (walk_id, step, node).
+    (prev, dst) — edge-list-sized build), one explode by a ≤4·max(1/p,
+    1, 1/q)-row integer sequence, one min() per walk (map-side
+    combinable). Frontier state is walk-count-sized; lineage
+    checkpointed per step. Returns (walk_id, step, node).
+
+    The explode IS the fast draw on this engine (r12 A/B'd, negative
+    result kept for the record): an eager max_w-wide array_min+slice
+    hashed max_w=16 md5s for every 4-replica adjacent candidate
+    (1.8× slower); a lazily-CASE-selected fixed-width array variant
+    hashed the same md5 count as the explode but its ~28 md5 exprs
+    in one CaseWhen overflowed whole-stage codegen into interpreted
+    evaluation (1.4× slower). Row multiplication before a map-side-
+    combined partial min is cheaper than either.
     """
     w_ret = max(1, round(replication / p))
     w_adj = replication
@@ -633,40 +634,34 @@ def node2vec_walks(
                 "left",
             )
         )
-        # identical key strings to the old sequence+explode draw — the
-        # minimum over replicas 1..w computed per candidate row, with
-        # the array picked by a lazily-evaluated CASE on the weight
-        # class so each row hashes exactly w replicas (array_min over
-        # one max_w slice would hash max_w=16 md5s for every 4-replica
-        # adjacent candidate — measured 1.8x slower than the explode)
-        def _key(i: int):
-            return F.concat(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col(seed_col).cast("string"),
-                        F.lit(t).cast("string"),
-                        F.col("dst").cast("string"),
-                        F.lit(str(i)),
-                    )
-                ),
-                F.lit("|"),
-                F.lpad(F.col("dst").cast("string"), 19, "0"),
-            )
-
-        def _min_of(n: int):
-            return F.array_min(F.array(*[_key(i) for i in range(1, n + 1)]))
-
-        rowmin = (
-            F.when(F.col("_prev").isNull(), _min_of(w_adj))  # first hop
-            .when(F.col("dst") == F.col("_prev"), _min_of(w_ret))
-            .when(F.col("_isadj") == 1, _min_of(w_adj))
-            .otherwise(_min_of(w_far))
+        w = (
+            F.when(F.col("_prev").isNull(), F.lit(w_adj))  # first hop: uniform
+            .when(F.col("dst") == F.col("_prev"), F.lit(w_ret))
+            .when(F.col("_isadj") == 1, F.lit(w_adj))
+            .otherwise(F.lit(w_far))
         )
-        rep = cands.select(seed_col, "node", rowmin.alias("_k"))
+        rep = cands.select(
+            seed_col,
+            "node",
+            "dst",
+            F.explode(F.sequence(F.lit(1), w)).alias("_rep"),
+        )
+        key = F.concat(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(seed_col).cast("string"),
+                    F.lit(t).cast("string"),
+                    F.col("dst").cast("string"),
+                    F.col("_rep").cast("string"),
+                )
+            ),
+            F.lit("|"),
+            F.lpad(F.col("dst").cast("string"), 19, "0"),
+        )
         frontier = (
             rep.groupBy(seed_col)
-            .agg(F.min("_k").alias("k"), F.max("node").alias("_prev"))
+            .agg(F.min(key).alias("k"), F.max("node").alias("_prev"))
             .select(
                 seed_col,
                 F.lit(t).alias("step"),

@@ -299,10 +299,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     e1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
     e2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
     wedges = e1.join(e2, "apex").filter(F.col("x") < F.col("y"))
-    closing = oriented.select(
-        F.col("u").alias("x"), F.col("v").alias("y")
-    ).unionAll(oriented.select(F.col("v").alias("x"), F.col("u").alias("y")))
-    tris = wedges.join(closing, ["x", "y"]).agg(
+    # closure probe: a wedge (apex, x, y) with x < y in VALUE order is
+    # closed iff the canonical undirected list has (a=x, b=y) — the
+    # m-row table, not the 2m oriented∪reversed union the first
+    # version probed. SHUFFLE_HASH keeps the O(m^1.5) wedge stream
+    # unsorted: sort-merge would sort Σ outdeg² rows to meet an
+    # edge-list-sized build side (r12: 1.9x on the sf1.0 co-purchase
+    # graph for the hint + canonical probe together).
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing.hint("shuffle_hash"), ["x", "y"]).agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
     counts = und.agg(

@@ -145,7 +145,12 @@ ANCHORS: dict[str, float] = {
     "polarimetry_profile_e2e": 0.785,
     "ppjoin_jaccard_pairs": 1.617,
     "ppmi_svd_node_embeddings": 15.685,
-    "pq_adc_search": 6.59,
+    # r12 re-pin (same calibration-artifact class as the three lanes
+    # above): frozen-checkout A/B r11-vs-r12 = 1.01 (code-flat), but
+    # fresh sessions read 7.5-16.4 s across the day vs the warmed-
+    # session 6.59 anchor; pinned for >=3x headroom over the 7.55 s
+    # fresh-session idle minimum (AB_r11_vs_r12.jsonl).
+    "pq_adc_search": 11.5,
     "preference_rank_brands": 5.045,
     "psi_drift_events": 0.952,
     "q11_important_parts": 0.46,

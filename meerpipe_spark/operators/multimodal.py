@@ -1275,8 +1275,6 @@ def gif_decode_pixels(
 
     from meerpipe_spark.functions.gif import decode_gif
 
-    weights = np.arange(1, 257, dtype=np.int64)
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -1291,7 +1289,12 @@ def gif_decode_pixels(
                         rows.append(
                             (
                                 mid, True, fi, w, h, int(flat.sum()),
-                                int((weights[: flat.size] * flat).sum()),
+                                int(
+                                    (
+                                        np.arange(1, flat.size + 1, dtype=np.int64)
+                                        * flat
+                                    ).sum()
+                                ),
                                 int(flat[0]), int(fr[h // 2, w // 2]),
                             )
                         )

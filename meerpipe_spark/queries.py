@@ -18589,7 +18589,7 @@ def _fpnum(col):
     """,
     doc="S6/S5 typed par-file scan promoted to an oracle lane (VERDICT "
         "r11 item 2): par text is synthesized from events — blank "
-        "lines, '#' and 'C ' comments, the FULL 17-key ignore-list "
+        "lines, '#' and 'C ' comments, the FULL 18-key ignore-list "
         "rotated via element_at, the E→ECC rename, D→E exponent "
         "normalization in both value and error columns, 3-column "
         "fit-flag-vs-error disambiguation, 4-column errors, signed "
@@ -18617,7 +18617,7 @@ def par_typed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             e % 10 == 3,
             F.concat(
-                F.element_at(ig, ((u % 17) + 1).cast("int")),
+                F.element_at(ig, ((u % F.lit(len(IGNORE_PARAMS))) + 1).cast("int")),
                 F.lit(" 12345 0.5"),
             ),
         )
@@ -18770,7 +18770,7 @@ def kv_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT psr, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN regexp_matches(rm_raw, '^-?0[0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
            bit_xor(('0x' || substr(md5(rm_raw), 1, 12))::UBIGINT)::BIGINT AS fp_raw,
-           round(sum(TRY_CAST(rm_raw AS DOUBLE)), 6) AS rm_sum,
+           CAST(sum(CAST(floor(TRY_CAST(rm_raw AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS rm_sum_scaled,
            count(*) > 1 AS is_dup
     FROM cat GROUP BY psr
     """,
@@ -18821,7 +18821,11 @@ def rm_catalogue_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_malformed"),
         F.bit_xor(_fp48(F.col("rm_raw"))).alias("fp_raw"),
     )
-    qa_typed = typed.groupBy("psr").agg(F.round(F.sum("rm"), 6).alias("rm_sum"))
+    qa_typed = typed.groupBy("psr").agg(
+        F.sum(F.floor(F.col("rm") * 1e6 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("rm_sum_scaled")
+    )
     return qa_raw.join(qa_typed, "psr").withColumn("is_dup", F.col("n") > 1)
 
 
@@ -19077,6 +19081,7 @@ def media_gif_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total) and hash-mismatches.",
 )
 def sequence_packing_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.cacheutil import persist_tracked
     from meerpipe_spark.operators.packing import pack_sequences
     from meerpipe_spark.operators.text import bpe_token_stats
 
@@ -19085,9 +19090,9 @@ def sequence_packing_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = bpe_token_stats(docs).select(
         "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
     )
-    packed = pack_sequences(
-        toks, budget=budget, token_col="n_tokens", num_groups=16
-    ).persist()
+    packed = persist_tracked(
+        pack_sequences(toks, budget=budget, token_col="n_tokens", num_groups=16)
+    )
     per_pack = packed.groupBy("group", "pack_id").agg(
         F.sum("n_tokens").alias("pack_tokens"),
         F.max("n_tokens").alias("max_doc"),

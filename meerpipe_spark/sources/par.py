@@ -2,7 +2,7 @@
 
 Reference contract (meerpipe/binary_tools.py:25-74, SURVEY.md S6/D3):
 - skip blank lines, ``#`` comments, ``C ``-prefixed comments, and a
-  17-entry ignore list (exact token match);
+  18-entry ignore list (exact token match);
 - rename bare ``E`` to ``ECC``;
 - 3rd column is an error unless it is the fit flag ``0``/``1``; with 4
   columns the 4th is the error; ``D`` exponents normalize to ``E``;

@@ -4818,14 +4818,25 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lower-id cluster-mate at cosine >= 0.35 — the greedy min-id "
         "rule, decided edge-locally so the survivor set is unique. The "
         "pairwise step is an equi-join CONFINED to clusters (never "
-        "all-pairs); removal returns as one LEFT ANTI join.",
+        "all-pairs); removal returns as one LEFT ANTI join. Runs the "
+        "DEFAULT auto-k path (VERDICT r12 weak item: fixed k=8 "
+        "measured 12.2x wall at 10x rows — cluster size grew with the "
+        "corpus, so the within-cluster term went quadratic): "
+        "k = max(8, ceil(n/SEMDEDUP_TARGET_CLUSTER=256)) holds cluster "
+        "size ~constant, routed to the two-level quantizer above k=32 "
+        "exactly like hard_negative_mining_autok. The k=8/iters=0 CTE "
+        "oracle is valid exactly while auto-k resolves to 8, i.e. "
+        "n <= 2048 — the gate data (n=500 at sf0.01, n=2000 at sf0.1) "
+        "sits inside that bound; beyond it the literal path runs "
+        "k in 9..32 and past n=8192 routing switches to the two-level "
+        "quantizer, branches oracle-gated separately "
+        "(two_level_ivf_assign / two_level_ann_search).",
 )
 def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meerpipe_spark.operators.similarity import kmeans_centroids, semantic_dedup
+    from meerpipe_spark.operators.similarity import semantic_dedup
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    centroids = kmeans_centroids(emb, k=8, iters=0)
-    out = semantic_dedup(emb, centroids, threshold=0.35)
+    out = semantic_dedup(emb, threshold=0.35)  # centroids=None: auto-k
     return out.select("vec_id", "label")
 
 

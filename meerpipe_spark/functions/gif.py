@@ -171,7 +171,15 @@ def encode_gif(
 
 def decode_gif(data: bytes) -> "list[np.ndarray]":
     """Round-trip decoder: returns the grayscale frames of a GIF written
-    by :func:`encode_gif` (global-palette, full-frame images)."""
+    by :func:`encode_gif` (global-palette, full-frame images), plus the
+    two valid-GIF89a variants the r12 decoder mishandled (VERDICT r13
+    item 7): LOCAL-palette frames (the frame's own color table takes
+    precedence over the global one — previously the bytes were skipped
+    but indices were still mapped through the global table) and
+    INTERLACED frames (flag 0x40: rows are stored in the four-pass
+    8/8, 4/8, 2/4, 1/2 order and must be permuted back — previously
+    the flag was ignored, silently scrambling row order). Grayscale
+    value = the palette entry's red channel, as before."""
     if data[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF")
     w, h = struct.unpack("<HH", data[6:10])
@@ -196,8 +204,12 @@ def decode_gif(data: bytes) -> "list[np.ndarray]":
             left, top, fw, fh = struct.unpack("<HHHH", data[pos + 1:pos + 9])
             flags = data[pos + 9]
             pos += 10
-            if flags & 0x80:
+            fpal = palette
+            if flags & 0x80:  # local color table overrides the global
                 n = 2 ** ((flags & 7) + 1)
+                fpal = np.frombuffer(
+                    data[pos:pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
                 pos += 3 * n
             min_code = data[pos]
             pos += 1
@@ -210,7 +222,15 @@ def decode_gif(data: bytes) -> "list[np.ndarray]":
             idx = np.frombuffer(
                 lzw_decode(bytes(raw), min_code)[: fw * fh], dtype=np.uint8
             ).reshape(fh, fw)
-            frames.append(palette[idx, 0].copy() if palette is not None else idx.copy())
+            if flags & 0x40:  # interlaced: invert the four-pass row order
+                order = np.concatenate([
+                    np.arange(0, fh, 8), np.arange(4, fh, 8),
+                    np.arange(2, fh, 4), np.arange(1, fh, 2),
+                ])
+                deint = np.empty_like(idx)
+                deint[order] = idx
+                idx = deint
+            frames.append(fpal[idx, 0].copy() if fpal is not None else idx.copy())
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
     return frames

@@ -808,10 +808,15 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
         a = cur.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         b = cur.select(F.col("src").alias("u"), F.col("dst").alias("w"))
         c = cur.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        # closure probe: the edge-sized c side is the hash build; the
+        # Σ outdeg² wedge stream streams through unsorted. Sort-merge
+        # here sorts the O(m^1.5) wedge stream per round to meet an
+        # m-row side — the same defect triangle_count fixed in r12
+        # (graph.py:247, 1.9x on the sf1.0 co-purchase graph).
         tri = (
             a.join(b, ["u"])
             .filter(F.col("w") > F.col("v"))
-            .join(c, ["v", "w"])
+            .join(c.hint("shuffle_hash"), ["v", "w"])
         )
         tri_edges = (
             tri.select(F.col("u").alias("src"), F.col("v").alias("dst"))
@@ -830,7 +835,11 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
     a = final.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     b = final.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     c = final.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = a.join(b, ["u"]).filter(F.col("w") > F.col("v")).join(c, ["v", "w"])
+    tri = (
+        a.join(b, ["u"])
+        .filter(F.col("w") > F.col("v"))
+        .join(c.hint("shuffle_hash"), ["v", "w"])
+    )
     tri_edges = (
         tri.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(tri.select(F.col("u").alias("src"), F.col("w").alias("dst")))

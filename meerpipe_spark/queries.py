@@ -3724,6 +3724,68 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_join_events_bucketed",
+    """
+    WITH sk AS (
+        SELECT event_id, event_type, ts, value,
+               CASE WHEN user_id % 10 < 7 THEN -1 ELSE user_id END AS skew_key
+        FROM events
+    ),
+    r AS (
+        SELECT skew_key, ts, value FROM sk WHERE event_type = 'signup'
+        QUALIFY row_number() OVER (PARTITION BY skew_key, ts ORDER BY event_id DESC) = 1
+    ),
+    l AS (SELECT event_id, skew_key, ts, value FROM sk WHERE event_type = 'purchase')
+    SELECT l.event_id,
+           round(l.value, 4) AS purchase_value,
+           round(r.value, 4) AS signup_value,
+           round((epoch_us(l.ts) - epoch_us(r.ts)) / 1e6, 6) AS gap_s
+    FROM l ASOF LEFT JOIN r ON l.skew_key = r.skew_key AND l.ts >= r.ts
+    """,
+    doc="As-of join on the HOT-KEY PRE-SPLIT path (operators/asof.py "
+        "bucket_width — VERDICT r12 item 4: the mitigation was "
+        "implemented and pytest-proven in r12 but never driver-gated): "
+        "70% of users collapse onto one skew key (-1), the exact shape "
+        "that serializes the plain window into a single task, then the "
+        "fill window partitions on (key, floor(ts/3d)) with each "
+        "earlier bucket's last signup carried into later buckets as a "
+        "synthetic right row — ~10 buckets over the 30-day span, so "
+        "the carry path executes at every SF. The oracle is DuckDB's "
+        "native ASOF LEFT JOIN over the same skewed key, identical to "
+        "the unsplit lane's oracle shape: any carry/tail bug (dropped "
+        "tail, duplicated fill, off-by-one bucket edge) hash-"
+        "mismatches against the oracle that never buckets at all.",
+)
+def asof_join_events_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.operators.asof import asof_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    skew = (
+        F.when(F.col("user_id") % 10 < 7, F.lit(-1).cast("bigint"))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key")
+    )
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", skew, "ts", "value"
+    )
+    right = e.filter(F.col("event_type") == "signup").select(
+        skew, "ts", "value", "event_id"
+    )
+    out = asof_join(
+        left, right, on="skew_key", ts_col="ts", value_cols=["value"],
+        tiebreak_col="event_id", bucket_width=3 * 86400.0,
+    )
+    return out.select(
+        "event_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("value_asof", 4).alias("signup_value"),
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("ts_asof")) / F.lit(1e6), 6
+        ).alias("gap_s"),
+    )
+
+
+@_register(
     "contamination_check",
     """
     WITH sh AS (
@@ -4006,6 +4068,70 @@ def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "right_id",
             F.round(F.col("_rv") - F.col("_lv"), 4).alias("value_delta"),
         )
+    )
+
+
+@_register(
+    "streaming_join_bucketed_attribution",
+    """
+    SELECT l.user_id AS user_id,
+           l.event_id AS left_id,
+           r.event_id AS right_id,
+           l.ts AS left_ts,
+           r.ts AS right_ts
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 1 HOUR
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+    doc="REAL streaming interval join on the KEY-COMPOSITING path "
+        "(streaming/events.py::join_event_streams_bucketed — VERDICT "
+        "r12 item 5: the r12 helper was stream-bench'd and pytest-"
+        "proven but never driver-gated): the events table re-served as "
+        "a file-source stream, split into click/purchase streams, "
+        "joined on the composite (user_id, floor(ts/30min)) key with "
+        "the right side exploded into its 4 candidate buckets, parquet "
+        "sink (availableNow), results hash-matched against the PLAIN "
+        "batch interval-join SQL — the oracle never buckets, so a "
+        "duplicated pair (explode overlap), dropped pair (bucket-edge "
+        "off-by-one, unix_timestamp sub-second truncation) or wrong "
+        "window hash-mismatches. This is the shape that breaks the "
+        "r11 probe-fan-in degradation spiral (STREAM_BENCH_r12: "
+        "50.6k/s sustained at 180s where the plain join collapsed).",
+)
+def streaming_join_bucketed_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from meerpipe_spark.streaming.events import (
+        join_event_streams_bucketed,
+        read_event_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="mp_ssjb_")
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+    load_tables(spark, sf_dir)["events"].repartition(4).write.parquet(src)
+    stream = read_event_stream(spark, src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    (
+        join_event_streams_bucketed(
+            clicks, purchases, max_gap="1 hour", watermark="87600 hours",
+            bucket="30 minutes",
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select(
+        "user_id", "left_id", "right_id", "left_ts", "right_ts"
     )
 
 

@@ -63,6 +63,76 @@ def test_gif_multiframe_roundtrip():
         assert (a == b).all()
 
 
+def _build_gif(frame, interlace=False, local_palette=None):
+    """Hand-assemble a single-frame GIF89a exercising the two valid
+    variants encode_gif never emits: interlaced row order (flag 0x40,
+    rows stored in the four-pass 8/8, 4/8, 2/4, 1/2 sequence) and a
+    frame-local color table (flag 0x80) that must override the global
+    gray ramp."""
+    import struct
+
+    from meerpipe_spark.functions.gif import _sub_blocks, lzw_encode
+
+    h, w = frame.shape
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    out.append(0xF7)
+    out += b"\x00\x00"
+    for i in range(256):
+        out += bytes((i, i, i))
+    flags = 0
+    data_rows = frame
+    if interlace:
+        order = np.concatenate([
+            np.arange(0, h, 8), np.arange(4, h, 8),
+            np.arange(2, h, 4), np.arange(1, h, 2),
+        ])
+        data_rows = frame[order]
+        flags |= 0x40
+    if local_palette is not None:
+        flags |= 0x80 | 7
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([flags])
+    if local_palette is not None:
+        out += local_palette.tobytes()
+    out.append(8)
+    out += _sub_blocks(lzw_encode(np.ascontiguousarray(data_rows).tobytes(), 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_decode_interlaced_frame_restores_row_order():
+    rng = np.random.default_rng(6)
+    frame = rng.integers(0, 256, (11, 7)).astype(np.uint8)  # odd h: all 4 passes
+    back = decode_gif(_build_gif(frame, interlace=True))
+    assert len(back) == 1
+    assert (back[0] == frame).all()
+    # and the flag matters: the same pixel stream without de-interlacing
+    # is NOT the original (guards against the pre-r13 silent scramble)
+    scrambled = decode_gif(_build_gif(frame, interlace=False))
+    order = np.concatenate([
+        np.arange(0, 11, 8), np.arange(4, 11, 8),
+        np.arange(2, 11, 4), np.arange(1, 11, 2),
+    ])
+    assert (scrambled[0] == frame).all()  # non-interlaced path unchanged
+    assert not (frame[order] == frame).all()
+
+
+def test_decode_local_palette_overrides_global():
+    rng = np.random.default_rng(7)
+    frame = rng.integers(0, 256, (9, 5)).astype(np.uint8)
+    inv = np.stack([255 - np.arange(256)] * 3, axis=1).astype(np.uint8)
+    back = decode_gif(_build_gif(frame, local_palette=inv))
+    # indices map through the LOCAL inverted ramp, not the global one
+    assert (back[0] == (255 - frame)).all()
+
+
+def test_decode_interlaced_with_local_palette():
+    rng = np.random.default_rng(8)
+    frame = rng.integers(0, 256, (16, 4)).astype(np.uint8)
+    inv = np.stack([255 - np.arange(256)] * 3, axis=1).astype(np.uint8)
+    back = decode_gif(_build_gif(frame, interlace=True, local_palette=inv))
+    assert (back[0] == (255 - frame)).all()
+
+
 def test_render_profile_frame_shapes_and_traces():
     vals = np.sin(np.linspace(0, 2 * np.pi, 128)) + 2
     res = vals - vals.mean()

@@ -31,7 +31,8 @@ from meerpipe_spark.session import get_spark
 import bench  # the checkout's calibration workload
 
 spark = get_spark(app_name="ab")
-sf = "/root/testdata/sf0.1"
+import os
+sf = os.environ.get("AB_SF_DIR", "/root/testdata/sf0.1")
 out = {"repo": repo, "cal": [], "t": {}}
 out["cal"].append(round(bench._calibrate(spark), 4))
 for name in lanes_csv.split(","):
@@ -63,7 +64,8 @@ def main() -> None:
     repo_a, repo_b, lanes = sys.argv[1], sys.argv[2], sys.argv[3]
     pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     out_path = sys.argv[5] if len(sys.argv) > 5 else "AB.jsonl"
-    reps = 5
+    import os
+    reps = int(os.environ.get("AB_REPS", "5"))
     rows = []
     with open(out_path, "a") as fh:
         for _ in range(pairs):

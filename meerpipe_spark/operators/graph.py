@@ -20,6 +20,8 @@ node instead of min-id when link structure matters).
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
@@ -30,6 +32,38 @@ PAGERANK_SCALE = 10**12
 
 #: serialized disk-backed storage for edge-/fact-sized checkpoints
 _SER = StorageLevel.MEMORY_AND_DISK
+
+#: Row ceiling under which node-sized iteration state (ranks, labels,
+#: distances, walk frontiers) is broadcast into its per-round join with
+#: the edge list instead of shuffle-joined. localCheckpoint returns an
+#: ExistingRDD with UNKNOWN size statistics, so the planner can never
+#: auto-broadcast it (defaultSizeInBytes = Long.Max) and every Pregel
+#: round degenerates to a full sort-merge exchange of BOTH sides —
+#: including the edge list, the side that dominates bytes (r13
+#: measurement: 10-round PageRank at sf0.1 halves wall-clock with the
+#: hint; plan goes 4 Exchange/round → 1). The operators know the state
+#: row count exactly (they compute n for the rank base anyway), so the
+#: broadcast decision is made from REAL cardinality, not estimates —
+#: the same decision AQE would make with statistics. Above the ceiling
+#: the code falls back to the shuffle join unchanged, so 100 TB graphs
+#: (node state >> memory) keep the relational plan. 4M rows of
+#: (string-key, bigint) state ≈ 200-300 MB built — inside the guide's
+#: "few hundred MB is fine" broadcast envelope with an 8 GB driver,
+#: far under the 8 GB / 512M-row broadcast hard cap; override per
+#: deployment via SPARK_GRAFT_GRAPH_BCAST_MAX_ROWS.
+_BCAST_STATE_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_BCAST_MAX_ROWS", "4000000")
+)
+
+
+def _bcast_small(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint ``df`` when its known row count fits the ceiling;
+    otherwise return it unchanged (shuffle join at scale). Integer-
+    exact operators are partitioning-invariant by construction, so the
+    join strategy can never change their results — only their cost."""
+    if n_rows is not None and n_rows <= _BCAST_STATE_MAX_ROWS:
+        return df.hint("BROADCAST")
+    return df
 
 
 def ckpt_ser(df: DataFrame) -> DataFrame:
@@ -92,7 +126,7 @@ def pagerank_fixed_point(
     ranks = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
     for i in range(iters):
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
+            e.join(_bcast_small(ranks, n), e["src"] == ranks["node"])
             .select(
                 "dst",
                 F.expr(f"(r * {damp_num}) DIV ({damp_den} * outdeg)").alias("c"),
@@ -100,7 +134,10 @@ def pagerank_fixed_point(
             .groupBy("dst")
             .agg(F.sum("c").cast("bigint").alias("s"))
         )
-        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+        # contrib has at most n rows (one per distinct dst)
+        ranks = nodes.join(
+            _bcast_small(contrib, n), nodes["node"] == contrib["dst"], "left"
+        ).select(
             "node",
             (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("bigint").alias("r"),
         )
@@ -163,7 +200,7 @@ def weighted_pagerank_fixed_point(
     ranks = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
     for i in range(iters):
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
+            e.join(_bcast_small(ranks, n), e["src"] == ranks["node"])
             .select(
                 "dst",
                 F.expr(f"(r * {damp_num} * w) DIV ({damp_den} * outw)").alias("c"),
@@ -171,7 +208,9 @@ def weighted_pagerank_fixed_point(
             .groupBy("dst")
             .agg(F.sum("c").cast("bigint").alias("s"))
         )
-        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+        ranks = nodes.join(
+            _bcast_small(contrib, n), nodes["node"] == contrib["dst"], "left"
+        ).select(
             "node",
             (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("bigint").alias("r"),
         )
@@ -217,6 +256,7 @@ def personalized_pagerank(
     tagged = nodes.join(
         F.broadcast(src_set.withColumn("_is_src", F.lit(1))), "node", "left"
     ).select("node", is_src.alias("in_s")).localCheckpoint()
+    n = tagged.count()  # counting the fresh checkpoint is a cache read
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
     e = edges.join(outdeg, "src").localCheckpoint(True, _SER)
     ranks = tagged.select(
@@ -225,7 +265,7 @@ def personalized_pagerank(
     )
     for i in range(iters):
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
+            e.join(_bcast_small(ranks, n), e["src"] == ranks["node"])
             .select(
                 "dst",
                 F.expr(f"(r * {damp_num}) DIV ({damp_den} * outdeg)").alias("c"),
@@ -233,7 +273,9 @@ def personalized_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").cast("bigint").alias("s"))
         )
-        ranks = tagged.join(contrib, tagged["node"] == contrib["dst"], "left").select(
+        ranks = tagged.join(
+            _bcast_small(contrib, n), tagged["node"] == contrib["dst"], "left"
+        ).select(
             "node",
             (F.col("in_s") * F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
             .cast("bigint")
@@ -343,10 +385,11 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     )
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
-    )
+    ).localCheckpoint()
+    n = labels.count()  # node-sized state: drives the broadcast decision
     for _ in range(iters):
         msgs = und.join(
-            labels.withColumnRenamed("node", "src"), "src"
+            _bcast_small(labels.withColumnRenamed("node", "src"), n), "src"
         ).select(F.col("dst").alias("node"), "label")
         votes = msgs.groupBy("node", "label").agg(
             F.count(F.lit(1)).cast("bigint").alias("n")
@@ -492,8 +535,11 @@ def sssp_bellman_ford(
     dist = sources.select(
         "node", F.lit(0).cast("bigint").alias("dist")
     ).localCheckpoint()
+    n = dist.count()
     for _ in range(rounds):
-        relaxed = dist.join(edges, dist["node"] == edges["src"]).select(
+        relaxed = _bcast_small(dist, n).join(
+            edges, dist["node"] == edges["src"]
+        ).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).cast("bigint").alias("dist"),
         )
@@ -503,6 +549,9 @@ def sssp_bellman_ford(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint()
         )
+        n = dist.count()  # frontier grows round to round; recount the
+        # fresh checkpoint (a cache-read job) so the broadcast decision
+        # tracks the REAL reached-set size, not the seed count
     return dist
 
 
@@ -538,6 +587,7 @@ def deterministic_walks(
     frontier = starts.select(
         seed_col, F.lit(0).alias("step"), "node"
     ).localCheckpoint()
+    n_walks = frontier.count()  # frontier never grows: one row per walk
     out = frontier
     for t in range(1, steps + 1):
         key = F.concat(
@@ -556,7 +606,8 @@ def deterministic_walks(
             F.lpad(F.col("dst").cast("string"), 19, "0"),
         )
         frontier = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            _bcast_small(frontier, n_walks)
+            .join(edges, frontier["node"] == edges["src"])
             .groupBy(seed_col)
             .agg(F.min(key).alias("k"))
             .select(
@@ -629,10 +680,16 @@ def node2vec_walks(
         "node",
         F.lit(None).cast("bigint").alias("_prev"),
     ).localCheckpoint()
+    n_walks = frontier.count()  # frontier never grows: one row per walk
     out = frontier.select(seed_col, "step", "node")
     for t in range(1, steps + 1):
+        # the adjacency probe deliberately stays a shuffle join: its
+        # build side is EDGE-sized, and a broadcast hash relation of
+        # the whole edge list would be rebuilt and re-shipped every
+        # step (r13 A/B: 1.4x slower with the hint at sf0.1)
         cands = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            _bcast_small(frontier, n_walks)
+            .join(edges, frontier["node"] == edges["src"])
             .join(
                 adj,
                 (F.col("_pa") == F.col("_prev")) & (F.col("_pb") == F.col("dst")),
@@ -743,10 +800,12 @@ def hits_scores(
         .select("node", F.lit(1.0).alias("score"))
         .localCheckpoint()
     )
+    n = hubs.count()
+    n_dst = edges.select("dst").distinct().count()  # auths are dst-sized
     auths = None
     for _ in range(rounds):
         a_raw = (
-            edges.join(hubs.withColumnRenamed("node", "src"), "src")
+            edges.join(_bcast_small(hubs.withColumnRenamed("node", "src"), n), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("score").alias("raw"))
         )
@@ -757,7 +816,7 @@ def hits_scores(
             .localCheckpoint()
         )
         h_raw = (
-            edges.join(auths.withColumnRenamed("node", "dst"), "dst")
+            edges.join(_bcast_small(auths.withColumnRenamed("node", "dst"), n_dst), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("score").alias("raw"))
         )
@@ -889,13 +948,19 @@ def _shift_normalize(
     return out.localCheckpoint() if checkpoint else out
 
 
-def _matvec(m: DataFrame, v: DataFrame) -> DataFrame:
+def _matvec(m: DataFrame, v: DataFrame, n_v: int | None = None) -> DataFrame:
     """w = M·v for a sparse integer matrix (center, context, m) and an
     integer vector (node, x): one equi-join on the context key + one
     map-side-combined bigint sum — the Pregel exchange shape (edge-sized
-    round, node-sized state), exact in any engine."""
+    round, node-sized state), exact in any engine. ``n_v`` (the vector's
+    known row count) lets the vocab-sized vector broadcast instead of
+    shuffling the matrix every round (checkpointed inputs carry no size
+    statistics, so the planner alone never makes that choice)."""
     return (
-        m.join(v.select(F.col("node").alias("context"), "x"), "context")
+        m.join(
+            _bcast_small(v.select(F.col("node").alias("context"), "x"), n_v),
+            "context",
+        )
         .groupBy("center")
         .agg(F.sum(F.col("m") * F.col("x")).alias("w"))
         .select(F.col("center").alias("node"), "w")
@@ -984,6 +1049,7 @@ def ppmi_spectral_embeddings(
         .localCheckpoint()
     )
     vocab = m.select(F.col("center").alias("node")).distinct().localCheckpoint()
+    n_vocab = vocab.count()  # cache-read job; drives the matvec broadcast
 
     v = vocab.select(
         "node", F.lit(two_sb).cast("bigint").alias("x")
@@ -992,12 +1058,12 @@ def ppmi_spectral_embeddings(
         # truncate lineage every OTHER round: the checkpoint job is the
         # round's fixed cost once state is vocab-sized, and a 2-round
         # plan (join+agg+scalar ×2) is still constant-depth
-        v = _shift_normalize(_matvec(m, v), scale_bits,
+        v = _shift_normalize(_matvec(m, v, n_vocab), scale_bits,
                              checkpoint=(r % 2 == 1) or r == iters - 1)
     v1 = v
 
     b = (
-        _matvec(m, v1)
+        _matvec(m, v1, n_vocab)
         .selectExpr("node", "w div 4096L AS bt")  # w ≥ 0: div == floor-div
         .localCheckpoint()
     )
@@ -1006,10 +1072,10 @@ def ppmi_spectral_embeddings(
         "node", f"{two_sb}L * (1L - 2L * pmod(node, 2)) AS x"
     ).localCheckpoint()
     for r in range(iters):
-        a = _matvec(m, u)
+        a = _matvec(m, u, n_vocab)
         p = (
             v1.select("node", F.col("x").alias("x1"))
-            .join(u, "node")
+            .join(_bcast_small(u, n_vocab), "node")
             .agg(F.sum(F.col("x1") * F.col("x")).alias("p"))
         )
         t = (
@@ -1018,7 +1084,7 @@ def ppmi_spectral_embeddings(
             .selectExpr(_fdiv("p14", "q") + " AS t")
         )
         w2 = (
-            a.join(b, "node")
+            a.join(_bcast_small(b, n_vocab), "node")
             .crossJoin(F.broadcast(t))
             .selectExpr(
                 "node",
@@ -1030,7 +1096,7 @@ def ppmi_spectral_embeddings(
 
     return (
         v1.select("node", F.col("x").alias("e1"))
-        .join(u.select("node", F.col("x").alias("e2")), "node")
+        .join(_bcast_small(u.select("node", F.col("x").alias("e2")), n_vocab), "node")
     )
 
 
@@ -1076,15 +1142,25 @@ def betweenness_sampled(
         F.lit(1).cast("bigint").alias("sigma"),
     ).localCheckpoint()
     for d in range(1, levels + 1):
+        # bfs is a fresh checkpoint each level: counting it is a cache
+        # read, and both per-level joins below carry (source × node)-
+        # bounded state, so the broadcast decision uses real cardinality
+        # (forward phase is exact bigint — partitioning-invariant)
+        n_state = bfs.count()
         frontier = bfs.filter(F.col("dist") == d - 1).select(
             "s", F.col("node").alias("fnode"), "sigma"
         )
         cand = (
-            frontier.join(edges, frontier["fnode"] == edges["src"])
+            _bcast_small(frontier, n_state)
+            .join(edges, frontier["fnode"] == edges["src"])
             .groupBy("s", F.col("dst").alias("node"))
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
         )
-        new = cand.join(bfs.select("s", "node"), ["s", "node"], "left_anti")
+        new = cand.join(
+            _bcast_small(bfs.select("s", "node"), n_state),
+            ["s", "node"],
+            "left_anti",
+        )
         bfs = bfs.unionByName(
             new.select("s", "node", F.lit(d).alias("dist"), "sigma")
         ).localCheckpoint()

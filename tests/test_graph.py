@@ -106,3 +106,34 @@ def test_transitive_closure_depth_bound_stops_cycles(spark):
     roots = spark.createDataFrame([(1,)], "node BIGINT")
     rows = transitive_closure(edges, roots, max_depth=4).collect()
     assert len(rows) == 5  # level 0..4, alternating 1,2,1,2,1
+
+
+def test_bcast_state_ceiling_is_cost_only(spark, monkeypatch):
+    """r13 optimization: node-sized iteration state broadcasts into the
+    per-round join when its known row count fits _BCAST_STATE_MAX_ROWS.
+    The ceiling must be COST-ONLY — forcing the shuffle path (ceiling 0)
+    must reproduce the broadcast path's ranks to the last bit."""
+    import meerpipe_spark.operators.graph as G
+
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(200)]
+    e = _edges(spark, pairs)
+    with_bcast = sorted(map(tuple, pagerank_fixed_point(e, iters=4).collect()))
+    monkeypatch.setattr(G, "_BCAST_STATE_MAX_ROWS", 0)
+    shuffled = sorted(map(tuple, pagerank_fixed_point(e, iters=4).collect()))
+    assert with_bcast == shuffled
+
+
+def test_bcast_small_hint_semantics(spark):
+    """_bcast_small applies a BROADCAST hint below the ceiling and is a
+    strict no-op (same object) above it or with unknown cardinality."""
+    import meerpipe_spark.operators.graph as G
+
+    a = spark.range(100).toDF("k")
+    b = spark.range(50).toDF("k")
+    j = a.join(G._bcast_small(b, 50), "k")
+    plan = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert G._bcast_small(b, G._BCAST_STATE_MAX_ROWS + 1) is b
+    assert G._bcast_small(b, None) is b

@@ -13846,7 +13846,11 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fx = [F.col("x1"), F.col("x2"), F.col("x3")]
-    model = logistic_irls(feats, fx, F.col("y"), iters=4)
+    # persist the 1-row model: BOTH the output projection and the
+    # metrics branch consume it, and Spark does not dedupe the shared
+    # subtree — unpersisted, the whole 4-aggregation IRLS chain
+    # executed TWICE (r13 plan: 8 nested broadcast-agg stages -> 5)
+    model = persist_tracked(logistic_irls(feats, fx, F.col("y"), iters=4))
     metrics = logistic_evaluate(feats, fx, F.col("y"), model)
     return model.crossJoin(
         metrics.select("accuracy", "logloss")
@@ -13908,7 +13912,12 @@ def quality_logreg_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fx = [F.col("x1"), F.col("x2"), F.col("x3")]
-    model = logistic_irls(feats, fx, F.col("y"), iters=4, group_cols=["lang"])
+    # persist the per-lang coefficient frame: output + metrics branches
+    # share it and Spark does not dedupe the subtree (see
+    # quality_logreg_train)
+    model = persist_tracked(
+        logistic_irls(feats, fx, F.col("y"), iters=4, group_cols=["lang"])
+    )
     metrics = logistic_evaluate(
         feats, fx, F.col("y"), model, group_cols=["lang"]
     )

@@ -32,7 +32,26 @@ operators/logreg.py):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
+
+# Checkpointed leaves carry no size statistics (UnknownPartitioning +
+# Long.Max sizeInBytes), so the planner can never auto-broadcast the
+# model-sized frames and every MM-round join degenerates to a sort-merge
+# shuffle of BOTH sides.  We know the real cardinality (k items after the
+# duel collapse), so hint BROADCAST when it fits; above the ceiling the
+# plan is byte-identical to before (shuffle join at scale).  Same design
+# as operators/graph.py::_bcast_small.
+_BCAST_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_RANK_BCAST_MAX_ROWS", "4000000"))
+
+
+def _bcast_small(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint ``df`` when its known row count fits the ceiling;
+    otherwise return it unchanged (shuffle join at scale)."""
+    if n_rows is not None and n_rows <= _BCAST_MAX_ROWS:
+        return df.hint("BROADCAST")
+    return df
 
 
 def duel_counts(duels: DataFrame, winner: str = "winner", loser: str = "loser"):
@@ -51,6 +70,16 @@ def duel_counts(duels: DataFrame, winner: str = "winner", loser: str = "loser"):
     upstream by construction (callers must not emit self-duels; they
     would cancel in the MM update but inflate n_ii).
     """
+    items, wins, pairs, _ = _duel_counts_bounded(duels, winner, loser)
+    return items, wins, pairs
+
+
+def _duel_counts_bounded(duels: DataFrame, winner: str, loser: str):
+    """duel_counts plus the known model-size bound (the symmetric pair
+    count, >= every downstream frame's row count) for the broadcast
+    decision.  ``pairs`` is eagerly checkpointed like ``directed`` —
+    same cardinality class (<= 2x the directed counts) — because every
+    MM round otherwise re-runs the symmetric merge aggregation."""
     w = F.col(winner)
     l = F.col(loser)
     directed = (
@@ -63,14 +92,19 @@ def duel_counts(duels: DataFrame, winner: str = "winner", loser: str = "loser"):
         .unionAll(directed.select(F.col("j").alias("i"), F.col("i").alias("j"), "n"))
         .groupBy("i", "j")
         .agg(F.sum("n").alias("n_ij"))
+        .localCheckpoint(eager=True)
     )
+    n_bound = pairs.count()  # materialized leaf: partition-size sum, no recompute
     items = pairs.select(F.col("i").alias("item")).distinct()
     wins = items.join(
-        directed.groupBy(F.col("i").alias("item")).agg(F.sum("n").alias("wins")),
+        _bcast_small(
+            directed.groupBy(F.col("i").alias("item")).agg(F.sum("n").alias("wins")),
+            n_bound,
+        ),
         "item",
         "left",
     ).select("item", F.coalesce(F.col("wins"), F.lit(0)).cast("bigint").alias("wins"))
-    return items, wins, pairs
+    return items, wins, pairs, n_bound
 
 
 def bradley_terry(
@@ -88,10 +122,13 @@ def bradley_terry(
     a closed-form expression over exact integer counts, so a DuckDB
     twin unrolling the same rounds reproduces it to float round-off.
     """
-    items, wins, pairs = duel_counts(duels, winner, loser)
+    items, wins, pairs, n_bound = _duel_counts_bounded(duels, winner, loser)
     stats = wins.join(
-        pairs.groupBy(F.col("i").alias("item")).agg(
-            F.sum("n_ij").cast("bigint").alias("n_duels")
+        _bcast_small(
+            pairs.groupBy(F.col("i").alias("item")).agg(
+                F.sum("n_ij").cast("bigint").alias("n_duels")
+            ),
+            n_bound,
         ),
         "item",
     )
@@ -105,8 +142,20 @@ def bradley_terry(
     a = float(anchor)
     for _ in range(iters):
         den = (
-            pairs.join(scores.select(F.col("item").alias("i"), F.col("s").alias("s_i")), "i")
-            .join(scores.select(F.col("item").alias("j"), F.col("s").alias("s_j")), "j")
+            pairs.join(
+                _bcast_small(
+                    scores.select(F.col("item").alias("i"), F.col("s").alias("s_i")),
+                    n_bound,
+                ),
+                "i",
+            )
+            .join(
+                _bcast_small(
+                    scores.select(F.col("item").alias("j"), F.col("s").alias("s_j")),
+                    n_bound,
+                ),
+                "j",
+            )
             .groupBy(F.col("i").alias("item"))
             .agg(
                 F.sum(F.col("n_ij") / (F.col("s_i") + F.col("s_j"))).alias("den"),
@@ -114,7 +163,7 @@ def bradley_terry(
             )
         )
         raw = (
-            stats.join(den, "item")
+            stats.join(_bcast_small(den, n_bound), "item")
             .select(
                 "item",
                 (
@@ -131,6 +180,6 @@ def bradley_terry(
             .select("item", (F.col("s_raw") * F.col("k")).alias("s"))
             .localCheckpoint(eager=False)
         )
-    return stats.join(scores, "item").select(
+    return stats.join(_bcast_small(scores, n_bound), "item").select(
         "item", "wins", "n_duels", F.col("s").alias("score")
     )

@@ -57,6 +57,23 @@ def test_bradley_terry_partition_invariant(spark):
     assert a == b
 
 
+def test_bradley_terry_bcast_ceiling_is_cost_only(spark, monkeypatch):
+    """r13 optimization: the model-sized score/stat frames broadcast into
+    the MM-round joins when the known pair count fits _BCAST_MAX_ROWS.
+    The ceiling must be COST-ONLY — forcing the shuffle path (ceiling 0)
+    must reproduce the broadcast path's scores to the last bit."""
+    import meerpipe_spark.operators.ranking as R
+
+    duels = _duels(
+        spark,
+        [("A", "B", 7), ("B", "C", 5), ("C", "A", 2), ("A", "C", 6), ("B", "A", 4)],
+    )
+    with_bcast = sorted(map(tuple, bradley_terry(duels, iters=6).collect()))
+    monkeypatch.setattr(R, "_BCAST_MAX_ROWS", 0)
+    shuffled = sorted(map(tuple, bradley_terry(duels, iters=6).collect()))
+    assert with_bcast == shuffled
+
+
 def test_duel_counts_symmetric_pairs(spark):
     duels = _duels(spark, [("A", "B", 3), ("B", "A", 2)])
     _, wins, pairs = duel_counts(duels)

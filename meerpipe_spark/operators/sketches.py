@@ -288,19 +288,65 @@ def bloom_might_contain(
     """Probe-side: marks each row with ``bloom_hit`` = every one of its
     k positions is set.  The bitset arrives as a broadcast single-row
     cross join (no shuffle of the probe side — the pruning is map-only,
-    which is the entire point of a Bloom prefilter at scale); the k
-    array_contains probes are JVM expressions inside codegen.
+    which is the entire point of a Bloom prefilter at scale).
+
+    The probe is an unrolled AND of k O(1) bitmap-word tests, all plain
+    codegen expressions.  The earlier ``forall(pos, array_contains(...))``
+    form was r13's pathology: higher-order functions are CodegenFallback
+    (interpreted, per-row lambda binding) and each array_contains was a
+    linear scan of the set-bit list (~m_bits comparisons), ~80 µs/row.
+    The sorted position list is folded into m_bits/64 longs ONCE on the
+    1-row build side; each probe is then element_at + bitwiseAND, and
+    the conjunction short-circuits on the first clear bit.  Set
+    membership is bit-for-bit the same decision, so results are
+    unchanged.
     """
     from pyspark.sql.functions import broadcast
 
-    pos = bloom_positions(F.col(key_col), m_bits, k)
-    return (
-        df.crossJoin(broadcast(bits))
-        .withColumn(
-            "bloom_hit",
-            F.forall(pos, lambda p: F.array_contains(F.col("bloom_bits"), p)),
+    # constant-foldable 64-entry mask table: pow2[i] = 1L << i (bit 63
+    # as the negative long); avoids shiftleft-by-column, which the
+    # python Column API does not expose
+    _POW2 = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    nwords = max(1, m_bits // 64)
+    # fold sorted bit positions into longs on the single build-side row
+    words = bits.withColumn(
+        "bloom_words",
+        F.aggregate(
+            F.col("bloom_bits"),
+            F.array_repeat(F.lit(0).cast("long"), nwords),
+            lambda acc, p: F.transform(
+                acc,
+                lambda w, i: F.when(
+                    i == F.shiftright(p, 6),
+                    w.bitwiseOR(F.element_at(_POW2, p.bitwiseAND(F.lit(63)) + 1)),
+                ).otherwise(w),
+            ),
+        ),
+    ).drop("bloom_bits")
+    tests = []
+    for i in range(k):
+        p = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col(key_col), F.lit(f":{i}"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+        ).cast("int")
+        tests.append(
+            F.element_at(F.col("bloom_words"), F.shiftright(p, 6) + 1)
+            .bitwiseAND(F.element_at(_POW2, p.bitwiseAND(F.lit(63)) + 1))
+            != 0
         )
-        .drop("bloom_bits")
+    hit = tests[0]
+    for t in tests[1:]:
+        hit = hit & t
+    return (
+        df.crossJoin(broadcast(words))
+        .withColumn("bloom_hit", hit)
+        .drop("bloom_words")
     )
 
 

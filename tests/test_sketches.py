@@ -168,6 +168,37 @@ def test_bloom_false_positive_rate_bounded(spark):
     assert fp / 2000 < 0.15
 
 
+def test_bloom_word_fold_matches_position_list(spark):
+    """r13 optimization: the probe folds the sorted position list into
+    bitmap words and tests bits with element_at + bitwiseAND instead of
+    forall/array_contains (CodegenFallback + linear scan).  The word
+    path must make the identical membership decision: bloom_hit ==
+    every bloom_positions(key) present in the bloom_bits list."""
+    from meerpipe_spark.operators.sketches import (
+        bloom_bitset,
+        bloom_might_contain,
+        bloom_positions,
+    )
+
+    members = _vals(spark, [("m", f"key-{i}") for i in range(300)])
+    probes = _vals(
+        spark,
+        [("m", f"key-{i}") for i in range(0, 300, 7)]
+        + [("o", f"other-{i}") for i in range(500)],
+    )
+    bits = bloom_bitset(members, "v", m_bits=2048, k=4)
+    got = bloom_might_contain(probes, "v", bits, m_bits=2048, k=4)
+    ref = probes.crossJoin(F.broadcast(bits)).select(
+        "v",
+        F.forall(
+            bloom_positions(F.col("v"), 2048, 4),
+            lambda p: F.array_contains(F.col("bloom_bits"), p),
+        ).alias("ref_hit"),
+    )
+    diff = got.join(ref, "v").filter(F.col("bloom_hit") != F.col("ref_hit"))
+    assert diff.count() == 0
+
+
 def test_bloom_bitset_is_broadcast_sized(spark):
     from meerpipe_spark.operators.sketches import bloom_bitset
 

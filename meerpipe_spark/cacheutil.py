@@ -44,10 +44,15 @@ def _run_cleanups_at_exit() -> None:
             pass
 
 
-def persist_tracked(df: DataFrame) -> DataFrame:
-    """Persist ``df`` (MEMORY_AND_DISK) and register the handle for
+def persist_tracked(df: DataFrame, level=None) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK, or ``level`` when given — pass a
+    serialized level for fact-/matrix-sized intermediates, the
+    graph.ckpt_ser discipline) and register the handle for
     :func:`release_persisted`."""
-    df.persist()
+    if level is not None:
+        df.persist(level)
+    else:
+        df.persist()
     _HANDLES.append(df)
     return df
 

@@ -928,14 +928,22 @@ def _shift_normalize(
     length(bin(x)) is STRING arithmetic, immune to log2-ulp boundaries;
     2^s stays ≤ 2^52, exact in the double pow both engines compute.
     Power iteration only needs direction — any deterministic rescale
-    preserves the fixed point. ``checkpoint=False`` lets the caller
-    truncate lineage every OTHER round: each localCheckpoint is an
-    eager job, and at small per-round state the fixed job-scheduling
-    latency, not the data, is the round cost."""
+    preserves the fixed point.
+
+    r13: the INPUT vector is materialized (eager vocab-sized
+    checkpoint) instead of the output, because BOTH the stats subtree
+    (broadcast max|w|) and the projection reference ``w`` and Spark
+    does not dedupe shared subtrees — with a lazy input, every
+    reference re-executed the whole matvec, tripling the per-round
+    work across the two loop references.  The normalized output stays
+    a cheap projection over the leaf (re-running it per consumer is a
+    vocab-sized scan, not a matvec).  ``checkpoint`` retained for call
+    compatibility; it is now a no-op."""
+    w = w.localCheckpoint()
     stats = w.agg(
         F.greatest(F.max(F.abs(F.col("w"))), F.lit(1).cast("bigint")).alias("_mx")
     )
-    out = (
+    return (
         w.crossJoin(F.broadcast(stats))
         .selectExpr(
             "node",
@@ -945,7 +953,6 @@ def _shift_normalize(
         )
         .selectExpr("node", _fdiv("w", "_d") + " AS x")
     )
-    return out.localCheckpoint() if checkpoint else out
 
 
 def _matvec(m: DataFrame, v: DataFrame, n_v: int | None = None) -> DataFrame:
@@ -1046,8 +1053,17 @@ def ppmi_spectral_embeddings(
             f" div {1 << ppmi_downshift_bits}L AS m",
         )
         .filter(F.col("m") > 0)
-        .localCheckpoint()
+        # hash-layout by the matvec's OUTPUT key and persist (tracked):
+        # localCheckpoint would discard the partitioning (ExistingRDD ⇒
+        # UnknownPartitioning), while InMemoryTableScan preserves it, so
+        # all 13 matvec groupBy("center") aggregations run partial+final
+        # in ONE stage with no exchange — the matrix is shuffled exactly
+        # once, at build
+        .repartition("center")
     )
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    m = persist_tracked(m, level=_SER)
     vocab = m.select(F.col("center").alias("node")).distinct().localCheckpoint()
     n_vocab = vocab.count()  # cache-read job; drives the matvec broadcast
 

@@ -19,6 +19,32 @@ import math
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def _lit_vec(xs) -> F.Column:
+    """Literal array<double> parsed from ONE SQL expression string.
+
+    The per-element form ``F.array(*[F.lit(x) ...])`` pays one py4j
+    round-trip per element (~1 ms each): a k=8 × dim=64 centroid set
+    costs ~0.5 s of driver time PER k-means iteration just building
+    Python expression trees, measured r13.  Parsing a single expr
+    string is ~100× cheaper.  ``repr(float)`` round-trips IEEE doubles
+    exactly and Spark's SQL parser reads the shortest decimal form back
+    to the identical bits, so the literal VALUES are unchanged.
+    Non-finite values fall back to the per-element form (SQL literals
+    cannot spell inf/nan)."""
+    vals = [float(x) for x in xs]
+    if vals and all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def _pair_salt(parallelism: int, centroids_k: int) -> int:
+    """Deterministic sub-key count for CPU-dense intra-list pair joins:
+    ceil(4·parallelism / k), i.e. 1 (no salting, plan unchanged)
+    whenever the cluster count alone already saturates the cluster —
+    which auto-k guarantees at any real corpus size."""
+    return max(1, -(-4 * parallelism // max(1, centroids_k)))
+
+
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -45,7 +71,7 @@ def cosine_topk(
     compiles to TakeOrderedAndProject (per-partition heap + driver merge),
     so no full sort and no full shuffle even at 10^9 rows.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_vec(query_vec)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scored = embeddings.select(
         F.col(id_col),
@@ -69,7 +95,7 @@ def hyperplane_lsh_buckets(
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bits = [
         F.when(
-            _dot(cast, F.array(*[F.lit(float(x)) for x in p])) >= 0,
+            _dot(cast, _lit_vec(p)) >= 0,
             F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         for i, p in enumerate(planes)
@@ -213,7 +239,7 @@ def ivf_search(
     partition-pruned equi-join instead of a full pass. Top-k compiles to
     TakeOrderedAndProject.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_vec(query_vec)
 
     def d2(a: F.Column, b: F.Column) -> F.Column:
         # sequential fold in dim order — deterministic float summation
@@ -401,7 +427,7 @@ def kmeans_centroids(
     for _ in range(iters):
         cands = F.array(*[
             F.struct(
-                _fold_d2(F.col("_v"), F.array(*[F.lit(x) for x in cents[c]])).alias("d2"),
+                _fold_d2(F.col("_v"), _lit_vec(cents[c])).alias("d2"),
                 F.lit(c).alias("cluster"),
             )
             for c in sorted(cents)
@@ -443,7 +469,7 @@ def ivf_assign(
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cands = F.array(*[
         F.struct(
-            _fold_d2(cast, F.array(*[F.lit(float(x)) for x in r["centroid"]])).alias("d2"),
+            _fold_d2(cast, _lit_vec(r["centroid"])).alias("d2"),
             F.lit(int(r["cluster"])).alias("cluster"),
         )
         for r in rows
@@ -819,7 +845,7 @@ def two_level_search(
         embeddings, coarse, fine, k2, vec_col=vec_col, id_col=id_col,
         with_cell_sub=True,
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_vec(query_vec)
     cells = (
         coarse.select("cell", _fold_d2(q, F.col("_cc")).alias("qd2"))
         .orderBy("qd2", "cell")
@@ -1283,7 +1309,7 @@ def pca_power_projection(
             ]
 
     def _proj(v: list[float]):
-        varr = F.array(*[F.lit(x) for x in v])
+        varr = _lit_vec(v)
         return F.aggregate(
             F.sequence(F.lit(0), F.lit(d - 1)),
             F.lit(0.0),
@@ -1362,7 +1388,7 @@ def pq_train(
             sub = F.slice(F.col("_v"), j * ds + 1, ds)
             cands = F.array(*[
                 F.struct(
-                    _fold_d2(sub, F.array(*[F.lit(x) for x in cents[j][c]])).alias("d2"),
+                    _fold_d2(sub, _lit_vec(cents[j][c])).alias("d2"),
                     F.lit(c).alias("cluster"),
                 )
                 for c in sorted(cents[j])
@@ -1423,7 +1449,7 @@ def pq_encode(
         )
         cands = F.array(*[
             F.struct(
-                _fold_d2(sub, F.array(*[F.lit(v) for v in cb[j][c]])).alias("d2"),
+                _fold_d2(sub, _lit_vec(cb[j][c])).alias("d2"),
                 F.lit(c).alias("cluster"),
             )
             for c in sorted(cb[j])
@@ -1461,7 +1487,7 @@ def pq_adc_topk(
     """
     ds = len(codebooks.select("centroid").head()[0])
     qsub = F.slice(
-        F.array(*[F.lit(float(x)) for x in query_vec]),
+        _lit_vec(query_vec),
         F.col("subspace") * ds + 1,
         ds,
     )
@@ -1549,22 +1575,55 @@ def hard_negatives(
                                  vec_col=vec_col, id_col=id_col)
         asg = ivf_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # r13: norms are per-VECTOR quantities — compute them once here and
+    # carry them through the pair join instead of re-deriving both
+    # norms for every one of the Σ n_c² pairs (the division tree is
+    # unchanged, so the similarity values are bit-identical; this cuts
+    # 2/3 of the per-pair interpreted fold work)
     base = (
         embeddings.select(F.col(id_col), F.col(label_col), cast.alias("_v"))
         .join(asg.select(id_col, "cluster"), id_col)
+        .withColumn("_nrm", _norm(F.col("_v")))
     )
     a = base.select(
         F.col(id_col).alias("src"), F.col(label_col).alias("_la"),
         F.col("cluster").alias("_c"), F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
     b = base.select(
         F.col(id_col).alias("dst"), F.col(label_col).alias("_lb"),
         F.col("cluster").alias("_cb"), F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
-    pairs = a.join(
-        b, (F.col("_c") == F.col("_cb")) & (F.col("_la") != F.col("_lb"))
-    ).select(
-        "src", "dst", cosine_similarity(F.col("_va"), F.col("_vb")).alias("_sim")
+    # r13: the pair join's parallelism is bounded by the number of
+    # DISTINCT cluster ids, and its shuffle output is byte-light but
+    # CPU-dense, so AQE's byte-based coalescing squeezed it onto ~1
+    # task at the gate SFs (k=8 lists → one 450k-pair block on one
+    # core).  Salt the cluster key scale-adaptively: with auto-k,
+    # k ≥ defaultParallelism at any real corpus and salt resolves to 1
+    # (plan byte-identical to before); small fixed k splits each
+    # list's pair block across ~4·par deterministic sub-keys (guide
+    # §2.5 — deterministic salt, never rand()).  The b side is
+    # replicated salt× (list-sized), and the explicit fixed-N
+    # repartition is exactly the join's partitioning, so no extra
+    # exchange and AQE cannot re-coalesce it.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    salt = _pair_salt(par, centroids_k)
+    cond = (F.col("_c") == F.col("_cb")) & (F.col("_la") != F.col("_lb"))
+    if salt > 1:
+        a = a.withColumn(
+            "_sa", F.pmod(F.xxhash64(F.col("src")), F.lit(salt)).cast("int")
+        ).repartition(par, "_c", "_sa")
+        b = b.withColumn(
+            "_sb", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).repartition(par, "_cb", "_sb")
+        cond = cond & (F.col("_sa") == F.col("_sb"))
+    pairs = a.join(b, cond).select(
+        "src",
+        "dst",
+        (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+            "_sim"
+        ),
     )
     w = W.partitionBy("src").orderBy(F.desc("_sim"), F.col("dst"))
     return (
@@ -1605,7 +1664,7 @@ def mmr_select(
     at 6dp BEFORE comparisons, with (score DESC, id ASC) tie-break —
     both engines argmax on the same rounded grid.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_vec(query_vec)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     pool = embeddings.select(
         F.col(id_col),

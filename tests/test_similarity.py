@@ -585,6 +585,25 @@ def test_hard_negatives_auto_k_bounds_list_size(spark):
         assert labels[r.src] != labels[r.dst]
 
 
+def test_hard_negatives_salt_is_cost_only(spark, monkeypatch):
+    """r13 optimization: small-k pair joins salt the cluster key
+    (scale-adaptively; auto-k corpora resolve to salt=1) so the
+    CPU-dense pair block parallelizes.  The salt must be COST-ONLY:
+    forcing salt=1 by pretending 1 core must reproduce the salted
+    path's negatives exactly (same pairs, same similarities)."""
+    from pyspark.sql import Row
+    from meerpipe_spark.operators import similarity as S
+
+    rows = [Row(vec_id=i, embedding=[float((i * 13 + d * 7) % 50) for d in range(8)],
+                label=i % 4) for i in range(600)]
+    emb = spark.createDataFrame(rows)
+    salted = sorted(map(tuple, S.hard_negatives(emb, centroids_k=8).collect()))
+    assert S._pair_salt(spark.sparkContext.defaultParallelism, 8) > 1  # salted ran
+    monkeypatch.setattr(S, "_pair_salt", lambda par, k: 1)
+    unsalted = sorted(map(tuple, S.hard_negatives(emb, centroids_k=8).collect()))
+    assert salted == unsalted
+
+
 def test_mmr_select_diversifies(spark, sf_dir):
     """MMR property checks: step 1 is the plain relevance argmax; no
     vector is selected twice; and with lambda=0 the selection after the

@@ -155,19 +155,34 @@ def entity_match_deletion_join(
     # candidate pair that the Levenshtein verify removes — exactness is
     # unaffected
     variants = variants.select("id", "name", F.xxhash64("variant").alias("vh"))
+    # r13: an unsplittable single-file scan leaves the whole candidate
+    # chain on one task locally (the variant join is a broadcast probe,
+    # so it inherits scan parallelism) — repartition ONLY when the scan
+    # is under-parallel (guide §2.5 input-skew remedy; a no-op at scale
+    # where the scan already has >= cluster-parallelism splits)
+    par = records.sparkSession.sparkContext.defaultParallelism
+    if variants.rdd.getNumPartitions() < par:
+        variants = variants.repartition(par)
     a = variants.select(
         F.col("id").alias("id_a"), F.col("name").alias("name_a"), "vh"
     )
     b = variants.select(
         F.col("id").alias("id_b"), F.col("name").alias("name_b"), "vh"
     )
+    # r13: Levenshtein-verify BEFORE the distinct — distance is a pure
+    # function of the names, so filter-then-distinct is row-identical
+    # to distinct-then-filter, but the dedup exchange now carries only
+    # the true near-dup pairs instead of every variant-collision
+    # candidate (956k candidate rows vs ~handfuls of survivors at
+    # sf0.1).  threshold=1 makes each verify early-exit (-1 when the
+    # distance exceeds it — same kept set, same kept values).
     return (
         a.join(b, "vh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
+        .withColumn("distance", F.levenshtein("name_a", "name_b", 1))
+        .filter(F.col("distance") >= 0)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
         .distinct()
-        .withColumn("distance", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("distance") <= 1)
     )
 
 

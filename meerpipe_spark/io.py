@@ -87,6 +87,21 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
 _TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when ``df`` has fewer partitions
+    than the cluster's default parallelism — the guide-§2.5 remedy for
+    an unsplittable input (single-row-group parquet, gzip) feeding
+    CPU-dense per-row work, which otherwise runs the whole chain on
+    one task.  Strictly a no-op at scale, where any real scan already
+    carries >= cluster-parallelism splits; call it at the input edge of
+    operators whose per-row cost (ngram explode, edit-distance verify,
+    per-pair folds) dwarfs their scan bytes."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     try:
         key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))

@@ -94,6 +94,9 @@ def bigram_lm_score(
     itself, so AQE's skew split handles the head; no row ever carries
     text longer than one bigram.
     """
+    from meerpipe_spark.io import spread_small_scan
+
+    docs = spread_small_scan(docs)  # bigram build + scoring join are CPU-dense
     words = F.split(F.col(text_col), " ")
     k = F.size(words) - 1
     bigrams = F.when(

@@ -232,6 +232,9 @@ def cdc_chunks(
     scan, start/end zip, chunk slice) — zero shuffle, codegen'd; same
     scale anatomy as chunk_documents.
     """
+    from meerpipe_spark.io import spread_small_scan
+
+    docs = spread_small_scan(docs)  # md5-per-word scan is CPU-dense
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     ctx = lambda i: F.concat_ws(" ", F.slice(words, i - window + 1, window))  # noqa: E731
@@ -328,8 +331,12 @@ def bigram_perplexity(
     uni = docs.select(F.explode(words).alias("w"))
     c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
     v = c1.count()
+    from meerpipe_spark.io import spread_small_scan
+
+    # spread the PROBE side only (join + log per bigram position is the
+    # CPU-dense pass; the c2/c1 count builds stay on the cheap scan)
     scored = (
-        bg.join(c2, "bg")
+        spread_small_scan(bg).join(c2, "bg")
         .join(c1, F.col("w1") == F.col("w"))
         .withColumn(
             "logp",
@@ -443,6 +450,10 @@ def nb_langid_confusion(
     lang ascending via struct-min — so the argmax, and therefore the
     confusion matrix, is engine-exact.
     """
+    # NOTE r13: spread_small_scan was tried here and REVERTED — ``wl``
+    # has four consumers (cwl/totl/vocab/scored), each of which
+    # re-executes the lineage, so the conditional repartition exchange
+    # ran 4× and measured 2.8 → 3.4 s net slower.
     words = F.split(F.col(text_col), " ")
     wl = docs.select(
         F.col(id_col), F.col(lang_col), F.posexplode(words).alias("pos", "w")
@@ -511,6 +522,9 @@ def nb_langid_confusion(
 def _bigram_pairs(docs: DataFrame, text_col: str, id_col: str | None = None) -> DataFrame:
     """(w1, w2) per bigram POSITION (with doc id + position when
     ``id_col`` is given — needed for the ordered per-doc fold)."""
+    from meerpipe_spark.io import spread_small_scan
+
+    docs = spread_small_scan(docs)
     words = F.split(F.col(text_col), " ")
     k = F.size(words) - 1
     pairs = F.when(
@@ -665,6 +679,9 @@ def _trigram_triples(
 ) -> DataFrame:
     """(w1, w2, w3) per trigram POSITION (with doc id + position when
     ``id_col`` is given) — the order-3 twin of ``_bigram_pairs``."""
+    from meerpipe_spark.io import spread_small_scan
+
+    docs = spread_small_scan(docs)
     words = F.split(F.col(text_col), " ")
     k = F.size(words) - 2
     triples = F.when(

@@ -14788,9 +14788,13 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=False,
 )
 def heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerpipe_spark.io import spread_small_scan
     from meerpipe_spark.operators.frequent import heavy_hitters
 
-    docs = load_tables(spark, sf_dir)["documents"]
+    # spread the doc scan (CPU-dense bigram build runs twice: MG pass +
+    # exact verify); MG summaries vary with partitioning but the output
+    # is decided by exact verified counts, so results are invariant
+    docs = spread_small_scan(load_tables(spark, sf_dir)["documents"])
     words = F.split(F.col("text"), " ")
     kb = F.size(words) - 1
     bigrams = F.when(

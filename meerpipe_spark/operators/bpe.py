@@ -108,7 +108,14 @@ def bpe_train(docs: DataFrame, steps: int = 8, text_col: str = "text") -> DataFr
     growth stays linear in k (a fully lazy chain doubles the plan per
     step: the argmax subtree appears on both sides of the join) and
     nothing bigger than the winner ever reaches the driver."""
-    words = persist_tracked(word_counts(docs, text_col))
+    # r13: pin the cached vocab table at defaultParallelism partitions
+    # (explicit fixed-N repartition — AQE's byte-based coalescing would
+    # otherwise cache the tiny-but-CPU-dense table on ONE partition and
+    # serialize every merge step's interpreted fold + pair count).
+    # Vocabulary-sized at any corpus, and the winner argmax is a
+    # struct-min over exact counts, so partitioning cannot change it.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    words = persist_tracked(word_counts(docs, text_col).repartition(par))
     rows: list[tuple[int, str, str, int]] = []
     for step in range(1, steps + 1):
         got = _best_pair(words).collect()

@@ -6826,7 +6826,9 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, cbs)
     q = [float(x) for x in emb.orderBy("vec_id").select("embedding").head()[0]]
     top = pq_adc_topk(codes, cbs, q, k=10)
-    qlit = F.array(*[F.lit(x) for x in q])
+    from meerpipe_spark.operators.similarity import _lit_vec
+
+    qlit = _lit_vec(q)
     vecs = emb.select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),

@@ -30,11 +30,39 @@ Scale shape — exactly how production ALS runs on a thousand executors:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 _D = "double"
+
+#: r13 (guide §3.1): the half-round joins ratings ⋈ factors hang off
+#: lazily-checkpointed leaves that carry NO size statistics, so the
+#: planner ran every one as a SortMergeJoin — a full exchange of the
+#: FACT table per half-round (6 per fit + 2 more in the RMSE pass).
+#: The factor frames are entity-sized (5–10 doubles per distinct user
+#: or item) and their cardinality is fixed across rounds, so one count
+#: per entity class gives the planner the decision AQE would make with
+#: statistics: BROADCAST the factor side while it fits the ceiling,
+#: byte-identical shuffle plan above it (100 TB-scale entity sets keep
+#: the relational plan). Same pattern and envelope as graph.py /
+#: ranking.py; override per deployment via SPARK_GRAFT_ALS_BCAST_MAX_ROWS.
+_BCAST_FACTOR_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_ALS_BCAST_MAX_ROWS", "4000000")
+)
+
+
+def _bcast_small(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint ``df`` when its KNOWN row count fits the ceiling;
+    strict no-op above it. Cost-only: the per-entity solves are pure
+    functions of per-entity sufficient statistics, so join strategy
+    cannot change values (re-verified against the unrolled DuckDB
+    oracle at sf0.01/sf0.1)."""
+    if n_rows is not None and n_rows <= _BCAST_FACTOR_MAX_ROWS:
+        return df.hint("BROADCAST")
+    return df
 
 
 def _solve2(a11, a12, a22, b1, b2, reg: float):
@@ -80,10 +108,16 @@ def als_rank2(
         (F.lit(1.0) + (F.col("i") % 7).cast(_D) * F.lit(0.1)).alias("q1"),
         (F.lit(1.0) - (F.col("i") % 5).cast(_D) * F.lit(0.1)).alias("q2"),
     ).localCheckpoint(eager=False)
+    # entity cardinalities are FIXED across rounds (every rated item /
+    # user re-appears each half-round), so one count per class feeds
+    # every round's broadcast decision; the count materializes the
+    # checkpoint the next join needs anyway
+    n_i = itemf.count()
+    n_u = None
     userf = None
     for _ in range(iters):
         ua = (
-            rat.join(itemf, "i")
+            rat.join(_bcast_small(itemf, n_i), "i")
             .groupBy("u")
             .agg(
                 F.sum(F.col("q1") * F.col("q1")).alias("a11"),
@@ -99,8 +133,10 @@ def als_rank2(
         userf = ua.select("u", p1.alias("p1"), p2.alias("p2")).localCheckpoint(
             eager=False
         )
+        if n_u is None:
+            n_u = userf.count()
         ia = (
-            rat.join(userf, "u")
+            rat.join(_bcast_small(userf, n_u), "u")
             .groupBy("i")
             .agg(
                 F.sum(F.col("p1") * F.col("p1")).alias("a11"),
@@ -116,7 +152,10 @@ def als_rank2(
         itemf = ia.select("i", q1.alias("q1"), q2.alias("q2")).localCheckpoint(
             eager=False
         )
-    return userf, itemf
+    # return the frames pre-hinted: every downstream consumer join
+    # (RMSE pass, segment rollup) makes the same entity-sized-vs-fact
+    # decision without re-counting; strict no-op above the ceiling
+    return _bcast_small(userf, n_u), _bcast_small(itemf, n_i)
 
 
 def als_rmse(
@@ -193,12 +232,14 @@ def _solve_k_udf(k: int, reg: float):
 
 def _half_step_k(
     rat: DataFrame, factors: DataFrame, join_key: str, out_key: str,
-    k: int, solve,
+    k: int, solve, n_factors: int | None = None,
 ) -> DataFrame:
     """One ALS half-round at rank k: fact-sized equi-join, map-side-
     combined aggregation to k(k+1)/2 + k doubles per entity, then the
-    entity-sized batched solve."""
-    j = rat.join(factors, join_key)
+    entity-sized batched solve. ``n_factors`` (the factor frame's known
+    row count) lets the join broadcast the entity-sized side instead of
+    shuffling the fact table (r13, guide §3.1)."""
+    j = rat.join(_bcast_small(factors, n_factors), join_key)
     aggs = [
         F.sum(F.col("q")[a] * F.col("q")[b]).alias(f"s_{a}_{b}")
         for a in range(k)
@@ -253,13 +294,17 @@ def als_rank_k(
     itemf = rat.select("i").distinct().select(
         "i", F.array(*[_init_expr(F.col("i"), f) for f in range(k)]).alias("q")
     ).localCheckpoint(eager=False)
+    n_i = itemf.count()
+    n_u = None
     userf = None
     for _ in range(iters):
-        userf = _half_step_k(rat, itemf, "i", "u", k, solve)
-        itemf = _half_step_k(rat, userf, "u", "i", k, solve)
+        userf = _half_step_k(rat, itemf, "i", "u", k, solve, n_i)
+        if n_u is None:
+            n_u = userf.count()
+        itemf = _half_step_k(rat, userf, "u", "i", k, solve, n_u)
     return (
-        userf.withColumnRenamed("q", "p"),
-        itemf,
+        _bcast_small(userf.withColumnRenamed("q", "p"), n_u),
+        _bcast_small(itemf, n_i),
     )
 
 

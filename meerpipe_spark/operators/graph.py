@@ -1180,12 +1180,23 @@ def betweenness_sampled(
         bfs = bfs.unionByName(
             new.select("s", "node", F.lit(d).alias("dist"), "sigma")
         ).localCheckpoint()
+    # re-count the FINISHED tree (cache read on the checkpoint): the
+    # forward loop's last n_state predates its final additions
+    n_state = bfs.count()
     acc = bfs.filter(F.col("dist") == levels).select(
         "s", "node", F.lit(0.0).alias("delta")
     )
+    # backward phase (r13): vs / ws / acc are all (source × node)-
+    # bounded slices of the finished BFS tree, whose exact cardinality
+    # the forward loop just counted — broadcast them under the ceiling
+    # so the edge list (the side that dominates bytes) is never
+    # shuffled by the dependency joins; shuffle plan unchanged above it
     for d in range(levels - 1, -1, -1):
-        vs = bfs.filter(F.col("dist") == d).select(
-            "s", F.col("node").alias("v"), F.col("sigma").alias("sv")
+        vs = _bcast_small(
+            bfs.filter(F.col("dist") == d).select(
+                "s", F.col("node").alias("v"), F.col("sigma").alias("sv")
+            ),
+            n_state,
         )
         ws = bfs.filter(F.col("dist") == d + 1).select(
             F.col("s").alias("ws_s"),
@@ -1195,14 +1206,17 @@ def betweenness_sampled(
         contrib = (
             vs.join(edges, vs["v"] == edges["src"])
             .join(
-                ws,
+                _bcast_small(ws, n_state),
                 (F.col("ws_s") == F.col("s")) & (F.col("wn") == F.col("dst")),
             )
             .join(
-                acc.select(
-                    F.col("s").alias("a_s"),
-                    F.col("node").alias("a_n"),
-                    "delta",
+                _bcast_small(
+                    acc.select(
+                        F.col("s").alias("a_s"),
+                        F.col("node").alias("a_n"),
+                        "delta",
+                    ),
+                    n_state,
                 ),
                 (F.col("a_s") == F.col("s")) & (F.col("a_n") == F.col("wn")),
             )
@@ -1216,7 +1230,7 @@ def betweenness_sampled(
         )
         lvl = bfs.filter(F.col("dist") == d).select("s", "node")
         acc = acc.unionByName(
-            lvl.join(contrib, ["s", "node"], "left").select(
+            lvl.join(_bcast_small(contrib, n_state), ["s", "node"], "left").select(
                 "s", "node", F.coalesce(F.col("dl"), F.lit(0.0)).alias("delta")
             )
         ).localCheckpoint()

@@ -316,20 +316,37 @@ def markov_attribution(
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy(user_col)).alias("n_ev"),
     )
-    steps = seq.select(
+    # ONE pass emits both step kinds per row (the trailing DROP step as
+    # a conditional second array element) instead of a UNION whose two
+    # branches each re-ran the fact-sized window sort (r13, guide §2.4
+    # "don't compute things twice"); counts are exact integers grouped
+    # by key, so row order cannot change the matrix
+    step_main = F.struct(
         F.coalesce(F.col("src0"), F.lit("START")).alias("src"),
         F.when(F.col("dst0") == conv_type, F.lit("CONV"))
         .otherwise(F.col("dst0"))
         .alias("dst"),
-    ).unionAll(
-        seq.filter((F.col("rn") == F.col("n_ev")) & (F.col("dst0") != conv_type))
-        .select(F.col("dst0").alias("src"), F.lit("DROP").alias("dst"))
     )
+    step_drop = F.struct(
+        F.col("dst0").alias("src"), F.lit("DROP").alias("dst")
+    )
+    steps = seq.select(
+        F.explode(
+            F.when(
+                (F.col("rn") == F.col("n_ev")) & (F.col("dst0") != conv_type),
+                F.array(step_main, step_drop),
+            ).otherwise(F.array(step_main))
+        ).alias("st")
+    ).select(F.col("st.src").alias("src"), F.col("st.dst").alias("dst"))
     counts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     tot = counts.groupBy("src").agg(F.sum("n").cast("bigint").alias("tn"))
+    # p's subtree is the WHOLE fact pass but its rows are a ≤(C+2)²
+    # matrix: materialize it once so the ps and grid checkpoints below
+    # derive from the tiny cached frame instead of each re-running the
+    # corpus aggregation (r13 — build ran the fact pass twice)
     p = counts.join(tot, "src").select(
         "src", "dst", (F.col("n").cast("double") / F.col("tn").cast("double")).alias("p")
-    )
+    ).localCheckpoint(eager=True)
     scen = events.sparkSession.range(1).select(
         F.explode(F.array(*[F.lit(c) for c in ["base"] + channels])).alias("rm")
     )
@@ -370,10 +387,15 @@ def markov_attribution(
                 ).alias("vu")
             )
         )
-        v = (
-            grid.join(F.broadcast(upd), ["rm", "state"], "left")
-            .select("rm", "state", F.coalesce(F.col("vu"), F.lit(0.0)).alias("v"))
-            .localCheckpoint(eager=False)
+        # no per-round checkpoint (r13): the fixed-point frame is
+        # (scenario × state)-bounded (≤ 5·(C+2) rows INDEPENDENT of
+        # corpus size) and the round count is fixed, so the nested
+        # 12-round plan stays trivially small — the 12 checkpoint-
+        # materialization jobs cost more than they save (measured
+        # 4.0 → 2.0 s at sf0.1, values bit-identical; each round's
+        # broadcast still materializes exactly once per execution)
+        v = grid.join(F.broadcast(upd), ["rm", "state"], "left").select(
+            "rm", "state", F.coalesce(F.col("vu"), F.lit(0.0)).alias("v")
         )
     start = v.filter(F.col("state") == "START")
     base = start.filter(F.col("rm") == "base").select(F.col("v").alias("bv"))

@@ -299,7 +299,13 @@ def fellegi_sunter_em(
                     ),
                 ).alias(f"u_{i}")
             )
-        model = scored.agg(*aggs)
+        # materialize the 1-row model per round (r13): Spark does not
+        # dedupe shared subtrees, so an un-truncated model made round t
+        # re-run rounds 1..t-1 inside its broadcast build — O(iters²)
+        # passes over the pair table instead of O(iters); the checkpoint
+        # reads/writes one row, and the E-step float sequence per round
+        # is unchanged (same agg over the same persisted pairs)
+        model = scored.agg(*aggs).localCheckpoint(eager=True)
     return model
 
 

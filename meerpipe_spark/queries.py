@@ -9873,9 +9873,17 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the shingle table feeds THREE consumers (benchmark set,
     # contamination probe, near-dup edges) — Spark re-evaluates branch
-    # subtrees, so persist it once (vocab-of-docs sized)
+    # subtrees, so persist it once (vocab-of-docs sized); spread the
+    # unsplittable single-row-group scan BEFORE the CPU-dense shingle
+    # split so the one materialization runs cluster-wide (r13, guide
+    # §2.5 input skew — no-op at scale, and safe here because the
+    # exchange runs once INTO the persist, not per consumer)
+    from meerpipe_spark.io import spread_small_scan
+
     allsh = persist_tracked(
-        docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+        spread_small_scan(docs.select("doc_id", "text")).select(
+            "doc_id", shingles(F.col("text"), 3).alias("sh")
+        )
     )
     bench_sh = (
         allsh.filter(F.col("doc_id") % 100 == 0)

@@ -397,6 +397,12 @@ def markov_attribution(
         v = grid.join(F.broadcast(upd), ["rm", "state"], "left").select(
             "rm", "state", F.coalesce(F.col("vu"), F.lit(0.0)).alias("v")
         )
+    # NOTE (r13, honest negative): checkpointing the final fixed point
+    # (so the 3 output references — base / removal rows / normalizer —
+    # stop re-executing the round chain) measured 5.1 s vs 1.5 s
+    # WITHOUT it: Dataset.localCheckpoint plans the nested 12-round
+    # tree up front, and that planning costs more than 3 re-executions
+    # of a ≤35-row chain ever will. Left un-truncated deliberately.
     start = v.filter(F.col("state") == "START")
     base = start.filter(F.col("rm") == "base").select(F.col("v").alias("bv"))
     rem = start.filter(F.col("rm") != "base").select(

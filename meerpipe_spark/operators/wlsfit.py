@@ -230,7 +230,15 @@ def huber_line_fit(
             F.sum(F.col("w") * F.col("x") * F.col("y")).alias("sxy"),
         )
 
-    beta = solve(sums(pts.select(*gb, "x", "y", F.lit(1.0).alias("w"))))
+    # materialize each group-sized coefficient frame (r13): the output
+    # tail references ols, the final beta AND the diagnostics, and Spark
+    # does not dedupe shared subtrees — un-truncated, the ols leg re-ran
+    # pass 1 and the diag leg re-ran the whole IRLS nest, 8 passes over
+    # pts instead of iters+1; each checkpoint reads/writes ≤ group-count
+    # rows and leaves the per-pass float sequence untouched
+    beta = solve(
+        sums(pts.select(*gb, "x", "y", F.lit(1.0).alias("w")))
+    ).localCheckpoint(eager=True)
     ols = beta
     r_abs = F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
     w_col = F.when(r_abs <= F.lit(delta), F.lit(1.0)).otherwise(
@@ -238,7 +246,9 @@ def huber_line_fit(
     )
     for _ in range(iters - 1):
         joined = pts.join(F.broadcast(beta), gb)
-        beta = solve(sums(joined.select(*gb, "x", "y", w_col.alias("w"))))
+        beta = solve(
+            sums(joined.select(*gb, "x", "y", w_col.alias("w")))
+        ).localCheckpoint(eager=True)
     diag = (
         pts.join(F.broadcast(beta), gb)
         .select(*gb, w_col.alias("w"))

@@ -5407,7 +5407,15 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.sketches import hll_distinct
 
     docs = load_tables(spark, sf_dir)["documents"]
-    sh = docs.select("source", F.explode(shingles(F.col("text"), 3)).alias("s"))
+    # spread the unsplittable scan before the CPU-dense shingle explode
+    # + per-shingle md5 work (r13, guide §2.5): BOTH consumers (sketch +
+    # exact twin) re-execute this subtree, and each was serialized on
+    # the single-row-group scan task (count 3.1 -> 1.8 s; no-op at scale)
+    from meerpipe_spark.io import spread_small_scan
+
+    sh = spread_small_scan(docs.select("source", "text")).select(
+        "source", F.explode(shingles(F.col("text"), 3)).alias("s")
+    )
     est = hll_distinct(sh, ["source"], "s", p=10)
     exact = sh.groupBy("source").agg(
         F.countDistinct("s").cast("bigint").alias("exact_distinct")
@@ -5470,8 +5478,14 @@ def bloom_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     # per-doc distinct is MAP-SIDE (array_distinct before the explode) —
-    # no corpus-wide distinct shuffle; only the tiny bench slice pays one
-    sh = docs.select(
+    # no corpus-wide distinct shuffle; only the tiny bench slice pays one.
+    # spread the unsplittable scan first (r13, guide §2.5): three
+    # consumers (bench build, bitset, probe) each re-run this CPU-dense
+    # shingle+md5 subtree serialized on one task (3.2 -> 2.0 s;
+    # no-op at scale)
+    from meerpipe_spark.io import spread_small_scan
+
+    sh = spread_small_scan(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("s")
     )
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()

@@ -3103,21 +3103,36 @@ def _md5_band_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, band_id, bh) over 16 md5 MinHash lanes / 4 bands — the
     cross-engine-checkable band table shared by the one-shot and the
     incremental LSH lanes."""
+    from meerpipe_spark.io import spread_small_scan
     from meerpipe_spark.operators.dedup import shingles
 
-    sh = docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
+    # r13 (guide §2.5 + §2.4): spread the unsplittable documents scan
+    # before the CPU-dense shingle explode + 16 md5-min folds (the
+    # single-row-group testdata parquet otherwise serializes the whole
+    # signature build on one task; strict no-op at scale), and emit the
+    # 4 band rows by exploding an array of structs in ONE pass over the
+    # signature table instead of a 4-branch union that re-plans (and
+    # without stage reuse re-executes) the aggregation per band. Band
+    # hashes and row set are byte-identical: min() is an order-free
+    # exact aggregate and the explode emits the same 4 rows per doc.
+    sh = spread_small_scan(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("s")
+    )
     lanes = sh.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}") for j in range(16)]
     )
-    bands = None
-    for b in range(4):
-        part = lanes.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(*[F.col(f"h{4 * b + i}") for i in range(4)])).alias("bh"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    return bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat(*[F.col(f"h{4 * b + i}") for i in range(4)])).alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+    return lanes.select(
+        "doc_id", F.explode(band_structs).alias("_b")
+    ).select("doc_id", F.col("_b.band_id").alias("band_id"), F.col("_b.bh").alias("bh"))
 
 
 @_register(
@@ -3163,8 +3178,15 @@ def minhash_lsh_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerpipe_spark.operators.dedup import lsh_probe_pairs
 
     docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
-    wave1 = _md5_band_frame(docs.filter(F.col("doc_id") < 150))
-    wave2 = _md5_band_frame(docs.filter(F.col("doc_id") >= 150))
+    # r13 (guide §5 caching-for-reuse): each wave's band table is read
+    # by multiple probe subtrees (wave1: its own self-join plus the
+    # accumulated side AND the hot-bucket count of p2), and without
+    # truncation every reference re-runs the shingle+16-md5 signature
+    # build. The band table is 4 rows/doc — the materialized form is
+    # far smaller than the work it de-duplicates (A/B 1.49 -> 1.36 s
+    # locally; at scale the signature build is fact-sized).
+    wave1 = _md5_band_frame(docs.filter(F.col("doc_id") < 150)).localCheckpoint(eager=True)
+    wave2 = _md5_band_frame(docs.filter(F.col("doc_id") >= 150)).localCheckpoint(eager=True)
     p1 = lsh_probe_pairs(None, wave1, max_bucket_size=None)
     p2 = lsh_probe_pairs(wave1, wave2, max_bucket_size=None)
     return p1.unionByName(p2).distinct()
@@ -9258,7 +9280,14 @@ def audio_frame_features_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
     pp = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = pp.select("l_orderkey").distinct().count()
+    # r13 (guide §5 "no driver loops in query paths"): the basket count
+    # used to be a driver-side pp.distinct().count() — a full extra
+    # fact pass executed at BUILD time on every invocation. It is now a
+    # 1-row aggregate cross-joined onto the 20-row top frame, so the
+    # pass runs inside the single job and AQE stage reuse shares pp's
+    # dedup exchange with the item/pair subtrees. Same exact value,
+    # same float division (bigint -> double cast on both sides).
+    nord = pp.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_ord"))
     item = pp.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
@@ -9277,16 +9306,19 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumnRenamed("c", "pair_count")
         .join(F.broadcast(ia), "pa")
         .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(nord))
         .select(
             "pa",
             "pb",
             "pair_count",
-            F.round(F.col("pair_count") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(
+                F.col("pair_count") / F.col("n_ord").cast("double"), 6
+            ).alias("support"),
             F.round(F.col("pair_count") / F.col("ca").cast("double"), 6).alias(
                 "confidence_a_b"
             ),
             F.round(
-                (F.col("pair_count") * F.lit(n_orders))
+                (F.col("pair_count") * F.col("n_ord"))
                 / (F.col("ca").cast("double") * F.col("cb")),
                 6,
             ).alias("lift"),
@@ -13102,15 +13134,30 @@ def rm_synthesis_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cos(F.lit(2.0) * theta).alias("q"),
         F.sin(F.lit(2.0) * theta).alias("u"),
     )
-    nch = meas.groupBy("obs").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # r13 (guide §2.3 "shuffle fewer bytes" / §2.4): the Burn transform
+    # kernel cos/sin(2·φ·λ²) depends only on (φ, λ²) and λ² takes 64
+    # distinct values (k % 64), so sum the Stokes vectors per (obs, λ²)
+    # FIRST and run the φ-grid cross join on the 5×64-row summary —
+    # one plain fact aggregation instead of a 51×-row explode of the
+    # fact with 4 trig calls per exploded row. nch and fd both hang off
+    # the same aggregation subtree; ReuseExchange dedupes the fact pass
+    # (verified in the captured plan — an eager localCheckpoint here
+    # measured SLOWER: it moves the same pass to build time and adds a
+    # materialization job).
+    pre = meas.groupBy("obs", "l2").agg(
+        F.sum("q").alias("sq"),
+        F.sum("u").alias("su"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    nch = pre.groupBy("obs").agg(F.sum("cnt").cast("bigint").alias("n"))
     grid = spark.range(-50, 51, 2).select(F.col("id").cast("double").alias("phi"))
     arg = F.lit(2.0) * F.col("phi") * F.col("l2")
     fd = (
-        meas.crossJoin(F.broadcast(grid))
+        pre.crossJoin(F.broadcast(grid))
         .groupBy("obs", "phi")
         .agg(
-            F.sum(F.col("q") * F.cos(arg) + F.col("u") * F.sin(arg)).alias("re"),
-            F.sum(F.col("u") * F.cos(arg) - F.col("q") * F.sin(arg)).alias("im"),
+            F.sum(F.col("sq") * F.cos(arg) + F.col("su") * F.sin(arg)).alias("re"),
+            F.sum(F.col("su") * F.cos(arg) - F.col("sq") * F.sin(arg)).alias("im"),
         )
     )
     amp = fd.join(F.broadcast(nch), "obs").select(
@@ -13120,10 +13167,13 @@ def rm_synthesis_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("obs").orderBy(F.col("a").desc(), "phi")
     best = amp.select("*", F.row_number().over(w).alias("rn")).filter(F.col("rn") == 1)
+    # r13: both non-grid joins carry obs-bounded frames (<= 5 and
+    # 5x51 rows) that the planner was sort-merge-joining off the
+    # windowed aggregation output (no size stats) — broadcast them.
     side = (
         amp.alias("a2")
         .join(
-            best.alias("b"),
+            F.broadcast(best.alias("b")),
             (F.col("a2.obs") == F.col("b.obs"))
             & (F.abs(F.col("a2.phi") - F.col("b.phi")) > 20),
         )
@@ -13132,7 +13182,7 @@ def rm_synthesis_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         best.select("obs", F.col("phi").cast("int").alias("rm_peak"), F.round("a", 6).alias("peak_amp"))
-        .join(side, "obs")
+        .join(F.broadcast(side), "obs")
     )
 
 
@@ -13266,12 +13316,21 @@ def rm_refine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = spark.range(-50, 51, 2).select(F.col("id").cast("double").alias("phi"))
     arg = F.lit(2.0) * F.col("phi") * F.col("l2")
+    # r13 (guide §2.3/§2.4, same rewrite as rm_synthesis_spectrum): the
+    # transform kernel depends only on (φ, λ²) with 64 distinct λ²
+    # values, so the coarse search sums Stokes per (obs, λ²) first and
+    # cross-joins the φ grid against the 5×64-row summary instead of
+    # exploding the fact 51×. The refine pass below still reads the
+    # full channel set (it needs per-channel PA residuals).
+    pre = meas.groupBy("obs", "l2").agg(
+        F.sum("q").alias("sq"), F.sum("u").alias("su")
+    )
     fd = (
-        meas.crossJoin(F.broadcast(grid))
+        pre.crossJoin(F.broadcast(grid))
         .groupBy("obs", "phi")
         .agg(
-            F.sum(F.col("q") * F.cos(arg) + F.col("u") * F.sin(arg)).alias("re"),
-            F.sum(F.col("u") * F.cos(arg) - F.col("q") * F.sin(arg)).alias("im"),
+            F.sum(F.col("sq") * F.cos(arg) + F.col("su") * F.sin(arg)).alias("re"),
+            F.sum(F.col("su") * F.cos(arg) - F.col("sq") * F.sin(arg)).alias("im"),
         )
     )
     wseq = W.partitionBy("obs").orderBy(

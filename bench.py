@@ -78,71 +78,90 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # gives >=3x headroom over the fresh-session idle minima observed
 # across both sessions (2*anchor >= 3*idle_min), while still far below
 # any real plan regression (these lanes going multi-second).
+# R13 SYSTEMATIC RE-PIN (VERDICT r12 item 1 — every sub-1.0s anchor,
+# not just each round's flagged instances): tools/anchor_audit.py timed
+# all 48 sub-1.0s-anchor lanes in FRESH sessions (no warmup query,
+# best-of-5, tracked caches released between lanes, calibration
+# bracketed) twice on an idle box (loadavg<=2.05 at session end,
+# cal_after 0.099/0.122 vs the 0.149 anchor — ANCHOR_AUDIT_r13.jsonl
+# rows 2-3; row 1 is a rejected loaded-box session, loadavg 3.46).
+# 34/48 anchors sat under 1.5x their fresh-idle minimum — the exact
+# geometry behind the r10-r12 false-flag streak (a fresh driver
+# session reads these lanes 1.3-2.5x above a warmed-session anchor
+# BEFORE any load noise). Each was re-pinned to exactly
+# 1.5 * fresh_idle_min — the TIGHTEST value satisfying the headroom
+# rule (2*anchor >= 3*idle_min), deliberately not looser (r12 ADVICE:
+# gate sensitivity matters); per-lane minima are in the jsonl. The 14
+# that already had headroom keep their old anchors. Multi-second lanes
+# (>=1.0s anchors) are excluded: the 0.5s absolute-slack floor plus
+# the 2x ratio already dominates fresh-vs-warm deltas there, and the
+# frozen-checkout interleaved A/B (tools/ab_bench.py) remains the
+# authoritative regression signal for them.
 ANCHORS: dict[str, float] = {
     "als_factorization": 4.458,
     "asof_join_events": 1.05,
     "association_rules_parts": 1.888,
-    "astro_coords": 0.335,
-    "audio_frame_features_pcm": 0.423,
+    "astro_coords": 0.399,
+    "audio_frame_features_pcm": 0.588,
     "betweenness_sampled_parts": 8.491,
     "bigram_perplexity_docs": 4.025,
     "binned_interval_join": 1.1,
     "bloom_contamination_check": 2.169,
     "bpe_train_merges": 3.022,
-    "brand_trend_ols": 0.78,
+    "brand_trend_ols": 1.063,
     "bucketed_colocated_join": 1.0,
     "cdc_chunks_docs": 2.112,
-    "cohort_retention_weekly": 0.395,
-    "cooccurrence_pmi": 0.462,
+    "cohort_retention_weekly": 0.736,
+    "cooccurrence_pmi": 1.152,
     "corpus_build_e2e": 5.39,
     "cosine_topk": 0.404,
-    "cumulative_revenue": 0.119,
+    "cumulative_revenue": 0.124,
     "decision_tree_quality": 1.798,
     "dedup_exact": 0.234,
     "delay_rules_engine": 0.195,
-    "dm_fit_operator": 0.453,
-    "doc_chunks": 0.223,
-    "duplicate_spans_docs": 0.29,
-    "dynspec_acf_2d": 0.849,
+    "dm_fit_operator": 0.566,
+    "doc_chunks": 0.317,
+    "duplicate_spans_docs": 0.367,
+    "dynspec_acf_2d": 0.882,
     "embedding_near_dup": 1.85,
     "entity_match_customers": 5.225,
-    "event_transitions": 0.454,
+    "event_transitions": 0.464,
     "events_tumbling_window": 0.243,
-    "ewma_user_values": 0.195,
+    "ewma_user_values": 0.267,
     "fluxcal_multiplier": 0.536,
-    "funnel_view_click_purchase": 0.377,
-    "grouping_sets_revenue": 0.363,
+    "funnel_view_click_purchase": 0.501,
+    "grouping_sets_revenue": 0.383,
     "hard_negative_mining_autok": 10.501,
-    "heavy_hitters_tokens": 0.737,
+    "heavy_hitters_tokens": 0.819,
     "hits_hubs_authorities": 5.197,
     "hll_distinct_shingles": 2.548,
     "huber_robust_fit": 1.359,
-    "image_dhash_roundtrip": 0.511,
+    "image_dhash_roundtrip": 0.535,
     "ivf_search": 1.749,
-    "kepler_ell1_chain": 0.158,
+    "kepler_ell1_chain": 0.176,
     "kneser_ney_bigram_lm": 2.861,
     "kneser_ney_trigram_lm": 4.27,
     "knn_per_label": 1.183,
-    "last_touch_attribution": 0.407,
+    "last_touch_attribution": 0.464,
     "lpa_communities": 6.9,
     "markov_attribution_channels": 4.438,
     "media_feature_extract_png": 1.04,
     "media_jpeg_header_extract": 0.447,
     "media_jpeg_pixel_decode": 1.111,
-    "media_wav_header_extract": 0.453,
+    "media_wav_header_extract": 0.503,
     "minhash_lsh_incremental_md5": 2.759,
     "minhash_lsh_pairs": 1.637,
     "nb_langid_confusion": 4.931,
-    "negative_sampling_unigram": 0.381,
+    "negative_sampling_unigram": 0.652,
     "node2vec_biased_walks": 9.392,
     "ordered_reduction_reset": 0.555,
     "pagerank_customer_supplier": 7.041,
-    "paragraph_dedup_docs": 0.201,
-    "pca_top2_projection": 0.774,
+    "paragraph_dedup_docs": 0.317,
+    "pca_top2_projection": 0.916,
     "pdmp_snr_operator": 1.616,
     "personalized_pagerank_seeds": 7.892,
     "pipeline_results_json": 2.545,
-    "polarimetry_profile_e2e": 0.785,
+    "polarimetry_profile_e2e": 1.093,
     "ppjoin_jaccard_pairs": 1.617,
     "ppmi_svd_node_embeddings": 15.685,
     # r12 re-pin (same calibration-artifact class as the three lanes
@@ -152,15 +171,15 @@ ANCHORS: dict[str, float] = {
     # fresh-session idle minimum (AB_r11_vs_r12.jsonl).
     "pq_adc_search": 11.5,
     "preference_rank_brands": 5.045,
-    "psi_drift_events": 0.952,
-    "q11_important_parts": 0.46,
-    "q17_small_quantity_revenue": 0.363,
-    "q18_large_volume_orders": 0.643,
+    "psi_drift_events": 1.117,
+    "q11_important_parts": 0.576,
+    "q17_small_quantity_revenue": 0.417,
+    "q18_large_volume_orders": 0.754,
     "q1_pricing_summary": 0.366,
     "q21_waiting_suppliers": 1.403,
     "q2_min_cost_supplier": 1.107,
     "q5_region_revenue": 1.073,
-    "quality_gate_gopher": 0.213,
+    "quality_gate_gopher": 0.241,
     "quality_logreg_train": 10.183,
     "rake_keyphrases_docs": 1.342,
     "record_linkage_em": 3.737,
@@ -168,20 +187,20 @@ ANCHORS: dict[str, float] = {
     "rm_fit_operator": 0.454,
     "rm_refine_e2e": 2.316,
     "rm_synthesis_spectrum": 2.246,
-    "sampled_quantiles_lineitem": 0.588,
+    "sampled_quantiles_lineitem": 0.664,
     "scrunch_operator": 0.468,
-    "seasonal_anomaly_hours": 0.409,
+    "seasonal_anomaly_hours": 0.416,
     "sequence_pattern_funnels": 0.412,
     "sessionization": 0.24,
     "skew_profile_users": 0.325,
     "skipgram_pairs_walks": 6.447,
     "sssp_copurchase": 5.145,
-    "table_diff_orders": 0.587,
-    "temperature_mixture_resample": 0.43,
-    "template_match_toa_operator": 0.626,
+    "table_diff_orders": 0.759,
+    "temperature_mixture_resample": 0.467,
+    "template_match_toa_operator": 0.679,
     "text_quality": 0.197,
     "timing_model_fit_operator": 1.37,
-    "toa_dm_pipeline_e2e": 0.822,
+    "toa_dm_pipeline_e2e": 0.897,
     "triangle_count_parts": 10.094,
     "two_level_ann_search": 5.467,
     "two_level_ivf_assign": 4.823,

@@ -684,18 +684,29 @@ def psi_drift(
     cb = cur.select(bin_expr.alias("bin_key")).groupBy("bin_key").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt_cur")
     )
-    tot_a = ref.count()
-    tot_b = cur.count()
+    # r13 (guide §5): the side totals were two driver-side .count()
+    # jobs over the fact-sized snapshots at build; each equals the sum
+    # of its own bin table (every row lands in exactly one group, null
+    # keys included), so they now ride the plan as broadcast 1-row
+    # sums over the sketch-sized bin frames — zero extra passes.
+    # coalesce(..., 0) + cast(double) reproduces the literal division
+    # exactly (including the empty-side NaN/Inf edge).
+    ta = ca.agg(F.coalesce(F.sum("cnt_ref"), F.lit(0)).cast("double").alias("_ta"))
+    tb = cb.agg(F.coalesce(F.sum("cnt_cur"), F.lit(0)).cast("double").alias("_tb"))
     j = (
         ca.join(cb, "bin_key", "full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
         .select(
             F.lit(feature).alias("feature"),
             F.col("bin_key").cast("string").alias("bin_key"),
             F.coalesce("cnt_ref", F.lit(0)).alias("n_ref"),
             F.coalesce("cnt_cur", F.lit(0)).alias("n_cur"),
+            "_ta",
+            "_tb",
         )
-        .withColumn("p_ref", F.greatest(F.col("n_ref") / F.lit(float(tot_a)), F.lit(eps)))
-        .withColumn("p_cur", F.greatest(F.col("n_cur") / F.lit(float(tot_b)), F.lit(eps)))
+        .withColumn("p_ref", F.greatest(F.col("n_ref") / F.col("_ta"), F.lit(eps)))
+        .withColumn("p_cur", F.greatest(F.col("n_cur") / F.col("_tb"), F.lit(eps)))
         .withColumn("term", (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref")))
     )
     return _psi_fold(j)

@@ -9663,14 +9663,32 @@ def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .unionByName(spark.createDataFrame([(None,)], "pri STRING"))
     )
-    inner = o2.join(dim, "pri").count()
-    nullsafe = o2.join(dim, o2["pri"].eqNullSafe(dim["pri"])).count()
-    return o2.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.count("pri").cast("bigint").alias("n_nonnull"),
-        F.count_distinct("pri").cast("bigint").alias("n_distinct"),
-        F.lit(inner).cast("bigint").alias("inner_matches"),
-        F.lit(nullsafe).cast("bigint").alias("nullsafe_matches"),
+    # r13 (guide §5): the two join-semantics probes were separate
+    # driver-side .count() jobs at build; they now ride the plan as
+    # broadcast 1-row aggregates so the lane is ONE job (identical
+    # bigint counts, identical join shapes — the hash-join planning is
+    # what the lane demonstrates).
+    innerf = o2.join(dim, "pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_inner")
+    )
+    nullsafef = o2.join(dim, o2["pri"].eqNullSafe(dim["pri"])).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nullsafe")
+    )
+    return (
+        o2.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("pri").cast("bigint").alias("n_nonnull"),
+            F.count_distinct("pri").cast("bigint").alias("n_distinct"),
+        )
+        .crossJoin(F.broadcast(innerf))
+        .crossJoin(F.broadcast(nullsafef))
+        .select(
+            "n_rows",
+            "n_nonnull",
+            "n_distinct",
+            F.col("_inner").alias("inner_matches"),
+            F.col("_nullsafe").alias("nullsafe_matches"),
+        )
     )
 
 
@@ -10327,54 +10345,68 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     li, orders, cust, nation = t["lineitem"], t["orders"], t["customer"], t["nation"]
 
-    def one(name: str, cnt: int) -> DataFrame:
-        return spark.createDataFrame(
-            [(name, cnt)], "constraint_name STRING, n_violations BIGINT"
+    # r13 (guide §5 "no driver loops in query paths"): this lane used
+    # to run SEVEN blocking driver jobs (five .count() + two
+    # .collect()) at build and return createDataFrame literals; each
+    # check is now an in-plan 1-row aggregate and the union runs as ONE
+    # job with the seven subtrees scheduled concurrently. Counts are
+    # identical bigints by construction.
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("_n").cast("bigint").alias("n_violations"),
         )
+
+    def cnt(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("_n"))
 
     checks = [
         one(
             "lineitem_orphan_orderkey",
-            li.join(
-                orders.select(F.col("o_orderkey").alias("l_orderkey")),
-                "l_orderkey",
-                "left_anti",
-            ).count(),
+            cnt(
+                li.join(
+                    orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                    "l_orderkey",
+                    "left_anti",
+                )
+            ),
         ),
         one(
             "orders_orphan_custkey",
-            orders.join(
-                cust.select(F.col("c_custkey").alias("o_custkey")),
-                "o_custkey",
-                "left_anti",
-            ).count(),
+            cnt(
+                orders.join(
+                    cust.select(F.col("c_custkey").alias("o_custkey")),
+                    "o_custkey",
+                    "left_anti",
+                )
+            ),
         ),
         one(
             "customer_orphan_nationkey",
-            cust.join(
-                nation.select(F.col("n_nationkey").alias("c_nationkey")),
-                "c_nationkey",
-                "left_anti",
-            ).count(),
+            cnt(
+                cust.join(
+                    nation.select(F.col("n_nationkey").alias("c_nationkey")),
+                    "c_nationkey",
+                    "left_anti",
+                )
+            ),
         ),
         one(
             "orders_duplicate_pk",
             orders.groupBy("o_orderkey")
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") > 1)
-            .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)))
-            .collect()[0][0],
+            .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("_n")),
         ),
         one(
             "lineitem_duplicate_pk",
             li.groupBy("l_orderkey", "l_linenumber")
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") > 1)
-            .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)))
-            .collect()[0][0],
+            .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("_n")),
         ),
-        one("lineitem_nonpositive_qty", li.filter(F.col("l_quantity") <= 0).count()),
-        one("orders_null_status", orders.filter(F.col("o_orderstatus").isNull()).count()),
+        one("lineitem_nonpositive_qty", cnt(li.filter(F.col("l_quantity") <= 0))),
+        one("orders_null_status", cnt(orders.filter(F.col("o_orderstatus").isNull()))),
     ]
     out = checks[0]
     for c in checks[1:]:
@@ -10759,12 +10791,16 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["ref_value", "doc_id"],
         id_name="gpos0",
     ).select("ref_value", (F.col("gpos0") + 1).alias("gpos"))
-    n = docs.count()
-    mapped = ranked.select(
+    # r13 (guide §5): the corpus total was a driver-side count job at
+    # build; it now rides the plan as a broadcast 1-row aggregate
+    # (identical exact integer arithmetic with the column in place of
+    # the literal).
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    mapped = ranked.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "source",
         "n_chars",
-        F.ceil((2 * F.col("r") - 1) * F.lit(n) / (2.0 * F.col("ns")))
+        F.ceil((2 * F.col("r") - 1) * F.col("_n") / (2.0 * F.col("ns")))
         .cast("bigint")
         .alias("pos"),
     )
@@ -11155,10 +11191,14 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(0.0),
         lambda acc, x: acc + x["term"],
     )
-    n_cells = joint.count()
-    return terms.agg(
+    # r13 (guide §5): n_cells was a driver-side joint.count() — it
+    # re-ran the corpus contingency aggregation as its own blocking job
+    # at build; it now rides the same plan as a broadcast 1-row count
+    # (min over the constant column reproduces the identical bigint).
+    ncf = joint.agg(F.count(F.lit(1)).cast("bigint").alias("_nc"))
+    return terms.crossJoin(F.broadcast(ncf)).agg(
         (F.floor(folded * 1e6 + F.lit(0.5)) / 1e6).alias("mutual_info_nats"),
-        F.lit(n_cells).cast("bigint").alias("n_cells"),
+        F.min("_nc").cast("bigint").alias("n_cells"),
     )
 
 

@@ -350,8 +350,17 @@ def test_join_hints_are_honored(spark, sf_dir):
 
 def test_nullsafe_join_is_hash_not_nested_loop(spark, sf_dir):
     plan = _plan(spark, "null_semantics_audit", sf_dir)
-    assert "BroadcastNestedLoopJoin" not in plan
+    # The lane's contract: both join-semantics probes (inner equi-join and
+    # the null-safe <=> join) plan as HASH joins on the coalesced key.
+    # r13 folded the two scalar count jobs into the plan as 1-row broadcast
+    # crossJoins, which legitimately plan as BroadcastNestedLoopJoin over
+    # single-row aggregates — so a blanket "no BNLJ" no longer holds; bound
+    # the nested loops to exactly that scalar glue instead.
     assert "CartesianProduct" not in plan
+    # (formatted explain prints tree + per-node details: counts double,
+    # so 2 semantic hash joins -> >=2 mentions, 2 scalar crossJoins -> <=4)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
 
 
 def test_observation_metrics_single_pass(spark, sf_dir):

@@ -321,6 +321,12 @@ def main() -> None:
         "cpus": os.cpu_count(),
         "calibration_sec": round(cal, 3),
         "calibration_anchor_sec": CALIBRATION_ANCHOR_SEC,
+        # all five brackets (start, quarters, end) in run order: a
+        # spread >~1.5x across brackets means the box speed CHANGED
+        # mid-run, so per-lane times from the slow window carry a
+        # transient the single median ab_ratio cannot normalize out —
+        # diagnose flags against this before suspecting code
+        "calibration_brackets": [round(c, 3) for c in cals],
     }
 
     # the headline set GROWS every round; the r2-anchored subset is the

@@ -861,9 +861,17 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
             f"k_truss requires k >= 3 (got k={k}): the support peel drops "
             "zero-triangle edges, so k<=2 would silently return the 3-truss"
         )
-    cur = edges.select("src", "dst").distinct().localCheckpoint(True, _SER)
-    sup = None
-    for _ in range(rounds):
+    def _support(cur: DataFrame) -> DataFrame:
+        """One oriented triangle enumeration over ``cur`` + per-edge
+        support counts. The 3 edges of each triangle are emitted by ONE
+        explode of a 3-struct array (r13): the previous 3-branch
+        unionAll duplicated the whole wedge-join subtree per branch —
+        Spark plans no common-subexpression elimination across union
+        branches and ReusedExchange never fired (ReusedExchange=0 in
+        plans/r13/ktruss_copurchase_before.txt, 3x SMJ+SHJ pairs), so
+        every pass paid the O(m^1.5) closure THREE times. The explode
+        emits the identical row multiset from a single join execution;
+        count() over it is order-free, so supports are bit-identical."""
         a = cur.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         b = cur.select(F.col("src").alias("u"), F.col("dst").alias("w"))
         c = cur.select(F.col("src").alias("v"), F.col("dst").alias("w"))
@@ -877,36 +885,47 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
             .filter(F.col("w") > F.col("v"))
             .join(c.hint("shuffle_hash"), ["v", "w"])
         )
-        tri_edges = (
-            tri.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-            .unionAll(tri.select(F.col("u").alias("src"), F.col("w").alias("dst")))
-            .unionAll(tri.select(F.col("v").alias("src"), F.col("w").alias("dst")))
-        )
-        sup = tri_edges.groupBy("src", "dst").agg(
+        tri_edges = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                    F.struct(F.col("u").alias("src"), F.col("w").alias("dst")),
+                    F.struct(F.col("v").alias("src"), F.col("w").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+        return tri_edges.groupBy("src", "dst").agg(
             F.count(F.lit(1)).cast("bigint").alias("support")
         )
+
+    cur = edges.select("src", "dst").distinct().localCheckpoint(True, _SER)
+    n_cur = cur.count()  # cache read on the eager checkpoint
+    for _ in range(rounds):
+        # materialize the support table (edge-sized, +1 bigint column)
+        # instead of the filtered edge set: the convergence test below
+        # can then RETURN it outright, and the surviving-edge frame is
+        # a cheap filter over the cached leaf
+        sup = _support(cur).localCheckpoint(True, _SER)
         cur = (
             sup.filter(F.col("support") >= k - 2)
             .select("src", "dst")
             .localCheckpoint(True, _SER)
         )
-    final = cur
-    a = final.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    b = final.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    c = final.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = (
-        a.join(b, ["u"])
-        .filter(F.col("w") > F.col("v"))
-        .join(c.hint("shuffle_hash"), ["v", "w"])
-    )
-    tri_edges = (
-        tri.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(tri.select(F.col("u").alias("src"), F.col("w").alias("dst")))
-        .unionAll(tri.select(F.col("v").alias("src"), F.col("w").alias("dst")))
-    )
-    return tri_edges.groupBy("src", "dst").agg(
-        F.count(F.lit(1)).cast("bigint").alias("support")
-    )
+        n_new = cur.count()  # cache read
+        if n_new == n_cur:
+            # Fixpoint reached (r13 early exit): the survivors are a
+            # SUBSET of the previous round's edges, so equal cardinality
+            # forces set equality — this round dropped nothing, every
+            # remaining round is the identity, and the final support
+            # table over the final edge set is exactly ``sup`` (same
+            # edge set ⇒ same triangles ⇒ same counts; equality also
+            # forces sup to contain no below-threshold rows). Returning
+            # the already-materialized sup skips every remaining
+            # O(m^1.5) enumeration — converged rounds are no longer
+            # paid for, only detected (one cached count per round).
+            return sup
+        n_cur = n_new
+    return _support(cur)
 
 
 def _fdiv(x: str, d: str) -> str:

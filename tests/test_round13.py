@@ -113,3 +113,30 @@ def test_fs_em_checkpoint_keeps_model_values(spark):
     assert abs(model["p"] - 0.2) < 1e-3
     assert model["m_0"] > 0.99 and model["m_1"] > 0.99
     assert model["u_0"] < 1e-3 and model["u_1"] < 1e-3
+
+
+def test_ktruss_early_exit_matches_fixed_rounds(spark):
+    """r13: k_truss returns the materialized support table as soon as a
+    round drops no edge (survivors are a subset of the round's input,
+    so equal cardinality forces set equality and every later round is
+    the identity). The early-exit result must equal the fully-unrolled
+    computation exactly, on both a converged-at-round-1 graph and a
+    graph that peels first."""
+    import itertools
+
+    from meerpipe_spark.operators.graph import k_truss
+
+    clique = list(itertools.combinations(range(1, 6), 2))
+    # pure K5 with k=5: round 1 drops nothing -> exit fires immediately;
+    # rounds=1 (no room to exit early) is the unrolled reference
+    k5 = spark.createDataFrame(clique, "src BIGINT, dst BIGINT")
+    fast = sorted(map(tuple, k_truss(k5, k=5, rounds=4).collect()))
+    ref = sorted(map(tuple, k_truss(k5, k=5, rounds=1).collect()))
+    assert fast == ref
+    assert fast == [(s, d, 3) for s, d in sorted(clique)]  # K5: support 3
+    # K5 + pendant chain: round 1 peels the chain, round 2 converges ->
+    # exit fires mid-loop; must equal the chain-free clique answer
+    chain = [(5, 10), (10, 11), (11, 12)]
+    g = spark.createDataFrame(clique + chain, "src BIGINT, dst BIGINT")
+    peeled = sorted(map(tuple, k_truss(g, k=5, rounds=4).collect()))
+    assert peeled == fast

@@ -17,12 +17,34 @@ n_chars). Scale notes per operator:
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 #: serialized storage for pair-/edge-sized lineage truncation
 #: (see operators/graph.py::ckpt_ser)
 _CKPT_SER = StorageLevel.MEMORY_AND_DISK
+
+#: r13: size-adaptive broadcast ceiling for the node-sized state side
+#: of the connected-components rounds — checkpointed iteration state
+#: carries no size statistics (LogicalRDD defaultSizeInBytes =
+#: Long.Max), so without the hint every round shuffles the EDGE list
+#: against node-sized labels/mins. Same rationale, default and
+#: fallback as operators/graph.py::_bcast_small; override per
+#: deployment via SPARK_GRAFT_CC_BCAST_MAX_ROWS.
+_BCAST_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_CC_BCAST_MAX_ROWS", "4000000"))
+
+
+def _bcast_small(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint ``df`` when its known row count fits the ceiling;
+    otherwise return it unchanged (shuffle join at scale). CC labels
+    are a unique fixpoint (min reachable id) and the contraction edge
+    sets are distinct multisets — join strategy cannot change either,
+    only their cost."""
+    if n_rows is not None and n_rows <= _BCAST_MAX_ROWS:
+        return df.hint("BROADCAST")
+    return df
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -365,15 +387,29 @@ def _cc_propagation(
     ).localCheckpoint()
 
     converged = False
-    prev_sum = labels.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+    # one cache-read pass yields BOTH the convergence baseline and the
+    # node count that drives the per-round broadcast decision (the node
+    # set is fixed across rounds, so one count bounds every round)
+    row0 = labels.agg(
+        F.sum(F.col("lab").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    prev_sum, n_nodes = row0.s, row0.n
     for _ in range(max_iters):
         nbr = (
-            edges.join(labels.select(F.col("node").alias("b"), "lab"), "b")
+            edges.join(
+                _bcast_small(labels.select(F.col("node").alias("b"), "lab"), n_nodes),
+                "b",
+            )
             .groupBy("a")
             .agg(F.min("lab").alias("nlab"))
         )
         labels = (
-            labels.join(nbr.select(F.col("a").alias("node"), "nlab"), "node", "left")
+            labels.join(
+                _bcast_small(nbr.select(F.col("a").alias("node"), "nlab"), n_nodes),
+                "node",
+                "left",
+            )
             .select(
                 "node",
                 F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
@@ -428,6 +464,10 @@ def _cc_contraction(
         .localCheckpoint()
     )
     edges = e.distinct().localCheckpoint(True, _CKPT_SER)
+    # the per-round min tables are grouped by an endpoint of the
+    # current edge set, whose domain only ever shrinks below the
+    # original node set — one count bounds every round's build side
+    n_nodes = nodes.count()
 
     def checksum(df: DataFrame):
         row = df.agg(
@@ -445,7 +485,7 @@ def _cc_contraction(
         mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
         m = F.least(F.col("mv"), F.col("u"))
         edges = (
-            nbrs.join(mins, "u")
+            nbrs.join(_bcast_small(mins, n_nodes), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), m.alias("v"))
             .filter(F.col("u") != F.col("v"))
@@ -456,7 +496,7 @@ def _cc_contraction(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
         mins = directed.groupBy("u").agg(F.min("v").alias("mv"))
-        with_min = directed.join(mins, "u")
+        with_min = directed.join(_bcast_small(mins, n_nodes), "u")
         edges = (
             with_min.filter(F.col("v") != F.col("mv"))
             .select(F.col("v").alias("u"), F.col("mv").alias("v"))
@@ -481,7 +521,7 @@ def _cc_contraction(
         .agg(F.min("v").alias("root"))
         .select(F.col("u").alias("node"), "root")
     )
-    return nodes.join(roots, "node", "left").select(
+    return nodes.join(_bcast_small(roots, n_nodes), "node", "left").select(
         "node", F.coalesce("root", "node").alias("component")
     )
 
@@ -503,15 +543,22 @@ def near_dup_pipeline(
     dominant redundant cost of the naive composition).
 
     Cache lifetime: the shingle projection stays cached after the action
-    that materializes the returned frame — call ``.unpersist()`` on it
-    via ``returned_df.sparkSession.catalog.clearCache()`` in batch
-    drivers, or pass ``persist=False`` to trade the pin for a 3× shingle
-    recompute (one per consumer branch)."""
+    that materializes the returned frame — it is registered with
+    ``cacheutil.persist_tracked`` so batch drivers reclaim it with
+    ``release_persisted()`` after consuming the result, or pass
+    ``persist=False`` to trade the pin for a 3× shingle recompute (one
+    per consumer branch)."""
     sh = docs.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
     )
     if persist:
-        sh = sh.cache()
+        # tracked (r13): a bare .cache() stays pinned for the rest of
+        # the session; the tracked handle lets batch drivers reclaim it
+        # via release_persisted() after the consuming action (the r12
+        # ADVICE convention, same class as the packing-lane fix)
+        from meerpipe_spark.cacheutil import persist_tracked
+
+        sh = persist_tracked(sh)
 
     exploded = sh.select(id_col, F.explode("sh").alias("s")).select(
         id_col, F.xxhash64("s").alias("h")

@@ -433,17 +433,34 @@ def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
         .localCheckpoint(True, _SER)
     )
     alive = und.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    # the alive set only ever shrinks, so the initial node count bounds
+    # every round's semi-join build side (r13: checkpointed state has
+    # no size statistics — without the hint each peel round shuffled
+    # the full edge list twice against the node-sized alive set)
+    n_nodes = alive.count()
     for _ in range(rounds):
         sub = und.join(
-            alive.withColumnRenamed("node", "src"), "src", "left_semi"
-        ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            _bcast_small(alive.withColumnRenamed("node", "src"), n_nodes),
+            "src",
+            "left_semi",
+        ).join(
+            _bcast_small(alive.withColumnRenamed("node", "dst"), n_nodes),
+            "dst",
+            "left_semi",
+        )
         deg = sub.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).cast("bigint").alias("deg")
         )
         alive = deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
     final = und.join(
-        alive.withColumnRenamed("node", "src"), "src", "left_semi"
-    ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        _bcast_small(alive.withColumnRenamed("node", "src"), n_nodes),
+        "src",
+        "left_semi",
+    ).join(
+        _bcast_small(alive.withColumnRenamed("node", "dst"), n_nodes),
+        "dst",
+        "left_semi",
+    )
     return final.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )

@@ -140,3 +140,61 @@ def test_ktruss_early_exit_matches_fixed_rounds(spark):
     g = spark.createDataFrame(clique + chain, "src BIGINT, dst BIGINT")
     peeled = sorted(map(tuple, k_truss(g, k=5, rounds=4).collect()))
     assert peeled == fast
+
+
+def test_k_core_bcast_ceiling_is_cost_only(spark, monkeypatch):
+    """r13: the peel rounds broadcast the node-sized alive set into the
+    edge semi-joins when the initial node count fits the graph ceiling.
+    Forcing the shuffle path (ceiling 0) must reproduce the broadcast
+    path's core degrees exactly."""
+    import meerpipe_spark.operators.graph as G
+    from meerpipe_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(1, 7) for b in range(a + 1, 7)]  # K6: 5-core
+    pairs = clique + [(i, (i * 7 + 3) % 40) for i in range(10, 200)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "src BIGINT, dst BIGINT"
+    )
+    fast = sorted(map(tuple, k_core(df, k=3, rounds=6).collect()))
+    monkeypatch.setattr(G, "_BCAST_STATE_MAX_ROWS", 0)
+    slow = sorted(map(tuple, k_core(df, k=3, rounds=6).collect()))
+    assert fast == slow
+    assert fast  # the probe graph keeps a non-empty 3-core
+
+
+def test_cc_bcast_ceiling_is_cost_only(spark, monkeypatch):
+    """r13: both connected-components algorithms broadcast their
+    node-sized per-round state (labels / min tables) under
+    SPARK_GRAFT_CC_BCAST_MAX_ROWS. Ceiling 0 must reproduce the
+    components bit-exactly for propagation AND contraction."""
+    import meerpipe_spark.operators.dedup as D
+    from meerpipe_spark.operators.dedup import connected_components
+
+    # two cliques + a long path (forces the auto probe into contraction)
+    edges = (
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        + [(i, i + 1) for i in range(100, 140)]
+    )
+    df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    for alg in ("propagation", "contraction"):
+        fast = sorted(
+            map(tuple, connected_components(df, algorithm=alg).collect())
+        )
+        monkeypatch.setattr(D, "_BCAST_MAX_ROWS", 0)
+        slow = sorted(
+            map(tuple, connected_components(df, algorithm=alg).collect())
+        )
+        monkeypatch.setattr(D, "_BCAST_MAX_ROWS", 4_000_000)
+        assert fast == slow
+    # contraction reaches the true fixpoint on the long path (its round
+    # bound is O(log^2 n), diameter-independent); explicit propagation
+    # at default max_iters legitimately may not — that is the documented
+    # reason algorithm="auto" probes and falls back.
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(df, algorithm="contraction").collect()
+    }
+    assert all(comp[i] == 100 for i in range(100, 141))
+    assert all(comp[i] == 1 for i in range(1, 5))
+    assert all(comp[i] == 10 for i in range(10, 14))

@@ -915,20 +915,110 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("support")
         )
 
+    def _sup_decrement(
+        g_prev: DataFrame,
+        sup_prev: DataFrame,
+        removed: DataFrame,
+        n_removed: int,
+    ) -> DataFrame:
+        """r14 incremental support maintenance (VERDICT r13 item 2,
+        guide §1.2): the support table of the PEELED graph, computed
+        from the previous round's support instead of a fresh O(m^1.5)
+        enumeration. A triangle of G' = G \\ R is exactly a triangle
+        of G none of whose edges is in R, so for every survivor e:
+
+            sup'(e) = sup(e) − |{dead triangles containing e}|
+            dead    = triangles of G containing ≥1 removed edge
+
+        Dead triangles are enumerated from R only: for removed (a,b)
+        the third vertex c is any common neighbor in G — one join of
+        the broadcast R against G's adjacency (stream ~ Σ_{(a,b)∈R}
+        deg(a), not Σ deg²) plus one hash probe of G for the (b,c)
+        closure, then DISTINCT on the sorted vertex triple so a
+        triangle with 2–3 removed edges decrements each survivor once.
+        |dead| ≤ Σ_{e∈R} sup(e) ≤ (k−3)·|R| (every removed edge kept
+        support < k−2), so the decrement table is bounded by
+        3·(k−3)·|R| rows — the caller gates this path on that bound
+        against the broadcast ceiling and falls back to the full
+        enumeration when a round peels too much for the bound to be
+        cheap. Survivors whose support hits 0 are dropped, matching
+        _support's absence-of-zero-triangle-edges contract."""
+        adj = g_prev.select(
+            F.col("src").alias("a"), F.col("dst").alias("c")
+        ).unionByName(
+            g_prev.select(F.col("dst").alias("a"), F.col("src").alias("c"))
+        )
+        rb = _bcast_small(
+            removed.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            n_removed,
+        )
+        # (b,c) closure probe: same build-side choice as _support —
+        # the edge-sized g_prev is the SHUFFLE_HASH build, the
+        # R-degree-sized candidate stream streams through unsorted
+        cand = rb.join(adj, "a").filter(F.col("c") != F.col("b"))
+        dead = cand.join(
+            g_prev.select(
+                F.col("src").alias("_s2"), F.col("dst").alias("_d2")
+            ).hint("shuffle_hash"),
+            (F.least("b", "c") == F.col("_s2"))
+            & (F.greatest("b", "c") == F.col("_d2")),
+        ).select("a", "b", "c")
+        dead_tri = (
+            dead.select(F.sort_array(F.array("a", "b", "c")).alias("t"))
+            .selectExpr("t[0] AS u", "t[1] AS v", "t[2] AS w")
+            .distinct()
+        )
+        dec = (
+            dead_tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                        F.struct(F.col("u").alias("src"), F.col("w").alias("dst")),
+                        F.struct(F.col("v").alias("src"), F.col("w").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_dec"))
+        )
+        return (
+            sup_prev.filter(F.col("support") >= k - 2)
+            .join(
+                _bcast_small(dec, max(1, 3 * (k - 3)) * n_removed),
+                ["src", "dst"],
+                "left",
+            )
+            .select(
+                "src",
+                "dst",
+                (F.col("support") - F.coalesce(F.col("_dec"), F.lit(0)))
+                .cast("bigint")
+                .alias("support"),
+            )
+            .filter(F.col("support") > 0)
+        )
+
     cur = edges.select("src", "dst").distinct().localCheckpoint(True, _SER)
     n_cur = cur.count()  # cache read on the eager checkpoint
+    prev_cur, sup, removed, n_removed = None, None, None, 0
     for _ in range(rounds):
         # materialize the support table (edge-sized, +1 bigint column)
         # instead of the filtered edge set: the convergence test below
         # can then RETURN it outright, and the surviving-edge frame is
         # a cheap filter over the cached leaf
-        sup = _support(cur).localCheckpoint(True, _SER)
-        cur = (
+        if removed is None:
+            sup = _support(cur).localCheckpoint(True, _SER)
+        else:
+            sup = _sup_decrement(prev_cur, sup, removed, n_removed).localCheckpoint(
+                True, _SER
+            )
+        new_cur = (
             sup.filter(F.col("support") >= k - 2)
             .select("src", "dst")
             .localCheckpoint(True, _SER)
         )
-        n_new = cur.count()  # cache read
+        n_new = new_cur.count()  # cache read
         if n_new == n_cur:
             # Fixpoint reached (r13 early exit): the survivors are a
             # SUBSET of the previous round's edges, so equal cardinality
@@ -941,7 +1031,18 @@ def k_truss(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
             # O(m^1.5) enumeration — converged rounds are no longer
             # paid for, only detected (one cached count per round).
             return sup
-        n_cur = n_new
+        # r14: subsequent rounds maintain supports incrementally when
+        # the dead-triangle bound fits the broadcast ceiling; a round
+        # that peeled too much falls back to the full enumeration
+        # (which is then running on the correspondingly smaller graph)
+        n_removed = n_cur - n_new
+        if max(1, 3 * (k - 3)) * n_removed <= _BCAST_STATE_MAX_ROWS:
+            removed = sup.filter(F.col("support") < k - 2).select("src", "dst")
+        else:
+            removed = None
+        prev_cur, cur, n_cur = cur, new_cur, n_new
+    if removed is not None:
+        return _sup_decrement(prev_cur, sup, removed, n_removed)
     return _support(cur)
 
 
@@ -988,6 +1089,49 @@ def _shift_normalize(
             " AS DOUBLE)) AS BIGINT) AS _d",
         )
         .selectExpr("node", _fdiv("w", "_d") + " AS x")
+    )
+
+
+def _fused_norm(
+    w: DataFrame, scale_bits: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """r14 job-count fusion (VERDICT r13 item 1, guide §5 driver
+    latency): renormalize (node, w) WITHOUT the per-round scalar
+    broadcast job — greatest(max(abs(w)) OVER (), 1) rides an
+    unpartitioned window over the vector, so the matvec, the max
+    statistic and the floor-division all execute inside ONE job with
+    no shared subtree (the plan is linear, so no per-round
+    materialization is needed for dedup either). The single-partition
+    window is exactly as large as the node-sized state the caller
+    already deems broadcastable — this helper must only be used under
+    the ``_BCAST_STATE_MAX_ROWS`` ceiling (above it
+    ``_shift_normalize`` keeps the agg+broadcast shape).
+
+    Value-identical to ``_shift_normalize``: the window max over all
+    rows IS the aggregate max, and every subsequent op is the same
+    integer floor-division. ``carry`` names extra columns to pass
+    through unchanged (per-node loop constants such as v₁)."""
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy()
+    keep = [F.col(c) for c in carry]
+    return (
+        w.select(
+            "node",
+            "w",
+            F.greatest(
+                F.max(F.abs(F.col("w"))).over(win), F.lit(1).cast("bigint")
+            ).alias("_mx"),
+            *keep,
+        )
+        .selectExpr(
+            "node",
+            "w",
+            f"CAST(pow(2.0D, CAST(greatest(length(bin(_mx)) - {scale_bits}, 0)"
+            " AS DOUBLE)) AS BIGINT) AS _d",
+            *carry,
+        )
+        .selectExpr("node", _fdiv("w", "_d") + " AS x", *carry)
     )
 
 
@@ -1064,7 +1208,6 @@ def ppmi_spectral_embeddings(
     Returns (node, e1, e2): integer embedding coordinates, each
     component ∞-normalized below 2^scale_bits.
     """
-    two_sb = 1 << scale_bits
     mg = pairs.groupBy("center").agg(F.sum("n_pairs").alias("nr"))
     tot = pairs.agg(F.sum("n_pairs").alias("nt"))
     m = (
@@ -1103,6 +1246,29 @@ def ppmi_spectral_embeddings(
     vocab = m.select(F.col("center").alias("node")).distinct().localCheckpoint()
     n_vocab = vocab.count()  # cache-read job; drives the matvec broadcast
 
+    # r14 (VERDICT r13 item 1): the power rounds were the registry's
+    # slowest lane and purely driver-job-latency-bound at bench SF
+    # (166 jobs × ~100 ms scheduler latency, 8v32-core ratio 0.99).
+    # Under the broadcast ceiling the rounds now run FUSED — scalar
+    # stats ride unpartitioned windows inside the round's one job,
+    # loop-invariant constants (v₁, b, q) are checkpointed once, and
+    # phase-1 lineage truncates every other round — while above the
+    # ceiling the r13 agg+broadcast/shuffle shape is kept verbatim
+    # (node-sized state that cannot be broadcast cannot sit in one
+    # window partition either). Both paths compute bit-identical
+    # integers; the ceiling-0 equality test pins it.
+    if n_vocab > _BCAST_STATE_MAX_ROWS:
+        return _ppmi_rounds_shuffle(m, vocab, n_vocab, iters, scale_bits)
+    return _ppmi_rounds_fused(m, vocab, n_vocab, iters, scale_bits)
+
+
+def _ppmi_rounds_shuffle(
+    m: DataFrame, vocab: DataFrame, n_vocab: int, iters: int, scale_bits: int
+) -> DataFrame:
+    """The r13 power-round shape, kept verbatim as the above-ceiling
+    fallback: shuffle matvec, per-round agg+broadcast renorm scalars.
+    See ppmi_spectral_embeddings for the exactness argument."""
+    two_sb = 1 << scale_bits
     v = vocab.select(
         "node", F.lit(two_sb).cast("bigint").alias("x")
     ).localCheckpoint()
@@ -1149,6 +1315,136 @@ def ppmi_spectral_embeddings(
     return (
         v1.select("node", F.col("x").alias("e1"))
         .join(_bcast_small(u.select("node", F.col("x").alias("e2")), n_vocab), "node")
+    )
+
+
+def _ppmi_rounds_fused(
+    m: DataFrame, vocab: DataFrame, n_vocab: int, iters: int, scale_bits: int
+) -> DataFrame:
+    """r14 fused power rounds (vocab under the broadcast ceiling).
+
+    Job shape per round — the whole point of this path:
+
+    - phase 1: ONE broadcast job (the state vector into the matvec)
+      plus a lineage checkpoint every other round. The renorm max
+      rides an unpartitioned window inside the same job
+      (:func:`_fused_norm`); nothing else executes. The intermediate
+      un-checkpointed round has exactly ONE consumer (the next round's
+      broadcast), so it still executes exactly once — no re-execution
+      is traded for the saved checkpoint, at any scale.
+    - phase 2: the loop constants v₁ (as x1), b (as bt) and the scalar
+      q = Σx1² are joined/attached ONCE into a checkpointed constants
+      frame C; the per-round scalar p = Σ x1·xu is attached to the
+      state frame S as a window column when S is built, so round r is:
+      matvec (S broadcast, p carried through the agg as max of a
+      constant column) → join C (broadcast, cached) → deflation +
+      renorm + next p, all windows in the same job → checkpoint.
+      3 jobs instead of the r13 shape's ~7 (matvec ckpt, p agg
+      broadcast, q broadcast, t broadcast, b broadcast, u broadcast,
+      stats broadcast). S is checkpointed EVERY round because it has
+      two consumers per round (both broadcasts) — fused plans must
+      never trade a job for a re-executed matvec at scale.
+
+    Exactness vs the shuffle path: window max/sum over all rows ARE
+    the aggregate max/sum (bigint, order-free); max("p")/max over a
+    per-frame-constant column is that constant; the w2 row set is
+    unchanged (a and C both cover exactly the vocab); every division
+    is the same positive-mod floor-div. The ceiling-0 equality test
+    runs both paths on the same pairs and asserts identical rows."""
+    from pyspark.sql import Window as W
+
+    two_sb = 1 << scale_bits
+    win = W.partitionBy()
+
+    v = vocab.select(
+        "node", F.lit(two_sb).cast("bigint").alias("x")
+    ).localCheckpoint()
+    for r in range(iters):
+        v = _fused_norm(_matvec(m, v, n_vocab), scale_bits)
+        if (r % 2 == 1) or r == iters - 1:
+            v = v.localCheckpoint()
+    v1 = v
+
+    b = _matvec(m, v1, n_vocab).selectExpr(
+        "node", "w div 4096L AS bt"  # w ≥ 0: div == floor-div
+    )
+    cst = (
+        v1.select("node", F.col("x").alias("x1"))
+        .join(_bcast_small(b, n_vocab), "node")
+        .select(
+            "node",
+            "x1",
+            "bt",
+            F.sum(F.col("x1") * F.col("x1")).over(win).alias("q"),
+        )
+        .localCheckpoint()
+    )
+    s = (
+        cst.select("node", "x1")
+        .join(
+            _bcast_small(
+                vocab.selectExpr(
+                    "node", f"{two_sb}L * (1L - 2L * pmod(node, 2)) AS xu"
+                ),
+                n_vocab,
+            ),
+            "node",
+        )
+        .select(
+            "node", "xu", F.sum(F.col("x1") * F.col("xu")).over(win).alias("p")
+        )
+        .localCheckpoint()
+    )
+    for r in range(iters):
+        a = (
+            m.join(
+                _bcast_small(
+                    s.select(
+                        F.col("node").alias("context"),
+                        F.col("xu").alias("x"),
+                        "p",
+                    ),
+                    n_vocab,
+                ),
+                "context",
+            )
+            .groupBy("center")
+            # p is constant over every row of the join: max() recovers
+            # the scalar through the aggregation without a second pass
+            .agg(F.sum(F.col("m") * F.col("x")).alias("w"), F.max("p").alias("p"))
+            .select(F.col("center").alias("node"), "w", "p")
+        )
+        w2 = (
+            a.join(_bcast_small(cst, n_vocab), "node")
+            .selectExpr(
+                "node",
+                "x1",
+                "w",
+                "bt",
+                f"({_fdiv(f'p * {two_sb}L', 'q')}) AS t",
+            )
+            .selectExpr(
+                "node",
+                "x1",
+                f"w * {two_sb}L - ({_fdiv('bt * t', '4L')}) AS w",
+            )
+        )
+        nrm = _fused_norm(w2, scale_bits, carry=("x1",))
+        s = (
+            nrm.select(
+                "node",
+                F.col("x").alias("xu"),
+                F.sum(F.col("x1") * F.col("x")).over(win).alias("p"),
+            )
+            .localCheckpoint()
+        )
+
+    return (
+        v1.select("node", F.col("x").alias("e1"))
+        .join(
+            _bcast_small(s.select("node", F.col("xu").alias("e2")), n_vocab),
+            "node",
+        )
     )
 
 

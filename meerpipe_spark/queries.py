@@ -9923,7 +9923,19 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit("language").alias("status")
     )
     k2 = k1.filter(F.col("lang").isin(*langs))
-    keepers = k2.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    from meerpipe_spark.cacheutil import persist_tracked as _pt
+
+    # r14 (VERDICT r13 item 8): the union's legs share four expensive
+    # un-materialized subtrees that Spark re-executes per consumer
+    # (the quality_logreg defect class, guide §5): keepers (md5
+    # group-by, consumed by q3 anti + k3 semi), contam (shingle
+    # intersect agg, consumed by q5 + the k5 anti), k5 (doc_id+shingles
+    # survivors, consumed THREE times — both sides of the near-dup
+    # self-join and the k6 anti), and the near-dup node set (q6 + k6).
+    # Persist each once (doc-count-sized or smaller); rows unchanged.
+    keepers = _pt(
+        k2.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
     q3 = k2.join(keepers, "doc_id", "left_anti").select(
         "doc_id", F.lit("exact_dedup").alias("status")
     )
@@ -9932,8 +9944,6 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit("benchmark").alias("status")
     )
     k4 = k3.filter(F.col("doc_id") % 100 != 0)
-
-    from meerpipe_spark.cacheutil import persist_tracked
 
     # the shingle table feeds THREE consumers (benchmark set,
     # contamination probe, near-dup edges) — Spark re-evaluates branch
@@ -9944,7 +9954,7 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange runs once INTO the persist, not per consumer)
     from meerpipe_spark.io import spread_small_scan
 
-    allsh = persist_tracked(
+    allsh = _pt(
         spread_small_scan(docs.select("doc_id", "text")).select(
             "doc_id", shingles(F.col("text"), 3).alias("sh")
         )
@@ -9956,7 +9966,7 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k4sh = k4.select("doc_id").join(allsh, "doc_id")
     exk4 = k4sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
-    contam = (
+    contam = _pt(
         exk4.join(bench_sh, "s")
         .groupBy("doc_id", "n")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -9964,7 +9974,7 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     q5 = contam.select("doc_id", F.lit("contaminated").alias("status"))
-    k5 = k4sh.join(contam, "doc_id", "left_anti").select("doc_id", "sh")
+    k5 = _pt(k4sh.join(contam, "doc_id", "left_anti").select("doc_id", "sh"))
 
     ex = k5.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -9982,16 +9992,13 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.05
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
-    q6 = comp.filter(F.col("component") != F.col("node")).select(
-        F.col("node").alias("doc_id"), F.lit("near_dup").alias("status")
-    )
-    k6 = k5.join(
+    dups = _pt(
         comp.filter(F.col("component") != F.col("node")).select(
             F.col("node").alias("doc_id")
-        ),
-        "doc_id",
-        "left_anti",
-    ).select("doc_id")
+        )
+    )
+    q6 = dups.select("doc_id", F.lit("near_dup").alias("status"))
+    k6 = k5.join(dups, "doc_id", "left_anti").select("doc_id")
     kept = k6.select(
         "doc_id",
         F.when(
@@ -19200,10 +19207,11 @@ def npy_reference_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DSL parser into the decimation-spec table plus A1 group "
         "factors for a 1024x928 input (max(1, n // target) — pam "
         "--setnsub semantics). Config strings are O(projects) "
-        "dimension-sized, so the driver-side parse is a model-sized "
-        "collect (delay-rules precedent). The oracle derives the spec "
-        "table straight from the project ids — a DSL tokenizer or "
-        "factor bug hash-mismatches.",
+        "dimension-sized; since r14 the parser runs DISTRIBUTED as "
+        "one Arrow batch stage (mapInPandas) instead of a driver "
+        "collect + createDataFrame round-trip (VERDICT r13 item 5). "
+        "The oracle derives the spec table straight from the project "
+        "ids — a DSL tokenizer or factor bug hash-mismatches.",
 )
 def decimation_flags_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
@@ -19250,21 +19258,43 @@ def decimation_flags_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.get(F.split("value", "=", 2), 1)).alias("val"),
         )
     )
-    # config dimension is O(projects) — model-sized collect, then the
-    # real DSL parse (plans/decimation.py) emits the spec table
-    flag_rows = kv.filter(F.col("key") == "flags").select("p", "val").collect()
-    out_rows = []
-    for r in sorted(flag_rows, key=lambda x: int(x.p)):
-        for i, spec in enumerate(parse_decimation_flags(r.val)):
-            t, f = spec.factors(1024, 928)
-            out_rows.append(
-                (int(r.p), i, spec.name, spec.nsub, spec.nchan,
-                 bool(spec.pscrunch), t, f)
-            )
-    return spark.createDataFrame(
-        out_rows,
-        "p bigint, prod_idx bigint, name string, nsub bigint, "
-        "nchan bigint, pscrunch boolean, t_factor bigint, f_factor bigint",
+    # r14 (VERDICT r13 item 5): the flags rows were collected to the
+    # driver and re-parallelized (a blocking pass + createDataFrame
+    # round-trip per invocation). The REAL DSL parser
+    # (plans/decimation.parse_decimation_flags) still does the parsing
+    # — it now runs on the executors over the O(projects) config rows
+    # as one Arrow batch stage (mapInPandas), so the lane is a single
+    # lazy plan with zero driver collects. Per-row parse + enumerate
+    # is exactly the old driver loop; row order is engine-irrelevant
+    # (the oracle compares sorted).
+    cols = [
+        "p", "prod_idx", "name", "nsub", "nchan",
+        "pscrunch", "t_factor", "f_factor",
+    ]
+
+    def _parse_flags(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p_, val in zip(pdf["p"], pdf["val"]):
+                for i, spec in enumerate(parse_decimation_flags(val)):
+                    t, f = spec.factors(1024, 928)
+                    rows.append(
+                        (int(p_), i, spec.name, spec.nsub, spec.nchan,
+                         bool(spec.pscrunch), t, f)
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        kv.filter(F.col("key") == "flags")
+        .select(F.col("p").cast("bigint").alias("p"), "val")
+        .mapInPandas(
+            _parse_flags,
+            "p bigint, prod_idx bigint, name string, nsub bigint, "
+            "nchan bigint, pscrunch boolean, t_factor bigint, f_factor bigint",
+        )
     )
 
 
@@ -19371,25 +19401,48 @@ def sequence_packing_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").alias("max_doc"),
         F.count(F.lit(1)).alias("n_docs_in_pack"),
     )
+    # r14 (VERDICT r13 item 5): the three invariant scalars were
+    # blocking driver jobs at build (.count()/.collect() per
+    # invocation); they are global aggregates over the cached packing,
+    # so they fold into the plan as 1-row broadcast crossJoins (the
+    # 767327c scalar-glue pattern) — zero extra passes before the
+    # consuming action, identical values (an ungrouped agg returns
+    # exactly one row even over an empty filter: count()==0,
+    # coalesce(sum, 0)==0, matching the collected ints bit-for-bit).
     budget_viol = per_pack.filter(
         (F.col("pack_tokens") > budget)
         & ~((F.col("n_docs_in_pack") == 1) & (F.col("max_doc") > budget))
-    ).count()
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("budget_violations"))
     halffull_viol = (
         per_pack.filter(F.col("pack_tokens") * 2 <= budget)
         .groupBy("group")
         .agg(F.greatest(F.count(F.lit(1)) - 1, F.lit(0)).alias("v"))
-        .agg(F.coalesce(F.sum("v"), F.lit(0)).alias("s"))
-        .collect()[0].s
+        .agg(
+            F.coalesce(F.sum("v"), F.lit(0))
+            .cast("bigint")
+            .alias("halffull_violations")
+        )
     )
     dup = (
-        packed.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+        packed.groupBy("doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dup_assignments"))
     )
-    out = packed.agg(
-        F.count(F.lit(1)).cast("bigint").alias("total_docs"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.lit(int(budget_viol)).cast("bigint").alias("budget_violations"),
-        F.lit(int(dup)).cast("bigint").alias("dup_assignments"),
-        F.lit(int(halffull_viol)).cast("bigint").alias("halffull_violations"),
+    out = (
+        packed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(budget_viol))
+        .crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(halffull_viol))
+        .select(
+            "total_docs",
+            "total_tokens",
+            "budget_violations",
+            "dup_assignments",
+            "halffull_violations",
+        )
     )
     return out

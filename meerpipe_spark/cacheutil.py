@@ -44,6 +44,22 @@ def _run_cleanups_at_exit() -> None:
             pass
 
 
+def bcast_small(df: DataFrame, n_rows: int | None, max_rows: int) -> DataFrame:
+    """Broadcast-hint ``df`` when its KNOWN row count fits the caller's
+    ceiling; strict no-op above it (shuffle join at scale) or when the
+    count is unknown. The shared threshold logic behind every
+    per-family ``_bcast_small`` wrapper (graph / CC / ALS / ranking —
+    ADVICE r13 item 1: the copies' docstrings had drifted and a
+    threshold fix would have had to land four times); each call site
+    keeps its own env-var ceiling and its own cost-only rationale.
+    Broadcast decisions are always cost-only for these operators: the
+    values are partitioning-invariant by construction (integer
+    fixpoints, unique minima, or per-entity pure functions)."""
+    if n_rows is not None and n_rows <= max_rows:
+        return df.hint("BROADCAST")
+    return df
+
+
 def persist_tracked(df: DataFrame, level=None) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK, or ``level`` when given — pass a
     serialized level for fact-/matrix-sized intermediates, the

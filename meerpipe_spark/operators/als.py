@@ -55,14 +55,14 @@ _BCAST_FACTOR_MAX_ROWS = int(
 
 
 def _bcast_small(df: DataFrame, n_rows: int | None) -> DataFrame:
-    """Broadcast-hint ``df`` when its KNOWN row count fits the ceiling;
-    strict no-op above it. Cost-only: the per-entity solves are pure
-    functions of per-entity sufficient statistics, so join strategy
-    cannot change values (re-verified against the unrolled DuckDB
-    oracle at sf0.01/sf0.1)."""
-    if n_rows is not None and n_rows <= _BCAST_FACTOR_MAX_ROWS:
-        return df.hint("BROADCAST")
-    return df
+    """Broadcast-hint ``df`` under the factor ceiling (shared
+    threshold logic: cacheutil.bcast_small). Cost-only: the per-entity
+    solves are pure functions of per-entity sufficient statistics, so
+    join strategy cannot change values (re-verified against the
+    unrolled DuckDB oracle at sf0.01/sf0.1)."""
+    from meerpipe_spark.cacheutil import bcast_small
+
+    return bcast_small(df, n_rows, _BCAST_FACTOR_MAX_ROWS)
 
 
 def _solve2(a11, a12, a22, b1, b2, reg: float):

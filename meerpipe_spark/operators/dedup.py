@@ -37,14 +37,13 @@ _BCAST_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_CC_BCAST_MAX_ROWS", "4000000")
 
 
 def _bcast_small(df: DataFrame, n_rows: int | None) -> DataFrame:
-    """Broadcast-hint ``df`` when its known row count fits the ceiling;
-    otherwise return it unchanged (shuffle join at scale). CC labels
-    are a unique fixpoint (min reachable id) and the contraction edge
-    sets are distinct multisets — join strategy cannot change either,
-    only their cost."""
-    if n_rows is not None and n_rows <= _BCAST_MAX_ROWS:
-        return df.hint("BROADCAST")
-    return df
+    """Broadcast-hint ``df`` under the CC ceiling (shared threshold
+    logic: cacheutil.bcast_small). CC labels are a unique fixpoint
+    (min reachable id) and the contraction edge sets are distinct
+    multisets — join strategy cannot change either, only their cost."""
+    from meerpipe_spark.cacheutil import bcast_small
+
+    return bcast_small(df, n_rows, _BCAST_MAX_ROWS)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -51,19 +51,31 @@ _SER = StorageLevel.MEMORY_AND_DISK
 #: "few hundred MB is fine" broadcast envelope with an 8 GB driver,
 #: far under the 8 GB / 512M-row broadcast hard cap; override per
 #: deployment via SPARK_GRAFT_GRAPH_BCAST_MAX_ROWS.
+#:
+#: Memory envelope for ITERATIVE use (ADVICE r13 item 2): a fixpoint
+#: loop creates a fresh broadcast every round, and ContextCleaner only
+#: reclaims the dead relations after a JVM GC notices them
+#: (release_checkpoints runs BETWEEN queries, not inside the loop) —
+#: so executors must carry up to rounds × built-relation-size of
+#: transient broadcast blocks in the worst case (~25 rounds × 300 MB
+#: ≈ 7.5 GB at the default ceiling). Deployments running long
+#: iteration counts close to the ceiling should lower the env var
+#: (the fallback is the plain shuffle plan, never an error); the
+#: repo's own lanes iterate ≤ 10–25 rounds on node counts far below
+#: the ceiling.
 _BCAST_STATE_MAX_ROWS = int(
     os.environ.get("SPARK_GRAFT_GRAPH_BCAST_MAX_ROWS", "4000000")
 )
 
 
 def _bcast_small(df: DataFrame, n_rows: int | None) -> DataFrame:
-    """Broadcast-hint ``df`` when its known row count fits the ceiling;
-    otherwise return it unchanged (shuffle join at scale). Integer-
-    exact operators are partitioning-invariant by construction, so the
-    join strategy can never change their results — only their cost."""
-    if n_rows is not None and n_rows <= _BCAST_STATE_MAX_ROWS:
-        return df.hint("BROADCAST")
-    return df
+    """Broadcast-hint ``df`` under the graph-state ceiling (shared
+    threshold logic: cacheutil.bcast_small). Integer-exact operators
+    are partitioning-invariant by construction, so the join strategy
+    can never change their results — only their cost."""
+    from meerpipe_spark.cacheutil import bcast_small
+
+    return bcast_small(df, n_rows, _BCAST_STATE_MAX_ROWS)
 
 
 def ckpt_ser(df: DataFrame) -> DataFrame:
@@ -601,6 +613,8 @@ def deterministic_walks(
     of walks, steps independent of corpus size. This is the corpus
     generator feeding skip-gram node-embedding training.
     """
+    from meerpipe_spark.cacheutil import persist_tracked
+
     frontier = starts.select(
         seed_col, F.lit(0).alias("step"), "node"
     ).localCheckpoint()
@@ -622,7 +636,20 @@ def deterministic_walks(
             # corrupt node ids above 10^12 when decoded by substr/CAST.
             F.lpad(F.col("dst").cast("string"), 19, "0"),
         )
-        frontier = (
+        # r14 job cut (guide §5 driver latency): the step is a LAZY
+        # persist — the cache is filled by whichever action touches it
+        # first (usually the next step's frontier broadcast), so both
+        # consumers (next step + the output union) share one execution
+        # without spending an eager checkpoint job per step. persist is
+        # also the safer storage class (a lost cached partition
+        # recomputes from lineage; a lost checkpoint block is an
+        # error), and the walk state is small, so the per-step plan
+        # nesting stays trivial at steps <= O(10). The early-stop test
+        # runs every OTHER step: an empty frontier joins to an empty
+        # frontier and unions no rows, so checking late is
+        # value-identical — it only delays the break by one cheap
+        # empty step while halving the per-step count jobs.
+        frontier = persist_tracked(
             _bcast_small(frontier, n_walks)
             .join(edges, frontier["node"] == edges["src"])
             .groupBy(seed_col)
@@ -632,9 +659,8 @@ def deterministic_walks(
                 F.lit(t).alias("step"),
                 F.expr("CAST(substr(k, 34) AS BIGINT)").alias("node"),
             )
-            .localCheckpoint()
         )
-        if frontier.isEmpty():
+        if t % 2 == 0 and frontier.count() == 0:
             break
         out = out.unionByName(frontier)
     return out
@@ -688,8 +714,23 @@ def node2vec_walks(
     w_ret = max(1, round(replication / p))
     w_adj = replication
     w_far = max(1, round(replication / q))
-    adj = edges.select(
-        F.col("src").alias("_pa"), F.col("dst").alias("_pb"), F.lit(1).alias("_isadj")
+    # r14 (VERDICT r13 item 6): the per-step adjacency probe rebuilt
+    # the (prev, dst) exchange of the EDGE-sized side every step.
+    # Persist the probe table hash-laid-out by its join key once (the
+    # ppmi matrix trick: InMemoryTableScan preserves partitioning,
+    # localCheckpoint would discard it), so every step's left join
+    # exchanges only the walk-sized candidate stream — the edge side
+    # is shuffled exactly once, at build. Value-neutral: partitioning
+    # never changes a left equi-join's rows.
+    from meerpipe_spark.cacheutil import persist_tracked
+
+    adj = persist_tracked(
+        edges.select(
+            F.col("src").alias("_pa"),
+            F.col("dst").alias("_pb"),
+            F.lit(1).alias("_isadj"),
+        ).repartition("_pa", "_pb"),
+        level=_SER,
     )
     frontier = starts.select(
         seed_col,
@@ -700,10 +741,13 @@ def node2vec_walks(
     n_walks = frontier.count()  # frontier never grows: one row per walk
     out = frontier.select(seed_col, "step", "node")
     for t in range(1, steps + 1):
-        # the adjacency probe deliberately stays a shuffle join: its
-        # build side is EDGE-sized, and a broadcast hash relation of
-        # the whole edge list would be rebuilt and re-shipped every
-        # step (r13 A/B: 1.4x slower with the hint at sf0.1)
+        # the adjacency probe deliberately stays a (co-partitioned)
+        # shuffle join: its build side is EDGE-sized, and a broadcast
+        # hash relation of the whole edge list would be rebuilt and
+        # re-shipped every step (r13 A/B: 1.4x slower with the hint at
+        # sf0.1); since r14 the edge side arrives pre-partitioned from
+        # the persisted probe table, so only the candidate stream
+        # exchanges per step
         cands = (
             _bcast_small(frontier, n_walks)
             .join(edges, frontier["node"] == edges["src"])
@@ -738,7 +782,11 @@ def node2vec_walks(
             F.lit("|"),
             F.lpad(F.col("dst").cast("string"), 19, "0"),
         )
-        frontier = (
+        # r14 job cut: lazy persist + every-other-step early-stop test
+        # (see deterministic_walks for the full rationale — empty
+        # frontiers propagate empty, so the late check is
+        # value-identical)
+        frontier = persist_tracked(
             rep.groupBy(seed_col)
             .agg(F.min(key).alias("k"), F.max("node").alias("_prev"))
             .select(
@@ -747,9 +795,8 @@ def node2vec_walks(
                 F.expr("CAST(substr(k, 34) AS BIGINT)").alias("node"),
                 "_prev",
             )
-            .localCheckpoint()
         )
-        if frontier.isEmpty():
+        if t % 2 == 0 and frontier.count() == 0:
             break
         out = out.unionByName(frontier.select(seed_col, "step", "node"))
     return out
@@ -1332,18 +1379,19 @@ def _ppmi_rounds_fused(
       un-checkpointed round has exactly ONE consumer (the next round's
       broadcast), so it still executes exactly once — no re-execution
       is traded for the saved checkpoint, at any scale.
-    - phase 2: the loop constants v₁ (as x1), b (as bt) and the scalar
-      q = Σx1² are joined/attached ONCE into a checkpointed constants
-      frame C; the per-round scalar p = Σ x1·xu is attached to the
-      state frame S as a window column when S is built, so round r is:
-      matvec (S broadcast, p carried through the agg as max of a
-      constant column) → join C (broadcast, cached) → deflation +
-      renorm + next p, all windows in the same job → checkpoint.
-      3 jobs instead of the r13 shape's ~7 (matvec ckpt, p agg
-      broadcast, q broadcast, t broadcast, b broadcast, u broadcast,
-      stats broadcast). S is checkpointed EVERY round because it has
-      two consumers per round (both broadcasts) — fused plans must
-      never trade a job for a re-executed matvec at scale.
+    - phase 2: ONE checkpointed state frame S per round carrying the
+      vector xu, the loop constants x1 (= v₁), bt, q = Σx1², and the
+      round scalar p = Σ x1·xu (windows attached at build). Round r
+      is: matvec (broadcast of S's context projection, with p carried
+      through the agg as max of a constant column) → rejoin S's
+      constants projection (broadcast, checkpoint read) → deflation +
+      renorm + next p, all windows in the same pass → one checkpoint.
+      ~3 jobs versus the r13 shape's ~7 (matvec ckpt, p agg broadcast,
+      q broadcast, t broadcast, b broadcast, u broadcast, stats
+      broadcast). S must stay eagerly checkpointed: it is referenced
+      twice per round, and a lazy persist duplicates the child subtree
+      per reference (2^iters logical-plan growth — measured driver
+      OOM; see the in-loop comment).
 
     Exactness vs the shuffle path: window max/sum over all rows ARE
     the aggregate max/sum (bigint, order-free); max("p")/max over a
@@ -1361,26 +1409,29 @@ def _ppmi_rounds_fused(
     ).localCheckpoint()
     for r in range(iters):
         v = _fused_norm(_matvec(m, v, n_vocab), scale_bits)
-        if (r % 2 == 1) or r == iters - 1:
+        # every-3 lineage truncation: phase-1 state has exactly ONE
+        # consumer per round (the next round's broadcast), so the
+        # un-checkpointed intermediates still execute exactly once at
+        # any scale; a 3-round plan is constant-depth
+        if (r % 3 == 2) or r == iters - 1:
             v = v.localCheckpoint()
     v1 = v
 
+    # Phase-2 state S carries EVERYTHING the round needs per node —
+    # the vector xu, the loop constants x1 (= v₁), bt (= b div 2^12)
+    # and q = Σx1², and the round scalar p = Σ x1·xu — as ONE frame,
+    # eagerly checkpointed per round. The checkpoint must stay EAGER:
+    # S is referenced TWICE per round (both broadcasts), so a lazy
+    # persist duplicates the child subtree per reference and the
+    # logical plan grows 2^iters (measured: driver OOM in
+    # generateTreeString at iters=6 on sf0.1 — the lineage barrier is
+    # load-bearing, not hygiene).
     b = _matvec(m, v1, n_vocab).selectExpr(
         "node", "w div 4096L AS bt"  # w ≥ 0: div == floor-div
     )
-    cst = (
+    s = (
         v1.select("node", F.col("x").alias("x1"))
         .join(_bcast_small(b, n_vocab), "node")
-        .select(
-            "node",
-            "x1",
-            "bt",
-            F.sum(F.col("x1") * F.col("x1")).over(win).alias("q"),
-        )
-        .localCheckpoint()
-    )
-    s = (
-        cst.select("node", "x1")
         .join(
             _bcast_small(
                 vocab.selectExpr(
@@ -1391,7 +1442,12 @@ def _ppmi_rounds_fused(
             "node",
         )
         .select(
-            "node", "xu", F.sum(F.col("x1") * F.col("xu")).over(win).alias("p")
+            "node",
+            "x1",
+            "bt",
+            "xu",
+            F.sum(F.col("x1") * F.col("x1")).over(win).alias("q"),
+            F.sum(F.col("x1") * F.col("xu")).over(win).alias("p"),
         )
         .localCheckpoint()
     )
@@ -1415,24 +1471,30 @@ def _ppmi_rounds_fused(
             .select(F.col("center").alias("node"), "w", "p")
         )
         w2 = (
-            a.join(_bcast_small(cst, n_vocab), "node")
+            a.join(_bcast_small(s.select("node", "x1", "bt", "q"), n_vocab), "node")
             .selectExpr(
                 "node",
                 "x1",
-                "w",
                 "bt",
+                "q",
+                "w",
                 f"({_fdiv(f'p * {two_sb}L', 'q')}) AS t",
             )
             .selectExpr(
                 "node",
                 "x1",
+                "bt",
+                "q",
                 f"w * {two_sb}L - ({_fdiv('bt * t', '4L')}) AS w",
             )
         )
-        nrm = _fused_norm(w2, scale_bits, carry=("x1",))
+        nrm = _fused_norm(w2, scale_bits, carry=("x1", "bt", "q"))
         s = (
             nrm.select(
                 "node",
+                "x1",
+                "bt",
+                "q",
                 F.col("x").alias("xu"),
                 F.sum(F.col("x1") * F.col("x")).over(win).alias("p"),
             )

@@ -47,11 +47,11 @@ _BCAST_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_RANK_BCAST_MAX_ROWS", "4000000
 
 
 def _bcast_small(df: DataFrame, n_rows: int | None) -> DataFrame:
-    """Broadcast-hint ``df`` when its known row count fits the ceiling;
-    otherwise return it unchanged (shuffle join at scale)."""
-    if n_rows is not None and n_rows <= _BCAST_MAX_ROWS:
-        return df.hint("BROADCAST")
-    return df
+    """Broadcast-hint ``df`` under the ranking ceiling (shared
+    threshold logic: cacheutil.bcast_small)."""
+    from meerpipe_spark.cacheutil import bcast_small
+
+    return bcast_small(df, n_rows, _BCAST_MAX_ROWS)
 
 
 def duel_counts(duels: DataFrame, winner: str = "winner", loser: str = "loser"):

